@@ -1,0 +1,66 @@
+"""Query/operator registry backing ``__spark_entry__.py``.
+
+Every implemented operator from SURVEY.md §2 registers here as a named
+query: a callable ``(spark, sf_dir) -> DataFrame`` plus (when expressible)
+a DuckDB-compatible ANSI-SQL oracle string over the same parquet tables.
+The driver hash-compares both at sf0.01 — this registry IS the correctness
+surface of the engine.
+
+Conventions (driver compare is column-name + order-insensitive value-hash):
+- alias every computed column identically in Spark and SQL;
+- round floating-point aggregates on BOTH sides (``round(x, 4)``) so
+  summation-order differences between engines cannot flip the hash;
+- make every ranking deterministic (total tie-break order).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from importlib import import_module
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_MODULES = (
+    "columnflow_spark.queries.relational",
+    "columnflow_spark.queries.nested",
+    "columnflow_spark.queries.pipeline",
+    "columnflow_spark.queries.histogram",
+    "columnflow_spark.queries.timeseries",
+    "columnflow_spark.queries.mmdata",
+    "columnflow_spark.queries.streaming",
+)
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``name``; ``oracle`` is the DuckDB SQL twin
+    (omit only for genuinely non-SQL-expressible operators)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    for mod in _MODULES:
+        import_module(mod)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)

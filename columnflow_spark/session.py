@@ -1,0 +1,47 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]`` but every setting is chosen so the same
+code runs unchanged on a multi-executor cluster: AQE on (runtime partition
+coalescing + skew-join handling), shuffle partitions sized to cores locally
+(overridable via env for cluster runs), UTC session timezone for oracle
+parity, Arrow enabled for the pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "columnflow_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Return (or create) the process-wide SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``);
+    ``shuffle_partitions`` defaults to the core count so local shuffles are
+    neither over- nor under-parallelized.  On a real cluster these come from
+    spark-submit conf instead and this builder is a no-op passthrough.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = int(cpus)
+        except ValueError:
+            shuffle_partitions = os.cpu_count() or 8
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.mergeSchema", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,7 @@
+from columnflow_spark.sources.tables import (  # noqa: F401
+    BROADCAST_TABLES,
+    TABLES,
+    load_table,
+    load_tables,
+    table_path,
+)

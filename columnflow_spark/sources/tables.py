@@ -1,0 +1,75 @@
+"""Parquet sources for the driver-generated test tables.
+
+Mirrors the reference's scan layer (``ChunkedIOHandler`` /
+``ChunkedParquetReader``, reference columnflow/columnar_util.py:3276-3960):
+the reference hand-rolls row-group-aligned chunked reads with column
+projection and a read-ahead thread pool; on Spark all of that is native —
+``spark.read.parquet`` gives row-group splits, vectorized decoding, column
+pruning and predicate pushdown, so this module is deliberately thin.
+
+``load_table(..., columns=...)`` applies an explicit ``select`` so the
+projection reaches the scan even when downstream code is opaque to Catalyst
+(e.g. feeds a pandas UDF).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# small dimension tables that should always be broadcast in joins
+BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    columns: Iterable[str] | None = None,
+) -> DataFrame:
+    if name == "events":
+        df = _load_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    if columns is not None:
+        df = df.select(*columns)
+    return df
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    Spark's vectorized reader rejects.  Read nanos as long (runtime SQL conf)
+    and convert to a microsecond timestamp with *integer* division — float
+    division at ~1.7e18 ns loses microsecond precision (double has 53
+    mantissa bits) and would break oracle parity with DuckDB's ns->us
+    truncation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
