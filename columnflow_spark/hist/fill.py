@@ -1,0 +1,67 @@
+"""Histogram fill/merge as groupBy aggregations (reference
+columnflow/columnar_util.py hist_util.py:30 ``fill_hist``, :264
+``create_hist_from_variables``; merge: hist_util.py:384 ``sum_hists``).
+
+The reference fills in-memory boost-histograms chunk by chunk and merges
+per-file pickles in a dedicated task.  On Spark a histogram IS a long-format
+table — one row per (categorical axes…, bin indices…) cell with weight
+moments (sum_w, sum_w2, n) — and the fill is a single partial+final
+aggregation, so cross-file merging disappears (SURVEY §2.5).
+
+Weight storage matches boost-histogram's Weight() storage: Σw and Σw²
+per cell (variance of the cell).  Jagged (object-level) fills explode the
+collection first; multi-jagged cartesian fills chain posexplode
+(hist_util.py:111-127), both handled by the caller passing exploded
+DataFrames.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from columnflow_spark.hist.axes import Variable, bin_expr
+
+
+def fill_hist(
+    df: DataFrame,
+    variables: Iterable[Variable],
+    categorical: Iterable[str | Column] = (),
+    weight: Column | None = None,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Fill an N-dim weighted histogram; returns the long-format hist table
+    with columns (cats…, bin__<var>…, n, sum_w, sum_w2)."""
+    variables = list(variables)
+    w = weight if weight is not None else F.lit(1.0)
+    keys: list[Column] = []
+    for c in categorical:
+        keys.append(F.col(c) if isinstance(c, str) else c)
+    keys.extend(bin_expr(v).alias(f"bin__{v.name}") for v in variables)
+    sum_w, sum_w2 = F.sum(w), F.sum(w * w)
+    if round_to is not None:
+        sum_w, sum_w2 = F.round(sum_w, round_to), F.round(sum_w2, round_to)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        sum_w.alias("sum_w"),
+        sum_w2.alias("sum_w2"),
+    )
+
+
+def merge_hists(hists: Iterable[DataFrame]) -> DataFrame:
+    """Sum identical-axis hist tables (cross-file/cross-shift merge,
+    reference tasks/histograms.py:449 MergeHistograms): union + re-group.
+    Spark's partial aggregation makes this as cheap as the reference's
+    in-memory hist sum."""
+    hists = list(hists)
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    group_cols = [c for c in out.columns if c not in ("n", "sum_w", "sum_w2")]
+    return out.groupBy(*group_cols).agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("sum_w"), 4).alias("sum_w"),
+        F.round(F.sum("sum_w2"), 4).alias("sum_w2"),
+    )

@@ -9,15 +9,16 @@ on a nested event table built from the driver's orders+lineitem tables:
 - object array = its lineitems (array<struct> column ``items``), the
                  analog of the reference's per-event ``Jet`` collection
 - calibrator   = price scale correction (withField over the array)
-- selector     = object mask (qty cut) + event mask (>=1 selected item)
-- reducer      = drop failing events, rebuild ``items`` from the mask
-- producer     = ht (sum of selected prices), n_items, category id
+- selector     = object mask (qty cut) + event mask (>=2 selected items),
+                 emitted as a stored SelectionResult, not applied
+- reducer      = applies the event mask, rebuilds ``items`` from the mask
+- producer     = ht (sum of selected prices), n_items, category
 - hist         = weighted 1-D histogram of ht per category
 
-Everything is built-in higher-order array functions (transform / filter /
-aggregate) — no UDFs, the whole plan stays in WholeStageCodegen, and the
-only shuffle is the initial groupBy building the collections plus the final
-hist aggregation.
+All operators are registry instances with declared uses/produces, so the
+StageChain computes the used-column union and prunes the scan; the hist is
+one groupBy aggregation.  No UDFs anywhere — the whole plan is Catalyst-
+optimizable and shuffles exactly twice (collection build, hist agg).
 """
 
 from __future__ import annotations
@@ -25,89 +26,111 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from columnflow_spark.functions import arrays as A
+from columnflow_spark.hist import Variable, fill_hist
+from columnflow_spark.operators import (
+    SelectionResult,
+    calibrator,
+    producer,
+    reducer,
+    selector,
+)
+from columnflow_spark.operators.selection import apply_event_mask, rebuild_collection
+from columnflow_spark.plans.stage import StageChain
 from columnflow_spark.sources import load_table
+
+PRICE_SCALE = 1.02
+QTY_CUT = 5.0
+MIN_SELECTED = 2
 
 
 def build_nested_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested event table: one row per order with an ``items``
-    array<struct> collection (the reference's event/Jet shape,
-    SURVEY §1.1)."""
+    array<struct> collection (the reference's event/Jet shape, SURVEY
+    §1.1).  At 100 TB this groupBy is the one unavoidable shuffle; it
+    hash-partitions by the event key, which every later per-event operator
+    then reuses shuffle-free."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(
         spark, sf_dir, "lineitem",
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"],
     )
-    items = (
-        li.groupBy("l_orderkey")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("l_linenumber").alias("linenumber"),
-                        F.col("l_quantity").alias("qty"),
-                        F.col("l_extendedprice").alias("price"),
-                        F.col("l_discount").alias("discount"),
-                        F.col("l_returnflag").alias("returnflag"),
-                    )
+    items = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("linenumber"),
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_extendedprice").alias("price"),
+                    F.col("l_discount").alias("discount"),
+                    F.col("l_returnflag").alias("returnflag"),
                 )
-            ).alias("items")
-        )
+            )
+        ).alias("items")
     )
-    return orders.join(items, F.col("o_orderkey") == F.col("l_orderkey"), "left").drop("l_orderkey").withColumn(
-        "items", F.coalesce(F.col("items"), F.array().cast(items.schema["items"].dataType))
-    )
-
-
-def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = build_nested_events(spark, sf_dir)
-
-    # calibrator: scale item prices by +2% (reference jec analog,
-    # calibration/cms/jets.py:337 — mutate a column of every object)
-    events = events.withColumn(
-        "items", F.transform("items", lambda x: x.withField("price", x["price"] * F.lit(1.02)))
+    empty = F.array().cast(items.schema["items"].dataType)
+    return (
+        orders.join(items, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .drop("l_orderkey")
+        .withColumn("items", F.coalesce(F.col("items"), empty))
     )
 
-    # selector: object mask (qty >= 5) + event mask (>= 2 selected items);
-    # masks are *stored*, not applied (reference SelectionResult semantics,
-    # selection/__init__.py:129)
-    events = events.withColumn("item_mask", F.transform("items", lambda x: x["qty"] >= 5))
-    events = events.withColumn(
-        "n_selected", F.size(F.filter("item_mask", lambda m: m))
-    ).withColumn("event_mask", F.col("n_selected") >= 2)
 
-    # reducer: apply event mask, rebuild collection from object mask
-    # (reference reduction/default.py:48 cf_default)
-    reduced = events.filter(F.col("event_mask")).withColumn(
-        "items", F.filter(F.zip_with("items", "item_mask", lambda x, m: F.when(m, x)), lambda x: x.isNotNull())
+# --- operators (registered, with declared column sets) -----------------------
+
+@calibrator(uses={"items.price"}, produces={"items.price"})
+def price_scale(self, df: DataFrame) -> DataFrame:
+    """JEC-analog: multiplicative correction of an object column
+    (reference calibration/cms/jets.py:337)."""
+    scale = self.inst_dict.get("scale", PRICE_SCALE)
+    return df.withColumn("items", F.transform("items", lambda x: x.withField("price", x["price"] * F.lit(scale))))
+
+
+@selector(uses={"items.qty"}, produces={"sel__event", "sel__step_min_items", "sel__obj_items__SelItem"})
+def qty_selector(self, df: DataFrame):
+    """Object mask + event mask, stored not applied (reference
+    selection/example.py:100-175 SelectionResult semantics)."""
+    obj_mask = F.transform("items", lambda x: x["qty"] >= F.lit(QTY_CUT))
+    n_sel = F.size(F.filter(obj_mask, lambda m: m))
+    res = SelectionResult(
+        steps={"min_items": n_sel >= MIN_SELECTED},
+        objects={"items": {"SelItem": obj_mask}},
     )
+    return res.attach(df), res
 
-    # producer: ht (sum price of selected items), n_items, category id
-    # (reference production/example.py:35, categories production/categories.py:31)
-    produced = (
-        reduced.withColumn(
-            "ht", F.aggregate("items", F.lit(0.0), lambda acc, x: acc + x["price"])
-        )
-        .withColumn("n_items", F.size("items"))
+
+@reducer(
+    uses={"sel__event", "sel__obj_items__SelItem", "items"},
+    produces={"SelItem"},
+)
+def cf_default_reduce(self, df: DataFrame) -> DataFrame:
+    """Apply event mask + rebuild collection (reference
+    reduction/default.py:48 ``cf_default``)."""
+    return rebuild_collection(apply_event_mask(df), "items", "SelItem")
+
+
+@producer(uses={"SelItem.price"}, produces={"ht", "n_items", "category"})
+def features(self, df: DataFrame) -> DataFrame:
+    """ht / n_items / category id (reference production/example.py:35,
+    categories production/categories.py:31)."""
+    return (
+        df.withColumn("ht", A.asum(F.col("SelItem.price")))
+        .withColumn("n_items", A.num(F.col("SelItem")))
         .withColumn(
             "category",
             F.when(F.col("n_items") >= 6, F.lit("cat_6plus")).otherwise(F.lit("cat_lt6")),
         )
     )
 
-    # hist producer: weighted 1-D histogram of ht, regular binning
-    # [0, 500000) x 25 bins, weight = o_totalprice-normalized unit weight
-    n_bins, lo, hi = 25, 0.0, 500000.0
-    width = (hi - lo) / n_bins
-    bin_idx = F.when(F.col("ht") < lo, F.lit(-1)).when(
-        F.col("ht") >= hi, F.lit(n_bins)
-    ).otherwise(F.floor((F.col("ht") - lo) / F.lit(width)).cast("int"))
-    hist = (
-        produced.withColumn("bin", bin_idx)
-        .groupBy("category", "bin")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.lit(1.0)), 4).alias("sum_w"),
-            F.round(F.sum(F.lit(1.0)), 4).alias("sum_w2"),
-        )
+
+HT_VARIABLE = Variable("ht", "ht", (25, 0.0, 500000.0))
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = build_nested_events(spark, sf_dir)
+    chain = StageChain(
+        [price_scale(), qty_selector(), cf_default_reduce(), features()],
+        keep=["o_orderkey"],
     )
-    return hist
+    produced = chain.run(events)
+    return fill_hist(produced, [HT_VARIABLE], categorical=["category"])

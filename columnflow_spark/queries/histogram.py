@@ -1,1 +1,246 @@
-"""Placeholder — populated incrementally."""
+"""Histogramming operators (SURVEY §2.5/2.6: weighted N-dim hist fill,
+variable binning, jagged-axis fills, partial-hist merging, cutflow, yields).
+
+The hist engine (:mod:`columnflow_spark.hist`) compiles od.Variable-style
+binnings to bin-index expressions and fills via one groupBy aggregation;
+oracles reproduce the exact bin arithmetic (incl. the last-edge-inclusive
+correction, reference hist_util.py:30) in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnflow_spark.hist import Variable, fill_hist, merge_hists
+from columnflow_spark.queries import query
+from columnflow_spark.sources import load_table
+
+
+def _regular_bin_sql(x: str, n: int, lo: float, hi: float) -> str:
+    """SQL twin of hist.axes.bin_expr for a regular binning."""
+    w = (hi - lo) / n
+    return f"""
+        CASE
+            WHEN {x} IS NULL THEN -2
+            WHEN {x} < {lo} THEN -1
+            WHEN {x} > {hi} THEN {n}
+            WHEN {x} = {hi} THEN {n - 1}
+            ELSE least(CAST(floor(({x} - {lo}) / {w}) AS INT), {n})
+        END
+    """
+
+
+# --- 1-D weighted hist, regular binning, under/overflow ---
+@query(
+    "hist_1d_price",
+    oracle=f"""
+    SELECT
+        {_regular_bin_sql("l_extendedprice", 30, 0.0, 105000.0)} AS bin__price,
+        count(*) AS n,
+        round(sum(l_quantity), 4) AS sum_w,
+        round(sum(l_quantity * l_quantity), 4) AS sum_w2
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def hist_1d_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
+    var = Variable("price", "l_extendedprice", (30, 0.0, 105000.0))
+    return fill_hist(li, [var], weight=F.col("l_quantity"))
+
+
+# --- N-dim: categorical axes x regular axis (category/process/shift axes
+# of the reference, tasks/histograms.py:270-323) ---
+@query(
+    "hist_2d_flag_price",
+    oracle=f"""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        {_regular_bin_sql("l_extendedprice", 20, 0.0, 110000.0)} AS bin__price,
+        count(*) AS n,
+        round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_w,
+        round(sum(pow(l_extendedprice * (1 - l_discount), 2)), 4) AS sum_w2
+    FROM lineitem
+    GROUP BY 1, 2, 3
+    """,
+)
+def hist_2d_flag_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    var = Variable("price", "l_extendedprice", (20, 0.0, 110000.0))
+    w = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return fill_hist(li, [var], categorical=["l_returnflag", "l_linestatus"], weight=w)
+
+
+# --- variable (explicit-edge) binning, last-edge-inclusive ---
+@query(
+    "hist_variable_edges",
+    oracle="""
+    SELECT
+        CASE
+            WHEN l_quantity IS NULL THEN -2
+            WHEN l_quantity < 1.0 THEN -1
+            WHEN l_quantity < 5.0 THEN 0
+            WHEN l_quantity < 15.0 THEN 1
+            WHEN l_quantity < 30.0 THEN 2
+            WHEN l_quantity < 50.0 THEN 3
+            WHEN l_quantity = 50.0 THEN 3
+            ELSE 4
+        END AS bin__qty,
+        count(*) AS n,
+        round(sum(1.0), 4) AS sum_w,
+        round(sum(1.0), 4) AS sum_w2
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def hist_variable_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_quantity"])
+    var = Variable("qty", "l_quantity", [1.0, 5.0, 15.0, 30.0, 50.0])
+    return fill_hist(li, [var])
+
+
+# --- jagged (object-level) fill: explode the collection then fill
+# (reference broadcast of event-level vs object-level fill data,
+# hist_util.py:30-140) ---
+@query(
+    "hist_jagged_object_axis",
+    oracle=f"""
+    SELECT
+        CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'closed' END AS category,
+        {_regular_bin_sql("l_extendedprice", 15, 0.0, 105000.0)} AS bin__item_price,
+        count(*) AS n,
+        round(sum(1.0), 4) AS sum_w,
+        round(sum(1.0), 4) AS sum_w2
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def hist_jagged_object_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.pipeline_demo import build_nested_events
+
+    events = build_nested_events(spark, sf_dir)
+    events = events.withColumn(
+        "category", F.when(F.col("o_orderstatus") == "O", F.lit("open")).otherwise(F.lit("closed"))
+    )
+    # object-level variable -> explode the jagged axis first
+    exploded = events.select("category", F.explode("items").alias("item"))
+    var = Variable("item_price", F.col("item.price"), (15, 0.0, 105000.0))
+    return fill_hist(exploded, [var], categorical=["category"])
+
+
+# --- partial-hist merge across "files" (reference MergeHistograms,
+# tasks/histograms.py:449): fill two halves, merge, equals one full fill ---
+@query(
+    "hist_merged_partials",
+    oracle=f"""
+    SELECT
+        {_regular_bin_sql("o_totalprice", 25, 0.0, 500000.0)} AS bin__total,
+        count(*) AS n,
+        round(sum(1.0), 4) AS sum_w,
+        round(sum(1.0), 4) AS sum_w2
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def hist_merged_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    var = Variable("total", "o_totalprice", (25, 0.0, 500000.0))
+    h1 = fill_hist(orders.filter(F.col("o_orderkey") % 2 == 0), [var], round_to=None)
+    h2 = fill_hist(orders.filter(F.col("o_orderkey") % 2 == 1), [var], round_to=None)
+    return merge_hists([h1, h2])
+
+
+# --- shift-axis union merge (reference MergeShiftedHistograms,
+# tasks/histograms.py:515): nominal + shifted hists in one table ---
+@query(
+    "hist_shift_union",
+    oracle=f"""
+    SELECT 'nominal' AS shift,
+        {_regular_bin_sql("l_extendedprice", 10, 0.0, 110000.0)} AS bin__price,
+        count(*) AS n, round(sum(1.0), 4) AS sum_w, round(sum(1.0), 4) AS sum_w2
+    FROM lineitem GROUP BY 2
+    UNION ALL
+    SELECT 'price_up' AS shift,
+        {_regular_bin_sql("l_extendedprice * 1.05", 10, 0.0, 110000.0)} AS bin__price,
+        count(*) AS n, round(sum(1.0), 4) AS sum_w, round(sum(1.0), 4) AS sum_w2
+    FROM lineitem GROUP BY 2
+    """,
+)
+def hist_shift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_extendedprice"])
+    li = li.withColumn("l_extendedprice_price_up", F.col("l_extendedprice") * 1.05)
+    binning = (10, 0.0, 110000.0)
+    nominal = fill_hist(li, [Variable("price", "l_extendedprice", binning)]).withColumn(
+        "shift", F.lit("nominal")
+    )
+    from columnflow_spark.plans.shifts import Shift, apply_shift_aliases
+
+    shifted_df = apply_shift_aliases(li, Shift("price_up", {"l_extendedprice": "l_extendedprice_price_up"}))
+    shifted = fill_hist(shifted_df, [Variable("price", "l_extendedprice", binning)]).withColumn(
+        "shift", F.lit("price_up")
+    )
+    return nominal.unionByName(shifted)
+
+
+# --- cutflow: per-step cumulative selection counts (reference
+# CreateCutflowHistograms, tasks/cutflow.py:46) ---
+@query(
+    "cutflow_steps",
+    oracle="""
+    SELECT 'initial' AS step, count(*) AS n FROM lineitem
+    UNION ALL
+    SELECT 'qty' AS step, count(*) AS n FROM lineitem WHERE l_quantity >= 5
+    UNION ALL
+    SELECT 'price' AS step, count(*) AS n FROM lineitem WHERE l_quantity >= 5 AND l_extendedprice >= 10000
+    UNION ALL
+    SELECT 'discount' AS step, count(*) AS n FROM lineitem
+    WHERE l_quantity >= 5 AND l_extendedprice >= 10000 AND l_discount <= 0.05
+    """,
+)
+def cutflow_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice", "l_discount"])
+    steps = {
+        "qty": F.col("l_quantity") >= 5,
+        "price": F.col("l_extendedprice") >= 10000,
+        "discount": F.col("l_discount") <= 0.05,
+    }
+    # one aggregation computes every cumulative step count (no per-step scans)
+    aggs = [F.count(F.lit(1)).alias("initial")]
+    cum = F.lit(True)
+    for name, cond in steps.items():
+        cum = cum & cond
+        aggs.append(F.count_if(cum).alias(name))
+    wide = li.agg(*aggs)
+    names = ["initial", *steps]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return wide.selectExpr(f"stack({len(names)}, {stack}) AS (step, n)")
+
+
+# --- yield table: per-process/category yields with sum_w / sum_w2
+# (reference CreateYieldTable, tasks/yields.py:44) ---
+@query(
+    "yield_table",
+    oracle="""
+    SELECT
+        o_orderstatus AS process,
+        o_orderpriority AS category,
+        count(*) AS n,
+        round(sum(o_totalprice), 4) AS sum_w,
+        round(sum(o_totalprice * o_totalprice), 4) AS sum_w2
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def yield_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = F.col("o_totalprice")
+    return orders.groupBy(
+        F.col("o_orderstatus").alias("process"),
+        F.col("o_orderpriority").alias("category"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(w), 4).alias("sum_w"),
+        F.round(F.sum(w * w), 4).alias("sum_w2"),
+    )

@@ -1,1 +1,226 @@
-"""Placeholder — populated incrementally."""
+"""Nested-collection operators (SURVEY §2.2/2.3/2.6: object masks, sorts,
+leading-object selection, within-event reductions and combinatorics).
+
+Each query runs on the nested event table (orders + items array built by
+:func:`columnflow_spark.pipeline_demo.build_nested_events`) using
+higher-order array functions — the Spark-native form of awkward's jagged
+ops — while the oracle computes the same semantics with flat SQL over the
+raw tables.  Matching results prove the nested re-expression is faithful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnflow_spark.core.routes import EMPTY_FLOAT, Route
+from columnflow_spark.functions import arrays as A
+from columnflow_spark.pipeline_demo import build_nested_events
+from columnflow_spark.queries import query
+
+
+# --- within-event reductions: ak.sum/ak.num analogs (reference
+# production/example.py:35 ht; selection/example.py:37 ak.num) ---
+@query(
+    "nested_ht_per_event",
+    oracle="""
+    SELECT
+        o.o_orderkey AS okey,
+        coalesce(cnt.n_items, 0) AS n_items,
+        round(coalesce(cnt.ht, 0.0), 4) AS ht,
+        round(coalesce(cnt.max_price, -99999.0), 4) AS max_price
+    FROM orders o
+    LEFT JOIN (
+        SELECT
+            l_orderkey,
+            count(*) AS n_items,
+            sum(l_extendedprice) AS ht,
+            max(l_extendedprice) AS max_price
+        FROM lineitem
+        GROUP BY l_orderkey
+    ) cnt ON cnt.l_orderkey = o.o_orderkey
+    """,
+)
+def nested_ht_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = build_nested_events(spark, sf_dir)
+    return events.select(
+        F.col("o_orderkey").alias("okey"),
+        A.num(F.col("items")).alias("n_items"),
+        F.round(A.asum(F.col("items.price")), 4).alias("ht"),
+        F.round(F.coalesce(A.amax(F.col("items.price")), F.lit(EMPTY_FLOAT)), 4).alias("max_price"),
+    )
+
+
+# --- leading-object selection via object sort + Route index with null fill
+# (reference Route slicing columnar_util.py:499; sorted_indices columnar_util.py:1134) ---
+@query(
+    "nested_leading_prices",
+    oracle="""
+    WITH ranked AS (
+        SELECT
+            l_orderkey,
+            l_extendedprice,
+            row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC) AS rn
+        FROM lineitem
+    )
+    SELECT
+        o.o_orderkey AS okey,
+        round(coalesce(r1.l_extendedprice, -99999.0), 4) AS price1,
+        round(coalesce(r2.l_extendedprice, -99999.0), 4) AS price2,
+        round(coalesce(top2.s, 0.0), 4) AS sum_top2
+    FROM orders o
+    LEFT JOIN ranked r1 ON r1.l_orderkey = o.o_orderkey AND r1.rn = 1
+    LEFT JOIN ranked r2 ON r2.l_orderkey = o.o_orderkey AND r2.rn = 2
+    LEFT JOIN (
+        SELECT l_orderkey, sum(l_extendedprice) AS s FROM ranked WHERE rn <= 2 GROUP BY l_orderkey
+    ) top2 ON top2.l_orderkey = o.o_orderkey
+    """,
+)
+def nested_leading_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = build_nested_events(spark, sf_dir)
+    sorted_prices = F.array_sort(F.col("items.price"), lambda a, b: F.when(a > b, -1).when(a < b, 1).otherwise(0))
+    events = events.withColumn("price_sorted", sorted_prices)
+    return events.select(
+        F.col("o_orderkey").alias("okey"),
+        F.round(Route("price_sorted[:, 0]").apply(null_value=EMPTY_FLOAT), 4).alias("price1"),
+        F.round(Route("price_sorted[:, 1]").apply(null_value=EMPTY_FLOAT), 4).alias("price2"),
+        F.round(A.asum(Route("price_sorted[:, :2]").apply()), 4).alias("sum_top2"),
+    )
+
+
+# --- object mask -> sub-collection (reference create_collections_from_masks,
+# reduction/util.py:55) ---
+@query(
+    "nested_object_masks",
+    oracle="""
+    SELECT
+        o.o_orderkey AS okey,
+        coalesce(s.n_big, 0) AS n_big,
+        round(coalesce(s.big_value, 0.0), 4) AS big_value,
+        coalesce(s.has_discounted, FALSE) AS has_discounted
+    FROM orders o
+    LEFT JOIN (
+        SELECT
+            l_orderkey,
+            count(*) FILTER (WHERE l_quantity >= 25) AS n_big,
+            sum(l_extendedprice) FILTER (WHERE l_quantity >= 25) AS big_value,
+            bool_or(l_discount > 0.05) AS has_discounted
+        FROM lineitem
+        GROUP BY l_orderkey
+    ) s ON s.l_orderkey = o.o_orderkey
+    """,
+)
+def nested_object_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = build_nested_events(spark, sf_dir)
+    big = F.filter("items", lambda x: x["qty"] >= 25)
+    return events.select(
+        F.col("o_orderkey").alias("okey"),
+        F.size(big).alias("n_big"),
+        F.round(F.aggregate(big, F.lit(0.0), lambda a, x: a + x["price"]), 4).alias("big_value"),
+        F.exists("items", lambda x: x["discount"] > 0.05).alias("has_discounted"),
+    )
+
+
+# --- within-event combinatorics: closest pair (ΔR-matching analog in 1-D:
+# sort + adjacent diff replaces the O(n²) metric table, reference
+# production/util.py:124 delta_r_match) ---
+@query(
+    "nested_closest_pair_gap",
+    oracle="""
+    WITH ranked AS (
+        SELECT
+            l_orderkey,
+            l_extendedprice,
+            row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice) AS rn
+        FROM lineitem
+    )
+    SELECT a.l_orderkey AS okey, round(min(b.l_extendedprice - a.l_extendedprice), 4) AS min_gap
+    FROM ranked a
+    JOIN ranked b ON a.l_orderkey = b.l_orderkey AND b.rn = a.rn + 1
+    GROUP BY a.l_orderkey
+    """,
+)
+def nested_closest_pair_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = build_nested_events(spark, sf_dir)
+    prices = F.array_sort(F.col("items.price"))
+    tail = F.slice(prices, 2, F.greatest(F.array_size(prices) - 1, F.lit(0)))
+    gaps = F.zip_with(prices, tail, lambda a, b: b - a)
+    return (
+        events.filter(A.num(F.col("items")) >= 2)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.round(F.array_min(gaps), 4).alias("min_gap"),
+        )
+    )
+
+
+# --- within-event cartesian product of two sub-collections (reference
+# ak.cartesian multi-jagged fills, hist_util.py:111-127) ---
+@query(
+    "nested_cartesian_pairs",
+    oracle="""
+    SELECT
+        a.l_orderkey AS okey,
+        count(*) AS n_pairs,
+        round(sum(a.l_extendedprice * b.l_extendedprice), 4) AS sum_prod
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey
+     AND a.l_quantity >= 25 AND b.l_quantity < 25
+    GROUP BY a.l_orderkey
+    """,
+)
+def nested_cartesian_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = build_nested_events(spark, sf_dir)
+    big = F.filter("items", lambda x: x["qty"] >= 25)
+    small = F.filter("items", lambda x: x["qty"] < 25)
+    pair_prods = F.flatten(
+        F.transform(big, lambda a: F.transform(small, lambda b: a["price"] * b["price"]))
+    )
+    return (
+        events.withColumn("pair_prods", pair_prods)
+        .filter(F.size("pair_prods") > 0)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.size("pair_prods").alias("n_pairs"),
+            F.round(A.asum(F.col("pair_prods")), 4).alias("sum_prod"),
+        )
+    )
+
+
+# --- index-following self-lookup within event (reference gen-particle
+# parent chains, production/cms/gen_particles.py:51: element_at(coll, idx)) ---
+@query(
+    "nested_index_lookup",
+    oracle="""
+    WITH ordered AS (
+        SELECT l_orderkey, l_quantity, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag
+               ) AS pos,
+               count(*) OVER (PARTITION BY l_orderkey) AS n
+        FROM lineitem
+    )
+    SELECT
+        cur.l_orderkey AS okey,
+        count(*) AS n_with_parent,
+        round(sum(par.l_extendedprice), 4) AS parent_price_sum
+    FROM ordered cur
+    JOIN ordered par ON par.l_orderkey = cur.l_orderkey AND par.pos = cur.pos - 1
+    GROUP BY cur.l_orderkey
+    """,
+)
+def nested_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "parent" of object i is object i-1 in the (deterministically sorted)
+    # collection; follow the index with try_element_at like GenPart chains
+    events = build_nested_events(spark, sf_dir).filter(F.size("items") >= 2)
+    # 0-based local index i; parent is i-1, i.e. 1-based index i — follow
+    # only valid chains (i >= 1) so every lookup hits
+    parent_idx = F.filter(A.local_index(F.col("items")), lambda i: i >= 1)
+    parents = F.transform(parent_idx, lambda i: F.element_at(F.col("items"), i))
+    return events.select(
+        F.col("o_orderkey").alias("okey"),
+        (F.size("items") - 1).alias("n_with_parent"),
+        F.round(F.aggregate(parents, F.lit(0.0), lambda a, x: a + x["price"]), 4).alias("parent_price_sum"),
+    )

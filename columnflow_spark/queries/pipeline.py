@@ -1,1 +1,252 @@
-"""Placeholder — populated incrementally."""
+"""Staged-pipeline operators (SURVEY §2.10 / §3): the registry-driven
+calibrate -> select -> reduce -> produce chain, shift aliasing, selection
+statistics, normalization weights, deterministic seeds, and runtime
+validation checks — each with a flat-SQL oracle proving the staged nested
+execution matches relational semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnflow_spark.functions import arrays as A
+from columnflow_spark.functions.hashing import seed_hex
+from columnflow_spark.pipeline_demo import (
+    MIN_SELECTED,
+    PRICE_SCALE,
+    QTY_CUT,
+    build_nested_events,
+    cf_default_reduce,
+    features,
+    price_scale,
+    qty_selector,
+)
+from columnflow_spark.plans.shifts import Shift, apply_shift_aliases
+from columnflow_spark.plans.stage import StageChain
+from columnflow_spark.queries import query
+from columnflow_spark.sources import load_table
+
+
+# --- the full staged chain, flat output (reference task chain
+# tasks/calibration.py -> selection.py -> reduction.py -> production.py) ---
+@query(
+    "pipeline_reduced_features",
+    oracle=f"""
+    WITH items AS (
+        SELECT l_orderkey, l_quantity AS qty, l_extendedprice * {PRICE_SCALE} AS price
+        FROM lineitem
+    ),
+    sel AS (
+        SELECT
+            l_orderkey,
+            count(*) FILTER (WHERE qty >= {QTY_CUT}) AS n_items,
+            sum(price) FILTER (WHERE qty >= {QTY_CUT}) AS ht
+        FROM items
+        GROUP BY l_orderkey
+    )
+    SELECT
+        l_orderkey AS okey,
+        n_items,
+        round(ht, 4) AS ht,
+        CASE WHEN n_items >= 6 THEN 'cat_6plus' ELSE 'cat_lt6' END AS category
+    FROM sel
+    WHERE n_items >= {MIN_SELECTED}
+    """,
+)
+def pipeline_reduced_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = build_nested_events(spark, sf_dir)
+    chain = StageChain(
+        [price_scale(), qty_selector(), cf_default_reduce(), features()],
+        keep=["o_orderkey"],
+    )
+    out = chain.run(events)
+    return out.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("n_items"),
+        F.round("ht", 4).alias("ht"),
+        F.col("category"),
+    )
+
+
+# --- selection statistics side-output (reference increment_stats,
+# selection/stats.py:28: num_* counts + sum_* weight sums per group) ---
+@query(
+    "selection_stats",
+    oracle=f"""
+    SELECT
+        l_returnflag AS process,
+        count(*) AS num_events,
+        count(*) FILTER (WHERE l_quantity >= {QTY_CUT}) AS num_events_selected,
+        round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_mc_weight,
+        round(coalesce(sum(l_extendedprice * (1 - l_discount))
+              FILTER (WHERE l_quantity >= {QTY_CUT}), 0.0), 4) AS sum_mc_weight_selected
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def selection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mask = F.col("l_quantity") >= QTY_CUT
+    return li.groupBy(F.col("l_returnflag").alias("process")).agg(
+        F.count(F.lit(1)).alias("num_events"),
+        F.count_if(mask).alias("num_events_selected"),
+        F.round(F.sum(w), 4).alias("sum_mc_weight"),
+        F.round(F.coalesce(F.sum(F.when(mask, w)), F.lit(0.0)), 4).alias("sum_mc_weight_selected"),
+    )
+
+
+# --- normalization weights: two-phase stats + broadcast-join-back
+# (reference production/normalization.py:300: w = xsec * lumi / sum_weights) ---
+@query(
+    "normalization_weights",
+    oracle="""
+    WITH stats AS (
+        SELECT o_orderstatus, sum(o_totalprice) AS sum_w
+        FROM orders
+        GROUP BY o_orderstatus
+    )
+    SELECT
+        o.o_orderstatus AS process,
+        count(*) AS n,
+        round(sum(o.o_totalprice * (1000000.0 / s.sum_w)), 4) AS norm_yield
+    FROM orders o
+    JOIN stats s ON s.o_orderstatus = o.o_orderstatus
+    GROUP BY o.o_orderstatus
+    """,
+)
+def normalization_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    # phase 1: small per-process stats aggregate (the MergeSelectionStats table)
+    stats = orders.groupBy("o_orderstatus").agg(F.sum("o_totalprice").alias("sum_w"))
+    # phase 2: broadcast the tiny stats table back onto the event stream
+    xsec_times_lumi = F.lit(1000000.0)
+    return (
+        orders.join(F.broadcast(stats), "o_orderstatus")
+        .withColumn("norm_weight", F.col("o_totalprice") * (xsec_times_lumi / F.col("sum_w")))
+        .groupBy(F.col("o_orderstatus").alias("process"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("norm_weight"), 4).alias("norm_yield"),
+        )
+    )
+
+
+# --- shift aliasing (reference add_ak_aliases columnar_util.py:803 +
+# shift column_aliases config_util.py:285): the shifted column is read
+# under the nominal name, downstream code unchanged ---
+@query(
+    "shift_aliased_yield",
+    oracle="""
+    SELECT
+        l_returnflag,
+        round(sum(l_extendedprice), 4) AS nominal_sum,
+        round(sum(l_extendedprice * 1.05), 4) AS shifted_sum
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def shift_aliased_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    # upstream producer materialized the shifted column next to the nominal
+    li = li.withColumn("l_extendedprice_price_up", F.col("l_extendedprice") * 1.05)
+    shifted = apply_shift_aliases(
+        li, Shift("price_up", {"l_extendedprice": "l_extendedprice_price_up"})
+    )
+    nominal_agg = li.groupBy("l_returnflag").agg(F.round(F.sum("l_extendedprice"), 4).alias("nominal_sum"))
+    shifted_agg = shifted.groupBy("l_returnflag").agg(F.round(F.sum("l_extendedprice"), 4).alias("shifted_sum"))
+    return nominal_agg.join(shifted_agg, "l_returnflag")
+
+
+# --- deterministic seeds (reference production/cms/seeds.py:26: sha256 of
+# event ids -> stable per-event seed) ---
+@query(
+    "deterministic_seeds",
+    oracle="""
+    SELECT
+        event_id,
+        substring(sha256(concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR))), 1, 15) AS seed
+    FROM events
+    WHERE event_id < 100
+    """,
+)
+def deterministic_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "user_id"])
+    return ev.filter(F.col("event_id") < 100).select(
+        "event_id",
+        seed_hex(F.col("event_id"), F.col("user_id")).alias("seed"),
+    )
+
+
+# --- finite/validity runtime check (reference raise_if_not_finite,
+# tasks/framework/mixins.py:2611) as a data-quality aggregate ---
+@query(
+    "finite_check",
+    oracle="""
+    SELECT
+        count(*) FILTER (WHERE isnan(l_quantity) OR isinf(l_quantity)) AS bad_qty,
+        count(*) FILTER (WHERE isnan(l_extendedprice) OR isinf(l_extendedprice)) AS bad_price,
+        count(*) FILTER (WHERE l_quantity IS NULL) AS null_qty
+    FROM lineitem
+    """,
+)
+def finite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    inf = float("inf")
+
+    def bad(c: str):
+        col = F.col(c)
+        return F.count_if(F.isnan(col) | (F.abs(col) == inf))
+
+    return li.agg(
+        bad("l_quantity").alias("bad_qty"),
+        bad("l_extendedprice").alias("bad_price"),
+        F.count_if(F.col("l_quantity").isNull()).alias("null_qty"),
+    )
+
+
+# --- categorization: leaf-category ids per event + intersection filter
+# (reference category_ids production/categories.py:31 +
+# get_events_from_categories config_util.py:31) ---
+@query(
+    "category_ids",
+    oracle="""
+    WITH ev AS (
+        SELECT
+            o_orderkey,
+            CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 2 END AS price_cat,
+            CASE o_orderstatus WHEN 'O' THEN 10 WHEN 'F' THEN 20 ELSE 30 END AS status_cat
+        FROM orders
+    )
+    SELECT price_cat, status_cat, count(*) AS n
+    FROM ev
+    WHERE price_cat = 1 OR status_cat = 20
+    GROUP BY price_cat, status_cat
+    """,
+)
+def category_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+    # categorizers emit boolean masks; category_ids collects matching leaf ids
+    cats = orders.withColumn(
+        "category_ids",
+        F.array_compact(
+            F.array(
+                F.when(F.col("o_totalprice") >= 200000, F.lit(1)),
+                F.when(F.col("o_totalprice") < 200000, F.lit(2)),
+                F.when(F.col("o_orderstatus") == "O", F.lit(10)),
+                F.when(F.col("o_orderstatus") == "F", F.lit(20)),
+                F.when(~F.col("o_orderstatus").isin("O", "F"), F.lit(30)),
+            )
+        ),
+    )
+    # intersection filter: keep events whose ids overlap {1, 20}
+    kept = cats.filter(F.arrays_overlap("category_ids", F.array(F.lit(1), F.lit(20))))
+    return (
+        kept.select(
+            F.element_at(F.filter("category_ids", lambda i: i < 10), 1).alias("price_cat"),
+            F.element_at(F.filter("category_ids", lambda i: i >= 10), 1).alias("status_cat"),
+        )
+        .groupBy("price_cat", "status_cat")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
