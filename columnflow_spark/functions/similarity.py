@@ -1,0 +1,113 @@
+"""Similarity / dedup primitives: cosine, MinHash, SimHash, LSH banding.
+
+Scale design (the point of these ops at 100 TB):
+
+- **MinHash+LSH**: signatures are computed per-document with built-in
+  expressions (hash shingles -> k permuted mins), then banded; candidate
+  pairs come from an equi-join on (band_id, band_hash) buckets — a shuffle
+  on small keys instead of the O(n²) cross join.
+- **SimHash**: 64-bit fingerprint from per-token hash bit-votes;
+  near-dup = popcount(xor) <= t within LSH buckets on bit-blocks.
+- **Cosine**: exact form is zip_with+aggregate (JVM); the ANN path buckets
+  by random-hyperplane signs first.
+
+``F.hash`` (Murmur3) seeds the permutations: deterministic across runs and
+partitionings, so results are reproducible (required by the driver's
+hash-compare), though not portable to DuckDB — MinHash/SimHash queries are
+rows-only checks while n-gram Jaccard provides the SQL-checkable exact twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_PRIME = 2147483647  # 2^31 - 1, Mersenne prime for cheap permutation hashing
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """Murmur3 hash of each shingle, mapped to non-negative int64."""
+    return F.transform(shingles, lambda s: F.pmod(F.hash(s).cast("long"), F.lit(_PRIME)))
+
+
+def minhash_signature(shingles: Column, k: int = 32) -> Column:
+    """k-permutation MinHash signature: min over ((a_i * h + b_i) mod p).
+
+    One pass over the shingle array per permutation, all JVM expressions;
+    a_i/b_i derive deterministically from the permutation index."""
+    hashes = shingle_hashes(shingles)
+
+    # NOTE: pyspark derives the HOF arity from the Python lambda signature,
+    # so loop variables must be captured via a factory, never `i=i` defaults
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_PRIME)
+
+    sig = []
+    for i in range(k):
+        a = 2 * i + 1          # odd multiplier
+        b = 1000003 * (i + 1)  # fixed offset
+        sig.append(F.array_min(F.transform(hashes, perm(a, b))))
+    return F.array(*sig)
+
+
+def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
+    """Split a signature into ``bands`` hashes of ``rows`` values each ->
+    array<struct<band:int, h:bigint>> for the bucket equi-join."""
+    out = []
+    for b in range(bands):
+        band_slice = F.slice(signature, b * rows + 1, rows)
+        out.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(F.concat_ws("_", F.transform(band_slice, lambda x: x.cast("string")))).cast("long").alias("h"),
+            )
+        )
+    return F.array(*out)
+
+
+def simhash64(token_hashes: Column) -> Column:
+    """64-bit SimHash: for each bit, vote +1/-1 per token hash bit, take the
+    sign.  Compiled as 64 aggregate expressions over the token-hash array."""
+    def bit_vote(i: int):
+        return lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.aggregate(token_hashes, F.lit(0), bit_vote(i))
+        # shiftleft, not (1 << i) literals: 1 << 63 overflows a signed long
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(F.shiftleft(bit, i))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact cosine similarity of two equal-length array<numeric> columns —
+    zip_with + aggregate, sequential sum order (matches DuckDB's
+    list_cosine_similarity for oracle parity)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: (x * y).cast("double")), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + (v * v).cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + (v * v).cast("double")))
+    return dot / (na * nb)
+
+
+def hyperplane_signs(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of dot(vec, plane_i)
+    packed into a long.  ``planes`` is a small driver-side constant list
+    (broadcast as literals into the plan)."""
+    bit_terms = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(w)) for w in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, w: (x * w).cast("double")),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        bit_terms.append(F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out

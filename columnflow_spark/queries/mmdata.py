@@ -1,1 +1,488 @@
-"""Placeholder — populated incrementally."""
+"""Large-scale training-data pipeline operators: deduplication (exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine), similarity
+search (brute-force + LSH-bucketed ANN), text analysis (quality, lang-ID,
+token counting, fingerprinting) and multimodal column plumbing.
+
+Scale notes (the 100 TB story, per op):
+
+- exact dedup / fingerprints: one hash + groupBy — single shuffle on the
+  16-byte digest.
+- n-gram Jaccard: explode-shingles + equi-join on the shingle — exact but
+  O(sum of postings²) on hot shingles; it is the *verifier*, MinHash+LSH
+  is the *candidate generator* at scale.
+- MinHash+LSH: per-doc signatures (narrow), explode only b band keys per
+  doc, equi-join on (band, hash) buckets, verify candidates exactly —
+  the standard near-dup pipeline for multi-TB corpora.
+- SimHash: 64-bit fingerprint per doc; 16-bit block buckets + hamming
+  verification.
+- ANN: exact top-k is a broadcast of the (small) query set over the
+  corpus — no shuffle of the corpus; the LSH variant buckets first so each
+  bucket joins locally.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from columnflow_spark.functions.similarity import (
+    cosine,
+    hamming64,
+    hyperplane_signs,
+    lsh_bands,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+from columnflow_spark.functions.text import (
+    STOPWORDS,
+    avg_token_len,
+    bpe_ish_token_count,
+    fingerprint,
+    n_tokens,
+    stopword_ratio,
+    tokens,
+    word_shingles,
+)
+from columnflow_spark.queries import query
+from columnflow_spark.sources import load_table
+
+JACCARD_THRESHOLD = 0.8
+
+# SQL fragment: distinct word-trigram list per doc (twin of word_shingles(n=3))
+_GRAMS_CTE = """
+    toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ts) - 1),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gs
+        FROM toks WHERE len(ts) >= 3
+    )
+"""
+
+
+# --- exact dedup: normalize -> fingerprint -> groupBy ---
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH fp AS (
+        SELECT source, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
+        FROM documents
+    )
+    SELECT source, count(*) AS n_docs, count(DISTINCT fingerprint) AS n_unique
+    FROM fp
+    GROUP BY source
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["source", "text"])
+    return (
+        docs.withColumn("fingerprint", fingerprint(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique"),
+        )
+    )
+
+
+# --- exact n-gram Jaccard near-dup pairs (the verifier / small-scale path) ---
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_GRAMS_CTE},
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(common * 1.0 / (s1.sz + s2.sz - common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE common * 1.0 / (s1.sz + s2.sz - common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    grams = (
+        docs.withColumn("gs", word_shingles(F.col("text"), 3))
+        .filter(F.size(tokens(F.col("text"))) >= 3)
+        .select("doc_id", "gs", F.size("gs").alias("sz"))
+    )
+    ex = grams.select("doc_id", "sz", F.explode("gs").alias("g"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.sz").alias("sz2"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common"))
+    return (
+        pairs.filter(jac >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH banding + exact verification (the scale path).
+# With 16 bands x 2 rows, P(candidate) = 1-(1-j²)^16: j=0.8 -> 0.9999988,
+# and the corpus's planted near-dups sit at j≈0.99 (P_miss ~ 1e-27), so the
+# verified output equals the exact-Jaccard oracle. ---
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_GRAMS_CTE},
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(common * 1.0 / (s1.sz + s2.sz - common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE common * 1.0 / (s1.sz + s2.sz - common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    sigs = (
+        docs.withColumn("gs", word_shingles(F.col("text"), 3))
+        .filter(F.size(tokens(F.col("text"))) >= 3)
+        .select(
+            "doc_id",
+            "gs",
+            F.size("gs").alias("sz"),
+            minhash_signature(F.col("gs"), k=32).alias("sig"),
+        )
+    )
+    banded = sigs.select(
+        "doc_id", "gs", "sz", F.explode(lsh_bands(F.col("sig"), bands=16, rows=2)).alias("bk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.gs").alias("gs1"),
+            F.col("b.gs").alias("gs2"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.sz").alias("sz2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    common = F.size(F.array_intersect("gs1", "gs2"))
+    jac = common / (F.col("sz1") + F.col("sz2") - common)
+    return (
+        candidates.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# --- SimHash near-dup (rows-only: F.hash has no DuckDB twin) ---
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    hashed = docs.select(
+        "doc_id", simhash64(shingle_hashes(word_shingles(F.col("text"), 3))).alias("sh")
+    )
+    # bucket on 16-bit blocks: near-dups (hamming <= 6 over 64 bits) share
+    # at least one of 4 blocks by pigeonhole when hamming <= 3... use 8
+    # blocks of 8 bits to guarantee a shared block up to hamming 7
+    blocks = F.array(*[F.shiftright(F.col("sh"), 8 * i).bitwiseAND(F.lit(255)).alias(f"b{i}") for i in range(8)])
+    banded = hashed.select(
+        "doc_id", "sh", F.posexplode(blocks).alias("block_idx", "block_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    return pairs.filter(F.col("hamming") <= 6).orderBy("d1", "d2")
+
+
+# --- embedding-cosine near-dup pairs ---
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    sim = cosine(F.col("e1"), F.col("e2"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.4)
+        .select("v1", "v2", F.round("sim", 4).alias("sim"))
+    )
+
+
+# --- similarity search: exact brute-force top-k (baseline) ---
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS sim, rk
+    FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+        FROM sims
+    )
+    WHERE rk <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    # broadcast the small query set over the corpus: the corpus never shuffles
+    joined = emb.join(F.broadcast(queries_df), F.col("vec_id") != F.col("query_id"))
+    sims = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q"), F.col("embedding")).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rk")
+    )
+
+
+# --- similarity search: LSH-bucketed ANN (the scale path; rows-only —
+# bucketing uses fixed random hyperplanes with no SQL twin) ---
+@query("ann_lsh_buckets")
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+    bucketed = emb.withColumn("bucket", hyperplane_signs(F.col("embedding"), planes))
+    a = bucketed.select("bucket", F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = bucketed.select("bucket", F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    # candidates co-bucketed only: local joins per bucket, no cross join
+    cand = a.join(b, ["bucket"]).filter(F.col("v1") < F.col("v2"))
+    sims = cand.select("bucket", "v1", "v2", F.round(cosine(F.col("e1"), F.col("e2")), 4).alias("sim"))
+    w = W.partitionBy("v1").orderBy(F.desc("sim"), F.asc("v2"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("v1", "rk")
+    )
+
+
+# --- text quality scoring ---
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, lang, n_chars,
+               len(ts) AS n_tokens,
+               round(list_aggregate(list_transform(ts, x -> length(x)), 'sum') * 1.0 / len(ts), 4) AS avg_token_len,
+               round(len(list_filter(ts, x -> x IN {STOPWORDS!r})) * 1.0 / len(ts), 4) AS stop_ratio
+        FROM t
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_tokens), 4) AS mean_tokens,
+           round(avg(avg_token_len), 4) AS mean_token_len,
+           round(avg(stop_ratio), 4) AS mean_stop_ratio,
+           count(*) FILTER (WHERE n_tokens >= 50 AND stop_ratio <= 0.3) AS n_high_quality
+    FROM m
+    GROUP BY lang
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    t = F.col("text")
+    m = docs.select(
+        "lang",
+        n_tokens(t).alias("nt"),
+        F.round(avg_token_len(t), 4).alias("atl"),
+        F.round(stopword_ratio(t), 4).alias("sr"),
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("nt"), 4).alias("mean_tokens"),
+        F.round(F.avg("atl"), 4).alias("mean_token_len"),
+        F.round(F.avg("sr"), 4).alias("mean_stop_ratio"),
+        F.count_if((F.col("nt") >= 50) & (F.col("sr") <= 0.3)).alias("n_high_quality"),
+    )
+
+
+# --- language-ID heuristic (marker-word voting; deterministic) ---
+@query(
+    "lang_id_heuristic",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), x -> x IN ('the', 'a', 'of'))) AS en_score,
+               len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), x -> x IN ('query', 'table'))) AS tech_score
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN en_score > tech_score THEN 'en-like'
+                WHEN tech_score > 0 THEN 'tech'
+                ELSE 'unknown' END AS predicted,
+           count(*) AS n
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["lang", "text"])
+    toks = tokens(F.col("text"))
+    en_score = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of")))
+    tech_score = F.size(F.filter(toks, lambda x: x.isin("query", "table")))
+    predicted = (
+        F.when(en_score > tech_score, F.lit("en-like"))
+        .when(tech_score > 0, F.lit("tech"))
+        .otherwise(F.lit("unknown"))
+    )
+    return docs.select("lang", predicted.alias("predicted")).groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- token counting (whitespace + BPE-ish subword proxy) ---
+@query(
+    "token_counts",
+    oracle="""
+    WITH t AS (
+        SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM documents
+    )
+    SELECT source,
+           sum(len(ts)) AS whitespace_tokens,
+           sum(list_aggregate(list_transform(ts, x -> CAST(ceil(length(x) / 4.0) AS INT)), 'sum')) AS bpe_ish_tokens
+    FROM t
+    GROUP BY source
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["source", "text"])
+    t = F.col("text")
+    return docs.groupBy("source").agg(
+        F.sum(n_tokens(t)).alias("whitespace_tokens"),
+        F.sum(bpe_ish_token_count(t)).alias("bpe_ish_tokens"),
+    )
+
+
+# --- multimodal column plumbing: opaque binary payload + typed metadata,
+# decoded via an Arrow-batched mapInPandas operator.  The real decoder
+# (image/audio libs) is STUBBED with a deterministic fake — the Spark-side
+# schema, batching and partitioning are real and oracle-checked. ---
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT
+        doc_id,
+        octet_length(encode(text)) AS n_bytes,
+        64 + octet_length(encode(text)) % 577 AS width,
+        64 + (octet_length(encode(text)) * 7) % 577 AS height
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+
+    def decode_batches(batches):
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            try:
+                # real decoders (PIL/av/librosa) are not in this container;
+                # the deterministic fake below keeps the pipeline testable
+                raise NotImplementedError("image/audio decode stubbed in this environment")
+            except NotImplementedError:
+                width = 64 + n_bytes % 577
+                height = 64 + (n_bytes * 7) % 577
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "width": width.astype("int64"),
+                    "height": height.astype("int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        decode_batches, schema="doc_id long, n_bytes long, width long, height long"
+    )
+
+
+# --- embedding stats (array-column numeric aggregation) ---
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))), 4) AS mean_l2,
+           round(avg(list_aggregate(embedding::DOUBLE[], 'sum')), 4) AS mean_comp_sum
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["label", "embedding"])
+    e = F.col("embedding")
+    l2 = F.sqrt(F.aggregate(e, F.lit(0.0), lambda a, x: a + (x * x).cast("double")))
+    comp_sum = F.aggregate(e, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(l2), 4).alias("mean_l2"),
+        F.round(F.avg(comp_sum), 4).alias("mean_comp_sum"),
+    )

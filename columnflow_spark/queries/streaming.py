@@ -1,1 +1,155 @@
-"""Placeholder — populated incrementally."""
+"""Structured Streaming operators (SURVEY §2.9 — beyond-parity: the
+reference is batch-only; its chunk loop maps onto micro-batches).
+
+Each query drives a real streaming pipeline (readStream -> transform ->
+writeStream) to completion on the parquet events table via the memory sink
+(``processAllAvailable`` makes a batch of files drive the stream
+synchronously), then returns the materialized result as a DataFrame, so
+the driver's oracle compare applies to streaming output too:
+
+- tumbling-window agg (window())
+- session windows (session_window())
+- custom stateful operator (applyInPandasWithState)
+
+At scale the same code runs unchanged against kafka/file streams; the
+memory sink is only the local test harness.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from columnflow_spark.queries import query
+from columnflow_spark.sources import table_path
+
+# raw schema of events.parquet with nanos-as-long (see sources.tables._load_events)
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos; converted below
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source requires a directory: stream the sf dir with a
+    # glob filter selecting just the events table
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT
+        date_trunc('hour', ts) AS hour,
+        event_type,
+        count(*) AS n,
+        round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    out = _run_to_memory(agg, spark)
+    return out.select(F.col("window.start").alias("hour"), "event_type", "n", "sum_value")
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+            CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                 OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, sum(new_session) AS n_sessions
+    FROM gaps
+    GROUP BY user_id
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session_window closes a session after >= gap of inactivity (half-open
+    # [start, last+gap)), hence the >= in the oracle's lag form
+    ev = _stream_events(spark, sf_dir)
+    sessions = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(sessions, spark)
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+@query(
+    "streaming_stateful_user_stats",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState (the
+    engine's escape hatch for operators Spark lacks, SURVEY §2.9/§2.10):
+    keeps (count, max) per user across micro-batches and emits the final
+    state.  State survives across batches — with the test's single batch
+    the emitted rows equal the batch aggregate, giving an exact oracle."""
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [round(mx, 4)]})
+
+    ev = _stream_events(spark, sf_dir).select("user_id", "value")
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("mx", T.DoubleType())]
+    )
+    stateful = ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return _run_to_memory(stateful, spark, mode="update")

@@ -1,1 +1,196 @@
-"""Placeholder — populated incrementally."""
+"""Event-stream / time-series operators over the ``events`` table.
+
+The reference is strictly batch (SURVEY §2.9), so these go beyond parity:
+sessionization, as-of joins, tumbling windows, JSON extraction and
+running aggregates — the standard event-analytics surface a Spark-native
+engine must cover.  All are window/groupBy compositions (no UDFs); each
+has an exact DuckDB oracle.
+
+Ordering note: event timestamps can collide, so every window ORDER BY
+carries ``event_id`` as a total tie-break (driver hash-compare needs
+determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from columnflow_spark.queries import query
+from columnflow_spark.sources import load_table
+
+SESSION_GAP_MIN = 30
+
+
+# --- sessionization: gap-based sessions via lag + cumulative sum ---
+@query(
+    "sessionize_gap30",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT
+            user_id, ts, event_id,
+            CASE WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                 OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           count(DISTINCT session_id) AS n_sessions,
+           sum(cnt) AS n_events,
+           max(cnt) AS max_session_events
+    FROM (
+        SELECT user_id, session_id, count(*) AS cnt
+        FROM sessions GROUP BY user_id, session_id
+    ) s
+    GROUP BY user_id
+    """,
+)
+def sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond precision: casting ts to long truncates to seconds and
+    # mis-classifies gaps like 30min + 0.5s vs the interval comparison
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    ev = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    per_session = ev.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("cnt").alias("n_events"),
+        F.max("cnt").alias("max_session_events"),
+    )
+
+
+# --- as-of join: latest prior 'purchase' value for each 'error' event
+# (single-pass window form — no shuffle beyond the user_id partition;
+# scales to 100 TB where a per-key merge_asof would) ---
+@query(
+    "asof_prior_purchase",
+    oracle="""
+    SELECT
+        event_id,
+        user_id,
+        round(coalesce(
+            last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            -99999.0), 4) AS prior_purchase_value
+    FROM events
+    QUALIFY event_type = 'error'
+    """,
+)
+def asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, -1)
+    prior = F.last(F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True).over(w)
+    return (
+        ev.withColumn("prior_purchase_value", F.round(F.coalesce(prior, F.lit(-99999.0)), 4))
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "prior_purchase_value")
+    )
+
+
+# --- tumbling window aggregation (batch form; streaming twin in
+# queries/streaming.py) ---
+@query(
+    "tumbling_hourly_counts",
+    oracle="""
+    SELECT
+        date_trunc('hour', ts) AS hour,
+        event_type,
+        count(*) AS n,
+        round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["ts", "event_type", "value"])
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+# --- semi-structured JSON extraction (props column) ---
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT
+        event_type,
+        count(*) AS n,
+        round(avg(CAST(json_extract(props, 'k') AS INT)), 4) AS avg_k,
+        max(CAST(json_extract(props, 'k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["event_type", "props"])
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --- running aggregate (cumulative sum) per key ---
+@query(
+    "running_value_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_sum
+    FROM events
+    WHERE user_id < 10
+    """,
+)
+def running_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        ev.filter(F.col("user_id") < 10)
+        .select("event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_sum"))
+    )
+
+
+# --- inter-event gaps (lag arithmetic) ---
+@query(
+    "inter_event_gaps",
+    oracle="""
+    WITH d AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           count(gap_us) AS n_gaps,
+           round(avg(gap_us / 1000000.0), 4) AS avg_gap_sec,
+           round(max(gap_us / 1000000.0), 4) AS max_gap_sec
+    FROM d
+    GROUP BY user_id
+    """,
+)
+def inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return (
+        ev.withColumn("gap_us", gap_us)
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.round(F.avg(F.col("gap_us") / 1000000.0), 4).alias("avg_gap_sec"),
+            F.round(F.max(F.col("gap_us") / 1000000.0), 4).alias("max_gap_sec"),
+        )
+    )
