@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
+    # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -27,6 +28,19 @@ BENCH_QUERIES = [
     "positional_column_merge",
     "range_join_ship_window",
     "veto_map_filter",
+    # nested-collection pipeline
+    "nested_ht_per_event",
+    "nested_leading_prices",
+    "pipeline_reduced_features",
+    "hist_2d_flag_price",
+    "hist_jagged_object_axis",
+    # event stream
+    "sessionize_gap30",
+    "asof_prior_purchase",
+    # training-data ops
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
 ]
 
 

@@ -50,6 +50,26 @@ def minhash_signature(shingles: Column, k: int = 32) -> Column:
     return F.array(*sig)
 
 
+def minhash_signature_agg(df, id_cols: list[str], shingles_col: str, k: int = 32):
+    """MinHash via explode + groupBy-min: one row per (id, shingle-hash),
+    then ``min((a_i*h+b_i) mod p)`` as k flat aggregate expressions.
+
+    Semantically identical to :func:`minhash_signature` but compiles to a
+    narrow whole-stage-codegen plan instead of a k-deep nested-HOF
+    expression tree — the HOF form costs seconds of JIT per stage, this
+    form is the one to use in hot paths.  Returns df[id_cols + [sig]]."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    ex = df.select(*id_cols, F.explode(shingle_hashes(F.col(shingles_col))).alias("h"))
+    aggs = []
+    for i in range(k):
+        a = 2 * i + 1
+        b = 1000003 * (i + 1)
+        aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_PRIME)).alias(f"s{i}"))
+    wide = ex.groupBy(*id_cols).agg(*aggs)
+    return wide.select(*id_cols, F.array(*[F.col(f"s{i}") for i in range(k)]).alias("sig"))
+
+
 def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
     """Split a signature into ``bands`` hashes of ``rows`` values each ->
     array<struct<band:int, h:bigint>> for the bucket equi-join."""
@@ -63,6 +83,17 @@ def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
             )
         )
     return F.array(*out)
+
+
+def lsh_band_keys(signature: Column, bands: int, rows: int) -> list[Column]:
+    """Flat-expression variant of :func:`lsh_bands`: one 64-bit key Column
+    per band, built from direct element access (no HOFs — cheap codegen).
+    Band index is folded into the hash so keys never collide across bands."""
+    keys = []
+    for b in range(bands):
+        elems = [signature[b * rows + r] for r in range(rows)]
+        keys.append(F.hash(F.lit(b), *elems).cast("long"))
+    return keys
 
 
 def simhash64(token_hashes: Column) -> Column:

@@ -33,8 +33,8 @@ from columnflow_spark.functions.similarity import (
     cosine,
     hamming64,
     hyperplane_signs,
-    lsh_bands,
-    minhash_signature,
+    lsh_band_keys,
+    minhash_signature_agg,
     shingle_hashes,
     simhash64,
 )
@@ -161,39 +161,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    sigs = (
+    shingle_sets = (
         docs.withColumn("gs", word_shingles(F.col("text"), 3))
         .filter(F.size(tokens(F.col("text"))) >= 3)
-        .select(
-            "doc_id",
-            "gs",
-            F.size("gs").alias("sz"),
-            minhash_signature(F.col("gs"), k=32).alias("sig"),
-        )
+        .select("doc_id", "gs", F.size("gs").alias("sz"))
     )
+    # explode+groupBy-min signature (flat codegen; the nested-HOF form
+    # costs seconds of JIT per stage — see minhash_signature_agg)
+    sigs = minhash_signature_agg(shingle_sets, ["doc_id"], "gs", k=32)
+    # explode ONLY (doc_id, band_key): the shingle arrays must not ride
+    # through the 16x band duplication and its shuffle — at corpus scale
+    # that multiplies shuffle bytes by the band count
     banded = sigs.select(
-        "doc_id", "gs", "sz", F.explode(lsh_bands(F.col("sig"), bands=16, rows=2)).alias("bk")
+        "doc_id", F.explode(F.array(*lsh_band_keys(F.col("sig"), bands=16, rows=2))).alias("bk")
     )
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.gs").alias("gs1"),
-            F.col("b.gs").alias("gs2"),
-            F.col("a.sz").alias("sz1"),
-            F.col("b.sz").alias("sz2"),
-        )
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .dropDuplicates(["d1", "d2"])
+    )
+    # verification joins the (narrow) candidate list back to the shingle
+    # sets — candidates are rare, so this join is tiny
+    pairs = (
+        candidates.join(shingle_sets.select(F.col("doc_id").alias("d1"), F.col("gs").alias("gs1"), F.col("sz").alias("sz1")), "d1")
+        .join(shingle_sets.select(F.col("doc_id").alias("d2"), F.col("gs").alias("gs2"), F.col("sz").alias("sz2")), "d2")
     )
     common = F.size(F.array_intersect("gs1", "gs2"))
     jac = common / (F.col("sz1") + F.col("sz2") - common)
     return (
-        candidates.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
     )
