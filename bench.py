@@ -40,7 +40,10 @@ BENCH_QUERIES = [
     # training-data ops
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_quality",
+    # pandas-UDF slow path (greedy per-event matching)
+    "greedy_match_pairs",
 ]
 
 

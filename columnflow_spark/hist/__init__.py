@@ -1,2 +1,7 @@
 from columnflow_spark.hist.axes import Variable, bin_expr  # noqa: F401
-from columnflow_spark.hist.fill import fill_hist, merge_hists  # noqa: F401
+from columnflow_spark.hist.fill import (  # noqa: F401
+    fill_hist,
+    fold_flow_bins,
+    merge_hists,
+    rebin_axis,
+)

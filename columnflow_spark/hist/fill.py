@@ -50,6 +50,40 @@ def fill_hist(
     )
 
 
+def _regroup(hist: DataFrame, round_to: int | None = 4) -> DataFrame:
+    group_cols = [c for c in hist.columns if c not in ("n", "sum_w", "sum_w2")]
+    sum_w, sum_w2 = F.sum("sum_w"), F.sum("sum_w2")
+    if round_to is not None:
+        sum_w, sum_w2 = F.round(sum_w, round_to), F.round(sum_w2, round_to)
+    return hist.groupBy(*group_cols).agg(
+        F.sum("n").alias("n"), sum_w.alias("sum_w"), sum_w2.alias("sum_w2")
+    )
+
+
+def rebin_axis(hist: DataFrame, axis: str, factor: int, n_bins: int, round_to: int | None = 4) -> DataFrame:
+    """Merge ``factor`` adjacent bins of one axis (reference hist_util.py:563
+    ``merge_axis_bins``): in-range bins map to ``bin // factor``; flow bins
+    are preserved (null -2 and underflow -1 unchanged, overflow re-indexed
+    to the new axis length ``ceil(n_bins / factor)``).  Pure re-aggregation
+    over the hist table — never touches event data."""
+    b = F.col(axis)
+    new_b = (
+        F.when(b < 0, b)
+        .when(b >= n_bins, F.lit(-(-n_bins // factor)))
+        .otherwise(F.floor(b / factor).cast("int"))
+    )
+    return _regroup(hist.withColumn(axis, new_b), round_to)
+
+
+def fold_flow_bins(hist: DataFrame, axis: str, n_bins: int, round_to: int | None = 4) -> DataFrame:
+    """Fold under/overflow content into the first/last in-range bins
+    (reference plotting/plot_util.py:331 ``use_flow_bins``); null bins (-2)
+    are dropped."""
+    b = F.col(axis)
+    new_b = F.when(b == -1, F.lit(0)).when(b >= n_bins, F.lit(n_bins - 1)).otherwise(b)
+    return _regroup(hist.filter(b != -2).withColumn(axis, new_b), round_to)
+
+
 def merge_hists(hists: Iterable[DataFrame]) -> DataFrame:
     """Sum identical-axis hist tables (cross-file/cross-shift merge,
     reference tasks/histograms.py:449 MergeHistograms): union + re-group.

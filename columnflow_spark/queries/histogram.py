@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from columnflow_spark.hist import Variable, fill_hist, merge_hists
+from columnflow_spark.hist import Variable, fill_hist, fold_flow_bins, merge_hists, rebin_axis
 from columnflow_spark.queries import query
 from columnflow_spark.sources import load_table
 
@@ -182,6 +182,56 @@ def hist_shift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shift", F.lit("price_up")
     )
     return nominal.unionByName(shifted)
+
+
+# --- axis-bin manipulation: merge adjacent bins by re-aggregation
+# (reference hist_util.py:563 merge_axis_bins) ---
+@query(
+    "hist_rebin_merge",
+    oracle=f"""
+    WITH fine AS (
+        SELECT {_regular_bin_sql("o_totalprice", 20, 0.0, 500000.0)} AS b, o_totalprice AS w
+        FROM orders
+    )
+    SELECT
+        CASE WHEN b < 0 THEN b WHEN b >= 20 THEN 10 ELSE b // 2 END AS bin__total,
+        count(*) AS n,
+        round(sum(w), 4) AS sum_w,
+        round(sum(w * w), 4) AS sum_w2
+    FROM fine
+    GROUP BY 1
+    """,
+)
+def hist_rebin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_totalprice"])
+    var = Variable("total", "o_totalprice", (20, 0.0, 500000.0))
+    fine = fill_hist(orders, [var], weight=F.col("o_totalprice"), round_to=None)
+    return rebin_axis(fine, "bin__total", factor=2, n_bins=20)
+
+
+# --- flow-bin folding: under/overflow folded into edge bins (reference
+# plotting/plot_util.py:331 use_flow_bins) ---
+@query(
+    "hist_flow_folded",
+    oracle=f"""
+    WITH fine AS (
+        SELECT {_regular_bin_sql("l_extendedprice", 12, 20000.0, 80000.0)} AS b
+        FROM lineitem
+    )
+    SELECT
+        CASE WHEN b = -1 THEN 0 WHEN b >= 12 THEN 11 ELSE b END AS bin__price,
+        count(*) AS n,
+        round(sum(1.0), 4) AS sum_w,
+        round(sum(1.0), 4) AS sum_w2
+    FROM fine
+    WHERE b <> -2
+    GROUP BY 1
+    """,
+)
+def hist_flow_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_extendedprice"])
+    fine = fill_hist(li, [Variable("price", "l_extendedprice", (12, 20000.0, 80000.0))], round_to=None)
+    return fold_flow_bins(fine, "bin__price", n_bins=12)
 
 
 # --- cutflow: per-step cumulative selection counts (reference

@@ -483,3 +483,133 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(l2), 4).alias("mean_l2"),
         F.round(F.avg(comp_sum), 4).alias("mean_comp_sum"),
     )
+
+
+# --- positional rolling-hash document fingerprint (order-sensitive, unlike
+# the md5-of-normalized-text exact fingerprint in dedup_exact): each token
+# contributes hash(token) * weight(position), summed into one 64-bit value.
+# Pure built-in expressions -> WholeStageCodegen; one projection, no
+# shuffle at any corpus size. ---
+@query(
+    "doc_fingerprint",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i
+        FROM toks WHERE len(ts) > 0
+    )
+    SELECT doc_id,
+           CAST(sum((('0x' || substring(md5(t), 1, 12))::BIGINT % 2147483647)
+                    * ((i * 2654435761) % 1048573)) AS BIGINT) AS fp
+    FROM ex
+    GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = tokens(F.col("text"))
+
+    def term(t, i):
+        hv = F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long") % F.lit(2147483647)
+        w = ((i + F.lit(1)).cast("long") * F.lit(2654435761)) % F.lit(1048573)
+        return hv * w
+
+    fp = F.aggregate(F.transform(toks, term), F.lit(0).cast("long"), lambda a, x: a + x)
+    return docs.filter(F.size(toks) > 0).select("doc_id", fp.alias("fp"))
+
+
+# --- similarity search: IVF-style ANN (the 100 TB scale path).  Broadcast
+# the small centroid table; assign every corpus vector to its nearest cell
+# ONCE (this is the "index build" — at scale it is written out partitioned
+# by cell); queries probe only their top-2 cells, so per-query work scales
+# with corpus/n_cells, not corpus.  Deterministic centroid choice gives the
+# op an exact SQL twin; recall vs the brute-force baseline is asserted in
+# tests. ---
+@query(
+    "ann_ivf_topk",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id % 64 = 0
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce) DESC, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.ce) DESC, c.cid
+                   ) AS rn
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id % 100 = 7
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS sim, rk FROM (
+        SELECT c.query_id, c.neighbor_id,
+               list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS sim,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                            c.neighbor_id
+               ) AS rk
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id
+    ) WHERE rk <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    # index build: nearest-centroid assignment, centroids broadcast
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "csim", cosine(F.col("embedding"), F.col("ce"))
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding")
+    )
+    # query side: probe the 2 closest cells
+    queries_df = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    qscored = queries_df.join(F.broadcast(cents)).withColumn("csim", cosine(F.col("q"), F.col("ce")))
+    wq = W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "cid", "q")
+    )
+    # search only the probed cells (probes are tiny -> broadcast)
+    cand = assign.join(F.broadcast(probes), "cid").filter(F.col("vec_id") != F.col("query_id"))
+    sims = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q"), F.col("embedding")).alias("sim"),
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rk")
+    )

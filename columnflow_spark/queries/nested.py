@@ -224,3 +224,105 @@ def nested_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("items") - 1).alias("n_with_parent"),
         F.round(F.aggregate(parents, F.lit(0.0), lambda a, x: a + x["price"]), 4).alias("parent_price_sum"),
     )
+
+
+# --- greedy match-without-replacement (reference production/util.py:169
+# delta_r_match_multiple: sequentially pair each object with its closest
+# unused partner).  Inherently sequential per event (SURVEY §7.4 "hard
+# parts"), so the Spark form is an Arrow-batched mapInPandas over the
+# pre-grouped collection — one shuffle to build the collection, then pure
+# per-row Python on ~7-element arrays; never a relational self-join.  The
+# oracle unrolls the greedy rounds (max 7 objects -> <= 3 pairs) as
+# window-ranked SQL. ---
+def _greedy_rounds_sql(rounds: int) -> str:
+    """Unroll greedy selection as ``rounds`` window-ranked CTE rounds:
+    round r picks the min-(d, la, lb) pair per event among pairs disjoint
+    from all earlier picks.  Sequential greedy == iterated min-of-disjoint,
+    so this is exact whenever ``rounds >= max matches per event``."""
+    ctes = [
+        """items AS (
+        SELECT l_orderkey AS k,
+               row_number() OVER (
+                   PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
+               ) AS ln,
+               l_extendedprice AS p
+        FROM lineitem
+    )""",
+        """p1 AS (
+        SELECT a.k, a.ln AS la, b.ln AS lb, abs(a.p - b.p) AS d
+        FROM items a JOIN items b ON a.k = b.k AND a.ln < b.ln
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""r{r} AS (
+        SELECT k, la, lb, d FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY d, la, lb) AS rn FROM p{r}
+        ) WHERE rn = 1
+    )"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""p{r + 1} AS (
+        SELECT p.* FROM p{r} p JOIN r{r} ON p.k = r{r}.k
+        WHERE p.la NOT IN (r{r}.la, r{r}.lb) AND p.lb NOT IN (r{r}.la, r{r}.lb)
+    )"""
+            )
+    union = " UNION ALL ".join(f"SELECT * FROM r{r}" for r in range(1, rounds + 1))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT k AS o_orderkey, la AS ln_a, lb AS ln_b, round(d, 4) AS gap FROM ({union})"
+    )
+
+
+#: 10 rounds cover events with up to 21 objects (sf0.01 max is 13)
+_GREEDY_ROUNDS_SQL = _greedy_rounds_sql(10)
+
+
+@query("greedy_match_pairs", oracle=_GREEDY_ROUNDS_SQL)
+def greedy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.sources import load_table
+
+    li = load_table(
+        spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    ev = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(F.col("l_linenumber").alias("ln"), F.col("l_extendedprice").alias("p"))
+        ).alias("items")
+    )
+
+    def gen(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            kk, aa, bb, dd = [], [], [], []
+            for k, items in zip(pdf["l_orderkey"], pdf["items"]):
+                # positional object ids: l_linenumber is not unique within
+                # an order, so identity is the rank under (ln, price)
+                arr = [
+                    (pos, p)
+                    for pos, (_ln, p) in enumerate(
+                        sorted((int(it["ln"]), float(it["p"])) for it in items), start=1
+                    )
+                ]
+                if len(arr) < 2:
+                    continue
+                cand = sorted(
+                    (abs(pa - pb), la, lb)
+                    for i, (la, pa) in enumerate(arr)
+                    for lb, pb in arr[i + 1:]
+                )
+                used: set[int] = set()
+                for d, la, lb in cand:
+                    if la not in used and lb not in used:
+                        used.update((la, lb))
+                        kk.append(k)
+                        aa.append(la)
+                        bb.append(lb)
+                        dd.append(d)
+            yield pd.DataFrame({"o_orderkey": kk, "ln_a": aa, "ln_b": bb, "gap": dd})
+
+    out = ev.mapInPandas(gen, "o_orderkey bigint, ln_a int, ln_b int, gap double")
+    return out.withColumn("gap", F.round("gap", 4))

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from columnflow_spark.functions import arrays as A
-from columnflow_spark.functions.hashing import seed_hex
+from columnflow_spark.functions.hashing import seed_hex, seed_long
 from columnflow_spark.pipeline_demo import (
     MIN_SELECTED,
     PRICE_SCALE,
@@ -176,6 +176,34 @@ def deterministic_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.col("event_id") < 100).select(
         "event_id",
         seed_hex(F.col("event_id"), F.col("user_id")).alias("seed"),
+    )
+
+
+# --- ML k-fold split: fold = deterministic_seed % k, per-fold stats
+# (reference tasks/ml.py:221 fold split, :187-294 MLStats/MergeMLStats) ---
+@query(
+    "ml_fold_split",
+    oracle="""
+    WITH folds AS (
+        SELECT
+            CAST(('0x' || substring(sha256(concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 5 AS fold,
+            value
+        FROM events
+    )
+    SELECT fold, count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM folds
+    GROUP BY fold
+    """,
+)
+def ml_fold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment: events land in the same fold on
+    every run and every cluster size (seed is content-derived, never
+    partition-derived), so train/test splits are reproducible at 100 TB."""
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "user_id", "value"])
+    fold = (seed_long(F.col("event_id"), F.col("user_id")) % 5).alias("fold")
+    return ev.groupBy(fold).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
     )
 
 
