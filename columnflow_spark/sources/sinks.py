@@ -1,0 +1,113 @@
+"""Parquet sinks: sorted-field writes, row-group targeting, partitioned
+layout, and size-targeted compaction.
+
+Reference semantics:
+
+- ``sorted_ak_to_parquet`` (reference columnflow/columnar_util.py:1061)
+  recursively sorts fields before writing so every stage emits a
+  deterministic column layout; ``sort_ak_fields`` (:1027) is the recursive
+  sort.  Spark form: a recursive ``select``/``struct`` re-projection.
+- per-chunk files merged with row groups of 50k rows
+  (``merging_row_group_size``, reference law.cfg:71) — Spark form:
+  ``maxRecordsPerFile`` (row groups are per-file here; one file = one
+  write task output).
+- ``MergeReductionStats`` / ``MergeReducedEvents`` (reference
+  tasks/reduction.py:296-469) size merged outputs to ~512 MB — Spark
+  form: measure the source bytes and ``repartition`` to
+  ``ceil(bytes / target)`` output files (on a real cluster AQE's
+  ``coalescePartitions`` does this continuously; the explicit helper is
+  for final, stable layouts).
+- partition pruning by dataset/shift (reference content-addressed store
+  paths, tasks/framework/base.py:926) — Spark form: a
+  ``dataset=…/shift=…`` hive layout via ``partitionBy``, which Catalyst
+  prunes at scan time.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_ROWS_PER_FILE = 50_000
+DEFAULT_TARGET_FILE_BYTES = 512 * 1024 * 1024
+
+
+def _sorted_field_expr(field: T.StructField, prefix: str) -> Column:
+    """Recursively re-project a field with struct members in sorted order
+    (arrays of structs included)."""
+    dt = field.dataType
+    path = f"{prefix}`{field.name}`"
+    if isinstance(dt, T.StructType):
+        members = sorted(dt.fields, key=lambda f: f.name)
+        return F.struct(*[_sorted_field_expr(m, f"{path}.") for m in members]).alias(field.name)
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+        members = sorted(dt.elementType.fields, key=lambda f: f.name)
+
+        def rebuild(x: Column) -> Column:
+            return F.struct(*[_rebuild_nested(x[m.name], m).alias(m.name) for m in members])
+
+        return F.transform(F.expr(path), rebuild).alias(field.name)
+    return F.expr(path).alias(field.name)
+
+
+def _rebuild_nested(col: Column, field: T.StructField) -> Column:
+    dt = field.dataType
+    if isinstance(dt, T.StructType):
+        members = sorted(dt.fields, key=lambda f: f.name)
+        return F.struct(*[_rebuild_nested(col[m.name], m).alias(m.name) for m in members])
+    return col
+
+
+def sort_fields(df: DataFrame) -> DataFrame:
+    """Recursively sort all (nested) field names — the reference's
+    ``sort_ak_fields`` (columnar_util.py:1027) giving deterministic
+    layouts independent of operator insertion order."""
+    top = sorted(df.schema.fields, key=lambda f: f.name)
+    return df.select(*[_sorted_field_expr(f, "") for f in top])
+
+
+def write_events(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Iterable[str] = (),
+    rows_per_file: int = DEFAULT_ROWS_PER_FILE,
+    mode: str = "overwrite",
+) -> None:
+    """Sorted-field, row-group-targeted event write; ``partition_by``
+    produces the prunable ``dataset=…/shift=…`` hive layout."""
+    out = sort_fields(df)
+    writer = out.write.mode(mode).option("maxRecordsPerFile", rows_per_file)
+    partition_by = list(partition_by)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def compact_to_target_size(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    rows_per_file: int | None = None,
+) -> int:
+    """Merge small files into ~``target_file_bytes`` outputs (the
+    reference's MergeReductionStats sizing, tasks/reduction.py:309-327):
+    measure source bytes, repartition to ``ceil(bytes / target)`` files.
+    Returns the output file count."""
+    df = spark.read.parquet(src_path)
+    # on-disk bytes of the source (driver-side listing; cheap — metadata only)
+    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hadoop_path).getLength()
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if rows_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", rows_per_file)
+    writer.parquet(dst_path)
+    return n_files
