@@ -37,7 +37,7 @@ from columnflow_spark.operators import (
 )
 from columnflow_spark.operators.selection import apply_event_mask, rebuild_collection
 from columnflow_spark.plans.stage import StageChain
-from columnflow_spark.sources import load_table
+from columnflow_spark.sources import load_table, spread
 
 PRICE_SCALE = 1.02
 QTY_CUT = 5.0
@@ -55,6 +55,10 @@ def build_nested_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem",
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"],
     )
+    # hash-spread on the event key: the collection build's struct assembly
+    # then runs on all cores even when the scan has few input splits, and
+    # the groupBy below reuses the same exchange (no second shuffle)
+    li = spread(li, "l_orderkey")
     items = li.groupBy("l_orderkey").agg(
         F.array_sort(
             F.collect_list(

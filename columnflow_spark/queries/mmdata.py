@@ -49,7 +49,7 @@ from columnflow_spark.functions.text import (
     word_shingles,
 )
 from columnflow_spark.queries import query
-from columnflow_spark.sources import load_table
+from columnflow_spark.sources import load_table, spread
 
 JACCARD_THRESHOLD = 0.8
 
@@ -112,7 +112,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
     grams = (
         docs.withColumn("gs", word_shingles(F.col("text"), 3))
         .filter(F.size(tokens(F.col("text"))) >= 3)
@@ -160,7 +160,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
     shingle_sets = (
         docs.withColumn("gs", word_shingles(F.col("text"), 3))
         .filter(F.size(tokens(F.col("text"))) >= 3)
@@ -199,7 +199,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash near-dup (rows-only: F.hash has no DuckDB twin) ---
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
     hashed = docs.select(
         "doc_id", simhash64(shingle_hashes(word_shingles(F.col("text"), 3))).alias("sh")
     )
@@ -240,7 +240,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
     b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
     sim = cosine(F.col("e1"), F.col("e2"))
@@ -272,7 +272,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
@@ -295,7 +295,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucketing uses fixed random hyperplanes with no SQL twin) ---
 @query("ann_lsh_buckets")
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     rng = random.Random(42)
     planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
     bucketed = emb.withColumn("bucket", hyperplane_signs(F.col("embedding"), planes))
@@ -575,7 +575,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     cents = emb.filter(F.col("vec_id") % 64 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )

@@ -3,5 +3,6 @@ from columnflow_spark.sources.tables import (  # noqa: F401
     TABLES,
     load_table,
     load_tables,
+    spread,
     table_path,
 )

@@ -73,3 +73,21 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def spread(df: DataFrame, *key_cols: str, partitions: int | None = None) -> DataFrame:
+    """Decouple compute parallelism from input splits.
+
+    A parquet scan parallelizes by file/row-group; when the downstream
+    stage's compute-per-byte is much higher than the scan (shingling,
+    per-vector math, collection building), few input splits serialize the
+    whole stage.  An explicit round-robin (or hash, when ``key_cols`` are
+    given so a following groupBy on the same keys reuses the exchange)
+    repartition moves that compute onto all cores — the same move a
+    cluster job makes when one dense input file feeds a fan-out stage.
+    """
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    if key_cols:
+        return df.repartition(partitions, *key_cols)
+    return df.repartition(partitions)
