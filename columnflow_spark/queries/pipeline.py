@@ -278,3 +278,76 @@ def category_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("price_cat", "status_cat")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- calibrator with deterministic random smearing (reference jer
+# calibration/cms/jets.py:917 + ak_random gauss calibration/util.py:18 +
+# seeds production/cms/seeds.py:26): Box-Muller over sha256-derived
+# uniforms, reproducible per event on any cluster layout; the oracle
+# replicates the exact arithmetic in SQL. ---
+@query(
+    "jer_smearing",
+    oracle="""
+    WITH seeded AS (
+        SELECT event_id, value,
+               ('0x' || substring(sha256(concat_ws('|', CAST(event_id AS VARCHAR))), 1, 15))::BIGINT AS seed
+        FROM events
+        WHERE event_id < 2000
+    ),
+    uniforms AS (
+        SELECT event_id, value,
+               (('0x' || substring(sha256(CAST(seed AS VARCHAR)), 1, 13))::BIGINT + 1.0)
+                   / 4503599627370498.0 AS u1,
+               (('0x' || substring(sha256(CAST(seed + 1 AS VARCHAR)), 1, 13))::BIGINT + 1.0)
+                   / 4503599627370498.0 AS u2
+        FROM seeded
+    )
+    SELECT event_id,
+           round(value + (0.05 * value) * (sqrt(-2.0 * ln(u1)) * cos(6.283185307179586 * u2)), 4) AS smeared
+    FROM uniforms
+    """,
+)
+def jer_smearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.functions.hashing import seeded_gauss
+
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "value"]).filter(
+        F.col("event_id") < 2000
+    )
+    seed = seed_long(F.col("event_id"))
+    smeared = seeded_gauss(seed, F.col("value"), 0.05 * F.col("value"))
+    return ev.select("event_id", F.round(smeared, 4).alias("smeared"))
+
+
+# --- flat union export (reference UniteColumns tasks/union.py:184: flatten
+# nested columns to nano names + optional event filter at export) ---
+@query(
+    "unite_columns_export",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_orderkey, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag
+               ) AS rk,
+               count(*) OVER (PARTITION BY l_orderkey) AS n_items
+        FROM lineitem
+    )
+    SELECT o.o_orderkey, round(o.o_totalprice, 4) AS total, r.n_items,
+           round(r.l_extendedprice, 4) AS lead_price
+    FROM orders o JOIN ranked r ON r.l_orderkey = o.o_orderkey AND r.rk = 1
+    WHERE o.o_totalprice >= 400000
+    """,
+)
+def unite_columns_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.core.columns import flatten_table
+
+    events = build_nested_events(spark, sf_dir).filter(
+        (F.col("o_totalprice") >= 400000) & (F.size("items") >= 1)
+    )
+    flat = flatten_table(events.select("o_orderkey", "o_totalprice", "items"), fmt="nano")
+    return flat.select(
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("total"),
+        F.size("items_price").alias("n_items"),
+        F.round(F.element_at("items_price", 1), 4).alias("lead_price"),
+    )
