@@ -326,3 +326,86 @@ def greedy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = ev.mapInPandas(gen, "o_orderkey bigint, ln_a int, ln_b int, gap double")
     return out.withColumn("gap", F.round("gap", 4))
+
+
+# --- ΔR nearest-neighbour match, relational form (SURVEY §2.4: explode
+# both collections -> theta-join on the event key with ΔR < r_max ->
+# rank 1 per source object).  The within-row HOF form is
+# nested_closest_pair_gap; this is the form that scales when collections
+# are large enough that the per-event cartesian must shuffle.  Synthetic
+# (eta, phi) coordinates derive from qty/discount so the wrap-around
+# delta_phi path is exercised. ---
+_DR_MAX = 1.5
+_TWO_PI = 6.283185307179586
+_PI = 3.141592653589793
+
+
+@query(
+    "delta_r_match_relational",
+    oracle=f"""
+    WITH src AS (
+        SELECT l_orderkey AS k,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount
+               ) AS src_idx,
+               l_quantity / 10.0 AS eta, l_discount * 50.0 AS phi
+        FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    dst AS (
+        SELECT l_orderkey AS k,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount
+               ) AS dst_idx,
+               l_quantity / 10.0 AS eta, l_discount * 50.0 AS phi
+        FROM lineitem WHERE l_returnflag = 'A'
+    ),
+    pairs AS (
+        SELECT s.k, s.src_idx, d.dst_idx,
+               sqrt(pow(s.eta - d.eta, 2)
+                    + pow(fmod(fmod(s.phi - d.phi + {_PI}, {_TWO_PI}) + {_TWO_PI}, {_TWO_PI}) - {_PI}, 2)) AS dr
+        FROM src s JOIN dst d ON s.k = d.k
+    )
+    SELECT k AS o_orderkey, src_idx, dst_idx, round(dr, 4) AS dr
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY k, src_idx ORDER BY dr, dst_idx) AS rk
+        FROM pairs WHERE dr < {_DR_MAX}
+    ) WHERE rk = 1
+    """,
+)
+def delta_r_match_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from columnflow_spark.functions.math import delta_r
+    from columnflow_spark.sources import load_table
+
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+    order = [F.col(c) for c in ("l_linenumber", "l_quantity", "l_extendedprice", "l_discount")]
+
+    def side(flag: str, idx_name: str) -> DataFrame:
+        w = W.partitionBy("l_orderkey").orderBy(*order)
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .select(
+                F.col("l_orderkey").alias("k"),
+                F.row_number().over(w).alias(idx_name),
+                (F.col("l_quantity") / 10.0).alias(f"eta_{idx_name}"),
+                (F.col("l_discount") * 50.0).alias(f"phi_{idx_name}"),
+            )
+        )
+
+    src, dst = side("R", "src_idx"), side("A", "dst_idx")
+    dr = delta_r(
+        F.col("eta_src_idx"), F.col("phi_src_idx"), F.col("eta_dst_idx"), F.col("phi_dst_idx")
+    )
+    pairs = src.join(dst, "k").withColumn("dr", dr).filter(F.col("dr") < _DR_MAX)
+    wr = W.partitionBy("k", "src_idx").orderBy(F.asc("dr"), F.asc("dst_idx"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(F.col("k").alias("o_orderkey"), "src_idx", "dst_idx", F.round("dr", 4).alias("dr"))
+    )

@@ -153,3 +153,49 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
     return _run_to_memory(stateful, spark, mode="update")
+
+
+# --- incremental histogramming over a stream (SURVEY §2.9/§1.6: the
+# reference's chunk loop filling in-memory hists per chunk maps to
+# foreachBatch partial-hist upserts; the final hist is the merge of the
+# per-micro-batch partials, exactly like MergeHistograms merges per-file
+# partials) ---
+@query(
+    "streaming_hist_foreachbatch",
+    oracle="""
+    SELECT
+        CASE
+            WHEN value IS NULL THEN -2
+            WHEN value < 0.0 THEN -1
+            WHEN value > 500.0 THEN 20
+            WHEN value = 500.0 THEN 19
+            ELSE least(CAST(floor(value / 25.0) AS INT), 20)
+        END AS bin__value,
+        CAST(sum(n) AS BIGINT) AS n,
+        round(sum(sum_w), 4) AS sum_w,
+        round(sum(sum_w2), 4) AS sum_w2
+    FROM (
+        SELECT value, 1 AS n, value AS sum_w, value * value AS sum_w2 FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def streaming_hist_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.hist import Variable, fill_hist, merge_hists
+
+    ev = _stream_events(spark, sf_dir)
+    var = Variable("value", "value", (20, 0.0, 500.0))
+    partial_rows: list = []
+    schema_holder: dict = {}
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        # per-micro-batch partial hist; a production sink would MERGE these
+        # into a hist table — locally we accumulate the (tiny) partials
+        h = fill_hist(batch_df, [var], weight=F.col("value"), round_to=None)
+        schema_holder["schema"] = h.schema
+        partial_rows.extend(h.collect())
+
+    q = ev.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q.awaitTermination()
+    partials = spark.createDataFrame(partial_rows, schema_holder["schema"])
+    return merge_hists([partials])
