@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "text_quality",
     # pandas-UDF slow path (greedy per-event matching)
     "greedy_match_pairs",
+    # relational nearest-neighbour match (explode + rank)
+    "delta_r_match_relational",
 ]
 
 

@@ -613,3 +613,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rk")
     )
+
+
+# --- multimodal: video-style frame sampling over binary payloads (the
+# mmdata.media typed-column model; frame count from metadata, JVM-side
+# sequence+explode fan-out — payload bytes never ride through the
+# row multiplication) ---
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               1 + octet_length(encode(text)) % 120 AS n_frames
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, frame_idx,
+           CAST((n_bytes * 31 + frame_idx * 7919) % 1000003 AS BIGINT) AS frame_fp
+    FROM (
+        SELECT doc_id, n_bytes, unnest(range(0, n_frames, 30)) AS frame_idx
+        FROM media
+    )
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.mmdata import build_media_table, sample_frames
+
+    docs = (
+        load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    media = build_media_table(docs, payload="payload", mime="video/fake")
+    return sample_frames(media, every_n=30)
