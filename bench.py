@@ -57,9 +57,13 @@ def main() -> None:
     spark = get_spark("columnflow_spark-bench")
     queries = all_queries()
 
-    # warm up the JVM + parquet footers once so per-query numbers measure
-    # the plan, not first-touch JIT
+    # warm up the JVM + parquet footers + Python UDF worker pool once so
+    # per-query numbers measure the plan, not first-touch JIT or
+    # interpreter spin-up
     queries["q1_pricing_summary"](spark, sf_dir).count()
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     names = [n for n in BENCH_QUERIES if n in queries]
