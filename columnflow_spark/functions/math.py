@@ -34,6 +34,16 @@ def pt_from_cartesian(px: Column, py: Column) -> Column:
     return F.sqrt(px * px + py * py)
 
 
+def cosh(x: Column) -> Column:
+    """exp-based cosh: identical arithmetic is expressible in any SQL
+    engine (DuckDB has no cosh), so oracle parity holds bit-for-bit."""
+    return (F.exp(x) + F.exp(-x)) / 2.0
+
+
+def sinh(x: Column) -> Column:
+    return (F.exp(x) - F.exp(-x)) / 2.0
+
+
 def four_vector_sum_mass(
     pt1: Column, eta1: Column, phi1: Column, m1: Column,
     pt2: Column, eta2: Column, phi2: Column, m2: Column,
@@ -41,11 +51,11 @@ def four_vector_sum_mass(
     """Invariant mass of the 4-vector sum of two (pt, eta, phi, mass)
     objects — the reference's dijet-mass pattern
     (analysis_templates/.../production/example.py:44-49)."""
-    e1 = F.sqrt((pt1 * F.cosh(eta1)) ** 2 + m1 * m1)
-    e2 = F.sqrt((pt2 * F.cosh(eta2)) ** 2 + m2 * m2)
+    e1 = F.sqrt((pt1 * cosh(eta1)) ** 2 + m1 * m1)
+    e2 = F.sqrt((pt2 * cosh(eta2)) ** 2 + m2 * m2)
     px = pt1 * F.cos(phi1) + pt2 * F.cos(phi2)
     py = pt1 * F.sin(phi1) + pt2 * F.sin(phi2)
-    pz = pt1 * F.sinh(eta1) + pt2 * F.sinh(eta2)
+    pz = pt1 * sinh(eta1) + pt2 * sinh(eta2)
     m2sum = (e1 + e2) ** 2 - (px * px + py * py + pz * pz)
     return F.sqrt(F.greatest(m2sum, F.lit(0.0)))
 

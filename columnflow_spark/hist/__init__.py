@@ -1,5 +1,6 @@
 from columnflow_spark.hist.axes import Variable, bin_expr  # noqa: F401
 from columnflow_spark.hist.fill import (  # noqa: F401
+    ensure_bins,
     fill_hist,
     fold_flow_bins,
     merge_hists,

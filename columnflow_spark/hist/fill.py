@@ -84,6 +84,27 @@ def fold_flow_bins(hist: DataFrame, axis: str, n_bins: int, round_to: int | None
     return _regroup(hist.filter(b != -2).withColumn(axis, new_b), round_to)
 
 
+def ensure_bins(hist: DataFrame, axis: str, n_bins: int) -> DataFrame:
+    """Densify one axis: emit every in-range bin id 0..n_bins-1 with zero
+    content where the sparse hist table has no row (reference
+    hist_util.py:482 ``ensure_bin_exists`` — plotting and datacards need
+    dense axes).  Flow-bin rows pass through untouched."""
+    spark = hist.sparkSession
+    dense = spark.range(n_bins).select(F.col("id").cast("int").alias(axis))
+    other = [c for c in hist.columns if c not in (axis, "n", "sum_w", "sum_w2")]
+    if other:
+        dense = hist.select(*other).distinct().crossJoin(dense)
+    joined = dense.join(hist, on=[*other, axis], how="left").select(
+        *other,
+        axis,
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("sum_w", F.lit(0.0)).alias("sum_w"),
+        F.coalesce("sum_w2", F.lit(0.0)).alias("sum_w2"),
+    )
+    flow = hist.filter((F.col(axis) < 0) | (F.col(axis) >= n_bins))
+    return joined.unionByName(flow)
+
+
 def merge_hists(hists: Iterable[DataFrame]) -> DataFrame:
     """Sum identical-axis hist tables (cross-file/cross-shift merge,
     reference tasks/histograms.py:449 MergeHistograms): union + re-group.

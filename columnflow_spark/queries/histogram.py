@@ -12,7 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from columnflow_spark.hist import Variable, fill_hist, fold_flow_bins, merge_hists, rebin_axis
+from columnflow_spark.hist import (
+    Variable,
+    ensure_bins,
+    fill_hist,
+    fold_flow_bins,
+    merge_hists,
+    rebin_axis,
+)
 from columnflow_spark.queries import query
 from columnflow_spark.sources import load_table
 
@@ -293,4 +300,102 @@ def yield_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(w), 4).alias("sum_w"),
         F.round(F.sum(w * w), 4).alias("sum_w2"),
+    )
+
+
+# --- dense-axis completion: missing in-range bins materialized with zero
+# content (reference hist_util.py:482 ensure_bin_exists — plotting and
+# datacard writers need dense axes) ---
+@query(
+    "hist_ensure_bins",
+    oracle=f"""
+    WITH h AS (
+        SELECT {_regular_bin_sql("l_extendedprice", 10, 0.0, 105000.0)} AS b,
+               count(*) AS n, sum(l_quantity) AS sum_w, sum(l_quantity * l_quantity) AS sum_w2
+        FROM lineitem WHERE l_extendedprice < 30000
+        GROUP BY 1
+    ),
+    bins AS (SELECT unnest(generate_series(0, 9)) AS b)
+    SELECT bins.b AS bin__price,
+           coalesce(h.n, 0) AS n,
+           round(coalesce(h.sum_w, 0.0), 4) AS sum_w,
+           round(coalesce(h.sum_w2, 0.0), 4) AS sum_w2
+    FROM bins LEFT JOIN h ON h.b = bins.b
+    """,
+)
+def hist_ensure_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"]).filter(
+        F.col("l_extendedprice") < 30000
+    )
+    var = Variable("price", "l_extendedprice", (10, 0.0, 105000.0))
+    sparse = fill_hist(li, [var], weight=F.col("l_quantity"), round_to=None)
+    dense = ensure_bins(sparse, "bin__price", n_bins=10)
+    return dense.select(
+        "bin__price", "n", F.round("sum_w", 4).alias("sum_w"), F.round("sum_w2", 4).alias("sum_w2")
+    )
+
+
+# --- dijet-mass analog: invariant mass of the 4-vector sum of the two
+# leading objects (reference production/example.py:44-49), synthetic
+# (pt, eta, phi, m) derived from item columns; exp-based cosh/sinh keep
+# the arithmetic engine-portable ---
+@query(
+    "leading_pair_mass",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_orderkey,
+               l_extendedprice / 1000.0 AS pt,
+               l_quantity / 10.0 AS eta,
+               l_discount * 50.0 AS phi,
+               l_extendedprice / 10000.0 AS m,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_extendedprice DESC, l_linenumber, l_quantity, l_discount
+               ) AS rk
+        FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_orderkey,
+               a.pt AS pt1, a.eta AS eta1, a.phi AS phi1, a.m AS m1,
+               b.pt AS pt2, b.eta AS eta2, b.phi AS phi2, b.m AS m2
+        FROM ranked a JOIN ranked b ON a.l_orderkey = b.l_orderkey AND a.rk = 1 AND b.rk = 2
+    )
+    SELECT l_orderkey AS okey,
+           round(sqrt(greatest(
+               pow(sqrt(pow(pt1 * (exp(eta1) + exp(-eta1)) / 2.0, 2) + m1 * m1)
+                   + sqrt(pow(pt2 * (exp(eta2) + exp(-eta2)) / 2.0, 2) + m2 * m2), 2)
+               - (pow(pt1 * cos(phi1) + pt2 * cos(phi2), 2)
+                  + pow(pt1 * sin(phi1) + pt2 * sin(phi2), 2)
+                  + pow(pt1 * (exp(eta1) - exp(-eta1)) / 2.0
+                        + pt2 * (exp(eta2) - exp(-eta2)) / 2.0, 2)),
+               0.0)), 4) AS pair_mass
+    FROM pairs
+    """,
+)
+def leading_pair_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.functions.math import four_vector_sum_mass
+    from columnflow_spark.pipeline_demo import build_nested_events
+
+    events = build_nested_events(spark, sf_dir).filter(F.size("items") >= 2)
+    # leading two by price desc with a total tie-break order
+    ranked = F.array_sort(
+        "items",
+        lambda a, b: F.when(a["price"] > b["price"], -1)
+        .when(a["price"] < b["price"], 1)
+        .when(a["linenumber"] < b["linenumber"], -1)
+        .when(a["linenumber"] > b["linenumber"], 1)
+        .when(a["qty"] < b["qty"], -1)
+        .when(a["qty"] > b["qty"], 1)
+        .when(a["discount"] < b["discount"], -1)
+        .when(a["discount"] > b["discount"], 1)
+        .otherwise(0),
+    )
+    j1, j2 = F.element_at(ranked, 1), F.element_at(ranked, 2)
+
+    def kin(j):
+        return (j["price"] / 1000.0, j["qty"] / 10.0, j["discount"] * 50.0, j["price"] / 10000.0)
+
+    mass = four_vector_sum_mass(*kin(j1), *kin(j2))
+    return events.select(
+        F.col("o_orderkey").alias("okey"), F.round(mass, 4).alias("pair_mass")
     )
