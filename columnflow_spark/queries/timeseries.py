@@ -194,3 +194,81 @@ def inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(F.col("gap_us") / 1000000.0), 4).alias("max_gap_sec"),
         )
     )
+
+
+# --- exact grouped percentiles (training-data quality gates filter on
+# p95/p99 thresholds; Spark's exact percentile and DuckDB's quantile_cont
+# share the linear-interpolation definition) ---
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["event_type", "value"])
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+# --- hopping (sliding) window aggregation: 1h windows every 30min, each
+# event lands in two windows (epoch-aligned in both engines) ---
+@query(
+    "hopping_window_counts",
+    oracle="""
+    SELECT hop_start, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS hop_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
+    )
+    GROUP BY hop_start
+    """,
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["ts", "value"])
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("window.start").alias("hop_start"), "n", "sum_value")
+    )
+
+
+# --- skew-safe aggregation: salt the grouping key, partially aggregate,
+# re-aggregate (the standard fix when one key dominates a shuffle; result
+# is provably identical to the direct groupBy, which the oracle computes) ---
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+    salted = ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(8)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psum")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("psum"), 4).alias("sum_value")
+    )
+
+
+# --- approximate distinct counting (HLL++; rows-only — approximation has
+# no SQL twin, accuracy vs exact distinct is asserted in tests) ---
+@query("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["event_type", "user_id"])
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
