@@ -272,3 +272,85 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
     )
+
+
+# --- forward as-of join with tolerance (merge_asof direction='forward':
+# for each error event, the next purchase of the same user within 1 hour,
+# else sentinel) ---
+@query(
+    "asof_forward_tolerance",
+    oracle="""
+    WITH nxt AS (
+        SELECT event_id, user_id, ts, event_type,
+               first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+                   OVER w AS next_pts,
+               first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                   OVER w AS next_pval
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           round(CASE WHEN next_pts IS NOT NULL AND next_pts <= ts + INTERVAL '1 hour'
+                      THEN next_pval ELSE -99999.0 END, 4) AS next_purchase_value
+    FROM nxt
+    WHERE event_type = 'error'
+    """,
+)
+def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(1, W.unboundedFollowing)
+    is_p = F.col("event_type") == "purchase"
+    next_pts = F.first(F.when(is_p, F.col("ts")), ignorenulls=True).over(w)
+    next_pval = F.first(F.when(is_p, F.col("value")), ignorenulls=True).over(w)
+    within = next_pts.isNotNull() & (next_pts <= F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    return (
+        ev.withColumn("next_purchase_value", F.round(F.when(within, next_pval).otherwise(-99999.0), 4))
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "next_purchase_value")
+    )
+
+
+# --- interval-overlap join: per-order activity interval vs a generated
+# month calendar (overlap iff s1 <= e2 AND s2 <= e1); the calendar side is
+# tiny and broadcast, so the fact side never shuffles ---
+@query(
+    "interval_overlap_months",
+    oracle="""
+    WITH months AS (
+        SELECT m AS month_start, m + INTERVAL '1 month' AS month_end
+        FROM (SELECT unnest(generate_series(TIMESTAMP '1996-01-01',
+                                            TIMESTAMP '1998-12-01',
+                                            INTERVAL '1 month')) AS m)
+    ),
+    intervals AS (
+        SELECT o_orderkey, o_orderdate AS s, o_orderdate + INTERVAL '30 days' AS e
+        FROM orders
+    )
+    SELECT month_start, count(*) AS n_active
+    FROM intervals JOIN months
+      ON s < month_end AND month_start <= e
+    GROUP BY month_start
+    """,
+)
+def interval_overlap_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    months = spark.sql(
+        """
+        SELECT month_start, month_start + INTERVAL 1 MONTH AS month_end
+        FROM (
+            SELECT explode(sequence(TIMESTAMP '1996-01-01', TIMESTAMP '1998-12-01',
+                                    INTERVAL 1 MONTH)) AS month_start
+        )
+        """
+    )
+    iv = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("e"),
+    )
+    joined = iv.join(
+        F.broadcast(months),
+        (F.col("s") < F.col("month_end")) & (F.col("month_start") <= F.col("e")),
+    )
+    return joined.groupBy("month_start").agg(F.count(F.lit(1)).alias("n_active"))
