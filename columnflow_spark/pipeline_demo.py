@@ -44,12 +44,36 @@ QTY_CUT = 5.0
 MIN_SELECTED = 2
 
 
+#: per-(session, sf_dir) cache of the materialized nested event table —
+#: the in-session analog of the reference materializing ReduceEvents once
+#: and letting every downstream task reuse it (tasks/reduction.py:580
+#: ProvideReducedEvents).  On a cluster the durable form of this reuse is
+#: tasks.py writing stage parquet; the persist() here serves interactive /
+#: bench sessions where many queries share the same intermediate.  Disable
+#: with SPARK_GRAFT_CACHE_NESTED=0 (plan-inspection tests do).
+_NESTED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def build_nested_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested event table: one row per order with an ``items``
     array<struct> collection (the reference's event/Jet shape, SURVEY
     §1.1).  At 100 TB this groupBy is the one unavoidable shuffle; it
     hash-partitions by the event key, which every later per-event operator
     then reuses shuffle-free."""
+    import os
+
+    use_cache = os.environ.get("SPARK_GRAFT_CACHE_NESTED", "1") != "0"
+    key = (id(spark), sf_dir)
+    if use_cache and key in _NESTED_CACHE:
+        return _NESTED_CACHE[key]
+    events = _build_nested_events_uncached(spark, sf_dir)
+    if use_cache:
+        events = events.persist()
+        _NESTED_CACHE[key] = events
+    return events
+
+
+def _build_nested_events_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(
         spark, sf_dir, "lineitem",

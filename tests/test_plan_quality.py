@@ -7,12 +7,18 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 
 from columnflow_spark.queries import all_queries
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    df = all_queries()[name](spark, sf_dir)
+    # inspect the raw compiled plan, not the in-session nested-events cache
+    os.environ["SPARK_GRAFT_CACHE_NESTED"] = "0"
+    try:
+        df = all_queries()[name](spark, sf_dir)
+    finally:
+        os.environ.pop("SPARK_GRAFT_CACHE_NESTED", None)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
