@@ -30,6 +30,7 @@ _MODULES = (
     "columnflow_spark.queries.nested",
     "columnflow_spark.queries.pipeline",
     "columnflow_spark.queries.histogram",
+    "columnflow_spark.queries.physics",
     "columnflow_spark.queries.timeseries",
     "columnflow_spark.queries.mmdata",
     "columnflow_spark.queries.streaming",

@@ -1,0 +1,324 @@
+"""Remaining CMS-flavored parity operators (SURVEY §2.3/§2.4/§2.8/§2.10):
+MET-filter flag conjunction, golden-JSON run/lumi interval semi-join,
+process-id enrichment, stitched normalization weights, MET propagation
+through a calibration, collection sub-field extraction, and MLModel-style
+per-fold evaluation — each with a DuckDB oracle.
+
+All lookup tables here are tiny and broadcast; at 100 TB every join in
+this module stays a broadcast-hash join (no shuffle of the event table).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import and_
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnflow_spark.pipeline_demo import build_nested_events
+from columnflow_spark.queries import query
+from columnflow_spark.sources import load_table
+
+
+# --- met_filters analog: AND of configured event-flag columns
+# (reference selection/cms/met_filters.py:37 — the filter list is config,
+# the operator is reduce(and_) over boolean columns) ---
+_MET_FLAGS = [
+    "o_totalprice < 400000.0",
+    "o_orderstatus <> 'P'",
+    "o_custkey % 97 <> 0",
+]
+
+
+@query(
+    "met_filters_conjunction",
+    oracle=f"""
+    SELECT o_orderkey AS okey
+    FROM orders
+    WHERE ({_MET_FLAGS[0]}) AND ({_MET_FLAGS[1]}) AND ({_MET_FLAGS[2]})
+    """,
+)
+def met_filters_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus", "o_custkey"],
+    )
+    flags = [F.expr(e) for e in _MET_FLAGS]
+    return orders.filter(reduce(and_, flags)).select(F.col("o_orderkey").alias("okey"))
+
+
+# --- golden-JSON filter analog: keep (run, lumi) pairs inside certified
+# ranges (reference selection/cms/json_filter.py:43).  The golden payload
+# is a tiny per-run interval list -> broadcast interval semi-join; the
+# event table is never shuffled. ---
+def _golden_ranges() -> list[tuple[int, int, int]]:
+    """Deterministic golden map: run -> certified [lo, hi] lumi ranges."""
+    rows = []
+    for run in range(20):
+        if run % 2 == 0:
+            rows.append((run, 1, 10))
+            rows.append((run, 15, 25))
+        else:
+            rows.append((run, 5, 20))
+    return rows
+
+
+_GOLDEN_VALUES = ", ".join(f"({r}, {lo}, {hi})" for r, lo, hi in _golden_ranges())
+
+
+@query(
+    "golden_json_filter",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id % 20 AS run, 1 + (event_id % 28) AS lumi
+        FROM events
+    ),
+    golden(run, lo, hi) AS (VALUES {_GOLDEN_VALUES})
+    SELECT ev.event_id AS event_id, ev.run AS run, ev.lumi AS lumi
+    FROM ev
+    WHERE EXISTS (
+        SELECT 1 FROM golden g
+        WHERE g.run = ev.run AND ev.lumi BETWEEN g.lo AND g.hi
+    )
+    """,
+)
+def golden_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "user_id"]).select(
+        "event_id",
+        (F.col("user_id") % 20).alias("run"),
+        (1 + F.col("event_id") % 28).alias("lumi"),
+    )
+    golden = F.broadcast(
+        ev.sparkSession.createDataFrame(_golden_ranges(), "run long, lo long, hi long")
+    )
+    cond = (ev.run == golden.run) & ev.lumi.between(golden.lo, golden.hi)
+    return ev.join(golden, cond, "left_semi")
+
+
+# --- process_ids analog: enrich events with a process id from a small
+# dataset->process lookup (reference production/processes.py:18; per-event
+# constant or broadcast-matched) ---
+_PROCESS_MAP = [
+    ("1-URGENT", 110), ("2-HIGH", 120), ("3-MEDIUM", 130),
+    ("4-NOT SPECIFIED", 140), ("5-LOW", 150),
+]
+_PROCESS_VALUES = ", ".join(f"('{k}', {v})" for k, v in _PROCESS_MAP)
+
+
+@query(
+    "process_ids_enrichment",
+    oracle=f"""
+    WITH pmap(o_orderpriority, process_id) AS (VALUES {_PROCESS_VALUES})
+    SELECT p.process_id AS process_id,
+           count(*) AS n_events,
+           round(sum(o.o_totalprice), 4) AS sum_price
+    FROM orders o JOIN pmap p USING (o_orderpriority)
+    GROUP BY 1
+    """,
+)
+def process_ids_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    pmap = F.broadcast(
+        orders.sparkSession.createDataFrame(
+            _PROCESS_MAP, "o_orderpriority string, process_id long"
+        )
+    )
+    return (
+        orders.join(pmap, "o_orderpriority")
+        .groupBy("process_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+# --- stitched normalization weights: per-process weight from
+# xsec x lumi / sum_weights, with overlapping phase-space datasets
+# stitched via inclusive-dataset branching ratios (reference
+# production/normalization.py:300 + get_br_from_inclusive_datasets:73).
+# Two aggregation passes over tiny grouped tables + one broadcast join
+# back onto events — the event table itself is never shuffled. ---
+_XSEC = 1000.0
+_LUMI = 2.0
+
+
+@query(
+    "normalization_stitched",
+    oracle=f"""
+    WITH stats AS (
+        SELECT o_orderstatus, count(*) AS n, sum(o_totalprice / 100000.0) AS sum_w
+        FROM orders GROUP BY 1
+    ),
+    total AS (SELECT sum(n) AS n_tot, sum(sum_w) AS w_tot FROM stats),
+    br AS (
+        SELECT s.o_orderstatus,
+               s.n / CAST(t.n_tot AS DOUBLE) AS branching,
+               s.sum_w AS sum_w
+        FROM stats s CROSS JOIN total t
+    )
+    SELECT o.o_orderkey AS okey,
+           round({_XSEC} * {_LUMI} * b.branching * (o.o_totalprice / 100000.0)
+                 / b.sum_w, 4) AS norm_weight
+    FROM orders o JOIN br b USING (o_orderstatus)
+    """,
+)
+def normalization_stitched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    ).withColumn("mc_weight", F.col("o_totalprice") / 100000.0)
+    stats = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("mc_weight").alias("sum_w")
+    )
+    # the stats table is tiny (one row per sub-dataset): total + branching
+    # ratios via a broadcast cross join, then broadcast back onto events
+    total = stats.agg(F.sum("n").alias("n_tot"))
+    br = stats.crossJoin(F.broadcast(total)).select(
+        "o_orderstatus",
+        (F.col("n") / F.col("n_tot").cast("double")).alias("branching"),
+        "sum_w",
+    )
+    return orders.join(F.broadcast(br), "o_orderstatus").select(
+        F.col("o_orderkey").alias("okey"),
+        F.round(
+            F.lit(_XSEC) * F.lit(_LUMI) * F.col("branching") * F.col("mc_weight")
+            / F.col("sum_w"),
+            4,
+        ).alias("norm_weight"),
+    )
+
+
+# --- MET propagation through a calibration: met' = met - sum(delta
+# transverse components of corrected objects) (reference
+# calibration/util.py:42 sum_transverse, :60 propagate_met).  Pure
+# higher-order array math inside the row — no shuffle at all. ---
+_MET_SCALE = 1.05
+
+
+@query(
+    "met_propagation",
+    oracle=f"""
+    WITH obj AS (
+        SELECT l_orderkey,
+               l_extendedprice / 1000.0 AS pt,
+               l_discount * 50.0 AS phi
+        FROM lineitem
+    ),
+    delta AS (
+        SELECT l_orderkey,
+               sum(({_MET_SCALE} - 1.0) * pt * cos(phi)) AS dpx,
+               sum(({_MET_SCALE} - 1.0) * pt * sin(phi)) AS dpy
+        FROM obj GROUP BY 1
+    ),
+    met AS (
+        SELECT o_orderkey, o_totalprice / 10000.0 AS met_pt,
+               CAST(o_orderkey AS DOUBLE) * CAST(0.7 AS DOUBLE) AS met_phi
+        FROM orders
+    )
+    SELECT m.o_orderkey AS okey,
+           round(sqrt(pow(m.met_pt * cos(m.met_phi) - coalesce(d.dpx, 0.0), 2)
+                      + pow(m.met_pt * sin(m.met_phi) - coalesce(d.dpy, 0.0), 2)), 4)
+               AS met_pt_corr
+    FROM met m LEFT JOIN delta d ON d.l_orderkey = m.o_orderkey
+    """,
+)
+def met_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = build_nested_events(spark, sf_dir)
+    pt = lambda x: x["price"] / 1000.0  # noqa: E731
+    phi = lambda x: x["discount"] * 50.0  # noqa: E731
+    scale = F.lit(_MET_SCALE - 1.0)
+    dpx = F.aggregate(
+        "items", F.lit(0.0), lambda acc, x: acc + scale * pt(x) * F.cos(phi(x))
+    )
+    dpy = F.aggregate(
+        "items", F.lit(0.0), lambda acc, x: acc + scale * pt(x) * F.sin(phi(x))
+    )
+    met_pt = F.col("o_totalprice") / 10000.0
+    # no modulo: cos/sin are periodic, and DuckDB's fmod diverges from
+    # C/Java fmod at exact-multiple boundaries (returns 0 vs ~y)
+    met_phi = F.col("o_orderkey") * 0.7
+    mx = met_pt * F.cos(met_phi) - dpx
+    my = met_pt * F.sin(met_phi) - dpy
+    return events.select(
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.sqrt(mx * mx + my * my), 4).alias("met_pt_corr"),
+    )
+
+
+# --- ak_extract_fields analog: project a sub-record out of a collection
+# and consume the extracted structs (reference production/util.py:57) ---
+@query(
+    "extract_collection_fields",
+    oracle="""
+    SELECT l_orderkey AS okey,
+           count(*) AS n_obj,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_net
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def extract_collection_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = build_nested_events(spark, sf_dir).filter(F.size("items") > 0)
+    extracted = F.transform(
+        "items",
+        lambda x: F.struct(x["price"].alias("price"), x["discount"].alias("discount")),
+    )
+    ev = events.withColumn("slim", extracted)
+    return ev.select(
+        F.col("o_orderkey").alias("okey"),
+        F.size("slim").alias("n_obj"),
+        F.round(
+            F.aggregate(
+                "slim", F.lit(0.0), lambda acc, x: acc + x["price"] * (1.0 - x["discount"])
+            ),
+            4,
+        ).alias("sum_net"),
+    )
+
+
+# --- MLModel.evaluate analog: per-fold linear model scored on held-out
+# events; fold = deterministic_seed % k (reference ml/__init__.py:581
+# evaluate + tasks/ml.py:221 fold split).  The per-fold weights are a
+# broadcast map; scoring is whole-stage-codegen arithmetic. ---
+_FOLD_W = {0: (0.8, -0.3), 1: (1.1, 0.2), 2: (0.5, 0.05)}
+_FOLD_CASES = " ".join(
+    f"WHEN {k} THEN {w0} * f1 + {w1} * f2" for k, (w0, w1) in _FOLD_W.items()
+)
+
+
+@query(
+    "ml_evaluation_scores",
+    oracle=f"""
+    WITH feats AS (
+        SELECT o_orderkey,
+               o_orderkey % 3 AS fold,
+               o_totalprice / 100000.0 AS f1,
+               CAST(length(o_orderpriority) AS DOUBLE) AS f2
+        FROM orders
+    )
+    SELECT o_orderkey AS okey, fold,
+           round(1.0 / (1.0 + exp(-(CASE fold {_FOLD_CASES} END))), 4) AS score
+    FROM feats
+    """,
+)
+def ml_evaluation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"]
+    )
+    feats = orders.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 3).alias("fold"),
+        (F.col("o_totalprice") / 100000.0).alias("f1"),
+        F.length("o_orderpriority").cast("double").alias("f2"),
+    )
+    lin = None
+    for k, (w0, w1) in _FOLD_W.items():
+        branch = F.lit(w0) * F.col("f1") + F.lit(w1) * F.col("f2")
+        lin = F.when(F.col("fold") == k, branch) if lin is None else lin.when(
+            F.col("fold") == k, branch
+        )
+    score = 1.0 / (1.0 + F.exp(-lin))
+    return feats.select(
+        F.col("o_orderkey").alias("okey"), "fold", F.round(score, 4).alias("score")
+    )
