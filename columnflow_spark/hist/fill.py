@@ -105,6 +105,38 @@ def ensure_bins(hist: DataFrame, axis: str, n_bins: int) -> DataFrame:
     return joined.unionByName(flow)
 
 
+def select_category_bins(
+    hist: DataFrame, axis: str, pattern: str, reduce: bool = True, round_to: int | None = 4
+) -> DataFrame:
+    """Keep only categorical-axis bins matching ``pattern`` (regex), then
+    optionally sum over that axis (reference hist_util.py:418
+    ``select_category_bins`` — pattern-based bin selection + reduce used by
+    plotting/datacards to merge category groups)."""
+    out = hist.filter(F.col(axis).rlike(pattern))
+    if reduce:
+        out = out.drop(axis)
+    return _regroup(out, round_to)
+
+
+def insert_axis_values(hist: DataFrame, axis: str, values: list[str]) -> DataFrame:
+    """Insert categorical-axis values with zero content where missing
+    (reference hist_util.py:618 ``insert_axis_values`` — downstream shift
+    union and datacard writers need every expected category present)."""
+    spark = hist.sparkSession
+    wanted = spark.createDataFrame([(v,) for v in values], f"{axis} string")
+    other = [c for c in hist.columns if c not in (axis, "n", "sum_w", "sum_w2")]
+    if other:
+        wanted = hist.select(*other).distinct().crossJoin(wanted)
+    missing = wanted.join(hist, on=[*other, axis], how="left_anti").select(
+        *other,
+        axis,
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0.0).alias("sum_w"),
+        F.lit(0.0).alias("sum_w2"),
+    )
+    return hist.unionByName(missing)
+
+
 def merge_hists(hists: Iterable[DataFrame]) -> DataFrame:
     """Sum identical-axis hist tables (cross-file/cross-shift merge,
     reference tasks/histograms.py:449 MergeHistograms): union + re-group.

@@ -399,3 +399,67 @@ def leading_pair_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         F.col("o_orderkey").alias("okey"), F.round(mass, 4).alias("pair_mass")
     )
+
+
+# --- pattern-based category-bin selection + reduce (reference
+# hist_util.py:418 select_category_bins: plotting/datacards merge category
+# groups by regex over the categorical axis, then sum it away).  Pure
+# re-aggregation over the tiny hist table. ---
+@query(
+    "hist_select_category_bins",
+    oracle=f"""
+    SELECT
+        {_regular_bin_sql("l_extendedprice", 15, 0.0, 105000.0)} AS bin__price,
+        count(*) AS n,
+        round(sum(l_quantity), 4) AS sum_w,
+        round(sum(l_quantity * l_quantity), 4) AS sum_w2
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'N')
+    GROUP BY 1
+    """,
+)
+def hist_select_category_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.hist import select_category_bins
+
+    li = load_table(
+        spark, sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity", "l_returnflag"]
+    )
+    var = Variable("price", "l_extendedprice", (15, 0.0, 105000.0))
+    hist = fill_hist(li, [var], categorical=["l_returnflag"], weight=F.col("l_quantity"), round_to=None)
+    out = select_category_bins(hist, "l_returnflag", "^[AN]$")
+    return out.select(
+        "bin__price", "n", F.round("sum_w", 4).alias("sum_w"), F.round("sum_w2", 4).alias("sum_w2")
+    )
+
+
+# --- categorical-axis densification: expected-but-unfilled category
+# values inserted with zero content (reference hist_util.py:618
+# insert_axis_values — shift union and datacard writers need every
+# expected category present) ---
+@query(
+    "hist_insert_axis_values",
+    oracle="""
+    WITH h AS (
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice / 1000.0), 4) AS sum_w,
+               round(sum(pow(o_totalprice / 1000.0, 2)), 4) AS sum_w2
+        FROM orders GROUP BY 1
+    ),
+    wanted(o_orderstatus) AS (VALUES ('O'), ('F'), ('P'), ('X'), ('Z'))
+    SELECT w.o_orderstatus AS o_orderstatus,
+           coalesce(h.n, 0) AS n,
+           coalesce(h.sum_w, 0.0) AS sum_w,
+           coalesce(h.sum_w2, 0.0) AS sum_w2
+    FROM wanted w LEFT JOIN h USING (o_orderstatus)
+    UNION ALL
+    SELECT h.o_orderstatus, h.n, h.sum_w, h.sum_w2
+    FROM h WHERE h.o_orderstatus NOT IN (SELECT o_orderstatus FROM wanted)
+    """,
+)
+def hist_insert_axis_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.hist import insert_axis_values
+
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    w = F.col("o_totalprice") / 1000.0
+    hist = fill_hist(orders, [], categorical=["o_orderstatus"], weight=w)
+    return insert_axis_values(hist, "o_orderstatus", ["O", "F", "P", "X", "Z"])
