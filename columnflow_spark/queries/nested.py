@@ -283,10 +283,15 @@ _GREEDY_ROUNDS_SQL = _greedy_rounds_sql(10)
 @query("greedy_match_pairs", oracle=_GREEDY_ROUNDS_SQL)
 def greedy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.tables import spread
 
     li = load_table(
         spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
     )
+    # hash-spread on the group key: the groupBy reuses this exchange and the
+    # per-event greedy pandas UDF then runs at full core count instead of on
+    # a handful of AQE-coalesced post-shuffle partitions
+    li = spread(li, "l_orderkey")
     ev = li.groupBy("l_orderkey").agg(
         F.collect_list(
             F.struct(F.col("l_linenumber").alias("ln"), F.col("l_extendedprice").alias("p"))

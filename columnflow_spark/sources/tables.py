@@ -40,16 +40,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: per-(session, dir, table) cache of the *base* relation.  A catalog would
+#: hold this for registered tables; for path reads Spark re-lists the
+#: directory and re-reads the parquet footer on every ``spark.read.parquet``
+#: call, which at many-queries-per-session cost ~0.1-0.3 s of driver time
+#: per table reference.  The cached object is a lazy plan, not data: column
+#: pruning/pushdown from each query's ``select``/``filter`` still reach the
+#: scan unchanged.
+_BASE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
     name: str,
     columns: Iterable[str] | None = None,
 ) -> DataFrame:
-    if name == "events":
-        df = _load_events(spark, sf_dir)
-    else:
-        df = spark.read.parquet(table_path(sf_dir, name))
+    key = (id(spark), sf_dir, name)
+    df = _BASE_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(table_path(sf_dir, name))
+        _BASE_CACHE[key] = df
     if columns is not None:
         df = df.select(*columns)
     return df
