@@ -165,6 +165,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("gs", word_shingles(F.col("text"), 3))
         .filter(F.size(tokens(F.col("text"))) >= 3)
         .select("doc_id", "gs", F.size("gs").alias("sz"))
+        # consumed three times (signatures + both sides of the verification
+        # join); recomputing the shingles is cheaper than caching the wide
+        # arrays at this scale (measured: persist costs ~0.5 s more per
+        # run).  At corpus scale the choice flips: materialize this
+        # intermediate to parquet once and read it back three times.
     )
     # explode+groupBy-min signature (flat codegen; the nested-HOF form
     # costs seconds of JIT per stage — see minhash_signature_agg)

@@ -414,3 +414,136 @@ def delta_r_match_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select(F.col("k").alias("o_orderkey"), "src_idx", "dst_idx", F.round("dr", 4).alias("dr"))
     )
+
+
+# --- masked scatter-update: embed_with_mask / fill_at / mask_from_indices
+# (reference columnar_util.py:1189,1255,1162) — indices selected per event
+# (top-2 by price), values updated at exactly those positions, everything
+# else untouched.  Spark form: indices via array_sort on (key, idx) structs,
+# scatter via transform-with-index + array_contains — all JVM codegen, no
+# shuffle beyond the nested table's own event-key exchange. ---
+@query(
+    "masked_scatter_update",
+    oracle="""
+    WITH ranked AS (
+        SELECT
+            l_orderkey,
+            l_extendedprice,
+            l_discount,
+            row_number() OVER (
+                PARTITION BY l_orderkey
+                ORDER BY l_extendedprice DESC,
+                         l_linenumber, l_quantity, l_discount, l_returnflag
+            ) AS rn
+        FROM lineitem
+    ),
+    upd AS (
+        SELECT
+            l_orderkey,
+            count(*) FILTER (WHERE rn <= 2) AS n_updated,
+            sum(CASE WHEN rn <= 2 THEN l_extendedprice * (1 - l_discount)
+                     ELSE l_extendedprice END) AS ht_updated
+        FROM ranked
+        GROUP BY l_orderkey
+    )
+    SELECT
+        o.o_orderkey AS okey,
+        coalesce(u.n_updated, 0) AS n_updated,
+        round(coalesce(u.ht_updated, 0.0), 4) AS ht_updated
+    FROM orders o
+    LEFT JOIN upd u ON u.l_orderkey = o.o_orderkey
+    """,
+)
+def masked_scatter_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = build_nested_events(spark, sf_dir)
+    # mask_from_indices: positions of the top-2 items by price (idx asc tiebreak)
+    keyed = F.transform(
+        "items", lambda x, i: F.struct(x["price"].alias("price"), i.alias("idx"))
+    )
+    by_price = F.array_sort(
+        keyed,
+        lambda a, b: (
+            F.when(a["price"] > b["price"], -1)
+            .when(a["price"] < b["price"], 1)
+            .when(a["idx"] < b["idx"], -1)
+            .when(a["idx"] > b["idx"], 1)
+            .otherwise(0)
+        ),
+    )
+    idxs = F.transform(F.slice(by_price, 1, 2), lambda s: s["idx"])
+    events = events.withColumn("upd_idxs", idxs)
+    # fill_at / embed_with_mask: scatter-update prices at those indices
+    updated = F.transform(
+        "items",
+        lambda x, i: F.when(
+            F.array_contains(F.col("upd_idxs"), i), x["price"] * (1 - x["discount"])
+        ).otherwise(x["price"]),
+    )
+    return events.select(
+        F.col("o_orderkey").alias("okey"),
+        F.size("upd_idxs").alias("n_updated"),
+        F.round(A.asum(updated), 4).alias("ht_updated"),
+    )
+
+
+# --- index-following ancestor-chain walk (reference gen-particle mother
+# chains, production/cms/gen_particles.py:51-350): each object stores a
+# parent *index* into its own event's collection; walking the chain is
+# repeated element_at indexing — an intra-row self-"join" with zero shuffle,
+# exactly how genPartIdxMother traversal should run at 100 TB.  Parent
+# topology here is the deterministic heap rule parent(p) = (p-1) // 2. ---
+@query(
+    "ancestor_chain_walk",
+    oracle="""
+    WITH RECURSIVE items AS (
+        SELECT
+            l_orderkey AS okey,
+            row_number() OVER (
+                PARTITION BY l_orderkey
+                ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag
+            ) - 1 AS pos,
+            l_extendedprice AS price
+        FROM lineitem
+    ),
+    walk AS (
+        SELECT okey, pos AS start_pos, pos AS cur, price, 0 AS d FROM items
+        UNION ALL
+        SELECT w.okey, w.start_pos, i.pos, i.price, w.d + 1
+        FROM walk w
+        JOIN items i ON i.okey = w.okey AND i.pos = (w.cur - 1) // 2
+        WHERE w.cur > 0
+    )
+    SELECT
+        okey,
+        start_pos AS pos,
+        round(sum(price), 4) AS chain_sum,
+        max(d) AS depth
+    FROM walk
+    GROUP BY okey, start_pos
+    """,
+)
+def ancestor_chain_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = build_nested_events(spark, sf_dir)
+    # items are linenumber-sorted, so array position == pos in the oracle
+    flat = events.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("items.price").alias("prices"),
+        F.posexplode("items").alias("pos", "item"),
+    )
+    # unrolled chain walk: TPC-H orders hold <= 7 items (depth <= 2); the
+    # unroll to 5 levels covers collections up to 63 objects — for deeper
+    # chains this expands the same way with more terms, still shuffle-free
+    cur = F.col("pos")
+    total = F.col("item")["price"]
+    depth = F.lit(0)
+    for _ in range(5):
+        cur = F.when(cur > 0, F.floor((cur - 1) / 2).cast("int")).otherwise(F.lit(-1))
+        hit = cur >= 0
+        total = total + F.when(hit, F.element_at("prices", cur + 1)).otherwise(F.lit(0.0))
+        depth = depth + F.when(hit, 1).otherwise(0)
+    return flat.select(
+        "okey",
+        "pos",
+        F.round(total, 4).alias("chain_sum"),
+        depth.alias("depth"),
+    )
