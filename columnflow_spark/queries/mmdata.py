@@ -650,3 +650,124 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = build_media_table(docs, payload="payload", mime="video/fake")
     return sample_frames(media, every_n=30)
+
+
+# --- near-dup connected components: pair list -> cluster representative.
+# The step after candidate generation in every production dedup pipeline:
+# near-dup pairs form a graph; each doc must map to one canonical keeper
+# (the min doc_id in its component).  Spark form: iterative min-label
+# propagation over the (tiny) edge set with a convergence check —
+# each round is one shuffle on doc_id; lineage is truncated per round
+# with localCheckpoint so plans stay flat.  Components here have small
+# diameter (near-dup clusters are cliques-ish), so this converges in
+# 2-3 rounds; for adversarial long-chain graphs swap the loop body for
+# alternating large-star/small-star (same join shapes, O(log n) rounds).
+# Oracle: recursive-CTE transitive closure + min per source. ---
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_GRAMS_CTE},
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
+    cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT d1, d2
+        FROM cand
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2
+        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (
+        SELECT d1 AS s, d2 AS t FROM edges
+        UNION ALL
+        SELECT d2 AS s, d1 AS t FROM edges
+    ),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS node FROM documents
+        UNION
+        SELECT r.src, sym.t AS node FROM reach r JOIN sym ON sym.s = r.node
+    )
+    SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    all_docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    sym = edges.union(edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))).toDF("src", "dst")
+    sym = sym.localCheckpoint(eager=True)  # pair generation runs once, not once per round
+    labels = all_docs.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint(eager=True)
+    for _ in range(15):
+        nbr = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.comp") < F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("comp").alias("component"))
+
+
+# --- deterministic stratified sampling: content-hash Bernoulli per
+# stratum.  Training corpora are sampled by source with *reproducible*
+# membership — the keep decision derives from sha256(doc_id), never from
+# partitioning or RNG state, so the same docs are kept on 1 core or 1000
+# executors, on reruns, and after repartitions (F.rand cannot promise
+# any of that).  One narrow scan, zero shuffles for membership; the
+# per-source rate map rides a broadcast join. ---
+_SAMPLE_RATES = {"src0": 0.25, "src1": 0.5, "src2": 1.0, "src3": 0.75}
+_SAMPLE_DEFAULT_RATE = 0.1
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    WITH rates(source, rate) AS (
+        VALUES ('src0', 0.25), ('src1', 0.5), ('src2', 1.0), ('src3', 0.75)
+    ),
+    keep AS (
+        SELECT
+            d.doc_id,
+            d.source,
+            ('0x' || substr(sha256('sample|' || d.doc_id), 1, 15))::BIGINT
+                / 1152921504606846976.0 AS u,
+            coalesce(r.rate, {_SAMPLE_DEFAULT_RATE}) AS rate
+        FROM documents d
+        LEFT JOIN rates r ON r.source = d.source
+    )
+    SELECT doc_id, source FROM keep WHERE u < rate
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    rates = spark.createDataFrame(
+        list(_SAMPLE_RATES.items()), "source string, rate double"
+    )
+    u = (
+        F.conv(F.substring(F.sha2(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")), 256), 1, 15), 16, 10)
+        .cast("double") / F.lit(16.0 ** 15)
+    )
+    return (
+        docs.join(F.broadcast(rates), "source", "left")
+        .withColumn("rate", F.coalesce(F.col("rate"), F.lit(_SAMPLE_DEFAULT_RATE)))
+        .filter(u < F.col("rate"))
+        .select("doc_id", "source")
+    )
