@@ -771,3 +771,134 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u < F.col("rate"))
         .select("doc_id", "source")
     )
+
+
+# --- sequence packing (concat-and-chunk): the LLM-pretraining step that
+# concatenates the corpus in a canonical order and cuts fixed token-budget
+# chunks, mapping every doc to its chunk span.  The core is an EXACT
+# global prefix sum over doc order, computed distributed in two phases:
+# (1) per-coarse-group token subtotals (one narrow groupBy), (2) running
+# offsets over the tiny group table, broadcast-joined back, (3) in-group
+# running sums via a window PARTITIONED by group — no global
+# single-partition window anywhere, so the same plan runs on a 100 TB
+# corpus (recurse phase 2 if even the group table outgrows one node). ---
+_PACK_BUDGET = 256  # tokens per packed sequence
+_PACK_GROUP = 64    # docs per coarse prefix-sum group
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM toks WHERE n_tok > 0
+    )
+    SELECT
+        doc_id,
+        n_tok,
+        CAST((cum - n_tok) // {_PACK_BUDGET} AS BIGINT) AS chunk_start,
+        CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS chunk_end,
+        CAST((cum - 1) // {_PACK_BUDGET} - (cum - n_tok) // {_PACK_BUDGET} + 1 AS BIGINT) AS n_chunks
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+    toks = (
+        docs.select("doc_id", n_tokens(F.col("text")).alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn("grp", (F.col("doc_id") / _PACK_GROUP).cast("long"))
+    )
+    # phase 1: coarse subtotals (rows = n_docs / _PACK_GROUP)
+    partials = toks.groupBy("grp").agg(F.sum("n_tok").alias("grp_tok"))
+    # phase 2: running offset per group over the tiny partials table; its
+    # window is per-group-count sized, not corpus sized
+    w_off = W.orderBy("grp").rowsBetween(W.unboundedPreceding, -1)
+    offsets = partials.select(
+        "grp", F.coalesce(F.sum("grp_tok").over(w_off), F.lit(0)).alias("offset")
+    )
+    # phase 3: in-group running sum, partitioned window (scales out)
+    w_in = W.partitionBy("grp").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        toks.join(F.broadcast(offsets), "grp")
+        .withColumn("cum", F.col("offset") + F.sum("n_tok").over(w_in))
+    )
+    start_chunk = F.floor((F.col("cum") - F.col("n_tok")) / _PACK_BUDGET)
+    end_chunk = F.floor((F.col("cum") - 1) / _PACK_BUDGET)
+    return cum.select(
+        "doc_id",
+        "n_tok",
+        start_chunk.alias("chunk_start"),
+        end_chunk.alias("chunk_end"),
+        (end_chunk - start_chunk + 1).alias("n_chunks"),
+    )
+
+
+# --- corpus curation pipeline: the composed end-to-end filter chain a
+# training corpus actually goes through — language gate, quality gate
+# (token count + stopword ratio), exact-dup canonicalization (keep the
+# min doc_id per normalized fingerprint), then per-source yield
+# accounting.  One scan feeds everything; dedup is one groupBy on the
+# 16-byte digest; all gates are codegen'd predicates, so the 100 TB cost
+# is scan + a single digest-keyed shuffle. ---
+@query(
+    "corpus_curation_pipeline",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, source, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM documents
+        WHERE lang IN ('en', 'de')
+    ),
+    gated AS (
+        SELECT doc_id, source, text, len(ts) AS n_tok
+        FROM base
+        WHERE len(ts) >= 20
+          AND len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'and', 'is'))) * 1.0 / len(ts) <= 0.4
+    ),
+    canon AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
+            ORDER BY doc_id
+        ) AS rn
+        FROM gated
+    )
+    SELECT source,
+           count(*) AS n_kept,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+    FROM canon
+    WHERE rn = 1
+    GROUP BY source
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "lang", "text"]))
+    t = F.col("text")
+    toks = tokens(t)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "is")))
+    gated = (
+        docs.filter(F.col("lang").isin("en", "de"))
+        .withColumn("n_tok", F.size(toks))
+        .filter((F.col("n_tok") >= 20) & (stop_hits / F.col("n_tok") <= 0.4))
+    )
+    norm = F.regexp_replace(F.trim(F.lower(t)), " +", " ")
+    w = W.partitionBy(F.md5(norm)).orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tok").alias("tokens_kept"),
+        )
+    )
