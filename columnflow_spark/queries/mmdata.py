@@ -165,11 +165,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("gs", word_shingles(F.col("text"), 3))
         .filter(F.size(tokens(F.col("text"))) >= 3)
         .select("doc_id", "gs", F.size("gs").alias("sz"))
-        # consumed three times (signatures + both sides of the verification
-        # join); recomputing the shingles is cheaper than caching the wide
-        # arrays at this scale (measured: persist costs ~0.5 s more per
-        # run).  At corpus scale the choice flips: materialize this
-        # intermediate to parquet once and read it back three times.
     )
     # explode+groupBy-min signature (flat codegen; the nested-HOF form
     # costs seconds of JIT per stage — see minhash_signature_agg)
@@ -186,11 +181,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .dropDuplicates(["d1", "d2"])
     )
-    # verification joins the (narrow) candidate list back to the shingle
-    # sets — candidates are rare, so this join is tiny
+    # verification: broadcast the (rare) candidate pair list against the raw
+    # text and shingle ONLY the joined rows — the corpus is shingled exactly
+    # once (for signatures); re-shingling at verify time touches just the
+    # candidates, so verify cost scales with |candidates|, not corpus size
+    raw = docs.select("doc_id", "text")
+    half = F.broadcast(candidates).join(
+        raw.select(F.col("doc_id").alias("d1"), F.col("text").alias("t1")), "d1"
+    )
     pairs = (
-        candidates.join(shingle_sets.select(F.col("doc_id").alias("d1"), F.col("gs").alias("gs1"), F.col("sz").alias("sz1")), "d1")
-        .join(shingle_sets.select(F.col("doc_id").alias("d2"), F.col("gs").alias("gs2"), F.col("sz").alias("sz2")), "d2")
+        F.broadcast(half)
+        .join(raw.select(F.col("doc_id").alias("d2"), F.col("text").alias("t2")), "d2")
+        .select(
+            "d1", "d2",
+            word_shingles(F.col("t1"), 3).alias("gs1"),
+            word_shingles(F.col("t2"), 3).alias("gs2"),
+        )
+        .select(
+            "d1", "d2", "gs1", "gs2",
+            F.size("gs1").alias("sz1"), F.size("gs2").alias("sz2"),
+        )
     )
     common = F.size(F.array_intersect("gs1", "gs2"))
     jac = common / (F.col("sz1") + F.col("sz2") - common)

@@ -322,3 +322,96 @@ def ml_evaluation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         F.col("o_orderkey").alias("okey"), "fold", F.round(score, 4).alias("score")
     )
+
+
+# --- per-object scale-factor lookup + event weight product (reference
+# muon_weights production/cms/muon.py:62 + all_weights
+# histogramming/default.py:125): each object looks up a correction from a
+# small binned SF table (broadcast — the event table never shuffles), and
+# the event weight is the product over its objects.  Product-of-objects
+# compiles to a HOF aggregate; the oracle uses DuckDB's product(). ---
+# (qty_lo, qty_hi, sf) — correctionlib-style binned payload.  SF values
+# are dyadic rationals (<= 3 mantissa bits): products of <= 7 of them are
+# EXACT in IEEE double, so Spark's in-array fold and the oracle's product()
+# agree bit-for-bit regardless of multiplication order.
+_SF_BINS = [
+    (0, 10, 0.75),
+    (10, 25, 1.0),
+    (25, 40, 1.25),
+    (40, 1 << 30, 1.5),
+]
+
+@query(
+    "object_sf_weights",
+    oracle="""
+    WITH sf(lo, hi, sf) AS (
+        VALUES (0, 10, 0.75), (10, 25, 1.0), (25, 40, 1.25), (40, 1073741824, 1.5)
+    ),
+    per_obj AS (
+        SELECT l.l_orderkey, s.sf AS osf
+        FROM lineitem l
+        JOIN sf s ON l.l_quantity >= s.lo AND l.l_quantity < s.hi
+    ),
+    per_event AS (
+        SELECT l_orderkey, product(osf) AS w FROM per_obj GROUP BY l_orderkey
+    )
+    SELECT
+        o.o_orderkey AS okey,
+        round(coalesce(p.w, 1.0), 4) AS event_weight
+    FROM orders o
+    LEFT JOIN per_event p ON p.l_orderkey = o.o_orderkey
+    """,
+)
+def object_sf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = build_nested_events(spark, sf_dir)
+
+    def obj_sf(x):
+        e = F.lit(1.0)
+        for lo, hi, s in _SF_BINS:
+            e = F.when((x["qty"] >= lo) & (x["qty"] < hi), F.lit(s)).otherwise(e)
+        return e
+
+    weight = F.aggregate("items", F.lit(1.0), lambda acc, x: acc * obj_sf(x))
+    return events.select(
+        F.col("o_orderkey").alias("okey"),
+        F.round(weight, 4).alias("event_weight"),
+    )
+
+
+# --- safe collection concatenation (reference ak_concatenate_safe
+# columnar_util.py:1433): two sub-collections with harmonized fields merged
+# back into one object array per event — concat is per-row, zero shuffle. ---
+@query(
+    "concat_collections",
+    oracle="""
+    SELECT
+        o.o_orderkey AS okey,
+        coalesce(s.n_all, 0) AS n_all,
+        round(coalesce(s.total, 0.0), 4) AS total
+    FROM orders o
+    LEFT JOIN (
+        SELECT l_orderkey,
+               count(*) AS n_all,
+               sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * 1.1
+                        ELSE l_extendedprice END) AS total
+        FROM lineitem
+        WHERE l_returnflag IN ('R', 'A')
+        GROUP BY l_orderkey
+    ) s ON s.l_orderkey = o.o_orderkey
+    """,
+)
+def concat_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = build_nested_events(spark, sf_dir)
+    # two typed sub-collections (returned / accepted) with a field adjusted
+    # on one side, then ak_concatenate_safe back into a single array
+    returned = F.transform(
+        F.filter("items", lambda x: x["returnflag"] == "R"),
+        lambda x: x.withField("price", x["price"] * 1.1),
+    )
+    accepted = F.filter("items", lambda x: x["returnflag"] == "A")
+    merged = F.concat(returned, accepted)
+    return events.select(
+        F.col("o_orderkey").alias("okey"),
+        F.size(merged).alias("n_all"),
+        F.round(F.aggregate(merged, F.lit(0.0), lambda a, x: a + x["price"]), 4).alias("total"),
+    )

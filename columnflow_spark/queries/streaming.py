@@ -222,3 +222,38 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return _run_to_memory(deduped, spark, mode="append")
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    WITH profile AS (
+        SELECT user_id, round(avg(value), 4) AS mean_value
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           CAST(count(*) FILTER (WHERE e.value > p.mean_value) AS BIGINT) AS n_above_profile
+    FROM events e JOIN profile p USING (user_id)
+    GROUP BY e.event_type
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch broadcast-joins a static
+    per-user profile table (computed batch-side) — the standard pattern
+    for enriching a live event feed with reference data.  The static side
+    is re-resolvable per batch; at scale it is a broadcast, the stream
+    never shuffles (beyond-parity: reference is batch-only, SURVEY §2.9)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_profile = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 4).alias("mean_value"))
+    )
+    ev = _stream_events(spark, sf_dir)
+    joined = ev.join(F.broadcast(static_profile), "user_id")
+    agg = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value") > F.col("mean_value")).alias("n_above_profile"),
+    )
+    return _run_to_memory(agg, spark, mode="complete")

@@ -59,3 +59,42 @@ def test_no_cartesian_products(spark, sf_dir):
     for name in ("dedup_minhash_lsh", "ann_ivf_topk", "delta_r_match_relational"):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_pack_sequences_has_no_global_window(spark, sf_dir):
+    # the distributed prefix sum must never compile to a corpus-wide
+    # single-partition window: the doc-level running sum is partitioned by
+    # the coarse group; the only unpartitioned window spec is the one over
+    # the tiny per-group subtotal table (it orders by grp itself)
+    from columnflow_spark.queries import all_queries
+
+    df = all_queries()["pack_sequences"](spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", logical)
+    assert specs, "expected window specs in the packing plan"
+    for spec in specs:
+        # every spec either partitions by grp (doc-level) or runs on the
+        # grp-keyed subtotal table (orders by grp) — never a doc-ordered
+        # global window
+        assert "grp" in spec
+        assert "doc_id" not in spec.split(",")[0] or "grp" in spec
+
+
+def test_minhash_verify_broadcasts_candidates(spark, sf_dir):
+    # the candidate verification must broadcast the rare pair list, never
+    # sort-merge the corpus against itself
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sf_lookup_stays_in_row(spark, sf_dir):
+    # object_sf_weights is per-row HOF math after the collection build:
+    # the only join in the plan is the build's own orders-items left join
+    plan = _plan(spark, sf_dir, "object_sf_weights")
+    # exactly one join node: the nested build's orders-items left join —
+    # the SF lookup itself adds none (it is a when-chain inside the row)
+    import re
+
+    assert len(re.findall(r"\b\w*Join\w*\b", plan.split("==")[1])) <= 1
