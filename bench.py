@@ -39,9 +39,15 @@ BENCH_QUERIES = [
     "asof_prior_purchase",
     # training-data ops
     "dedup_minhash_lsh",
+    "dedup_connected_components",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "text_quality",
+    "stratified_sample",
+    "pack_sequences",
+    "corpus_curation_pipeline",
+    # single-pass distributed model fit
+    "ml_train_linreg",
     # pandas-UDF slow path (greedy per-event matching)
     "greedy_match_pairs",
     # relational nearest-neighbour match (explode + rank)

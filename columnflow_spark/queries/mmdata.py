@@ -118,7 +118,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(tokens(F.col("text"))) >= 3)
         .select("doc_id", "gs", F.size("gs").alias("sz"))
     )
-    ex = grams.select("doc_id", "sz", F.explode("gs").alias("g"))
+    # join on a 64-bit shingle hash, not the string: the posting-list
+    # shuffle carries 8-byte keys and the equi-join compares longs.
+    # (xxhash64 collisions would need two distinct trigrams of the same
+    # corpus to collide: P ~ n²/2^65, irrelevant below ~10^8 shingles;
+    # the exact-string form is the fallback above that.)
+    ex = grams.select(
+        "doc_id", "sz", F.explode(F.transform("gs", lambda s: F.xxhash64(s))).alias("g")
+    )
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -665,14 +672,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- near-dup connected components: pair list -> cluster representative.
 # The step after candidate generation in every production dedup pipeline:
 # near-dup pairs form a graph; each doc must map to one canonical keeper
-# (the min doc_id in its component).  Spark form: iterative min-label
-# propagation over the (tiny) edge set with a convergence check —
-# each round is one shuffle on doc_id; lineage is truncated per round
-# with localCheckpoint so plans stay flat.  Components here have small
-# diameter (near-dup clusters are cliques-ish), so this converges in
-# 2-3 rounds; for adversarial long-chain graphs swap the loop body for
-# alternating large-star/small-star (same join shapes, O(log n) rounds).
+# (the min doc_id in its component).  The expensive, genuinely
+# distributed part is the PAIR GENERATION (shingle join over the corpus);
+# the component solve is hybrid on the pair count:
+# - below _CC_DRIVER_MAX_EDGES the edge list is collected and solved with
+#   union-find on the driver (microseconds; a near-dup graph is sparse —
+#   edges scale with duplicates, not corpus), then broadcast-joined back;
+# - above it, iterative min-label propagation over the edge set with a
+#   monotone-sum convergence check — one shuffle per round, lineage
+#   truncated per round with localCheckpoint.  Small-diameter near-dup
+#   clusters converge in 2-3 rounds; for adversarial long-chain graphs
+#   swap the loop body for alternating large-star/small-star (same join
+#   shapes, O(log n) rounds).
 # Oracle: recursive-CTE transitive closure + min per source. ---
+_CC_DRIVER_MAX_EDGES = 5_000_000  # ~80 MB of (long, long) — trivially driver-safe
 @query(
     "dedup_connected_components",
     oracle=f"""
@@ -705,36 +718,77 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     all_docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
-    edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
-    sym = edges.union(edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))).toDF("src", "dst")
-    sym = sym.localCheckpoint(eager=True)  # pair generation runs once, not once per round
-    labels = all_docs.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint(eager=True)
-    for _ in range(15):
+    # checkpoint the pair list BEFORE symmetrizing: a union of two
+    # references to the same plan computes it twice, so materialize once
+    # and build both edge directions from the materialized rows
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=True)
+    force_loop = os.environ.get("SPARK_GRAFT_CC_DISTRIBUTED") == "1"
+    if not force_loop and edges.count() <= _CC_DRIVER_MAX_EDGES:
+        # driver union-find on the sparse duplicate graph
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            ra, rb = find(r.d1), find(r.d2)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_rows = [(d, find(d)) for d in parent]
+        if not comp_rows:
+            return all_docs.select("doc_id", F.col("doc_id").alias("component"))
+        comp_map = spark.createDataFrame(comp_rows, "doc_id long, comp long")
+        return all_docs.join(F.broadcast(comp_map), "doc_id", "left").select(
+            "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("component")
+        )
+    sym = (
+        edges.union(edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+        .toDF("src", "dst")
+        .coalesce(8)
+        .localCheckpoint(eager=True)
+    )
+    # iterate ONLY over edge endpoints: isolated docs can never change
+    # label, so they join in as identity components at the end — the loop
+    # state is proportional to the duplicate graph, not the corpus
+    labels = (
+        sym.select("src").distinct()
+        .select(F.col("src").alias("doc_id"), F.col("src").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    # convergence via the monotone label sum: comp only ever decreases, so
+    # an unchanged sum means a fixed point — one tiny aggregate per round,
+    # no join-based diff
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(25):
         nbr = (
             sym.join(labels, sym.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_min"))
         )
-        new_labels = (
+        # lazy checkpoint: the convergence aggregate below is the single
+        # action that both materializes this round's labels and reads the
+        # label sum — one job per round, lineage still truncated
+        labels = (
             labels.join(nbr, labels.doc_id == nbr.src, "left")
             .select(
                 "doc_id",
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
             break
-    return labels.select("doc_id", F.col("comp").alias("component"))
+        prev_sum = cur_sum
+    return all_docs.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("component")
+    )
 
 
 # --- deterministic stratified sampling: content-hash Bernoulli per

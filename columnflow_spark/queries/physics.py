@@ -415,3 +415,108 @@ def concat_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(merged).alias("n_all"),
         F.round(F.aggregate(merged, F.lit(0.0), lambda a, x: a + x["price"]), 4).alias("total"),
     )
+
+
+# --- MLModel training (reference ml/__init__.py:555 train + k-fold split
+# tasks/ml.py:221): closed-form linear model fit per fold, entirely as
+# DataFrame aggregation — the normal equations' sufficient statistics
+# (X'X, X'y) are ONE partial-aggregated groupBy over the events (the same
+# shape as a histogram fill), and the 3x3 solve is Cramer's rule applied
+# to the tiny per-fold table.  At 100 TB this trains in a single pass
+# with no collect of training data.  Features/targets are pre-scaled to
+# integer-valued doubles so both engines aggregate exactly; the Cramer
+# formulas are written with identical operation order on both sides, so
+# IEEE-754 determinism makes the coefficients agree bit-for-bit. ---
+def _det3(a11, a12, a13, a21, a22, a23, a31, a32, a33):
+    """3x3 determinant with a fixed operation order (works for Columns,
+    floats, and SQL strings via operator overloading / formatting)."""
+    return (
+        a11 * (a22 * a33 - a23 * a32)
+        - a12 * (a21 * a33 - a23 * a31)
+        + a13 * (a21 * a32 - a22 * a31)
+    )
+
+
+class _S(str):
+    """SQL snippet with Python arithmetic operators, so _det3 renders the
+    exact same expression tree it builds for Spark Columns."""
+
+    def __mul__(self, o):
+        return _S(f"({self} * {o})")
+
+    def __sub__(self, o):
+        return _S(f"({self} - {o})")
+
+    def __add__(self, o):
+        return _S(f"({self} + {o})")
+
+
+_LINREG_SQL_DETS = {}
+
+
+def _linreg_sql() -> str:
+    s = {k: _S(k) for k in ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")}
+    det = _det3(s["n"], s["s1"], s["s2"], s["s1"], s["s11"], s["s12"], s["s2"], s["s12"], s["s22"])
+    det0 = _det3(s["sy"], s["s1"], s["s2"], s["s1y"], s["s11"], s["s12"], s["s2y"], s["s12"], s["s22"])
+    det1 = _det3(s["n"], s["sy"], s["s2"], s["s1"], s["s1y"], s["s12"], s["s2"], s["s2y"], s["s22"])
+    det2 = _det3(s["n"], s["s1"], s["sy"], s["s1"], s["s11"], s["s1y"], s["s2"], s["s12"], s["s2y"])
+    return f"""
+    WITH feat AS (
+        SELECT
+            l_orderkey % 4 AS fold,
+            CAST(l_quantity AS DOUBLE) AS x1,
+            round(l_discount * 100, 0) AS x2,
+            round(l_extendedprice * 100, 0) AS y
+        FROM lineitem
+    ),
+    suff AS (
+        SELECT fold,
+            CAST(count(*) AS DOUBLE) AS n,
+            sum(x1) AS s1, sum(x2) AS s2,
+            sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+            sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+        FROM feat GROUP BY fold
+    )
+    SELECT fold,
+           CAST(n AS BIGINT) AS n_rows,
+           round({det0} / {det}, 4) AS beta0,
+           round({det1} / {det}, 4) AS beta1,
+           round({det2} / {det}, 4) AS beta2
+    FROM suff
+    """
+
+
+@query("ml_train_linreg", oracle=_linreg_sql())
+def ml_train_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+    feat = li.select(
+        (F.col("l_orderkey") % 4).alias("fold"),
+        F.col("l_quantity").cast("double").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).alias("y"),
+    )
+    suff = feat.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    c = {k: F.col(k) for k in ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")}
+    det = _det3(c["n"], c["s1"], c["s2"], c["s1"], c["s11"], c["s12"], c["s2"], c["s12"], c["s22"])
+    det0 = _det3(c["sy"], c["s1"], c["s2"], c["s1y"], c["s11"], c["s12"], c["s2y"], c["s12"], c["s22"])
+    det1 = _det3(c["n"], c["sy"], c["s2"], c["s1"], c["s1y"], c["s12"], c["s2"], c["s2y"], c["s22"])
+    det2 = _det3(c["n"], c["s1"], c["sy"], c["s1"], c["s11"], c["s1y"], c["s2"], c["s12"], c["s2y"])
+    return suff.select(
+        "fold",
+        c["n"].cast("long").alias("n_rows"),
+        F.round(det0 / det, 4).alias("beta0"),
+        F.round(det1 / det, 4).alias("beta1"),
+        F.round(det2 / det, 4).alias("beta2"),
+    )

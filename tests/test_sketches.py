@@ -23,3 +23,21 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, e in exact.items():
         assert abs(approx[k] - e) <= max(2, 0.05 * e), (k, approx[k], e)
+
+
+def test_connected_components_paths_agree(spark, sf_dir):
+    """The driver union-find fast path and the distributed min-label
+    propagation loop must produce identical components."""
+    import os
+
+    from columnflow_spark.queries import all_queries
+
+    fn = all_queries()["dedup_connected_components"]
+    driver = {(r.doc_id, r.component) for r in fn(spark, sf_dir).collect()}
+    os.environ["SPARK_GRAFT_CC_DISTRIBUTED"] = "1"
+    try:
+        loop = {(r.doc_id, r.component) for r in fn(spark, sf_dir).collect()}
+    finally:
+        os.environ.pop("SPARK_GRAFT_CC_DISTRIBUTED", None)
+    assert driver == loop
+    assert len(driver) > 0
