@@ -35,7 +35,6 @@ from columnflow_spark.functions.similarity import (
     hyperplane_signs,
     lsh_band_keys,
     minhash_signature_agg,
-    shingle_hashes,
     simhash64,
 )
 from columnflow_spark.functions.text import (
@@ -265,12 +264,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_pairs_exact(g, candidates, JACCARD_THRESHOLD)
 
 
-# --- SimHash near-dup (rows-only: F.hash has no DuckDB twin) ---
-@query("dedup_simhash")
+# --- SimHash near-dup.  Token hashes are md5-based 60-bit ints (the
+# engine-portable hash family — see functions/hashing.py) so DuckDB can
+# recompute the exact fingerprints; the oracle does a full cross-join
+# hamming check (exhaustive at sf0.01), which also proves the block-bucket
+# candidate generation misses nothing: 8 blocks of 8 bits guarantee a
+# shared block for any pair within hamming 7 (pigeonhole). ---
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_GRAMS_CTE},
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    hx AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM ex),
+    bits AS (
+        SELECT doc_id, b,
+               CASE WHEN 2 * CAST(sum((h >> b) & 1) AS BIGINT) > count(*) THEN 1 ELSE 0 END AS bit
+        FROM hx CROSS JOIN (SELECT unnest(range(60)) AS b)
+        GROUP BY doc_id, b
+    ),
+    sh AS (SELECT doc_id, CAST(sum(bit::BIGINT << b) AS BIGINT) AS sh FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 6
+    ORDER BY d1, d2
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
-    hashed = docs.select(
-        "doc_id", simhash64(shingle_hashes(word_shingles(F.col("text"), 3))).alias("sh")
+    md5_hashes = F.transform(
+        word_shingles(F.col("text"), 3),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    hashed = docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
+        "doc_id", simhash64(md5_hashes).alias("sh")
     )
     # bucket on 16-bit blocks: near-dups (hamming <= 6 over 64 bits) share
     # at least one of 4 blocks by pigeonhole when hamming <= 3... use 8
@@ -290,7 +317,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
-            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).cast("long").alias("hamming"),
         )
         .dropDuplicates(["d1", "d2"])
     )
@@ -360,14 +387,51 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- similarity search: LSH-bucketed ANN (the scale path; rows-only —
-# bucketing uses fixed random hyperplanes with no SQL twin) ---
-@query("ann_lsh_buckets")
+# --- similarity search: LSH-bucketed ANN (the scale path).  The random
+# hyperplanes are a fixed driver-side constant (seeded), so the oracle
+# recomputes the exact same bucket ids from the same literal plane
+# weights — sign(dot) with identical sequential summation order on both
+# engines (IEEE-754 determinism; same pattern as dedup_embedding_cosine).
+
+
+def _lsh_planes() -> list[list[float]]:
+    rng = random.Random(42)
+    return [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+
+
+def _lsh_buckets_oracle() -> str:
+    terms = []
+    for i, plane in enumerate(_lsh_planes()):
+        lits = ", ".join(repr(w) for w in plane)
+        dot = (
+            f"list_aggregate(list_transform(range(1, 65), "
+            f"j -> embedding[j] * ([{lits}])[j]), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    bucket = "\n         + ".join(terms)
+    return f"""
+    WITH bkt AS (
+        SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT e1.bucket AS bucket, e1.vec_id AS v1, e2.vec_id AS v2,
+               round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 4) AS sim
+        FROM bkt e1 JOIN bkt e2 ON e1.bucket = e2.bucket AND e1.vec_id < e2.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY v1 ORDER BY sim DESC, v2 ASC) AS rk
+        FROM pairs
+    )
+    SELECT bucket, v1, v2, sim, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY v1, rk
+    """
+
+
+@query("ann_lsh_buckets", oracle=_lsh_buckets_oracle())
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
-    rng = random.Random(42)
-    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
-    bucketed = emb.withColumn("bucket", hyperplane_signs(F.col("embedding"), planes))
+    bucketed = emb.withColumn("bucket", hyperplane_signs(F.col("embedding"), _lsh_planes()))
     a = bucketed.select("bucket", F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
     b = bucketed.select("bucket", F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
     # candidates co-bucketed only: local joins per bucket, no cross join
