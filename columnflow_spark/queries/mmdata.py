@@ -1077,3 +1077,129 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("tokens_kept"),
         )
     )
+
+
+# --- within-doc repetition scoring (Gopher/C4-style quality signal):
+# the ratio of distinct tokens / distinct trigrams to their totals flags
+# boilerplate and looping generations.  Pure per-row expressions + one
+# partial-aggregated groupBy — no shuffle beyond the final per-source agg. ---
+@query(
+    "doc_repetition_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, source,
+               len(ts) AS n_tok,
+               round(len(list_distinct(ts)) * 1.0 / len(ts), 4) AS uniq_tok_ratio,
+               round(len(list_distinct(list_transform(range(1, len(ts) - 1),
+                           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))
+                     * 1.0 / (len(ts) - 2), 4) AS uniq_tri_ratio
+        FROM t WHERE len(ts) >= 3
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(uniq_tok_ratio), 4) AS mean_uniq_tok,
+           round(avg(uniq_tri_ratio), 4) AS mean_uniq_tri,
+           count(*) FILTER (WHERE uniq_tri_ratio < 0.7) AS n_repetitive
+    FROM m GROUP BY source
+    """,
+)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    uniq_tok = F.round(F.size(F.array_distinct(toks)) / n_tok, 4)
+    uniq_tri = F.round(F.size(word_shingles(F.col("text"), 3)) / (n_tok - 2), 4)
+    m = docs.filter(n_tok >= 3).select(
+        "source", uniq_tok.alias("uniq_tok_ratio"), uniq_tri.alias("uniq_tri_ratio")
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("uniq_tok_ratio"), 4).alias("mean_uniq_tok"),
+        F.round(F.avg("uniq_tri_ratio"), 4).alias("mean_uniq_tri"),
+        F.sum(F.when(F.col("uniq_tri_ratio") < 0.7, 1).otherwise(0)).alias("n_repetitive"),
+    )
+
+
+# --- multi-rule quality gate: per-language violation counts for each
+# filter rule of a curation pipeline, all in ONE conditional aggregation
+# pass (the same shape as the reference's increment_stats weight_map,
+# reference columnflow/selection/stats.py:28 — counters via sum(when)). ---
+@query(
+    "quality_gate_rules",
+    oracle="""
+    WITH t AS (
+        SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM documents
+    ),
+    m AS (
+        SELECT lang,
+               len(ts) AS n_tok,
+               list_aggregate(list_transform(ts, x -> length(x)), 'sum') * 1.0 / len(ts) AS mean_len,
+               len(list_distinct(ts)) * 1.0 / len(ts) AS uniq_ratio
+        FROM t WHERE len(ts) > 0
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE n_tok < 20 OR n_tok > 1000) AS n_fail_length,
+           count(*) FILTER (WHERE mean_len < 2 OR mean_len > 12) AS n_fail_wordlen,
+           count(*) FILTER (WHERE uniq_ratio < 0.3) AS n_fail_repetition,
+           count(*) FILTER (WHERE n_tok BETWEEN 20 AND 1000
+                              AND mean_len BETWEEN 2 AND 12
+                              AND uniq_ratio >= 0.3) AS n_keep
+    FROM m GROUP BY lang
+    """,
+)
+def quality_gate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["lang", "text"])
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    mean_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tok
+    uniq = F.size(F.array_distinct(toks)) / n_tok
+    m = docs.filter(n_tok > 0).select(
+        "lang", n_tok.alias("n_tok"), mean_len.alias("mean_len"), uniq.alias("uniq_ratio")
+    )
+    ok_len = F.col("n_tok").between(20, 1000)
+    ok_wl = F.col("mean_len").between(2, 12)
+    ok_rep = F.col("uniq_ratio") >= 0.3
+    cnt_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt_if(~ok_len).alias("n_fail_length"),
+        cnt_if(~ok_wl).alias("n_fail_wordlen"),
+        cnt_if(~ok_rep).alias("n_fail_repetition"),
+        cnt_if(ok_len & ok_wl & ok_rep).alias("n_keep"),
+    )
+
+
+# --- corpus vocabulary statistics: trigram document frequency top-k.
+# The df table is the same aggregation hashed_grams builds for its
+# canonical order — exposed here over the string shingles so the ranking
+# is human-readable.  explode + count + total-order top-k. ---
+@query(
+    "vocab_df_topk",
+    oracle=f"""
+    WITH {_GRAMS_CTE},
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams)
+    SELECT g AS gram, count(*) AS df
+    FROM ex GROUP BY g
+    ORDER BY df DESC, gram ASC
+    LIMIT 20
+    """,
+)
+def vocab_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+    ex = (
+        docs.filter(F.size(tokens(F.col("text"))) >= 3)
+        .select(F.explode(word_shingles(F.col("text"), 3)).alias("gram"))
+    )
+    return (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("gram"))
+        .limit(20)
+    )
