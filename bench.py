@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "sessionize_gap30",
     "asof_prior_purchase",
     # training-data ops
+    "dedup_shingle_index",
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "ann_cosine_topk",

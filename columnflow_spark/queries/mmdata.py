@@ -708,19 +708,35 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda s, v: s + (v * v).cast("double"))
+    )
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
-    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    # norms are computed ONCE per side before the n_vec x n_cells score
+    # join — inside the join the cosine costs one dot product, not three
+    # array reductions (csim = dot / (na * nb) is the exact same value
+    # and operation order as cosine())
+    nemb = emb.withColumn("na", norm(F.col("embedding")))
+    cents = nemb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("na").alias("nb")
     )
-    # index build: nearest-centroid assignment, centroids broadcast
-    scored = emb.join(F.broadcast(cents)).withColumn(
-        "csim", cosine(F.col("embedding"), F.col("ce"))
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("ce"), lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
     )
-    wa = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "embedding")
+    # index build: nearest-centroid assignment, centroids broadcast.
+    # argmax via max_by instead of a window rank: the per-(vector,
+    # centroid) scores partial-aggregate map-side, so the shuffle carries
+    # one row per VECTOR instead of one per (vector, centroid) — at
+    # n_cells cells that is a n_cells-fold shuffle reduction, and no sort.
+    # Tie-break (higher csim, then lower cid) via lexicographic struct.
+    scored = nemb.join(F.broadcast(cents)).withColumn(
+        "csim", dot / (F.col("na") * F.col("nb"))
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("csim"), (-F.col("cid")).alias("nc"))).alias("cid"),
+        F.any_value("embedding").alias("embedding"),  # constant within the group
     )
     # query side: probe the 2 closest cells
     queries_df = emb.filter(F.col("vec_id") % 100 == 7).select(
@@ -1202,4 +1218,27 @@ def vocab_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), F.asc("gram"))
         .limit(20)
+    )
+
+
+# --- the shingle-index build pass, exposed as its own operator: every
+# production dedup pipeline materializes the (doc -> shingle set) index
+# once and amortizes it over candidate generation, verification, and
+# clustering (hashed_grams is that table here).  Benchmarked separately
+# so the one-time build cost is visible instead of hiding inside the
+# first dedup query that touches a scale factor. ---
+@query(
+    "dedup_shingle_index",
+    oracle=f"""
+    WITH {_GRAMS_CTE}
+    SELECT count(*) AS n_docs,
+           CAST(sum(len(gs)) AS BIGINT) AS total_shingles
+    FROM grams
+    """,
+)
+def dedup_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = hashed_grams(spark, sf_dir)
+    return g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("sz").alias("total_shingles"),
     )
