@@ -257,3 +257,55 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("value") > F.col("mean_value")).alias("n_above_profile"),
     )
     return _run_to_memory(agg, spark, mode="complete")
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           count(*) AS n_attributed,
+           round(sum(p.value), 4) AS attributed_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click-to-purchase
+    attribution): both sides carry watermarks and the join condition
+    bounds purchase time to [click, click + 30 min], so state for either
+    side is evicted once the watermark passes the interval — bounded
+    memory on an unbounded stream.  Join output is append-mode; the
+    attribution rollup happens on the materialized result (at scale: a
+    downstream batch agg or a second streaming stage).  Beyond-parity:
+    reference is batch-only (SURVEY §2.9)."""
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = _run_to_memory(joined, spark, mode="append")
+    return out.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.round(F.sum("p_value"), 4).alias("attributed_value"),
+    )

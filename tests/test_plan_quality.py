@@ -98,3 +98,34 @@ def test_sf_lookup_stays_in_row(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\b\w*Join\w*\b", plan.split("==")[1])) <= 1
+
+
+def test_q6_all_filters_pushed(spark, sf_dir):
+    # Q6 is the pushdown probe: every predicate is scan-eligible, so the
+    # scan must carry pushed filters on all three columns and read only
+    # the four used columns
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"({col}" in plan.split("PushedFilters")[1].split("]")[0], col
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("l_returnflag" not in l for l in read_schemas)
+
+
+def test_q19_stays_hash_join(spark, sf_dir):
+    # disjunctive predicates share the p_partkey = l_partkey conjunct;
+    # the plan must remain a broadcast hash join, never a cartesian/BNLJ
+    plan = _plan(spark, sf_dir, "q19_disjunctive_predicates")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    # the lineitem groupBy must sit BELOW the orders join (agg-then-join):
+    # in the formatted plan the HashAggregate over lineitem appears as a
+    # child of the join, so at least one join lists an aggregate subtree
+    plan = _plan(spark, sf_dir, "q18_large_orders")
+    assert "HashAggregate" in plan
+    # partial aggregation must exist (map-side combine of sum(l_quantity))
+    assert plan.count("HashAggregate") >= 2
