@@ -463,3 +463,44 @@ def hist_insert_axis_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.col("o_totalprice") / 1000.0
     hist = fill_hist(orders, [], categorical=["o_orderstatus"], weight=w)
     return insert_axis_values(hist, "o_orderstatus", ["O", "F", "P", "X", "Z"])
+
+
+# --- plot-ready stacked histogram (reference PlotVariables1D,
+# tasks/plotting.py:118 + plot_functions_1d.py:37): the stack/band/ratio
+# COMPUTATION runs as DataFrame windows over the hist table (cluster-side
+# at scale); the matplotlib draw is a thin gated consumer
+# (columnflow_spark/plotting.py). ---
+@query(
+    "plot_ready_stack",
+    oracle=f"""
+    WITH h AS (
+        SELECT l_returnflag,
+               {_regular_bin_sql("l_extendedprice", 20, 0.0, 110000.0)} AS bin__price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_w,
+               round(sum(pow(l_extendedprice * (1 - l_discount), 2)), 4) AS sum_w2
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, CASE l_returnflag WHEN 'N' THEN 1 WHEN 'R' THEN 2 WHEN 'A' THEN 3 END AS rk
+        FROM h
+    )
+    SELECT bin__price, l_returnflag,
+           round(sum(sum_w) OVER cum - sum_w, 4) AS y_low,
+           round(sum(sum_w) OVER cum, 4) AS y_high,
+           round(sum(sum_w) OVER tot, 4) AS mc_total,
+           round(sqrt(sum(sum_w2) OVER tot), 4) AS mc_err
+    FROM r
+    WINDOW cum AS (PARTITION BY bin__price ORDER BY rk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           tot AS (PARTITION BY bin__price)
+    """,
+)
+def plot_ready_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.plotting import stack_plot_data
+
+    li = load_table(spark, sf_dir, "lineitem")
+    var = Variable("price", "l_extendedprice", (20, 0.0, 110000.0))
+    w = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    hist = fill_hist(li, [var], categorical=["l_returnflag"], weight=w)
+    return stack_plot_data(hist, "l_returnflag", "bin__price", ["N", "R", "A"])

@@ -57,3 +57,51 @@ def test_compact_to_target_size(spark, sf_dir, tmp_path):
     assert n == 1
     assert len(glob.glob(os.path.join(dst, "*.parquet"))) == 1
     assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_file_branch_map(spark, sf_dir, tmp_path):
+    """LFN-resolution analog (reference tasks/external.py:31): a dataset is
+    a list of files; partition = file, per-file branches via
+    input_file_name — no custom listing layer needed on Spark."""
+    from pyspark.sql import functions as F
+
+    from columnflow_spark.sources import load_table
+
+    out = str(tmp_path / "branched")
+    load_table(spark, sf_dir, "orders").repartition(4).write.mode("overwrite").parquet(out)
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("lfn"))
+        .count()
+    )
+    rows = per_file.collect()
+    assert len(rows) == 4
+    assert sum(r["count"] for r in rows) == load_table(spark, sf_dir, "orders").count()
+
+
+def test_render_gated_without_matplotlib(spark, sf_dir):
+    import pytest
+
+    from columnflow_spark.plotting import render_stack_1d
+
+    with pytest.raises(NotImplementedError):
+        render_stack_1d([{"bin": 0, "y_low": 0.0, "y_high": 1.0}])
+
+
+def test_ratio_plot_data(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from columnflow_spark.hist.axes import Variable
+    from columnflow_spark.hist.fill import fill_hist
+    from columnflow_spark.plotting import ratio_plot_data
+    from columnflow_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    var = Variable("price", "l_extendedprice", (10, 0.0, 110000.0))
+    mc = fill_hist(li.filter(F.col("l_returnflag") != "N"), [var])
+    data = fill_hist(li.filter(F.col("l_returnflag") == "N"), [var])
+    out = {r["bin__price"]: r for r in ratio_plot_data(mc, data, "bin__price").collect()}
+    assert out and all(r["rel_unc"] > 0 for r in out.values())
+    # a bin's ratio is data/mc for that bin
+    some = next(iter(out.values()))
+    assert some["ratio"] >= 0.0
