@@ -1242,3 +1242,65 @@ def dedup_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("sz").alias("total_shingles"),
     )
+
+
+# --- distributed k-means (one Lloyd iteration): the index-build
+# primitive behind IVF — assignment is an argmax over broadcast
+# centroids (max_by partial agg, same shape as ann_ivf_topk), the
+# update step computes elementwise centroid means via posexplode +
+# two-level aggregation.  Iterating is a driver loop over this step with
+# localCheckpoint between rounds; one step is deterministic and
+# oracle-checkable.  Output: per cell, member count and the L2 norm of
+# the new mean vector. ---
+@query(
+    "kmeans_lloyd_step",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 64 = 0
+    ),
+    s AS (
+        SELECT e.vec_id, c.cid,
+               list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) AS sim
+        FROM embeddings e CROSS JOIN c
+    ),
+    a AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+            FROM s
+        ) WHERE rn = 1
+    ),
+    n AS (SELECT cid, count(*) AS n_assigned FROM a GROUP BY cid),
+    d AS (
+        SELECT a.cid,
+               unnest(e.embedding) AS val,
+               generate_subscripts(e.embedding, 1) AS pos
+        FROM a JOIN embeddings e USING (vec_id)
+    ),
+    m AS (SELECT cid, pos, avg(val::DOUBLE) AS mv FROM d GROUP BY cid, pos)
+    SELECT m.cid, any_value(n.n_assigned) AS n_assigned,
+           round(sqrt(sum(mv * mv)), 4) AS mean_norm
+    FROM m JOIN n ON n.cid = m.cid
+    GROUP BY m.cid
+    """,
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "csim", cosine(F.col("embedding"), F.col("ce"))
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("csim"), (-F.col("cid")).alias("nc"))).alias("cid"),
+        F.any_value("embedding").alias("embedding"),
+    )
+    n = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
+    d = assign.select("cid", F.posexplode("embedding").alias("pos0", "val"))
+    m = d.groupBy("cid", F.col("pos0") + 1).agg(
+        F.avg(F.col("val").cast("double")).alias("mv")
+    )
+    out = m.groupBy("cid").agg(
+        F.round(F.sqrt(F.sum(F.col("mv") * F.col("mv"))), 4).alias("mean_norm")
+    )
+    return out.join(n, "cid").select("cid", "n_assigned", "mean_norm")
