@@ -23,6 +23,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     "topk_orders_per_customer",
     "grouped_stats_cube",
     "positional_column_merge",
@@ -34,6 +36,7 @@ BENCH_QUERIES = [
     "pipeline_reduced_features",
     "hist_2d_flag_price",
     "hist_jagged_object_axis",
+    "plot_ready_stack",
     # event stream
     "sessionize_gap30",
     "asof_prior_purchase",
@@ -44,11 +47,13 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "text_quality",
+    "quality_gate_rules",
     "stratified_sample",
     "pack_sequences",
     "corpus_curation_pipeline",
-    # single-pass distributed model fit
+    # single-pass distributed model fit + index build
     "ml_train_linreg",
+    "kmeans_lloyd_step",
     # pandas-UDF slow path (greedy per-event matching)
     "greedy_match_pairs",
     # relational nearest-neighbour match (explode + rank)
