@@ -1083,15 +1083,18 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_tok") >= 20) & (stop_hits / F.col("n_tok") <= 0.4))
     )
     norm = F.regexp_replace(F.trim(F.lower(t)), " +", " ")
-    w = W.partitionBy(F.md5(norm)).orderBy("doc_id")
-    return (
-        gated.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.sum("n_tok").alias("tokens_kept"),
-        )
+    # keep-first-per-fingerprint as an AGGREGATION (min_by on doc_id),
+    # not a window sort: the keep decision partial-aggregates map-side,
+    # so the shuffle carries one candidate row per fingerprint per
+    # partition instead of every gated row through a sorted window
+    kept = (
+        gated.groupBy(F.md5(norm).alias("fp"))
+        .agg(F.min_by(F.struct("source", "n_tok"), F.col("doc_id")).alias("k"))
+        .select(F.col("k.source").alias("source"), F.col("k.n_tok").alias("n_tok"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").alias("tokens_kept"),
     )
 
 

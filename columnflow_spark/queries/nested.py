@@ -408,11 +408,20 @@ def delta_r_match_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("eta_src_idx"), F.col("phi_src_idx"), F.col("eta_dst_idx"), F.col("phi_dst_idx")
     )
     pairs = src.join(dst, "k").withColumn("dr", dr).filter(F.col("dr") < _DR_MAX)
-    wr = W.partitionBy("k", "src_idx").orderBy(F.asc("dr"), F.asc("dst_idx"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") == 1)
-        .select(F.col("k").alias("o_orderkey"), "src_idx", "dst_idx", F.round("dr", 4).alias("dr"))
+    # argmin via min_by, not a window rank: the join output is already
+    # hash-partitioned on k, which satisfies the (k, src_idx) grouping
+    # (subset rule), so this is a shuffle-free local aggregation with NO
+    # per-partition sort; ties break on dst_idx via lexicographic struct
+    best = pairs.groupBy("k", "src_idx").agg(
+        F.min_by(
+            F.struct("dst_idx", "dr"), F.struct(F.col("dr"), F.col("dst_idx"))
+        ).alias("b")
+    )
+    return best.select(
+        F.col("k").alias("o_orderkey"),
+        "src_idx",
+        F.col("b.dst_idx").alias("dst_idx"),
+        F.round("b.dr", 4).alias("dr"),
     )
 
 
