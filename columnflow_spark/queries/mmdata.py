@@ -1307,3 +1307,101 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.sum(F.col("mv") * F.col("mv"))), 4).alias("mean_norm")
     )
     return out.join(n, "cid").select("cid", "n_assigned", "mean_norm")
+
+
+# --- weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+# per stratum, rank docs by u^(1/w) with u a content-derived uniform —
+# the distributed-safe form of weighted reservoir sampling (the top-k by
+# key IS the weighted sample).  Deterministic like stratified_sample:
+# u comes from sha256(doc_id), so the sample is identical across
+# partitionings, reruns, and cluster sizes.  max_by/top-k per stratum via
+# a window over the (tiny) per-source groups. ---
+@query(
+    "weighted_sample_aes",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               pow(
+                   ('0x' || substr(sha256('wsample|' || doc_id), 1, 15))::BIGINT
+                       / 1152921504606846976.0,
+                   1.0 / n_chars
+               ) AS k
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT source, doc_id, round(k, 4) AS key
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+        FROM keyed
+    )
+    WHERE rn <= 10
+    ORDER BY source, key DESC, doc_id
+    """,
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("wsample|"), F.col("doc_id").cast("string")), 256), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(16.0 ** 15)
+    )
+    keyed = docs.filter(F.col("n_chars") > 0).withColumn(
+        "k", F.pow(u, 1.0 / F.col("n_chars"))
+    )
+    w = W.partitionBy("source").orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("source", "doc_id", F.round("k", 4).alias("key"))
+        .orderBy("source", F.desc("key"), "doc_id")
+    )
+
+
+# --- corpus mixture sampling: hit a target source mixture by taking a
+# quota per source, selecting members by deterministic hash rank (the
+# "data mixture" step of LLM corpus assembly).  Quotas are driver-side
+# arithmetic on the tiny per-source count table; membership is a window
+# rank per source — reproducible under any partitioning. ---
+_MIXTURE_QUOTA = {"src0": 40, "src1": 20, "src2": 10}
+
+
+@query(
+    "corpus_mixture_sample",
+    oracle=f"""
+    WITH quota(source, q) AS (
+        VALUES ('src0', 40), ('src1', 20), ('src2', 10)
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source, q.q,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY ('0x' || substr(sha256('mix|' || d.doc_id), 1, 15))::BIGINT, d.doc_id
+               ) AS rn
+        FROM documents d JOIN quota q ON q.source = d.source
+    )
+    SELECT source, count(*) AS n_taken, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM ranked WHERE rn <= q
+    GROUP BY source
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    quota = spark.createDataFrame(list(_MIXTURE_QUOTA.items()), "source string, q int")
+    h = F.conv(
+        F.substring(F.sha2(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")), 256), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.join(F.broadcast(quota), "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("q"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_taken"), F.sum("doc_id").alias("id_checksum"))
+    )
