@@ -24,7 +24,11 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
     "q18_large_orders",
+    "q21_blocking_supplier",
     "topk_orders_per_customer",
     "grouped_stats_cube",
     "positional_column_merge",

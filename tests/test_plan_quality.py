@@ -129,3 +129,28 @@ def test_q18_aggregates_before_join(spark, sf_dir):
     assert "HashAggregate" in plan
     # partial aggregation must exist (map-side combine of sum(l_quantity))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q21_no_cartesian_self_join(spark, sf_dir):
+    # the exists/not-exists pair self-joins lineitem twice; both must stay
+    # equi-joins on l_orderkey (semi + anti), never a cartesian or BNLJ
+    plan = _plan(spark, sf_dir, "q21_blocking_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q8_single_fact_shuffle(spark, sf_dir):
+    # seven joins, but only lineitem-orders is fact-fact: every dimension
+    # side must broadcast, leaving at most one shuffle join in the plan
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q17_correlated_avg_broadcasts(spark, sf_dir):
+    # the de-correlated per-part AVG table is small (one row per part) and
+    # must reach the fact as a broadcast, not a shuffle join
+    plan = _plan(spark, sf_dir, "q17_small_qty_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
