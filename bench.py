@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "asof_prior_purchase",
     # training-data ops
     "dedup_shingle_index",
+    "dedup_span_chunks",
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "ann_cosine_topk",

@@ -1405,3 +1405,178 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_taken"), F.sum("doc_id").alias("id_checksum"))
     )
+
+
+# --- span-level dedup with reassembly (the paragraph-dedup shape of
+# Dolma/FineWeb pipelines, on fixed 20-word spans since the corpus has no
+# paragraph breaks): chunk in-row with HOFs (no shuffle), group spans
+# corpus-wide by digest keeping the first (doc_id, span_idx) occurrence,
+# and report per-document removal stats.  At 100 TB the span table is
+# (digest, key) — 24 bytes/span — and the groupBy partitioning is reused
+# by the join back (exchange reuse), so the whole op is ONE wide shuffle
+# of narrow rows; payload text never rides it twice. ---
+@query(
+    "dedup_span_chunks",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS cidx,
+               array_to_string(ws[i*20+1 : i*20+20], ' ') AS chunk,
+               len(ws[i*20+1 : i*20+20]) AS n_words
+        FROM base, unnest(range(CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS t(i)
+    ),
+    firsts AS (
+        SELECT md5(chunk) AS h, min(doc_id * 1000 + cidx) AS first_key
+        FROM chunks GROUP BY md5(chunk)
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN doc_id * 1000 + cidx = first_key THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN doc_id * 1000 + cidx = first_key THEN n_words ELSE 0 END) AS BIGINT) AS kept_words
+    FROM chunks JOIN firsts ON md5(chunk) = h
+    GROUP BY doc_id
+    HAVING sum(CASE WHEN doc_id * 1000 + cidx = first_key THEN 0 ELSE 1 END) > 0
+    ORDER BY doc_id
+    """,
+)
+def dedup_span_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    ws = F.split(F.col("text"), " ")
+    docs = spread(docs, "doc_id").withColumn("ws", ws)
+    n_spans = F.ceil(F.size("ws") / F.lit(20.0)).cast("int")
+    span_list = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.struct(
+            F.array_join(F.slice(F.col("ws"), i * 20 + 1, F.lit(20)), " ").alias("chunk"),
+            F.size(F.slice(F.col("ws"), i * 20 + 1, F.lit(20))).alias("n_words"),
+        ),
+    )
+    spans = (
+        docs.select("doc_id", F.posexplode(span_list).alias("cidx", "s"))
+        .select(
+            "doc_id",
+            "cidx",
+            F.md5(F.col("s.chunk")).alias("h"),
+            F.col("s.n_words").alias("n_words"),
+            (F.col("doc_id") * 1000 + F.col("cidx")).alias("key"),
+        )
+    )
+    firsts = spans.groupBy("h").agg(F.min("key").alias("first_key"))
+    kept = F.col("key") == F.col("first_key")
+    return (
+        spans.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(kept, 0).otherwise(1)).alias("n_removed"),
+            F.sum(F.when(kept, F.col("n_words")).otherwise(0)).alias("kept_words"),
+        )
+        .filter(F.col("n_removed") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# --- int8 embedding quantization (the storage/serving compression step):
+# per-vector symmetric scale = max|x| / 127, elementwise round(x/scale).
+# Everything is in-row HOF math over the (already double-cast) vector, so
+# the only shuffle is the final per-label agg; checksums are integer so
+# the oracle comparison is exact. ---
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               list_aggregate(list_transform(emb, x -> abs(x)), 'max') / 127.0 AS scale,
+               emb
+        FROM (
+            SELECT label, list_transform(embedding, x -> x::DOUBLE) AS emb
+            FROM embeddings
+        )
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(sum(list_aggregate(list_transform(emb, x -> round(x / scale)), 'sum')) AS BIGINT)
+               AS sum_quant,
+           round(avg(scale), 4) AS avg_scale
+    FROM q
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["label", "embedding"]).withColumn(
+        "emb", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    scale = (
+        F.array_max(F.transform("emb", lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    q = emb.withColumn("scale", scale).withColumn(
+        "qsum",
+        F.aggregate(
+            F.transform("emb", lambda x: F.round(x / F.col("scale"))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("qsum").cast("long").alias("sum_quant"),
+            F.round(F.avg("scale"), 4).alias("avg_scale"),
+        )
+        .orderBy("label")
+    )
+
+
+# --- one distributed logistic-regression gradient step (the iterative
+# complement to ml_train_linreg's closed form): grad_j = sum_i
+# (sigmoid(w.x_i) - y_i) * x_ij at a fixed literal w.  The dot product is
+# an in-row HOF fold; the per-component sum posexplodes to (j, term) rows
+# so the gradient is ONE groupBy(j) partial+final agg — at 100 TB each
+# executor emits 64 partial sums, nothing else moves.  Iterating = the
+# driver feeding w back in; each step stays this same single-shuffle job. ---
+_LOGREG_W0 = 0.01  # shared initial weight for every component
+
+
+@query(
+    "ml_logreg_grad_step",
+    oracle=f"""
+    WITH feat AS (
+        SELECT list_transform(embedding, v -> v::DOUBLE) AS x,
+               CASE WHEN label > 4 THEN 1.0 ELSE 0.0 END AS y
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT x, y,
+               1.0 / (1.0 + exp(-list_aggregate(list_transform(x, v -> v * {_LOGREG_W0}), 'sum')))
+                   AS p
+        FROM feat
+    )
+    SELECT j, round(sum((p - y) * x[j + 1]), 4) AS grad
+    FROM scored, unnest(range(64)) AS t(j)
+    GROUP BY j
+    ORDER BY j
+    """,
+)
+def ml_logreg_grad_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["embedding", "label"])
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    feat = emb.select(
+        x.alias("x"),
+        F.when(F.col("label") > 4, 1.0).otherwise(0.0).alias("y"),
+    )
+    z = F.aggregate(
+        F.transform("x", lambda v: v * F.lit(_LOGREG_W0)), F.lit(0.0), lambda a, v: a + v
+    )
+    scored = feat.withColumn("p", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+    terms = scored.select(
+        F.posexplode(F.transform("x", lambda v: (F.col("p") - F.col("y")) * v)).alias("j", "term")
+    )
+    return (
+        terms.groupBy("j")
+        .agg(F.round(F.sum("term"), 4).alias("grad"))
+        .orderBy("j")
+    )

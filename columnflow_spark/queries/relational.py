@@ -1211,3 +1211,31 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand", "s_name", F.round("unit_price", 4).alias("unit_price"))
         .orderBy("p_partkey")
     )
+
+
+# --- bivariate statistics (corr/covar/stddev/var): the sufficient-stats
+# aggregates Spark and DuckDB define identically (sample forms), all
+# computed in ONE partial+final pass over the fact table. ---
+@query(
+    "stat_correlations",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(stddev_samp(l_discount), 4)                 AS std_discount,
+           round(var_samp(l_tax), 4)                         AS var_tax,
+           count(*) AS n
+    FROM lineitem
+    """,
+)
+def stat_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_discount"), 4).alias("std_discount"),
+        F.round(F.var_samp("l_tax"), 4).alias("var_tax"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -354,3 +354,162 @@ def interval_overlap_months(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s") < F.col("month_end")) & (F.col("month_start") <= F.col("e")),
     )
     return joined.groupBy("month_start").agg(F.count(F.lit(1)).alias("n_active"))
+
+
+# --- ordered funnel conversion (view -> click -> purchase): each step is
+# the user's first qualifying event strictly after the previous step.
+# Three tiny per-user aggregates chained by broadcast joins — the fact
+# table is scanned once per step with the step filter pushed down, and
+# nothing wider than (user_id, ts) ever shuffles. ---
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def first_after(step: str, prev: DataFrame | None) -> DataFrame:
+        step_ev = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            step_ev = step_ev.join(
+                F.broadcast(prev.select("user_id", F.col("t").alias("prev_t"))), "user_id"
+            ).filter(F.col("ts") > F.col("prev_t"))
+        return step_ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    counts = [df.agg(F.count(F.lit(1)).alias(name)) for df, name in
+              [(v, "n_view"), (c, "n_view_click"), (p, "n_view_click_purchase")]]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.join(F.broadcast(df))
+    return out
+
+
+# --- weekly cohort retention: cohort = ISO week of the user's first
+# event; one row per (cohort_week, week_offset) with distinct active
+# users.  The first-event table is per-user tiny, broadcast back onto the
+# fact; the only wide shuffle is the final distinct-count agg. ---
+@query(
+    "cohort_retention_weeks",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST((CAST(date_trunc('week', e.ts) AS DATE) - CAST(cohort_week AS DATE)) / 7 AS BIGINT)
+               AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def cohort_retention_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts"])
+    firsts = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .withColumn(
+            "week_offset",
+            (
+                F.datediff(F.date_trunc("week", "ts").cast("date"), F.col("cohort_week").cast("date")) / 7
+            ).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --- event transition matrix (first-order Markov counts): lead() within
+# user ordered by (ts, event_id), then one groupBy over the 25 state
+# pairs; transition probabilities normalize via a per-from-state window
+# over the already-tiny count table. ---
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM counts
+    ORDER BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = W.partitionBy("from_type")
+    return (
+        counts.withColumn("p", F.round(F.col("n") / F.sum("n").over(norm), 4))
+        .orderBy("from_type", "to_type")
+    )
+
+
+# --- RANGE-frame rolling aggregate: per-user trailing-7-day event value
+# sum/count evaluated AT each event (frame bounded by time, not rows) —
+# the window shape none of the other queries exercise.  Spark orders by
+# unix microseconds with rangeBetween; output keyed by event_id so ties
+# are exact. ---
+@query(
+    "rolling_window_7d",
+    oracle="""
+    SELECT event_id,
+           round(sum(value) OVER w, 4) AS roll_sum,
+           count(*) OVER w AS roll_n
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+    )
+    ORDER BY event_id
+    """,
+)
+def rolling_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    micros_7d = 7 * 24 * 3600 * 1_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-micros_7d, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("roll_sum"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    ).orderBy("event_id")
