@@ -1580,3 +1580,34 @@ def ml_logreg_grad_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("term"), 4).alias("grad"))
         .orderBy("j")
     )
+
+# --- regex content flags (the pattern-gate family of corpus filters):
+# JVM-side rlike with RE2-safe patterns, aggregated per source.  Patterns
+# stay in the (word-boundary, char-class, quantifier) subset where Java
+# and RE2 semantics agree, so the oracle is exact. ---
+@query(
+    "regex_content_flags",
+    oracle=r"""
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE regexp_matches(text, '\b[a-z]{6,}\b')) AS has_long_word,
+           count(*) FILTER (WHERE regexp_matches(text, '\b(data|table) (row|scan)\b')) AS has_bigram,
+           count(*) FILTER (WHERE regexp_matches(text, '^[a-z]'))        AS starts_lower
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def regex_content_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["source", "text"])
+    flag = lambda pat: F.sum(F.when(F.col("text").rlike(pat), 1).otherwise(0))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            flag(r"\b[a-z]{6,}\b").alias("has_long_word"),
+            flag(r"\b(data|table) (row|scan)\b").alias("has_bigram"),
+            flag(r"^[a-z]").alias("starts_lower"),
+        )
+        .orderBy("source")
+    )

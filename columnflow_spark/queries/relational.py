@@ -1239,3 +1239,137 @@ def stat_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_tax"), 4).alias("var_tax"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- explicit GROUPING SETS + grouping_id (the general form of the
+# increment_stats group_combinations facility; cube/rollup are the
+# specializations).  grouping_id disambiguates the NULL-as-total rows. ---
+@query(
+    "grouping_sets_stats",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+# --- pivot (long -> wide): order counts per priority pivoted over status.
+# With explicit pivot values this is ONE pass of conditional partial
+# aggregation — no extra shuffle versus a plain groupBy. ---
+@query(
+    "pivot_status_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+# --- unpivot (wide -> long): per-flag measure columns melted to
+# (measure, value) rows — the export shape plotting and datacard writers
+# consume. ---
+@query(
+    "unpivot_price_measures",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 4)      AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_price,
+               round(avg(l_discount), 4)      AS avg_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value FROM (
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
+    )
+    """,
+)
+def unpivot_price_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"])
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"], "measure", "value"
+    )
+
+
+# --- ntile / percent_rank / cume_dist window family, aggregated to
+# per-quartile stats so the comparison is exact.  Partitioned by status
+# (bounded partitions); at 100 TB unbounded rank-by-value would instead go
+# through value_percentiles' distributed quantile path. ---
+@query(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderstatus, q,
+           count(*) AS n,
+           round(min(o_totalprice), 4) AS min_price,
+           round(max(o_totalprice), 4) AS max_price,
+           round(avg(pr), 4) AS avg_pct_rank,
+           round(avg(cd), 4) AS avg_cume_dist
+    FROM (
+        SELECT o_orderstatus, o_totalprice,
+               ntile(4)       OVER w AS q,
+               percent_rank() OVER w AS pr,
+               cume_dist()    OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    )
+    GROUP BY o_orderstatus, q
+    ORDER BY o_orderstatus, q
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderstatus", "o_totalprice",
+            F.ntile(4).over(w).alias("q"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .groupBy("o_orderstatus", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+            F.round(F.avg("pr"), 4).alias("avg_pct_rank"),
+            F.round(F.avg("cd"), 4).alias("avg_cume_dist"),
+        )
+        .orderBy("o_orderstatus", "q")
+    )

@@ -513,3 +513,109 @@ def rolling_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 4).alias("roll_sum"),
         F.count(F.lit(1)).over(w).alias("roll_n"),
     ).orderBy("event_id")
+
+
+# --- datetime-part profile: hour-of-day x event-type activity matrix
+# (UTC container TZ keeps extract() engine-portable). ---
+@query(
+    "events_hourly_profile",
+    oracle="""
+    SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["ts", "event_type", "value"])
+    return (
+        ev.groupBy(F.hour("ts").cast("long").alias("hour_of_day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("hour_of_day", "event_type")
+    )
+
+
+# --- first_value/last_value over full-partition frames: per-order first
+# and last shipped line revenue (frame = ROWS UNBOUNDED BOTH WAYS, the
+# value-function window shape).  Collapsed to one row per order via
+# max_by-free distinct since the window already makes them constant. ---
+@query(
+    "order_first_last_lines",
+    oracle="""
+    SELECT DISTINCT l_orderkey,
+           round(first_value(l_extendedprice) OVER w, 4) AS first_rev,
+           round(last_value(l_extendedprice)  OVER w, 4) AS last_rev,
+           nth_value(l_linenumber, 1) OVER w AS first_line
+    FROM lineitem
+    WINDOW w AS (
+        PARTITION BY l_orderkey ORDER BY l_shipdate, l_extendedprice, l_linenumber
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    ORDER BY l_orderkey
+    """,
+)
+def order_first_last_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_linenumber"],
+    )
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_shipdate", "l_extendedprice", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            F.round(F.first("l_extendedprice").over(w), 4).alias("first_rev"),
+            F.round(F.last("l_extendedprice").over(w), 4).alias("last_rev"),
+            F.nth_value("l_linenumber", 1).over(w).alias("first_line"),
+        )
+        .distinct()
+        .orderBy("l_orderkey")
+    )
+
+
+# --- date-series densification: per-user activity calendar built by
+# exploding a generated day sequence (the gap-filling shape hist axis
+# densification uses on categorical axes, here on time). ---
+@query(
+    "user_activity_gaps",
+    oracle="""
+    SELECT user_id,
+           len(generate_series(CAST(min(ts) AS DATE), CAST(max(ts) AS DATE), INTERVAL 1 DAY))
+               AS span_days,
+           count(DISTINCT CAST(ts AS DATE)) AS active_days,
+           len(generate_series(CAST(min(ts) AS DATE), CAST(max(ts) AS DATE), INTERVAL 1 DAY))
+               - count(DISTINCT CAST(ts AS DATE)) AS gap_days
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts"])
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+        F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+    )
+    # explode the generated day series and re-count: the densification
+    # pattern (a pure datediff would avoid the explode; the explode IS the
+    # operator under test and stays proportional to span, not events)
+    days = per_user.select(
+        "user_id", "active_days",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    return (
+        days.groupBy("user_id", "active_days")
+        .agg(F.count(F.lit(1)).alias("span_days"))
+        .select(
+            "user_id",
+            "span_days",
+            "active_days",
+            (F.col("span_days") - F.col("active_days")).alias("gap_days"),
+        )
+        .orderBy("user_id")
+    )
