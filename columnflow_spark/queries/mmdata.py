@@ -1611,3 +1611,85 @@ def regex_content_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+# --- grouped-aggregate pandas UDAF (the UDAF class of SURVEY §2.10's
+# operator surface): interpolated median per group, Arrow-batched.  The
+# built-in F.median is the production path; this query exists to prove the
+# custom-UDAF seam with an exact oracle (numpy and DuckDB both use the
+# interpolated sample median).  Scale note: GROUPED_AGG pulls each
+# group's column into one executor's memory — bounded group sizes only
+# (here: per order-status slices of a bounded sample). ---
+@query(
+    "pandas_udaf_median",
+    oracle="""
+    SELECT o_orderstatus, round(median(o_totalprice), 4) AS med_price, count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def np_median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    @pandas_udf("long")
+    def np_count(v: pd.Series) -> int:
+        # grouped-agg UDFs cannot mix with built-in aggregates in one agg,
+        # so the count rides the same Arrow batch
+        return int(len(v))
+
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(np_median("o_totalprice"), 4).alias("med_price"),
+            np_count("o_totalprice").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- Python UDTF (table function — the third UDF class): explodes a
+# document into fixed 20-word spans via a lateral join.  The HOF path
+# (dedup_span_chunks) is the production form; the UDTF proves the
+# extension seam and its oracle is the same chunk CTE. ---
+@query(
+    "udtf_span_explode",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS cidx,
+               len(ws[i*20+1 : i*20+20]) AS n_words
+        FROM base, unnest(range(CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS t(i)
+    )
+    SELECT doc_id, count(*) AS n_spans, CAST(sum(n_words) AS BIGINT) AS total_words
+    FROM chunks GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def udtf_span_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="cidx int, n_words int")
+    class SpanSplit:
+        def eval(self, text: str, width: int):
+            words = text.split(" ")
+            for i in range(0, (len(words) + width - 1) // width):
+                yield i, len(words[i * width : (i + 1) * width])
+
+    spark.udtf.register("span_split", SpanSplit)
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs.createOrReplaceTempView("udtf_docs")
+    out = spark.sql(
+        """
+        SELECT doc_id, count(*) AS n_spans, sum(n_words) AS total_words
+        FROM udtf_docs, LATERAL span_split(text, 20)
+        GROUP BY doc_id ORDER BY doc_id
+        """
+    )
+    return out

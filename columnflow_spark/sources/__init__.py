@@ -1,6 +1,8 @@
 from columnflow_spark.sources.tables import (  # noqa: F401
     BROADCAST_TABLES,
     TABLES,
+    load_csv,
+    load_json,
     load_table,
     load_tables,
     spread,

@@ -105,3 +105,42 @@ def spread(df: DataFrame, *key_cols: str, partitions: int | None = None) -> Data
     if key_cols:
         return df.repartition(partitions, *key_cols)
     return df.repartition(partitions)
+
+
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV source.  An explicit ``schema`` DDL string is strongly preferred:
+    inference triggers an extra full scan (at 100 TB, a second bill) and
+    pins types to one sample.  Malformed rows go to ``_corrupt_record``-less
+    PERMISSIVE nulls; use mode=FAILFAST semantics by validating downstream
+    with finite/overlap checks."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def load_json(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines source (one object per line; ``multiline`` for whole-file
+    documents).  Same schema guidance as :func:`load_csv` — with a DDL
+    schema the reader prunes unread fields at parse time."""
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -105,3 +105,29 @@ def test_ratio_plot_data(spark, sf_dir):
     # a bin's ratio is data/mc for that bin
     some = next(iter(out.values()))
     assert some["ratio"] >= 0.0
+
+
+def test_csv_json_sources_round_trip(spark, sf_dir, tmp_path):
+    # text-format sources carry the same relations: write orders out as
+    # CSV and JSON-lines, read back with explicit DDL schemas, and match
+    # the parquet original exactly (schema declared -> no inference scan)
+    from columnflow_spark.sources import load_csv, load_json
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    ddl = "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double"
+
+    csv_path = str(tmp_path / "orders_csv")
+    orders.write.option("header", "true").csv(csv_path)
+    back_csv = load_csv(spark, csv_path, schema=ddl)
+    assert back_csv.schema.simpleString() == orders.schema.simpleString()
+    assert back_csv.count() == orders.count()
+    assert back_csv.agg(F.sum("o_totalprice")).first()[0] == orders.agg(F.sum("o_totalprice")).first()[0]
+
+    json_path = str(tmp_path / "orders_json")
+    orders.write.json(json_path)
+    back_json = load_json(spark, json_path, schema=ddl)
+    assert back_json.schema.simpleString() == orders.schema.simpleString()
+    assert back_json.count() == orders.count()
+    assert back_json.agg(F.sum("o_orderkey")).first()[0] == orders.agg(F.sum("o_orderkey")).first()[0]
