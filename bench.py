@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "pack_sequences",
     "corpus_curation_pipeline",
+    "decontaminate_eval_overlap",
     # single-pass distributed model fit + index build
     "ml_train_linreg",
     "kmeans_lloyd_step",

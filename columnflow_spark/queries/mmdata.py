@@ -1693,3 +1693,107 @@ def udtf_span_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return out
+
+# --- eval-set decontamination: per eval doc (source 'src2' stands in for
+# the held-out benchmark), how many of its distinct trigram shingles occur
+# anywhere in the train split (every other source).  The train grams
+# explode to (hash) and aggregate to a distinct-gram set ONCE; the eval
+# side is the small one — at 100 TB the eval grams broadcast and the train
+# corpus streams past them a single time, never the reverse. ---
+@query(
+    "decontaminate_eval_overlap",
+    oracle=f"""
+    WITH {_GRAMS_CTE},
+    eval_grams AS (
+        SELECT g.doc_id, ug AS gram
+        FROM grams g JOIN documents d USING (doc_id), unnest(g.gs) AS t(ug)
+        WHERE d.source = 'src2'
+    ),
+    train_grams AS (
+        SELECT DISTINCT ug AS gram
+        FROM grams g JOIN documents d USING (doc_id), unnest(g.gs) AS t(ug)
+        WHERE d.source <> 'src2'
+    )
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+    FROM eval_grams e LEFT JOIN train_grams t ON e.gram = t.gram
+    GROUP BY doc_id
+    HAVING sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one shingle pass for the whole corpus: the session-shared
+    # hashed_grams table (8-byte shingle hashes; build cost benched as
+    # dedup_shingle_index).  The eval gram SET is the small side: train
+    # grams stream past its broadcast (semi join emits only collisions),
+    # so the wide data never shuffles and the distinct runs on the
+    # collision set alone.
+    src = F.broadcast(load_table(spark, sf_dir, "documents", columns=["doc_id", "source"]))
+    grams = hashed_grams(spark, sf_dir).join(src, "doc_id")
+    eval_grams = (
+        grams.filter(F.col("source") == "src2").select("doc_id", F.explode("hs").alias("h"))
+    )
+    eval_gram_set = eval_grams.select("h").distinct()
+    contaminated = (
+        grams.filter(F.col("source") != "src2")
+        .select(F.explode("hs").alias("h"))
+        .join(F.broadcast(eval_gram_set), "h", "left_semi")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        eval_grams.join(F.broadcast(contaminated), "h", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias("n_contaminated"),
+        )
+        .filter(F.col("n_contaminated") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# --- unigram language-model scoring (the perplexity-proxy quality
+# filter): corpus-wide word frequencies (one groupBy over exact integer
+# counts) broadcast back onto each doc's words; the per-doc score is the
+# mean negative log-probability.  Both engines fold the identical doubles
+# in the same in-row order, so the oracle is exact after round(4). ---
+@query(
+    "unigram_logprob_score",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), unnest(ws) AS t(w)
+        WHERE w <> ''
+    ),
+    vocab AS (
+        SELECT w, count(*) AS c FROM words GROUP BY w
+    ),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(-ln(c / n)), 4) AS avg_neg_logp
+    FROM words JOIN vocab USING (w), total
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    words = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias("avg_neg_logp"),
+        )
+        .orderBy("doc_id")
+    )
