@@ -154,3 +154,12 @@ def test_q17_correlated_avg_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q17_small_qty_revenue")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    # train grams must stream past a broadcast of the (small) eval gram
+    # set — never shuffle-join the full corpus against itself
+    plan = _plan(spark, sf_dir, "decontaminate_eval_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
