@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "q17_small_qty_revenue",
     "q18_large_orders",
     "q21_blocking_supplier",
+    "q21_blocking_supplier_agg",
     "topk_orders_per_customer",
     "grouped_stats_cube",
     "positional_column_merge",

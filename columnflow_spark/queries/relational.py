@@ -1373,3 +1373,74 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "q")
     )
+
+
+# --- q21 rewritten as windows (same result set as
+# q21_blocking_supplier): a line "blocks" iff its ship date beats every
+# other supplier's line in the order, i.e. l_shipdate > max-over-other-
+# suppliers.  That bound is computable with window functions over ONE
+# hash partitioning of the fact (order key): supplier-level max, order
+# max, the set of suppliers at the max, and the second supplier-level
+# max.  One exchange + in-partition sorts replaces the two fact
+# self-joins — the form to run at 100 TB. ---
+@query(
+    "q21_blocking_supplier_agg",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5',
+                     'NATION_6', 'NATION_7', 'NATION_8', 'NATION_9', 'NATION_10')
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate >= l1.l_shipdate
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_blocking_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"])
+    nation = load_table(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"]).filter(
+        F.col("n_name").isin(*[f"NATION_{i}" for i in range(1, 11)])
+    )
+    lf = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    w_o = W.partitionBy("l_orderkey")
+    w_os = W.partitionBy("l_orderkey", "l_suppkey")
+    smax = F.max("l_shipdate").over(w_os)          # my supplier's best
+    m1 = F.max("l_shipdate").over(w_o)             # order max
+    at_max = F.collect_set(F.when(F.col("l_shipdate") == m1, F.col("l_suppkey"))).over(w_o)
+    n_supp = F.size(F.collect_set("l_suppkey").over(w_o))
+    m2 = F.max(F.when(smax < m1, F.col("l_shipdate"))).over(w_o)  # best of the others
+    blocking = (
+        lf.withColumn("at_max", at_max)
+        .withColumn("n_supp", n_supp)
+        .withColumn("m2", m2)
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.size("at_max") == 1)
+            & (F.col("l_suppkey") == F.col("at_max")[0])
+            & (F.col("l_shipdate") > F.col("m2"))
+        )
+    )
+    return (
+        blocking.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
