@@ -254,22 +254,27 @@ def finite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def category_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
-    # categorizers emit boolean masks; category_ids collects matching leaf ids
-    cats = orders.withColumn(
-        "category_ids",
-        F.array_compact(
-            F.array(
-                F.when(F.col("o_totalprice") >= 200000, F.lit(1)),
-                F.when(F.col("o_totalprice") < 200000, F.lit(2)),
-                F.when(F.col("o_orderstatus") == "O", F.lit(10)),
-                F.when(F.col("o_orderstatus") == "F", F.lit(20)),
-                F.when(~F.col("o_orderstatus").isin("O", "F"), F.lit(30)),
-            )
-        ),
+    # categories come from the metadata catalog (reference od.Config tree;
+    # catalog.py): selections are SQL strings on the config, compiled by
+    # leaf_category_ids_column into one codegen'd when-array — the demo of
+    # config-driven categorization end-to-end
+    from columnflow_spark.catalog import (
+        Category, Config, category_filter_column, leaf_category_ids_column,
     )
-    # intersection filter: keep events whose ids overlap {1, 20}
-    kept = cats.filter(F.arrays_overlap("category_ids", F.array(F.lit(1), F.lit(20))))
+
+    cfg = Config("tpch_demo", 1)
+    price = cfg.add_category(Category("price", 100, selection="true"))
+    price.add_category(Category("high_price", 1, selection="o_totalprice >= 200000"))
+    price.add_category(Category("low_price", 2, selection="o_totalprice < 200000"))
+    status = cfg.add_category(Category("status", 200, selection="true"))
+    status.add_category(Category("open", 10, selection="o_orderstatus = 'O'"))
+    status.add_category(Category("finished", 20, selection="o_orderstatus = 'F'"))
+    status.add_category(Category("other", 30, selection="o_orderstatus NOT IN ('O', 'F')"))
+
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+    cats = orders.withColumn("category_ids", leaf_category_ids_column(cfg))
+    # intersection filter: keep events in high_price or finished
+    kept = cats.filter(category_filter_column(cfg, ["high_price", "finished"]))
     return (
         kept.select(
             F.element_at(F.filter("category_ids", lambda i: i < 10), 1).alias("price_cat"),

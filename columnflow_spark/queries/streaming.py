@@ -26,13 +26,17 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from columnflow_spark.queries import query
-from columnflow_spark.sources import table_path
+from columnflow_spark.sources import normalize_events_ts, table_path
 
-# raw schema of events.parquet with nanos-as-long (see sources.tables._load_events)
+# raw schema of events.parquet; ts as NTZ (the parquet stores timestamp[us]
+# without a timezone) — normalize_events_ts casts it to session-TZ TIMESTAMP,
+# the SAME helper the batch loader uses, so batch and streaming timelines can
+# never diverge (round-1 bug: a hand-rolled nanos schema here compressed time
+# 1000x).
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos; converted below
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -42,7 +46,6 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source requires a directory: stream the sf dir with a
     # glob filter selecting just the events table
     stream = (
@@ -50,7 +53,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(stream)
 
 
 def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
@@ -96,7 +99,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, sum(new_session) AS n_sessions
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
     FROM gaps
     GROUP BY user_id
     """,

@@ -43,7 +43,7 @@ SESSION_GAP_MIN = 30
     )
     SELECT user_id,
            count(DISTINCT session_id) AS n_sessions,
-           sum(cnt) AS n_events,
+           CAST(sum(cnt) AS BIGINT) AS n_events,
            max(cnt) AS max_session_events
     FROM (
         SELECT user_id, session_id, count(*) AS cnt

@@ -5,6 +5,7 @@ from columnflow_spark.sources.tables import (  # noqa: F401
     load_json,
     load_table,
     load_tables,
+    normalize_events_ts,
     spread,
     table_path,
 )

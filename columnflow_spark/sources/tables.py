@@ -69,20 +69,40 @@ def load_table(
     return df
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    Spark's vectorized reader rejects.  Read nanos as long (runtime SQL conf)
-    and convert to a microsecond timestamp with *integer* division — float
-    division at ~1.7e18 ns loses microsecond precision (double has 53
-    mantissa bits) and would break oracle parity with DuckDB's ns->us
-    truncation."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TIMESTAMP (session-TZ, which is pinned to
+    UTC in :mod:`columnflow_spark.session`) regardless of the parquet
+    physical type.  The single source of truth for both the batch and the
+    streaming reader — the two must never diverge on time semantics.
+
+    Handles every encoding the test tables have shipped with:
+
+    - ``timestamp[us]`` without TZ → Spark reads TIMESTAMP_NTZ; cast to
+      TIMESTAMP (identity on the stored micros since session TZ is UTC).
+      Functions like ``unix_micros`` reject NTZ, so the cast is load-bearing.
+    - ``bigint`` nanoseconds (``nanosAsLong`` legacy read) → *integer*
+      division by 1000; float division at ~1.7e18 ns loses microsecond
+      precision (double has 53 mantissa bits) and would break oracle parity
+      with DuckDB's ns->us truncation.
+    - already TIMESTAMP → no-op.
+    """
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events loader: plain parquet scan + :func:`normalize_events_ts`.
+    The ``nanosAsLong`` conf stays set so a hypothetical TIMESTAMP(NANOS)
+    file still loads (as bigint) instead of crashing the vectorized reader;
+    the normalizer then handles that branch too."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_events_ts(spark.read.parquet(table_path(sf_dir, "events")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> dict[str, DataFrame]:
