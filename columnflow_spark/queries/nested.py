@@ -240,7 +240,7 @@ def _greedy_rounds_sql(rounds: int) -> str:
     from all earlier picks.  Sequential greedy == iterated min-of-disjoint,
     so this is exact whenever ``rounds >= max matches per event``."""
     ctes = [
-        """items AS (
+        """items AS MATERIALIZED (
         SELECT l_orderkey AS k,
                row_number() OVER (
                    PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
@@ -248,14 +248,14 @@ def _greedy_rounds_sql(rounds: int) -> str:
                l_extendedprice AS p
         FROM lineitem
     )""",
-        """p1 AS (
+        """p1 AS MATERIALIZED (
         SELECT a.k, a.ln AS la, b.ln AS lb, abs(a.p - b.p) AS d
         FROM items a JOIN items b ON a.k = b.k AND a.ln < b.ln
     )""",
     ]
     for r in range(1, rounds + 1):
         ctes.append(
-            f"""r{r} AS (
+            f"""r{r} AS MATERIALIZED (
         SELECT k, la, lb, d FROM (
             SELECT *, row_number() OVER (PARTITION BY k ORDER BY d, la, lb) AS rn FROM p{r}
         ) WHERE rn = 1
@@ -263,7 +263,7 @@ def _greedy_rounds_sql(rounds: int) -> str:
         )
         if r < rounds:
             ctes.append(
-                f"""p{r + 1} AS (
+                f"""p{r + 1} AS MATERIALIZED (
         SELECT p.* FROM p{r} p JOIN r{r} ON p.k = r{r}.k
         WHERE p.la NOT IN (r{r}.la, r{r}.lb) AND p.lb NOT IN (r{r}.la, r{r}.lb)
     )"""

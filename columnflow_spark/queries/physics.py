@@ -520,3 +520,71 @@ def ml_train_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(det1 / det, 4).alias("beta1"),
         F.round(det2 / det, 4).alias("beta2"),
     )
+
+
+def _ml_interface_sql() -> str:
+    """Oracle twin of the MLModel interface path (ml.py LinregDemo):
+    content-derived 3-fold split, per-fold closed-form fit on the fold's
+    complement (as total-minus-fold sums — exact, the features are
+    integer-valued doubles), then held-out scoring.  Shares the exact
+    determinant expression tree with the Python artifact math."""
+    names = ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+    comp = {k: _S(k) for k in names}
+    det = _det3(comp["n"], comp["s1"], comp["s2"], comp["s1"], comp["s11"], comp["s12"], comp["s2"], comp["s12"], comp["s22"])
+    det0 = _det3(comp["sy"], comp["s1"], comp["s2"], comp["s1y"], comp["s11"], comp["s12"], comp["s2y"], comp["s12"], comp["s22"])
+    det1 = _det3(comp["n"], comp["sy"], comp["s2"], comp["s1"], comp["s1y"], comp["s12"], comp["s2"], comp["s2y"], comp["s22"])
+    det2 = _det3(comp["n"], comp["s1"], comp["sy"], comp["s1"], comp["s11"], comp["s1y"], comp["s2"], comp["s12"], comp["s2y"])
+    sums = ", ".join(
+        [
+            "CAST(count(*) AS DOUBLE) AS n",
+            "sum(x1) AS s1", "sum(x2) AS s2",
+            "sum(x1 * x1) AS s11", "sum(x1 * x2) AS s12", "sum(x2 * x2) AS s22",
+            "sum(y) AS sy", "sum(x1 * y) AS s1y", "sum(x2 * y) AS s2y",
+        ]
+    )
+    comp_cols = ", ".join(f"t.{k} - s.{k} AS {k}" for k in names)
+    return f"""
+    WITH feat AS (
+        SELECT l_orderkey,
+               ('0x' || substring(sha256(concat_ws('|',
+                   CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))), 1, 15))::BIGINT % 3 AS fold,
+               CAST(l_quantity AS DOUBLE) AS x1,
+               round(l_discount * 100, 0) AS x2,
+               round(l_extendedprice * 100, 0) AS y
+        FROM lineitem
+    ),
+    suff AS (SELECT fold, {sums} FROM feat GROUP BY fold),
+    tot AS (SELECT {sums} FROM feat),
+    comp AS (SELECT s.fold, {comp_cols} FROM suff s CROSS JOIN tot t),
+    beta AS (
+        SELECT fold, {det0} / {det} AS beta0, {det1} / {det} AS beta1, {det2} / {det} AS beta2
+        FROM comp
+    )
+    SELECT f.l_orderkey AS okey, f.fold, f.x1, f.x2,
+           round(b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2, 4) AS score
+    FROM feat f JOIN beta b ON f.fold = b.fold
+    WHERE f.l_orderkey < 1000
+    """
+
+
+@query("ml_interface_scores", oracle=_ml_interface_sql())
+def ml_interface_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLModel lifecycle end-to-end (reference ml/__init__.py:555 train,
+    :581 evaluate; MLTraining/MLEvaluation tasks): k-fold train via the
+    class interface, artifacts round-tripped through the per-fold parquet
+    sinks (save_model/open_model), held-out-fold scoring compiled to a
+    literal when-chain.  The betas travel driver-side as three doubles;
+    everything else stays distributed."""
+    import tempfile
+
+    from columnflow_spark.ml import get_ml_model
+
+    model = get_ml_model("LinregDemo")()
+    li = load_table(spark, sf_dir, "lineitem", columns=sorted(model.uses()))
+    out_dir = tempfile.mkdtemp(prefix="mlmodel_")
+    model.run_training(spark, li, output_dir=out_dir)
+    # models=None: reload the fold artifacts from the sink outputs
+    scored = model.run_evaluation(spark, li, models=None, output_dir=out_dir)
+    return scored.filter(F.col("l_orderkey") < 1000).select(
+        F.col("l_orderkey").alias("okey"), "fold", "x1", "x2", F.round("score", 4).alias("score")
+    )

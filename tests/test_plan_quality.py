@@ -156,6 +156,19 @@ def test_q17_correlated_avg_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_embedding_dedup_no_full_self_join(spark, sf_dir):
+    # exact form must be the block-pair equi-join: the only broadcast is
+    # the tiny block-pair relation — never a BNLJ that ships the whole
+    # embeddings table, never a cartesian (VERDICT r1 "What's wrong" #5)
+    plan = _plan(spark, sf_dir, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the LSH variant candidates join on the bucket key only
+    plan_lsh = _plan(spark, sf_dir, "dedup_embedding_cosine_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan_lsh
+    assert "CartesianProduct" not in plan_lsh
+
+
 def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     # train grams must stream past a broadcast of the (small) eval gram
     # set — never shuffle-join the full corpus against itself
