@@ -33,6 +33,50 @@ from pyspark.sql import DataFrame
 from columnflow_spark.core.routes import Route
 
 
+class ConditionalColumn:
+    """Column set included only when ``condition(func_inst)`` holds at
+    resolution time (reference ``ArrayFunction.ConditionalColumn``,
+    columnar_util.py:1905; factories ``IF_DATA``/``IF_MC``/
+    ``IF_DATASET_HAS_TAG`` :2448-2462).  The condition sees the operator
+    instance, so ``func.dataset_inst`` (a catalog :class:`Dataset`) drives
+    mc/data conditioning of individual columns."""
+
+    def __init__(self, routes: tuple, condition: Callable, name: str = "?"):
+        self.routes = routes
+        self.condition = condition
+        self.name = name
+
+    def __invert__(self) -> "ConditionalColumn":  # noqa: UP037
+        return ConditionalColumn(self.routes, lambda func: not self.condition(func), f"!{self.name}")
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"ConditionalColumn({self.name}, {self.routes!r})"
+
+    def applies(self, func: "ArrayFunction") -> bool:  # noqa: UP037
+        return bool(self.condition(func))
+
+    @classmethod
+    def factory(cls, condition: Callable, name: str) -> Callable:
+        def make(*routes) -> ConditionalColumn:
+            return cls(routes, condition, name)
+
+        make.__name__ = name
+        return make
+
+
+IF_DATA = ConditionalColumn.factory(lambda func: func.dataset_inst.is_data, "IF_DATA")
+IF_MC = ConditionalColumn.factory(lambda func: func.dataset_inst.is_mc, "IF_MC")
+
+
+def IF_DATASET_HAS_TAG(*tags: str, negate: bool = False) -> Callable:
+    """Factory of factories (reference columnar_util.py:2457): columns
+    included when the instance's dataset carries any of *tags*."""
+    return ConditionalColumn.factory(
+        lambda func: bool(func.dataset_inst.has_tag(tags)) != bool(negate),
+        f"IF_DATASET_HAS_TAG{tags!r}",
+    )
+
+
 class ArrayFunction:
     """Base operator: wraps ``call_func(df) -> df`` with declared column
     sets and a dependency closure."""
@@ -130,7 +174,8 @@ class ArrayFunction:
             return set()
         _seen.add(id(self))
         out: set[Route] = set()
-        for entry in getattr(self, attr):
+
+        def add_entry(entry: Any) -> None:
             dep_cls = self._as_dependency(entry)
             if dep_cls is not None:
                 dep = self.deps[dep_cls]
@@ -138,13 +183,25 @@ class ArrayFunction:
                     # a dependency in `uses` contributes its USED columns;
                     # in `produces` its PRODUCED columns (reference flag
                     # semantics AUTO, columnar_util.py:2350-2365)
-                    out |= dep._resolve_columns(attr, _seen)
+                    out.update(dep._resolve_columns(attr, _seen))
+            elif isinstance(entry, ConditionalColumn):
+                # evaluated against THIS instance: dataset-dependent columns
+                # appear/disappear per dataset (reference IF_MC/IF_DATA)
+                if entry.applies(self):
+                    for r in entry.routes:
+                        add_entry(r)
             elif isinstance(entry, Route):
                 out.add(entry)
             elif isinstance(entry, str):
                 out.add(Route(entry))
+            elif isinstance(entry, (set, frozenset, tuple, list)):
+                for r in entry:
+                    add_entry(r)
             else:
                 raise TypeError(f"unsupported {attr} entry: {entry!r}")
+
+        for entry in getattr(self, attr):
+            add_entry(entry)
         return out
 
     @property
@@ -153,7 +210,10 @@ class ArrayFunction:
 
     @property
     def produced_columns(self) -> set[Route]:
-        return self._resolve_columns("produces")
+        """Resolved produced routes; ``skip``-tagged routes are produced
+        internally but never part of the kept/written set (reference
+        skip_column semantics, columnar_util.py:2514)."""
+        return {r for r in self._resolve_columns("produces") if not r.has_tag("skip")}
 
     # ------------------------------------------------------------------ call
     def setup(self, payloads: dict[str, Any] | None = None) -> None:

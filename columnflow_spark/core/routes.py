@@ -57,14 +57,21 @@ class Route:
     NANO_SEP = "_"
 
     def __init__(self, route: "Route | str | Sequence[str]" = ()):  # noqa: UP037
+        tags: set[str] = set()
         if isinstance(route, Route):
             fields, selection = route.fields, route.selection
+            tags = set(route.tags)
         elif isinstance(route, str):
             fields, selection = self._parse(route)
         else:
             fields, selection = tuple(route), None
         self.fields: tuple[str, ...] = tuple(fields)
         self.selection: ObjIndex | ObjSlice | None = selection
+        #: string tags (reference TagMixin on Route, columnar_util.py:2464):
+        #: "optional" — existence checks tolerate absence; "skip" — produced
+        #: internally but excluded from keep/write sets.  Tags never affect
+        #: equality/hash (two routes to the same column are the same route).
+        self.tags: set[str] = tags
 
     # -- parsing / serialization ------------------------------------------
     @classmethod
@@ -158,6 +165,15 @@ class Route:
         other = Route(other)
         return self.fields[: len(other.fields)] == other.fields
 
+    # -- tags --------------------------------------------------------------
+    def add_tag(self, tag: "str | Iterable[str]") -> "Route":  # noqa: UP037
+        self.tags |= {tag} if isinstance(tag, str) else set(tag)
+        return self
+
+    def has_tag(self, tag: "str | Iterable[str]", mode=any) -> bool:
+        tags = {tag} if isinstance(tag, str) else set(tag)
+        return mode(t in self.tags for t in tags)
+
     # -- compilation -------------------------------------------------------
     def apply(self, null_value: float | int | None = None) -> Column:
         """Compile to a Column.  For an object-axis index, out-of-range
@@ -198,6 +214,37 @@ def brace_expand(pattern: str) -> list[str]:
     for part in m.group(1).split(","):
         out.extend(brace_expand(head + part + tail))
     return out
+
+
+def tagged_column(tag: str | Iterable[str], *routes) -> "Route | set[Route]":
+    """Tag one or more routes (reference ``tagged_column``,
+    columnar_util.py:2464-2501): accepts anything the Route constructor
+    accepts plus sets and brace patterns; returns a single Route for a
+    single input, else a set."""
+    if not routes:
+        raise ValueError("at least one route argument must be given")
+    multiple = len(routes) > 1 or isinstance(routes[0], set)
+    flat = []
+    for r in routes[0] if isinstance(routes[0], set) else routes:
+        if isinstance(r, str):
+            flat.extend(brace_expand(r))
+        else:
+            flat.append(r)
+    tagged = {Route(r).add_tag(tag) for r in flat}
+    multiple |= len(tagged) > 1
+    return tagged if multiple else tagged.pop()
+
+
+def optional_column(*routes) -> "Route | set[Route]":
+    """Tag routes ``"optional"`` — their absence never fails existence
+    checks or pruning (reference columnar_util.py:2503)."""
+    return tagged_column("optional", *routes)
+
+
+def skip_column(*routes) -> "Route | set[Route]":
+    """Tag routes ``"skip"`` — produced internally but excluded from the
+    operator's kept/written column set (reference columnar_util.py:2514)."""
+    return tagged_column("skip", *routes)
 
 
 def get_routes(schema: T.StructType, max_depth: int = -1) -> list[Route]:

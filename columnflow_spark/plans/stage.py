@@ -26,11 +26,21 @@ from columnflow_spark.core.routes import Route
 def prune_columns(df: DataFrame, routes: Iterable[Route], keep: Iterable[str] = ()) -> DataFrame:
     """Project ``df`` down to the top-level columns containing any used
     route (nested-field pruning below the root is left to Catalyst's
-    SchemaPruning, which handles struct/array-of-struct access natively)."""
-    roots: set[str] = {r.fields[0] for r in routes if r.fields}
-    roots |= set(keep)
+    SchemaPruning, which handles struct/array-of-struct access natively).
+
+    A missing root raises — unless every route under it is tagged
+    ``optional`` (reference optional_column, columnar_util.py:2503), in
+    which case it is silently dropped."""
+    required_roots: set[str] = set()
+    optional_roots: set[str] = set()
+    for r in routes:
+        if not r.fields:
+            continue
+        (optional_roots if r.has_tag("optional") else required_roots).add(r.fields[0])
+    optional_roots -= required_roots
+    roots = required_roots | optional_roots | set(keep)
     existing = [c for c in df.columns if c in roots]
-    missing = roots - set(df.columns)
+    missing = (required_roots | set(keep)) - set(df.columns)
     if missing:
         raise ValueError(f"used columns missing from input: {sorted(missing)}")
     return df.select(*existing)

@@ -73,19 +73,147 @@ def ratio_plot_data(
     )
 
 
-def render_stack_1d(stack_rows, ratio_rows=None, title: str = ""):  # pragma: no cover
-    """Driver-side draw step over collected plot-ready rows.  Requires
-    matplotlib (not available in this container) — the compute path above
-    is the engine's job; this is deliberately a thin consumer."""
+# deterministic process palette (okabe-ito-ish, colorblind-safe)
+_PALETTE = ("#0072b2", "#e69f00", "#009e73", "#cc79a7", "#d55e00", "#56b4e9", "#f0e442", "#999999")
+
+
+def _normalize_rows(rows) -> list[dict]:
+    out = []
+    for r in rows:
+        out.append(r if isinstance(r, dict) else r.asDict())
+    return out
+
+
+def render_stack_1d(
+    stack_rows,
+    ratio_rows=None,
+    title: str = "",
+    out_path: str | None = None,
+    width: int = 640,
+    height: int = 480,
+) -> str:
+    """Driver-side draw step over collected plot-ready rows (reference
+    ``plot_variable_per_process``, plotting/plot_functions_1d.py:42: stacked
+    process bars + hatched MC stat band + data/MC ratio panel).
+
+    The compute side (:func:`stack_plot_data` / :func:`ratio_plot_data`)
+    runs on the cluster; this consumes the collected (small: bins x
+    processes) rows.  Uses matplotlib when importable, else falls back to a
+    dependency-free SVG writer — both draw the same figure: stacked fills
+    per process in stack order, the sqrt(sum_w2) band on the total, and the
+    ratio panel underneath.  Returns the output path (written when
+    *out_path* is given, else the SVG text)."""
+    rows = _normalize_rows(stack_rows)
+    if not rows:
+        raise ValueError("no stack rows to render")
+    ratio = _normalize_rows(ratio_rows) if ratio_rows is not None else []
+
+    bin_col = next(c for c in rows[0] if c.startswith("bin"))
+    proc_col = next(
+        c for c in rows[0] if c not in ("y_low", "y_high", "mc_total", "mc_err", bin_col)
+    )
+    bins = sorted({r[bin_col] for r in rows})
+    procs = list(dict.fromkeys(r[proc_col] for r in sorted(rows, key=lambda r: r["y_high"])))
+    colors = {p: _PALETTE[i % len(_PALETTE)] for i, p in enumerate(procs)}
+
     try:
+        import matplotlib  # noqa: PLC0415
+
+        matplotlib.use("Agg")
         import matplotlib.pyplot as plt  # noqa: PLC0415
-    except ImportError as exc:  # matplotlib absent here by design
-        raise NotImplementedError(
-            "matplotlib is not installed in this environment; "
-            "stack_plot_data/ratio_plot_data outputs are render-ready"
-        ) from exc
-    fig, ax = plt.subplots()
-    for row in stack_rows:
-        ax.bar(row["bin"], row["y_high"] - row["y_low"], bottom=row["y_low"])
-    ax.set_title(title)
-    return fig
+
+        fig, (ax, axr) = plt.subplots(
+            2, 1, sharex=True, height_ratios=[3, 1], figsize=(width / 96, height / 96)
+        )
+        for r in rows:
+            ax.bar(
+                bins.index(r[bin_col]), r["y_high"] - r["y_low"], bottom=r["y_low"],
+                width=1.0, color=colors[r[proc_col]],
+                label=r[proc_col] if r[bin_col] == bins[0] else None,
+            )
+        for i, b in enumerate(bins):
+            tot = next(r for r in rows if r[bin_col] == b)
+            ax.bar(i, 2 * tot["mc_err"], bottom=tot["mc_total"] - tot["mc_err"],
+                   width=1.0, fill=False, hatch="///", edgecolor="#444444", linewidth=0)
+        for r in ratio:
+            i = bins.index(r[bin_col])
+            axr.errorbar(i, r["ratio"], fmt="ko", markersize=3)
+            axr.bar(i, 2 * r["rel_unc"], bottom=1 - r["rel_unc"], width=1.0,
+                    color="#cccccc", zorder=0)
+        axr.axhline(1.0, color="#444444", linewidth=0.8)
+        ax.set_title(title)
+        ax.legend(fontsize=7)
+        if out_path:
+            fig.savefig(out_path)
+            plt.close(fig)
+            return out_path
+        return fig  # pragma: no cover - interactive use
+    except ImportError:
+        pass
+
+    # ---- SVG fallback (no dependencies) -----------------------------------
+    y_max = max(r["mc_total"] + r["mc_err"] for r in rows) or 1.0
+    mh = int(height * 0.68)
+    rh = int(height * 0.22)
+    pad, r_top = 40, int(height * 0.74)
+    bw = (width - 2 * pad) / max(len(bins), 1)
+
+    def sx(i: float) -> float:
+        return pad + i * bw
+
+    def sy(v: float) -> float:
+        return 20 + mh - (v / y_max) * mh
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
+        f'viewBox="0 0 {width} {height}">',
+        f'<text x="{width / 2}" y="14" text-anchor="middle" font-size="12">{title}</text>',
+    ]
+    for r in rows:
+        i = bins.index(r[bin_col])
+        y1, y0 = sy(r["y_high"]), sy(r["y_low"])
+        parts.append(
+            f'<rect x="{sx(i):.1f}" y="{y1:.1f}" width="{bw:.1f}" height="{max(y0 - y1, 0):.1f}" '
+            f'fill="{colors[r[proc_col]]}"><title>{r[proc_col]}</title></rect>'
+        )
+    for i, b in enumerate(bins):
+        tot = next(r for r in rows if r[bin_col] == b)
+        y1, y0 = sy(tot["mc_total"] + tot["mc_err"]), sy(tot["mc_total"] - tot["mc_err"])
+        parts.append(
+            f'<rect x="{sx(i):.1f}" y="{y1:.1f}" width="{bw:.1f}" height="{max(y0 - y1, 0):.1f}" '
+            f'fill="#444444" fill-opacity="0.35"/>'
+        )
+    # ratio panel: grey band = relative MC uncertainty around 1, dots = data/MC
+    if ratio:
+        lo = min(min(r["ratio"] for r in ratio), 1) - 0.2
+        hi = max(max(r["ratio"] for r in ratio), 1) + 0.2
+
+        def ry(v: float) -> float:
+            return r_top + rh - (v - lo) / (hi - lo) * rh
+
+        parts.append(
+            f'<line x1="{pad}" y1="{ry(1.0):.1f}" x2="{width - pad}" y2="{ry(1.0):.1f}" '
+            f'stroke="#444444" stroke-width="0.8"/>'
+        )
+        for r in ratio:
+            i = bins.index(r[bin_col])
+            y1, y0 = ry(1 + r["rel_unc"]), ry(1 - r["rel_unc"])
+            parts.append(
+                f'<rect x="{sx(i):.1f}" y="{y1:.1f}" width="{bw:.1f}" '
+                f'height="{max(y0 - y1, 0):.1f}" fill="#cccccc"/>'
+            )
+            parts.append(
+                f'<circle cx="{sx(i) + bw / 2:.1f}" cy="{ry(r["ratio"]):.1f}" r="2.5" fill="black"/>'
+            )
+    # legend
+    for j, p in enumerate(procs):
+        y = 24 + j * 14
+        parts.append(f'<rect x="{width - 150}" y="{y}" width="10" height="10" fill="{colors[p]}"/>')
+        parts.append(f'<text x="{width - 136}" y="{y + 9}" font-size="10">{p}</text>')
+    parts.append("</svg>")
+    svg = "\n".join(parts)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(svg)
+        return out_path
+    return svg

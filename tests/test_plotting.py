@@ -1,0 +1,60 @@
+"""Plot render layer smoke tests (reference plotting/plot_functions_1d.py:42
+``plot_variable_per_process`` shape): the cluster computes the plot-ready
+stack/band/ratio tables, the renderer draws them — matplotlib when
+available, dependency-free SVG otherwise; both must produce a real image
+file."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from columnflow_spark.hist.axes import Variable
+from columnflow_spark.hist.fill import fill_hist
+from columnflow_spark.plotting import ratio_plot_data, render_stack_1d, stack_plot_data
+from columnflow_spark.sources import load_table
+
+
+def _stack_and_ratio(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    var = Variable("price", "l_extendedprice", (10, 0.0, 110000.0))
+    mc = fill_hist(
+        li.filter(F.col("l_returnflag") != "N").withColumn("process", F.col("l_returnflag")),
+        [var],
+        categorical=["process"],
+    )
+    data = fill_hist(li.filter(F.col("l_returnflag") == "N"), [var])
+    stack = stack_plot_data(mc, "process", "bin__price", ["R", "A"])
+    ratio = ratio_plot_data(mc, data, "bin__price")
+    return stack.collect(), ratio.collect()
+
+
+def test_render_stack_produces_image(spark, sf_dir, tmp_path):
+    stack_rows, ratio_rows = _stack_and_ratio(spark, sf_dir)
+    out = str(tmp_path / "stack.svg")
+    path = render_stack_1d(stack_rows, ratio_rows, title="price stack", out_path=out)
+    content = open(path).read()
+    # a real figure: stacked fills for both processes, the stat band, the
+    # ratio reference line, and the legend labels
+    assert content.lstrip().startswith(("<svg", "%PDF", "\x89PNG")) or "<svg" in content[:200]
+    if "<svg" in content[:200]:
+        assert content.count("<rect") >= 20
+        assert "circle" in content  # ratio dots
+        assert ">R<" in content and ">A<" in content  # legend
+        assert "price stack" in content
+
+
+def test_render_from_query_output(spark, sf_dir, tmp_path):
+    # the registered plot_ready_stack query output renders directly
+    from columnflow_spark.queries import all_queries
+
+    rows = all_queries()["plot_ready_stack"](spark, sf_dir).collect()
+    out = render_stack_1d(rows, out_path=str(tmp_path / "q.svg"))
+    content = open(out).read()
+    assert "<rect" in content and "</svg>" in content
+
+
+def test_render_rejects_empty():
+    import pytest
+
+    with pytest.raises(ValueError):
+        render_stack_1d([])

@@ -105,3 +105,90 @@ def test_stage_chain_missing_column(spark):
     df = spark.createDataFrame([(1,)], "a: int")
     with pytest.raises(ValueError, match="missing"):
         StageChain([prod_d()]).run(df)
+
+
+# --- route tags / conditional columns (reference columnar_util.py:2448-2514) ---
+
+def test_tagged_optional_skip_columns():
+    from columnflow_spark.core.routes import Route, optional_column, skip_column, tagged_column
+
+    r = optional_column("gen_weight")
+    assert isinstance(r, Route) and r.has_tag("optional")
+    many = optional_column("items.{pt,eta}")
+    assert {str(m) for m in many} == {"items.pt", "items.eta"}
+    assert all(m.has_tag("optional") for m in many)
+    s = skip_column("tmp_col")
+    assert s.has_tag("skip")
+    both = tagged_column({"optional", "skip"}, "x")
+    assert both.has_tag("optional") and both.has_tag("skip")
+    assert both.has_tag({"optional", "nope"}) and not both.has_tag({"optional", "nope"}, mode=all)
+    # tags never affect identity
+    assert Route("x") == both and hash(Route("x")) == hash(both)
+    # tags survive copy-construction
+    assert Route(both).has_tag("skip")
+
+
+def test_conditional_columns_mc_data():
+    from columnflow_spark.core.registry import IF_DATA, IF_DATASET_HAS_TAG, IF_MC
+    from columnflow_spark.catalog import Dataset
+
+    prod = ArrayFunction.derive(
+        "cond_prod",
+        {
+            "uses": {"pt", IF_MC("gen_pt")},
+            "produces": {"pt_corr", IF_MC("gen_match"), IF_DATA("lumi_mask"),
+                         IF_DATASET_HAS_TAG("signal")("signal_flag")},
+        },
+    )
+    mc = prod(dataset_inst=Dataset("tt", 1, is_mc=True, tags={"signal"}))
+    assert {str(r) for r in mc.used_columns} == {"pt", "gen_pt"}
+    assert {str(r) for r in mc.produced_columns} == {"pt_corr", "gen_match", "signal_flag"}
+    data = prod(dataset_inst=Dataset("data_mu", 2, is_mc=False))
+    assert {str(r) for r in data.used_columns} == {"pt"}
+    assert {str(r) for r in data.produced_columns} == {"pt_corr", "lumi_mask"}
+    # negation
+    bkg_only = ArrayFunction.derive(
+        "cond_neg", {"uses": set(), "produces": {(~IF_DATASET_HAS_TAG("signal")("bkg_flag"))}}
+    )
+    assert {str(r) for r in bkg_only(dataset_inst=Dataset("qcd", 3)).produced_columns} == {"bkg_flag"}
+    assert not bkg_only(dataset_inst=Dataset("sig", 4, tags={"signal"})).produced_columns
+
+
+def test_skip_tag_excluded_from_produced():
+    from columnflow_spark.core.routes import skip_column
+
+    prod = ArrayFunction.derive(
+        "skip_prod", {"uses": {"a"}, "produces": {"kept", skip_column("scratch")}}
+    )
+    assert {str(r) for r in prod().produced_columns} == {"kept"}
+
+
+def test_stage_chain_optional_columns(spark):
+    from columnflow_spark.core.routes import optional_column
+    from columnflow_spark.catalog import Dataset
+    from columnflow_spark.core.registry import IF_MC
+
+    def call(self, df):
+        cols = {"out": F.col("a") * 2}
+        if "gen_w" in df.columns:
+            cols["out_w"] = F.col("a") * F.col("gen_w")
+        return df.withColumns(cols)
+
+    prod = ArrayFunction.derive(
+        "opt_prod",
+        {"uses": {"a", optional_column("gen_w"), IF_MC("mc_x")}, "produces": {"out"},
+         "call_func": call},
+    )
+    # data df without gen_w/mc_x: optional + condition-false columns are
+    # dropped from the prune set, the chain runs without error
+    df = spark.createDataFrame([(3, 1)], "a: int, unused: int")
+    out = StageChain([prod(dataset_inst=Dataset("d", 1, is_mc=False))]).run(df)
+    assert out.select("out").first().out == 6
+    assert "unused" not in out.columns
+    # mc df missing the REQUIRED conditional column still raises
+    with pytest.raises(ValueError, match="missing"):
+        StageChain([prod(dataset_inst=Dataset("m", 2, is_mc=True))]).run(df)
+    # present optional column flows through
+    df2 = spark.createDataFrame([(3, 5.0, 7.0)], "a: int, gen_w: double, mc_x: double")
+    out2 = StageChain([prod(dataset_inst=Dataset("m2", 3, is_mc=True))]).run(df2)
+    assert out2.select("out_w").first().out_w == 15.0

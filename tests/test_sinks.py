@@ -79,15 +79,6 @@ def test_file_branch_map(spark, sf_dir, tmp_path):
     assert sum(r["count"] for r in rows) == load_table(spark, sf_dir, "orders").count()
 
 
-def test_render_gated_without_matplotlib(spark, sf_dir):
-    import pytest
-
-    from columnflow_spark.plotting import render_stack_1d
-
-    with pytest.raises(NotImplementedError):
-        render_stack_1d([{"bin": 0, "y_low": 0.0, "y_high": 1.0}])
-
-
 def test_ratio_plot_data(spark, sf_dir):
     from pyspark.sql import functions as F
 
