@@ -58,8 +58,10 @@ BENCH_QUERIES = [
     "pack_sequences",
     "corpus_curation_pipeline",
     "decontaminate_eval_overlap",
+    "dedup_embedding_cosine_lsh",
     # single-pass distributed model fit + index build
     "ml_train_linreg",
+    "ml_interface_scores",
     "kmeans_lloyd_step",
     # pandas-UDF slow path (greedy per-event matching)
     "greedy_match_pairs",

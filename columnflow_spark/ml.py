@@ -128,17 +128,31 @@ class MLModel:
         return os.path.join(base_dir, store, leaf)
 
     def save_model(self, spark: SparkSession, artifact: dict, path: str) -> None:
-        """Persist one fold's artifact as a single-row parquet (the per-fold
-        output target; reference MLModel.output)."""
-        row = [(k, float(v)) for k, v in sorted(artifact.items())]
-        spark.createDataFrame(row, "param string, value double").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(path)
+        """Persist one fold's artifact as a small parquet file.  Written
+        driver-side with pyarrow: the artifact is a handful of scalars the
+        driver already holds (the reference likewise writes model targets
+        from the training process, not through the cluster), and a Spark
+        write job costs seconds of pure overhead per tiny file.  The file
+        stays a plain parquet directory readable by ``spark.read.parquet``
+        on any cluster."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(path, exist_ok=True)
+        keys = sorted(artifact)
+        table = pa.table(
+            {"param": pa.array(keys, pa.string()),
+             "value": pa.array([float(artifact[k]) for k in keys], pa.float64())}
+        )
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
     def open_model(self, spark: SparkSession, path: str) -> dict:
         """Load a fold artifact written by :meth:`save_model` (reference
         MLModel.open_model)."""
-        return {r.param: r.value for r in spark.read.parquet(path).collect()}
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        return dict(zip(t.column("param").to_pylist(), t.column("value").to_pylist()))
 
     def run_training(
         self,
@@ -149,13 +163,20 @@ class MLModel:
         """k-fold training loop (reference MLTraining task): for each fold,
         fit on the complement and optionally persist the artifact."""
         with_fold = df.withColumn("fold", self.fold_column())
-        models: dict[int, dict] = {}
-        for k in range(self.folds):
-            artifact = self.train(spark, with_fold.filter(F.col("fold") != k), k)
-            if output_dir is not None:
+        models = self._train_artifacts(spark, with_fold)
+        if output_dir is not None:
+            for k, artifact in models.items():
                 self.save_model(spark, artifact, self.output_path(output_dir, k))
-            models[k] = artifact
         return models
+
+    def _train_artifacts(self, spark: SparkSession, with_fold: DataFrame) -> dict[int, dict]:
+        """Default: one :meth:`train` job per fold on its complement.
+        Models whose fit is a sufficient-statistics aggregation should
+        override this with a single grouped pass (see LinregDemo)."""
+        return {
+            k: self.train(spark, with_fold.filter(F.col("fold") != k), k)
+            for k in range(self.folds)
+        }
 
     def run_evaluation(
         self,
@@ -213,11 +234,11 @@ class LinregDemo(MLModel):
             }
         )
 
-    def train(self, spark: SparkSession, df: DataFrame, fold: int) -> dict:
-        from columnflow_spark.queries.physics import _det3
+    _SUFF = ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
 
-        f = self._features(df)
-        s = f.agg(
+    @staticmethod
+    def _suff_aggs() -> list:
+        return [
             F.count(F.lit(1)).cast("double").alias("n"),
             F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
             F.sum(F.col("x1") * F.col("x1")).alias("s11"),
@@ -226,12 +247,34 @@ class LinregDemo(MLModel):
             F.sum("y").alias("sy"),
             F.sum(F.col("x1") * F.col("y")).alias("s1y"),
             F.sum(F.col("x2") * F.col("y")).alias("s2y"),
-        ).first()
-        det = _det3(s.n, s.s1, s.s2, s.s1, s.s11, s.s12, s.s2, s.s12, s.s22)
-        det0 = _det3(s.sy, s.s1, s.s2, s.s1y, s.s11, s.s12, s.s2y, s.s12, s.s22)
-        det1 = _det3(s.n, s.sy, s.s2, s.s1, s.s1y, s.s12, s.s2, s.s2y, s.s22)
-        det2 = _det3(s.n, s.s1, s.sy, s.s1, s.s11, s.s1y, s.s2, s.s12, s.s2y)
+        ]
+
+    @staticmethod
+    def _betas(s: dict) -> dict:
+        from columnflow_spark.queries.physics import _det3
+
+        det = _det3(s["n"], s["s1"], s["s2"], s["s1"], s["s11"], s["s12"], s["s2"], s["s12"], s["s22"])
+        det0 = _det3(s["sy"], s["s1"], s["s2"], s["s1y"], s["s11"], s["s12"], s["s2y"], s["s12"], s["s22"])
+        det1 = _det3(s["n"], s["sy"], s["s2"], s["s1"], s["s1y"], s["s12"], s["s2"], s["s2y"], s["s22"])
+        det2 = _det3(s["n"], s["s1"], s["sy"], s["s1"], s["s11"], s["s1y"], s["s2"], s["s12"], s["s2y"])
         return {"beta0": det0 / det, "beta1": det1 / det, "beta2": det2 / det}
+
+    def train(self, spark: SparkSession, df: DataFrame, fold: int) -> dict:
+        s = self._features(df).agg(*self._suff_aggs()).first()
+        return self._betas(s.asDict())
+
+    def _train_artifacts(self, spark: SparkSession, with_fold: DataFrame) -> dict[int, dict]:
+        """All folds in ONE pass: sufficient statistics grouped by fold,
+        complement = total - fold (exact — the features are integer-valued
+        doubles), betas per fold driver-side.  Identical arithmetic to the
+        oracle's tot-minus-fold CTE, and k-fold training costs one scan
+        instead of k."""
+        per_fold = {r["fold"]: r.asDict() for r in with_fold.transform(self._features).groupBy("fold").agg(*self._suff_aggs()).collect()}
+        tot = {k: sum(s[k] for s in per_fold.values()) for k in self._SUFF}
+        return {
+            f: self._betas({k: tot[k] - s[k] for k in self._SUFF})
+            for f, s in sorted(per_fold.items())
+        }
 
     def evaluate(self, df: DataFrame, models: dict[int, dict]) -> DataFrame:
         f = self._features(df)
