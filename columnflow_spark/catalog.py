@@ -235,6 +235,56 @@ class Category(UniqueObject):
         return " AND ".join(f"({s})" for s in sels)
 
 
+class Shift(UniqueObject):
+    """Systematic variation (reference ``od.Shift``): ``<source>_<direction>``
+    naming, with ``column_aliases`` aux mapping nominal column names to the
+    shifted source columns.  Bridged to the execution layer via
+    :meth:`to_plan_shift` (plans/shifts.py applies the aliases right after
+    the scan, reference add_ak_aliases columnar_util.py:803)."""
+
+    UP = "up"
+    DOWN = "down"
+    NOMINAL = "nominal"
+
+    def __init__(self, name: str, id: int, **kwargs) -> None:
+        super().__init__(name, id, **kwargs)
+        self.source, self.direction = self.split_name(name)
+
+    @classmethod
+    def join_name(cls, source: str, direction: str) -> str:
+        if direction == cls.NOMINAL:
+            return cls.NOMINAL
+        if direction not in (cls.UP, cls.DOWN):
+            raise ValueError(f"unknown shift direction {direction!r}")
+        return f"{source}_{direction}"
+
+    @classmethod
+    def split_name(cls, name: str) -> tuple[str, str]:
+        if name == cls.NOMINAL:
+            return cls.NOMINAL, cls.NOMINAL
+        source, sep, direction = name.rpartition("_")
+        if not sep or direction not in (cls.UP, cls.DOWN):
+            raise ValueError(f"invalid shift name {name!r} (want <source>_<up|down>)")
+        return source, direction
+
+    @property
+    def is_up(self) -> bool:
+        return self.direction == self.UP
+
+    @property
+    def is_down(self) -> bool:
+        return self.direction == self.DOWN
+
+    @property
+    def column_aliases(self) -> dict[str, str]:
+        return self.aux.setdefault("column_aliases", {})
+
+    def to_plan_shift(self):
+        from columnflow_spark.plans.shifts import Shift as PlanShift
+
+        return PlanShift(self.name, dict(self.column_aliases))
+
+
 class Config(UniqueObject):
     """Per-campaign configuration holding the object registries (reference
     ``od.Config``).  Categories added at config level are roots of the
@@ -269,8 +319,14 @@ class Config(UniqueObject):
     def add_channel(self, name: str, id: int, **kwargs) -> Channel:
         return self.channels.add(Channel(name, id, **kwargs))
 
-    def add_shift(self, name: str, id: int, **kwargs) -> UniqueObject:
-        return self.shifts.add(UniqueObject(name, id, **kwargs))
+    def add_shift(self, name: str, id: int, **kwargs) -> Shift:
+        return self.shifts.add(Shift(name, id, **kwargs))
+
+    def get_shift(self, key: str | int) -> Shift:
+        return self.shifts.get(key)
+
+    def has_shift(self, key: str | int) -> bool:
+        return self.shifts.has(key)
 
     def add_variable(self, name: str, id: int, **kwargs) -> UniqueObject:
         return self.variables.add(UniqueObject(name, id, **kwargs))
@@ -459,6 +515,34 @@ def create_category_combinations(
                     for cat in root_cats.values():
                         cat.add_category(new_cat)
     return n_created
+
+
+def add_shift_aliases(config: Config, shift_source: str, aliases: dict[str, str]) -> None:
+    """Assign column aliases to the up and down shifts of *shift_source*
+    (reference config_util.py:285): ``{direction}``/``{name}``/``{source}``
+    template fields in keys and values are substituted per shift.
+
+    Example::
+
+        add_shift_aliases(cfg, "pdf", {"pdf_weight": "pdf_weight_{direction}"})
+        # pdf_up   gets {"pdf_weight": "pdf_weight_up"}
+        # pdf_down gets {"pdf_weight": "pdf_weight_down"}
+    """
+    for direction in (Shift.UP, Shift.DOWN):
+        shift = config.get_shift(Shift.join_name(shift_source, direction))
+        fields = {"name": shift.name, "id": shift.id, "source": shift.source, "direction": shift.direction}
+        shift.column_aliases.update(
+            {k.format(**fields): v.format(**fields) for k, v in aliases.items()}
+        )
+
+
+def get_shifts_from_sources(config: Config, *shift_sources: str) -> list[Shift]:
+    """Both directions for each source (reference config_util.py:337)."""
+    return [
+        config.get_shift(Shift.join_name(src, d))
+        for src in shift_sources
+        for d in (Shift.UP, Shift.DOWN)
+    ]
 
 
 # ---------------------------------------------------------------------------

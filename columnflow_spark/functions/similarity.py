@@ -106,19 +106,34 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> list[Column]:
     return keys
 
 
-def simhash64(token_hashes: Column) -> Column:
+def simhash64(token_hashes: Column, n_bits: int = 64) -> Column:
     """64-bit SimHash: for each bit, vote +1/-1 per token hash bit, take the
-    sign.  Compiled as 64 aggregate expressions over the token-hash array."""
-    def bit_vote(i: int):
-        return lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    sign.
 
-    out = F.lit(0).cast("long")
-    for i in range(64):
-        vote = F.aggregate(token_hashes, F.lit(0), bit_vote(i))
-        # shiftleft, not (1 << i) literals: 1 << 63 overflows a signed long
-        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        out = out.bitwiseOR(F.shiftleft(bit, i))
-    return out
+    Single pass over the token-hash array: the aggregate's accumulator is an
+    array of ``n_bits`` vote counters updated per token (``zip_with``
+    against a bit-index sequence, ``bit_get`` takes a *column* position —
+    the shift functions don't), then the finisher packs the vote signs into
+    one long.  The naive form — one ``aggregate`` per bit — walks every
+    document's shingle list 64 times; this walks it once.
+
+    Packing uses ``pow(2, i)`` (exact in double for i <= 62); bit 63 packs
+    only if its vote is positive, which the engine's 60-bit token hashes
+    (15 hex chars) can never produce."""
+    idx = F.sequence(F.lit(0), F.lit(n_bits - 1))
+    votes = F.aggregate(
+        token_hashes,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, h: F.zip_with(
+            acc, idx, lambda c, i: c + F.when(F.bit_get(h, i) == 1, 1).otherwise(-1)
+        ),
+    )
+    bits = F.zip_with(
+        votes,
+        idx,
+        lambda c, i: F.when(c > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda s, b: s.bitwiseOR(b))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -306,6 +306,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = hashed.select(
         "doc_id", "sh", F.posexplode(blocks).alias("block_idx", "block_val")
     )
+    # hash-partition on the bucket key BEFORE self-joining: both join sides
+    # then carry an identical Exchange, so Spark plans the second as a
+    # ReusedExchange — the md5-shingle simhash projection (the expensive
+    # part) runs once instead of twice, and the bucket join is co-located
+    banded = banded.repartition(
+        spark.sparkContext.defaultParallelism, "block_idx", "block_val"
+    )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

@@ -111,3 +111,47 @@ def compact_to_target_size(
         writer = writer.option("maxRecordsPerFile", rows_per_file)
     writer.parquet(dst_path)
     return n_files
+
+
+def write_json_lines(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Iterable[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Distributed JSON-lines sink (sorted fields, one object per line) —
+    the export twin of :func:`columnflow_spark.sources.load_json`; the
+    reference's json side outputs for interchange with non-parquet tooling
+    (e.g. tasks/selection.py stats targets)."""
+    out = sort_fields(df)
+    writer = out.write.mode(mode)
+    partition_by = list(partition_by)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
+def write_side_output(obj: object, path: str) -> str:
+    """Driver-side JSON side sink for small summary objects — selection
+    stats, cutflow dictionaries, normalization sums (the reference persists
+    these as pickle/json law targets next to the event data,
+    tasks/selection.py:260 stats output).  Atomic write (tmp + rename);
+    keys are sorted so re-runs are byte-identical."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh, sort_keys=True, indent=2, default=str)
+        fh.write("\n")
+    os.replace(tmp, path)
+    return path
+
+
+def read_side_output(path: str) -> object:
+    import json
+
+    with open(path) as fh:
+        return json.load(fh)

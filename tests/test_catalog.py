@@ -178,3 +178,26 @@ def test_leaf_category_ids_column(spark):
     assert rows[("e", 0)] == {cfg.get_category("e__eq0j").id}
     assert rows[("e", 2)] == {cfg.get_category("e__ge2j").id}
     assert rows[("mu", 1)] == {cfg.get_category("mu__eq1j").id}
+
+
+def test_shift_aliases_and_plan_bridge(spark):
+    from columnflow_spark.catalog import Shift, add_shift_aliases, get_shifts_from_sources
+    from columnflow_spark.plans.shifts import apply_shift_aliases
+
+    cfg = make_config()
+    cfg.add_shift("price_up", 1)
+    cfg.add_shift("price_down", 2)
+    add_shift_aliases(cfg, "price", {"price": "price_{direction}"})
+    up = cfg.get_shift("price_up")
+    assert up.source == "price" and up.is_up and not up.is_down
+    assert up.column_aliases == {"price": "price_up"}
+    assert cfg.get_shift("price_down").column_aliases == {"price": "price_down"}
+    assert [s.name for s in get_shifts_from_sources(cfg, "price")] == ["price_up", "price_down"]
+    with pytest.raises(ValueError):
+        Shift("bogus", 9)
+
+    # the alias map applies right after the scan: downstream reads the
+    # shifted values under the nominal name
+    df = spark.createDataFrame([(1.0, 1.1, 0.9)], "price double, price_up double, price_down double")
+    shifted = apply_shift_aliases(df, up.to_plan_shift())
+    assert shifted.select("price").first().price == 1.1

@@ -122,3 +122,29 @@ def test_csv_json_sources_round_trip(spark, sf_dir, tmp_path):
     assert back_json.schema.simpleString() == orders.schema.simpleString()
     assert back_json.count() == orders.count()
     assert back_json.agg(F.sum("o_orderkey")).first()[0] == orders.agg(F.sum("o_orderkey")).first()[0]
+
+
+def test_json_lines_sink_round_trip(spark, sf_dir, tmp_path):
+    from columnflow_spark.sources import load_json, load_table
+    from columnflow_spark.sources.sinks import write_json_lines
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    out = str(tmp_path / "orders_json")
+    write_json_lines(orders, out)
+    back = load_json(spark, out, "o_orderkey bigint, o_orderstatus string, o_totalprice double")
+    assert back.count() == orders.count()
+    a = orders.agg(F.sum("o_totalprice").alias("s")).first().s
+    b = back.agg(F.sum("o_totalprice").alias("s")).first().s
+    assert abs(a - b) < 1e-6
+
+
+def test_side_output_round_trip(tmp_path):
+    from columnflow_spark.sources.sinks import read_side_output, write_side_output
+
+    stats = {"n_events": 1000, "sum_weights": 123.5, "steps": {"met": 900, "jet": 800}}
+    p = write_side_output(stats, str(tmp_path / "stats" / "selection_stats.json"))
+    assert read_side_output(p) == stats
+    # deterministic bytes across re-runs (sorted keys)
+    c1 = open(p, "rb").read()
+    write_side_output(dict(reversed(list(stats.items()))), p)
+    assert open(p, "rb").read() == c1
