@@ -285,6 +285,44 @@ class Shift(UniqueObject):
         return PlanShift(self.name, dict(self.column_aliases))
 
 
+class VariableDef(UniqueObject):
+    """Catalog entry for a histogram variable (reference ``od.Variable``:
+    name, expression, binning, null_value, plus aux like ``selection``,
+    ``log_x``, ``x_title`` — SURVEY §1.5).  :meth:`to_hist_variable`
+    hands the definition to the hist engine."""
+
+    def __init__(
+        self,
+        name: str,
+        id: int,
+        expression: str | None = None,
+        binning=None,
+        null_value: float | None = None,
+        **kwargs,
+    ) -> None:
+        super().__init__(name, id, **kwargs)
+        self.expression = expression if expression is not None else name
+        self.binning = binning
+        self.null_value = null_value
+
+    @property
+    def selection(self) -> str | None:
+        """Optional row-level SQL predicate applied before filling
+        (reference od.Variable.selection)."""
+        return self.x("selection", None)
+
+    @property
+    def log_x(self) -> bool:
+        return bool(self.x("log_x", False))
+
+    def to_hist_variable(self):
+        from columnflow_spark.hist.axes import Variable
+
+        if self.binning is None:
+            raise ValueError(f"variable {self.name!r} has no binning")
+        return Variable(self.name, self.expression, self.binning, self.null_value, aux=dict(self.aux))
+
+
 class Config(UniqueObject):
     """Per-campaign configuration holding the object registries (reference
     ``od.Config``).  Categories added at config level are roots of the
@@ -328,8 +366,11 @@ class Config(UniqueObject):
     def has_shift(self, key: str | int) -> bool:
         return self.shifts.has(key)
 
-    def add_variable(self, name: str, id: int, **kwargs) -> UniqueObject:
-        return self.variables.add(UniqueObject(name, id, **kwargs))
+    def add_variable(self, name: str, id: int, **kwargs) -> VariableDef:
+        return self.variables.add(VariableDef(name, id, **kwargs))
+
+    def get_variable(self, key: str | int) -> VariableDef:
+        return self.variables.get(key)
 
     # -- categories ---------------------------------------------------------
     def add_category(self, category: Category | str, id: int | None = None, **kwargs) -> Category:

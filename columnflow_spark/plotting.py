@@ -73,6 +73,94 @@ def ratio_plot_data(
     )
 
 
+def heatmap_plot_data(
+    hist: DataFrame,
+    bin_x: str,
+    bin_y: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """2-D plot table (reference plotting/plot_functions_2d.py:36
+    ``plot_2d``): per-cell weight plus the row-normalized share, computed
+    with one grouped pass + a broadcast-size per-row total."""
+    cells = hist.groupBy(bin_x, bin_y).agg(F.sum("sum_w").alias("w"))
+    w_row = W.partitionBy(bin_x)
+    return cells.select(
+        F.col(bin_x),
+        F.col(bin_y),
+        F.round("w", round_to).alias("w"),
+        F.round(F.col("w") / F.sum("w").over(w_row), round_to).alias("row_share"),
+    )
+
+
+def render_heatmap_2d(
+    rows,
+    title: str = "",
+    out_path: str | None = None,
+    width: int = 640,
+    height: int = 480,
+    value_col: str = "w",
+) -> str:
+    """Draw a 2-D cell map from :func:`heatmap_plot_data` rows —
+    matplotlib ``pcolormesh`` when importable, else the SVG fallback
+    (linear white→blue ramp, per-cell tooltips)."""
+    data = _normalize_rows(rows)
+    if not data:
+        raise ValueError("no heatmap rows to render")
+    cols = list(data[0])
+    bx, by = cols[0], cols[1]
+    xs = sorted({r[bx] for r in data})
+    ys = sorted({r[by] for r in data})
+    vmax = max(r[value_col] for r in data) or 1.0
+
+    try:
+        import matplotlib  # noqa: PLC0415
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt  # noqa: PLC0415
+
+        grid = [[0.0] * len(xs) for _ in ys]
+        for r in data:
+            grid[ys.index(r[by])][xs.index(r[bx])] = r[value_col]
+        fig, ax = plt.subplots(figsize=(width / 96, height / 96))
+        mesh = ax.pcolormesh(grid, cmap="Blues")
+        fig.colorbar(mesh, ax=ax)
+        ax.set_title(title)
+        if out_path:
+            fig.savefig(out_path)
+            plt.close(fig)
+            return out_path
+        return fig  # pragma: no cover - interactive use
+    except ImportError:
+        pass
+
+    pad = 40
+    cw = (width - 2 * pad) / len(xs)
+    ch = (height - 2 * pad) / len(ys)
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
+        f'viewBox="0 0 {width} {height}">',
+        f'<text x="{width / 2}" y="14" text-anchor="middle" font-size="12">{title}</text>',
+    ]
+    for r in data:
+        i, j = xs.index(r[bx]), ys.index(r[by])
+        frac = r[value_col] / vmax
+        # white -> steel blue ramp
+        red = int(255 - 200 * frac)
+        green = int(255 - 140 * frac)
+        parts.append(
+            f'<rect x="{pad + i * cw:.1f}" y="{pad + j * ch:.1f}" width="{cw:.1f}" '
+            f'height="{ch:.1f}" fill="rgb({red},{green},255)">'
+            f"<title>{r[bx]},{r[by]}: {r[value_col]}</title></rect>"
+        )
+    parts.append("</svg>")
+    svg = "\n".join(parts)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(svg)
+        return out_path
+    return svg
+
+
 # deterministic process palette (okabe-ito-ish, colorblind-safe)
 _PALETTE = ("#0072b2", "#e69f00", "#009e73", "#cc79a7", "#d55e00", "#56b4e9", "#f0e442", "#999999")
 

@@ -58,3 +58,44 @@ def test_render_rejects_empty():
 
     with pytest.raises(ValueError):
         render_stack_1d([])
+
+
+def test_heatmap_2d_from_query(spark, sf_dir, tmp_path):
+    from columnflow_spark.plotting import heatmap_plot_data, render_heatmap_2d
+    from columnflow_spark.queries import all_queries
+
+    hist2d = all_queries()["hist_2d_flag_price"](spark, sf_dir)
+    cols = hist2d.columns
+    bx = next(c for c in cols if not c.startswith(("n", "sum")))
+    by = next(c for c in cols if c.startswith("bin"))
+    cells = heatmap_plot_data(hist2d, bx, by)
+    rows = cells.collect()
+    # row shares sum to ~1 per x
+    import collections
+    acc = collections.defaultdict(float)
+    for r in rows:
+        acc[r[bx]] += r["row_share"]
+    assert all(abs(v - 1.0) < 0.01 for v in acc.values())
+    out = render_heatmap_2d(rows, title="flag x price", out_path=str(tmp_path / "h.svg"))
+    content = open(out).read()
+    assert content.count("<rect") == len(rows) and "</svg>" in content
+
+
+def test_catalog_variable_drives_hist(spark, sf_dir):
+    from columnflow_spark.catalog import Config
+    from columnflow_spark.hist.fill import fill_hist
+    from columnflow_spark.sources import load_table
+
+    cfg = Config("c", 1)
+    cfg.add_variable(
+        "price", 1, expression="l_extendedprice", binning=(10, 0.0, 110000.0),
+        aux={"selection": "l_quantity >= 25", "log_x": True, "x_title": "price"},
+    )
+    v = cfg.get_variable("price")
+    assert v.log_x and v.selection == "l_quantity >= 25"
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import functions as F
+    h = fill_hist(li.filter(F.expr(v.selection)), [v.to_hist_variable()])
+    total = h.agg(F.sum("n").alias("n")).first().n
+    direct = li.filter("l_quantity >= 25").count()
+    assert total == direct
