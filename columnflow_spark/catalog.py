@@ -343,8 +343,16 @@ class Config(UniqueObject):
             process = Process(process, id, **kwargs)
         return self.processes.add(process)
 
-    def get_process(self, key: str | int) -> Process:
-        return self.processes.get(key)
+    def get_process(self, key: str | int, deep: bool = True) -> Process:
+        """Look up a process; ``deep`` (default) searches the whole
+        sub-process tree like the reference's ``od.Config.get_process``."""
+        if not deep:
+            return self.processes.get(key)
+        for root in self.processes:
+            for p in root.walk_processes():
+                if p.name == key or p.id == key:
+                    return p
+        raise ValueError(f"unknown Process {key!r}")
 
     def add_dataset(self, dataset: Dataset | str, id: int | None = None, **kwargs) -> Dataset:
         if isinstance(dataset, str):
