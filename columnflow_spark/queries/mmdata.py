@@ -1884,3 +1884,178 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- PII redaction (training-data hygiene: mask emails/IPs/phones before
+# training; the synthetic corpus carries none, so the query deterministically
+# injects doc_id-derived PII first, then redacts — both sides replicate the
+# injection, so the compare verifies the *redaction regexes*, which use only
+# RE2-and-Java-common syntax: character classes + bounded repetition, no
+# lookaround).  Pure codegen regexp_replace: one scan, no shuffle beyond the
+# final per-source rollup. ---
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_IP_RE = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, source,
+               text || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact u' || doc_id || '@example.com or 10.0.' || (doc_id % 256) || '.1'
+                   ELSE '' END AS t
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id, source, t,
+               regexp_replace(
+                   regexp_replace(t, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PII_IP_RE}', '<IP>', 'g') AS clean
+        FROM seeded
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE t <> clean) AS BIGINT) AS n_pii_docs,
+           CAST(sum(length(t) - length(clean)) AS BIGINT) AS chars_removed
+    FROM red
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    seeded = docs.withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact u"), F.col("doc_id"), F.lit("@example.com or 10.0."),
+                    F.col("doc_id") % 256, F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _PII_EMAIL_RE, "<EMAIL>"), _PII_IP_RE, "<IP>"
+    )
+    return (
+        seeded.withColumn("clean", clean)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("t") != F.col("clean")).alias("n_pii_docs"),
+            F.sum(F.length("t") - F.length("clean")).alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- overlapping document chunking (embedding/RAG prep: fixed-size word
+# windows with stride overlap; the downstream embedder consumes chunks, so
+# chunk identity must be deterministic).  sequence() generates the window
+# starts in-row, transform+slice builds each chunk, one explode — no UDF,
+# no shuffle until the rollup. ---
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, ts, unnest(range(0, len(ts), {_CHUNK_STRIDE})) AS i
+        FROM toks WHERE len(ts) > 0
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) // {_CHUNK_STRIDE} AS chunk_idx,
+               len(ts[i + 1 : least(i + {_CHUNK_SIZE}, len(ts))]) AS n_words
+        FROM starts
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_words) AS BIGINT) AS total_chunk_words,
+           CAST(max(n_words) AS BIGINT) AS max_chunk_words
+    FROM chunks
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    ts = F.filter(F.split("text", " "), lambda w: w != "")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(ts) - 1, F.lit(0)), F.lit(_CHUNK_STRIDE))
+    chunks = (
+        docs.withColumn("ts", ts)
+        .filter(F.size("ts") > 0)
+        .select("doc_id", F.explode(starts).alias("start"), F.col("ts"))
+        .select(
+            "doc_id",
+            (F.col("start") / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.size(
+                F.slice(
+                    "ts", F.col("start") + 1,
+                    F.least(F.lit(_CHUNK_SIZE), F.size("ts") - F.col("start")),
+                )
+            ).alias("n_words"),
+        )
+    )
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_words").alias("total_chunk_words"),
+            F.max("n_words").cast("long").alias("max_chunk_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- BPE merge-step pair counting (tokenizer training: count adjacent
+# symbol pairs across the corpus — one iteration of the BPE loop; at scale
+# this is THE shuffle-heavy step of tokenizer training and maps to
+# explode-pairs + count, with map-side partial aggregation doing the heavy
+# lifting).  Characters here, ranked top-20 with a total tie-break. ---
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT substring(w, CAST(i AS INT), 2) AS pair
+        FROM (SELECT w, unnest(range(1, length(w))) AS i FROM words WHERE length(w) >= 2)
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["text"])
+    words = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
