@@ -148,3 +148,25 @@ def test_side_output_round_trip(tmp_path):
     c1 = open(p, "rb").read()
     write_side_output(dict(reversed(list(stats.items()))), p)
     assert open(p, "rb").read() == c1
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    # the dataset=/shift= hive layout is only worth its write cost if a
+    # dataset filter prunes partitions at PLANNING time — assert the scan
+    # node carries the partition filter and reads one partition's rows
+    import contextlib, io
+
+    from columnflow_spark.sources.sinks import write_events
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "dataset", F.when(F.col("o_orderkey") % 2 == 0, "even").otherwise("odd")
+    )
+    path = str(tmp_path / "store")
+    write_events(orders, path, partition_by=["dataset"])
+    pruned = spark.read.parquet(path).filter(F.col("dataset") == "even")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "dataset" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert pruned.count() == orders.filter(F.col("o_orderkey") % 2 == 0).count()
