@@ -49,8 +49,9 @@ def tune_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    # Arrow for the toPandas the compare harness does on every result
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # deliberately NOT touching result-representation confs (e.g. Arrow
+    # collect): they change collected dtypes, and the external compare
+    # harness hashed round-1 results without them — plan-side tuning only.
 
 _MODULES = (
     "columnflow_spark.queries.relational",
