@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "pack_sequences",
     "corpus_curation_pipeline",
     "decontaminate_eval_overlap",
+    "pii_redact",
+    "doc_chunk_overlap",
+    # config-driven analysis template (catalog -> plan compilation)
+    "analysis_template_yields",
     "dedup_embedding_cosine_lsh",
     # single-pass distributed model fit + index build
     "ml_train_linreg",

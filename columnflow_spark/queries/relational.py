@@ -1165,7 +1165,8 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r_name = 'EUROPE'
         GROUP BY l_partkey, l_suppkey
     )
-    SELECT p_partkey, p_brand, s_name, round(unit_price, 4) AS unit_price
+    SELECT p_partkey, p_brand, s_name,
+           CAST(round(unit_price * 10000) AS BIGINT) AS unit_price_e4
     FROM (
         SELECT l_partkey, l_suppkey, unit_price,
                row_number() OVER (
@@ -1208,7 +1209,15 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         best.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("p_partkey", "p_brand", "s_name", F.round("unit_price", 4).alias("unit_price"))
+        # integer-scaled price: both engines round the SAME exact double
+        # (price/qty of integer-valued doubles) to the nearest integer --
+        # immune to the engines' differing round(x, 4) tie handling, which
+        # flipped 3 knife-edge rows at sf0.1 (DuckDB rounds in floating
+        # point, Spark via BigDecimal)
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            F.round(F.col("unit_price") * 10000).cast("long").alias("unit_price_e4"),
+        )
         .orderBy("p_partkey")
     )
 

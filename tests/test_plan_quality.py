@@ -169,6 +169,17 @@ def test_embedding_dedup_no_full_self_join(spark, sf_dir):
     assert "CartesianProduct" not in plan_lsh
 
 
+def test_analysis_template_joinless(spark, sf_dir):
+    # the config-driven template compiles to case-whens + a shift union +
+    # one groupBy: any Join node means the catalog compilation regressed
+    # to a lookup join
+    plan = _plan(spark, sf_dir, "analysis_template_yields")
+    import re
+
+    assert not re.search(r"\bJoin\b", plan.split("==")[1])
+    assert "Union" in plan
+
+
 def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     # train grams must stream past a broadcast of the (small) eval gram
     # set — never shuffle-join the full corpus against itself
