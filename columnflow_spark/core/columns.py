@@ -147,6 +147,55 @@ def flatten_table(df: DataFrame, fmt: str = "dot") -> DataFrame:
     return df.select(*cols)
 
 
+def has_column(df: DataFrame, route: Route | str) -> bool:
+    """Whether the (possibly nested) route exists in the schema (reference
+    ``has_ak_column``, columnar_util.py:773): descends structs and
+    arrays-of-struct field by field."""
+    route = Route(route)
+    dt: T.DataType = df.schema
+    for name in route.fields:
+        if isinstance(dt, T.ArrayType):
+            dt = dt.elementType
+        if not isinstance(dt, T.StructType) or name not in dt.fieldNames():
+            return False
+        dt = dt[name].dataType
+    return True
+
+
+def nest_nano_columns(df: DataFrame) -> DataFrame:
+    """Flat nano-style columns -> nested collections (reference
+    ``attach_nano_schema``: NanoAOD ships ``Jet_pt``/``Jet_eta`` flat
+    arrays that become the per-event ``Jet`` collection).  Columns sharing
+    an underscore prefix whose members are all arrays zip into one
+    ``array<struct>`` via ``arrays_zip`` (positional, in-row, no shuffle);
+    all-scalar groups nest into a struct; ungrouped columns pass through.
+    The inverse of :func:`flatten_table` with ``fmt="nano"``."""
+    groups: dict[str, list[str]] = {}
+    singles: list[str] = []
+    for c in df.columns:
+        head, sep, tail = c.partition("_")
+        if sep and tail:
+            groups.setdefault(head, []).append(c)
+        else:
+            singles.append(c)
+    out_cols: list[Column] = [F.col(c) for c in singles]
+    dtypes = dict(df.dtypes)
+    for head, members in groups.items():
+        if len(members) == 1:
+            out_cols.append(F.col(members[0]))
+            continue
+        fields = [m.partition("_")[2] for m in members]
+        if all(dtypes[m].startswith("array") for m in members):
+            out_cols.append(
+                F.arrays_zip(*[F.col(m).alias(f) for m, f in zip(members, fields)]).alias(head)
+            )
+        else:
+            out_cols.append(
+                F.struct(*[F.col(m).alias(f) for m, f in zip(members, fields)]).alias(head)
+            )
+    return df.select(*out_cols)
+
+
 def _rebuild_partial(dt: T.DataType, col: Column, kept: list[tuple[tuple[str, ...], Route]]) -> Column:
     """Rebuild a struct column keeping only the listed relative paths."""
     assert isinstance(dt, T.StructType)

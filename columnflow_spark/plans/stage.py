@@ -15,12 +15,47 @@ we resolve them up front and keep everything downstream declarative.
 
 from __future__ import annotations
 
+import enum
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame
 
 from columnflow_spark.core.registry import ArrayFunction
 from columnflow_spark.core.routes import Route
+
+
+class ColumnCollection(enum.Flag):
+    """Named column sets usable in keep declarations (reference
+    ``ColumnCollection``, columnar_util.py:578): resolved against the ops
+    of a chain by operator family name, so a reduction config can say
+    "keep everything the producers made" without naming columns."""
+
+    ALL_FROM_CALIBRATOR = enum.auto()
+    ALL_FROM_SELECTOR = enum.auto()
+    ALL_FROM_REDUCER = enum.auto()
+    ALL_FROM_PRODUCER = enum.auto()
+    ALL_FROM_ML_EVALUATION = enum.auto()
+
+
+_COLLECTION_FAMILY = {
+    ColumnCollection.ALL_FROM_CALIBRATOR: "Calibrator",
+    ColumnCollection.ALL_FROM_SELECTOR: "Selector",
+    ColumnCollection.ALL_FROM_REDUCER: "Reducer",
+    ColumnCollection.ALL_FROM_PRODUCER: "Producer",
+    ColumnCollection.ALL_FROM_ML_EVALUATION: "MLModel",
+}
+
+
+def resolve_collection(collection: ColumnCollection, ops: Iterable[ArrayFunction]) -> set[Route]:
+    """Union of produced columns of every op whose family matches any flag
+    set in *collection*."""
+    families = {name for flag, name in _COLLECTION_FAMILY.items() if flag in collection}
+    out: set[Route] = set()
+    for op in ops:
+        bases = {c.__name__ for c in type(op).__mro__}
+        if bases & families:
+            out |= op.produced_columns
+    return out
 
 
 def prune_columns(df: DataFrame, routes: Iterable[Route], keep: Iterable[str] = ()) -> DataFrame:
@@ -77,6 +112,21 @@ class StageChain:
         for op in self.ops:
             out |= op.produced_columns
         return out
+
+    def filter_output(self, df: DataFrame, keep=()) -> DataFrame:
+        """Write-side keep filter (reference ReduceEvents ``keep_columns``):
+        ``keep`` entries are route patterns or :class:`ColumnCollection`
+        flags resolved against this chain's operators (e.g. keep everything
+        the producers made, without naming columns)."""
+        from columnflow_spark.core.columns import route_filter
+
+        patterns: list[str] = []
+        for k in keep:
+            if isinstance(k, ColumnCollection):
+                patterns.extend(str(r) for r in resolve_collection(k, self.ops))
+            else:
+                patterns.append(str(k))
+        return route_filter(df, keep=patterns)
 
     def run(self, df: DataFrame, prune: bool = True) -> DataFrame:
         if prune:

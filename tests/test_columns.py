@@ -105,3 +105,37 @@ def test_route_filter(events):
     assert out.schema["rec"].dataType.fieldNames() == ["a"]
     # keep everything is a no-op projection
     assert route_filter(events).columns == events.columns
+
+
+def test_has_column(spark):
+    from columnflow_spark.core.columns import has_column
+
+    df = spark.createDataFrame(
+        [(1, [(2.0, 3.0)])], "a: int, items: array<struct<pt: double, eta: double>>"
+    )
+    assert has_column(df, "a")
+    assert has_column(df, "items.pt")
+    assert not has_column(df, "items.phi")
+    assert not has_column(df, "b")
+    assert not has_column(df, "a.b")
+
+
+def test_nest_nano_columns_round_trip(spark):
+    from columnflow_spark.core.columns import flatten_table, nest_nano_columns
+
+    df = spark.createDataFrame(
+        [(1, [10.0, 20.0], [0.1, 0.2], 42.5)],
+        "event: bigint, Jet_pt: array<double>, Jet_eta: array<double>, MET_pt: double",
+    )
+    nested = nest_nano_columns(df)
+    assert dict(nested.dtypes)["Jet"].startswith("array<struct")
+    row = nested.first()
+    assert [j["pt"] for j in row.Jet] == [10.0, 20.0]
+    assert [j["eta"] for j in row.Jet] == [0.1, 0.2]
+    # single-member groups and plain columns pass through unchanged
+    # (nesting them would mangle ordinary snake_case names)
+    assert row.MET_pt == 42.5 and row.event == 1
+    # flatten(nano) is the inverse on the array collection
+    flat = flatten_table(nested, fmt="nano")
+    assert set(flat.columns) >= {"Jet_pt", "Jet_eta", "MET_pt", "event"}
+    assert flat.first()["Jet_pt"] == [10.0, 20.0]

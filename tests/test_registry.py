@@ -192,3 +192,19 @@ def test_stage_chain_optional_columns(spark):
     df2 = spark.createDataFrame([(3, 5.0, 7.0)], "a: int, gen_w: double, mc_x: double")
     out2 = StageChain([prod(dataset_inst=Dataset("m2", 3, is_mc=True))]).run(df2)
     assert out2.select("out_w").first().out_w == 15.0
+
+
+def test_column_collection_output_filter(spark):
+    from columnflow_spark.operators import producer
+    from columnflow_spark.plans.stage import ColumnCollection, StageChain
+
+    @producer(uses={"a"}, produces={"derived"})
+    def my_prod(self, df):
+        return df.withColumn("derived", F.col("a") * 2)
+
+    chain = StageChain([my_prod()], keep=("a",))
+    df = spark.createDataFrame([(3, 9)], "a: int, scratch: int")
+    out = chain.run(df.withColumn("other", F.lit(1)), prune=False)
+    # keep everything the producers made, plus an explicit pattern
+    final = chain.filter_output(out, keep=[ColumnCollection.ALL_FROM_PRODUCER, "a"])
+    assert set(final.columns) == {"a", "derived"}
