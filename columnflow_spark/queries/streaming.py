@@ -312,3 +312,89 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_attributed"),
         F.round(F.sum("p_value"), 4).alias("attributed_value"),
     )
+
+# raw schema of documents.parquet for the streaming curation path
+_DOCS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(_DOCS_RAW_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+# --- streaming corpus curation: eval-set decontamination as a stream
+# (the ingestion-time form of decontaminate_eval_overlap: documents arrive
+# as a stream, the eval shingle set is a static broadcast side, and any
+# document sharing a trigram with the eval set is dropped BEFORE it lands
+# in the training store — stream-static left-anti join, stateless, so it
+# scales to an unbounded ingest feed). ---
+@query(
+    "streaming_decontaminate_ingest",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, len(ts) - 1),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gs
+        FROM toks WHERE len(ts) >= 3
+    ),
+    eval_gram_set AS (
+        SELECT DISTINCT ug AS gram FROM grams, unnest(gs) AS t(ug) WHERE source = 'src2'
+    ),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id
+        FROM grams g, unnest(g.gs) AS t(ug)
+        WHERE g.source <> 'src2' AND ug IN (SELECT gram FROM eval_gram_set)
+    )
+    SELECT g.source, CAST(count(*) AS BIGINT) AS n_clean
+    FROM grams g
+    WHERE g.source <> 'src2' AND g.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    GROUP BY g.source
+    """,
+)
+def streaming_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.functions.text import word_shingles
+    from columnflow_spark.sources import load_table
+
+    # static side: the distinct eval trigram set collected into ONE row
+    # (small by construction — it is the eval set), broadcast to the
+    # stream; the contamination check is then an in-row arrays_overlap, so
+    # the streaming plan stays a single stream-static join + one aggregate
+    # (streaming forbids chained aggregations / stream-stream anti-joins in
+    # complete mode).  At ingest scale the per-doc check is O(|doc grams|)
+    # hash probes; the batch-side decontaminate_eval_overlap remains the
+    # form for retroactive sweeps with per-gram accounting.
+    docs_static = load_table(spark, sf_dir, "documents", columns=["doc_id", "text", "source"])
+    eval_arr = (
+        docs_static.filter(F.col("source") == "src2")
+        .select(F.explode(word_shingles(F.col("text"), 3)).alias("gram"))
+        .distinct()
+        .agg(F.collect_list("gram").alias("eval_grams"))
+    )
+    stream = (
+        _stream_documents(spark, sf_dir)
+        .filter(F.col("source") != "src2")
+        .withColumn("gs", word_shingles(F.col("text"), 3))
+        .filter(F.size("gs") >= 1)
+    )
+    clean = (
+        stream.crossJoin(F.broadcast(eval_arr))
+        .filter(~F.arrays_overlap("gs", "eval_grams"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_clean"))
+    )
+    return _run_to_memory(clean, spark, mode="complete")
