@@ -152,3 +152,40 @@ def merge_hists(hists: Iterable[DataFrame]) -> DataFrame:
         F.round(F.sum("sum_w"), 4).alias("sum_w"),
         F.round(F.sum("sum_w2"), 4).alias("sum_w2"),
     )
+
+
+def translate_intcat_to_strcat(
+    hist: DataFrame, axis: str, mapping: dict[int, str], default: str | None = None
+) -> DataFrame:
+    """Integer category axis -> string labels (reference
+    ``translate_hist_intcat_to_strcat``, hist_util.py:307), e.g. catalog
+    category ids to names for presentation.  Unmapped values keep their
+    string form unless *default* is given.  A pure projection — bins and
+    contents are untouched."""
+    expr = None
+    for k, v in mapping.items():
+        expr = F.when(F.col(axis) == k, v) if expr is None else expr.when(F.col(axis) == k, v)
+    fallback = F.lit(default) if default is not None else F.col(axis).cast("string")
+    return hist.withColumn(axis, expr.otherwise(fallback) if expr is not None else fallback)
+
+
+def add_missing_shifts(
+    hist: DataFrame,
+    expected_shifts: Iterable[str],
+    shift_axis: str = "shift",
+    nominal: str = "nominal",
+) -> DataFrame:
+    """Ensure every expected shift bin exists, copying nominal contents
+    into absent ones (reference ``add_missing_shifts``, hist_util.py:330 —
+    used when unions over datasets carry different shift sets).  The
+    missing-shift list is derived distributively (collected as a handful of
+    names), then filled with one nominal-rows cross join."""
+    present = {r[0] for r in hist.select(shift_axis).distinct().collect()}
+    missing = [s for s in expected_shifts if s not in present]
+    if not missing:
+        return hist
+    nominal_rows = hist.filter(F.col(shift_axis) == nominal).drop(shift_axis)
+    fill = nominal_rows.crossJoin(
+        hist.sparkSession.createDataFrame([(m,) for m in missing], f"{shift_axis} string")
+    ).select(hist.columns)
+    return hist.unionByName(fill)

@@ -41,3 +41,31 @@ def test_connected_components_paths_agree(spark, sf_dir):
         os.environ.pop("SPARK_GRAFT_CC_DISTRIBUTED", None)
     assert driver == loop
     assert len(driver) > 0
+
+
+def test_translate_intcat_to_strcat(spark):
+    from columnflow_spark.hist.fill import translate_intcat_to_strcat
+
+    h = spark.createDataFrame(
+        [(1, 0, 5, 5.0, 5.0), (2, 0, 3, 3.0, 3.0), (9, 1, 1, 1.0, 1.0)],
+        "category int, bin__x int, n bigint, sum_w double, sum_w2 double",
+    )
+    out = translate_intcat_to_strcat(h, "category", {1: "signal", 2: "background"})
+    got = {r.category: r.n for r in out.collect()}
+    assert got == {"signal": 5, "background": 3, "9": 1}
+    out2 = translate_intcat_to_strcat(h, "category", {1: "signal"}, default="other")
+    assert {r.category for r in out2.collect()} == {"signal", "other"}
+
+
+def test_add_missing_shifts(spark):
+    from columnflow_spark.hist.fill import add_missing_shifts
+
+    h = spark.createDataFrame(
+        [("nominal", 0, 10, 10.0, 10.0), ("price_up", 0, 12, 12.0, 12.0)],
+        "shift string, bin__x int, n bigint, sum_w double, sum_w2 double",
+    )
+    out = add_missing_shifts(h, ["nominal", "price_up", "price_down"])
+    rows = {(r.shift, r.bin__x): r.n for r in out.collect()}
+    # the absent shift got nominal's contents; present shifts untouched
+    assert rows[("price_down", 0)] == 10 and rows[("price_up", 0)] == 12
+    assert add_missing_shifts(out, ["nominal", "price_up", "price_down"]).count() == 3
