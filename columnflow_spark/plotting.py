@@ -305,3 +305,48 @@ def render_stack_1d(
             fh.write(svg)
         return out_path
     return svg
+
+
+def apply_density(hist: DataFrame, bin_col: str, edges: list[float], round_to: int = 4) -> DataFrame:
+    """Density normalization: cell weight divided by its bin width
+    (reference plot_util.py:383 ``apply_density``).  Flow/null bins get
+    width 1 (the reference divides by the in-range widths only)."""
+    width = None
+    for i in range(len(edges) - 1):
+        w = edges[i + 1] - edges[i]
+        width = F.when(F.col(bin_col) == i, w) if width is None else width.when(F.col(bin_col) == i, w)
+    width = width.otherwise(F.lit(1.0))
+    return hist.withColumn("sum_w", F.round(F.col("sum_w") / width, round_to)).withColumn(
+        "sum_w2", F.round(F.col("sum_w2") / (width * width), round_to)
+    )
+
+
+def remove_negative_contributions(hist: DataFrame) -> DataFrame:
+    """Clamp negative cell weights to zero (reference plot_util.py:322 —
+    negative MC weights can push a stacked cell below zero; plotting and
+    datacard rates require non-negative yields)."""
+    neg = F.col("sum_w") < 0
+    return hist.withColumn("sum_w2", F.when(neg, 0.0).otherwise(F.col("sum_w2"))).withColumn(
+        "sum_w", F.when(neg, 0.0).otherwise(F.col("sum_w"))
+    )
+
+
+def blind_sensitive_bins(
+    data_hist: DataFrame,
+    signal_hist: DataFrame,
+    background_hist: DataFrame,
+    bin_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Remove data cells where the per-bin S/sqrt(B) exceeds *threshold*
+    (reference plot_util.py:984 ``blind_sensitive_bins``): the analyst
+    never sees data in signal-sensitive regions until unblinding.  One
+    broadcast join of the (tiny) per-bin significance table."""
+    sig = signal_hist.groupBy(bin_col).agg(F.sum("sum_w").alias("s"))
+    bkg = background_hist.groupBy(bin_col).agg(F.sum("sum_w").alias("b"))
+    sensitive = (
+        sig.join(bkg, bin_col)
+        .filter(F.col("s") / F.sqrt(F.greatest(F.col("b"), F.lit(1e-9))) > threshold)
+        .select(bin_col)
+    )
+    return data_hist.join(F.broadcast(sensitive), bin_col, "left_anti")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from columnflow_spark.hist import (
     Variable,
+    bin_expr,
     ensure_bins,
     fill_hist,
     fold_flow_bins,
@@ -504,3 +505,55 @@ def plot_ready_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     hist = fill_hist(li, [var], categorical=["l_returnflag"], weight=w)
     return stack_plot_data(hist, "l_returnflag", "bin__price", ["N", "R", "A"])
+
+
+# --- profile histogram: per-x-bin mean and width of a second variable
+# (reference plot_util.py:933 get_profile_width / :955
+# get_profile_variations — the TProfile shape).  Moments from exact
+# integer-valued sums with the same closed-form expression on both
+# engines (Spark's incremental stddev would differ in summation order),
+# so the round-4 compare is stable. ---
+@query(
+    "hist_profile_qty_price",
+    oracle=f"""
+    WITH binned AS (
+        SELECT {_regular_bin_sql("l_quantity", 10, 0.0, 50.0)} AS bin__qty,
+               round(l_extendedprice * 100, 0) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT bin__qty, CAST(count(*) AS DOUBLE) AS n, sum(y) AS s, sum(y * y) AS s2
+        FROM binned GROUP BY bin__qty
+    )
+    SELECT bin__qty,
+           CAST(n AS BIGINT) AS n,
+           round(s / n / 100, 4) AS mean_price,
+           round(sqrt((s2 - s * s / n) / (n - 1)) / 100, 4) AS width_price
+    FROM m
+    WHERE n > 1
+    ORDER BY bin__qty
+    """,
+)
+def hist_profile_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    var = Variable("qty", "l_quantity", (10, 0.0, 50.0))
+    binned = li.select(
+        bin_expr(var).alias("bin__qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).alias("y"),
+    )
+    m = binned.groupBy("bin__qty").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+    )
+    n, s, s2 = F.col("n"), F.col("s"), F.col("s2")
+    return (
+        m.filter(n > 1)
+        .select(
+            "bin__qty",
+            n.cast("long").alias("n"),
+            F.round(s / n / 100, 4).alias("mean_price"),
+            F.round(F.sqrt((s2 - s * s / n) / (n - 1)) / 100, 4).alias("width_price"),
+        )
+        .orderBy("bin__qty")
+    )

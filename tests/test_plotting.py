@@ -99,3 +99,27 @@ def test_catalog_variable_drives_hist(spark, sf_dir):
     total = h.agg(F.sum("n").alias("n")).first().n
     direct = li.filter("l_quantity >= 25").count()
     assert total == direct
+
+
+def test_density_negative_blinding_helpers(spark):
+    from columnflow_spark.plotting import (
+        apply_density,
+        blind_sensitive_bins,
+        remove_negative_contributions,
+    )
+
+    h = spark.createDataFrame(
+        [(0, 4, 10.0, 2.0), (1, 2, -3.0, 1.0), (-1, 1, 5.0, 5.0)],
+        "bin__x int, n bigint, sum_w double, sum_w2 double",
+    )
+    dens = {r.bin__x: r.sum_w for r in apply_density(h, "bin__x", [0.0, 2.0, 6.0]).collect()}
+    assert dens[0] == 5.0 and dens[1] == -0.75 and dens[-1] == 5.0  # flow keeps width 1
+    clamped = {r.bin__x: (r.sum_w, r.sum_w2) for r in remove_negative_contributions(h).collect()}
+    assert clamped[1] == (0.0, 0.0) and clamped[0] == (10.0, 2.0)
+
+    sig = spark.createDataFrame([(0, 100.0), (1, 1.0)], "bin__x int, sum_w double")
+    bkg = spark.createDataFrame([(0, 4.0), (1, 100.0)], "bin__x int, sum_w double")
+    data = spark.createDataFrame([(0, 60.0), (1, 55.0)], "bin__x int, sum_w double")
+    kept = blind_sensitive_bins(data, sig, bkg, "bin__x", threshold=3.0)
+    # bin 0: s/sqrt(b) = 50 -> blinded; bin 1: 0.1 -> kept
+    assert [r.bin__x for r in kept.collect()] == [1]
