@@ -2059,3 +2059,128 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+# --- TF-IDF top terms per document (retrieval/quality featurization: term
+# frequency x inverse document frequency; at corpus scale tf is a per-doc
+# in-row aggregation, df is one word-keyed shuffle reused from the vocab
+# pass, and idf joins back as a broadcast).  ln-based idf, deterministic
+# top-3 per doc with (score, term) tie-break. ---
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+        FROM documents WHERE doc_id < 500
+    ),
+    all_words AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM all_words GROUP BY w),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.w,
+               round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 4) AS tfidf
+        FROM tf t JOIN df d USING (w) CROSS JOIN n_docs n
+    )
+    SELECT doc_id, w AS term, tfidf, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rk
+        FROM scored
+    )
+    WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    words_all = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w")
+    )
+    df_tab = words_all.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    tf = (
+        words_all.filter(F.col("doc_id") < 500)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf.join(F.broadcast(df_tab), "w").select(
+        "doc_id",
+        F.col("w"),
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    )
+    win = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+# --- duplicate-cluster resolution: per connected component keep the
+# canonical document (longest, doc_id tie-break) — the step that turns a
+# duplicate GRAPH into a keep/drop decision (SemDeDup-style cluster
+# resolution).  Reuses the component labels; the per-component argmax is
+# one max_by aggregation. ---
+@query(
+    "dedup_canonical_per_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_GRAMS_CTE},
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
+    cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT d1, d2
+        FROM cand
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2
+        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (
+        SELECT d1 AS s, d2 AS t FROM edges
+        UNION ALL
+        SELECT d2 AS s, d1 AS t FROM edges
+    ),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS node FROM documents
+        UNION
+        SELECT r.src, sym.t AS node FROM reach r JOIN sym ON sym.s = r.node
+    ),
+    comp AS (SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src),
+    members AS (
+        SELECT c.component, c.doc_id, d.n_chars
+        FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max_by(doc_id, n_chars * 10000000000 - doc_id) AS canonical_doc,
+           CAST(max(n_chars) AS BIGINT) AS canonical_chars
+    FROM members
+    GROUP BY component
+    HAVING count(*) >= 2
+    ORDER BY component
+    """,
+)
+def dedup_canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_connected_components(spark, sf_dir)
+    chars = load_table(spark, sf_dir, "documents", columns=["doc_id", "n_chars"])
+    members = comp.join(chars, "doc_id")
+    return (
+        members.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            # packed (n_chars, -doc_id) ordering: one exact BIGINT key,
+            # because the oracle engine's max_by has no composite keys
+            F.max_by("doc_id", F.col("n_chars") * F.lit(10000000000) - F.col("doc_id")).alias("canonical_doc"),
+            F.max("n_chars").alias("canonical_chars"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("component")
+    )
