@@ -57,8 +57,11 @@ class UniqueObject:
         return self.aux.get(key, default)
 
     def has_tag(self, tag: str | Iterable[str], mode: Callable = any) -> bool:
-        tags = {tag} if isinstance(tag, str) else set(tag)
-        return mode(t in self.tags for t in tags)
+        """Tag membership with glob patterns (reference TagMixin)."""
+        import fnmatch
+
+        patterns = [tag] if isinstance(tag, str) else list(tag)
+        return mode(any(fnmatch.fnmatch(t, p) for t in self.tags) for p in patterns)
 
     def __repr__(self) -> str:  # pragma: no cover - debugging aid
         return f"{type(self).__name__}(name={self.name!r}, id={self.id})"

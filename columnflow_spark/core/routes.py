@@ -171,8 +171,12 @@ class Route:
         return self
 
     def has_tag(self, tag: "str | Iterable[str]", mode=any) -> bool:
-        tags = {tag} if isinstance(tag, str) else set(tag)
-        return mode(t in self.tags for t in tags)
+        """Tag membership with glob patterns (reference TagMixin semantics:
+        ``has_tag("opt*")`` matches an ``optional`` tag)."""
+        import fnmatch
+
+        patterns = [tag] if isinstance(tag, str) else list(tag)
+        return mode(any(fnmatch.fnmatch(t, p) for t in self.tags) for p in patterns)
 
     # -- compilation -------------------------------------------------------
     def apply(self, null_value: float | int | None = None) -> Column:

@@ -54,3 +54,15 @@ def test_ivf_rank1_is_globally_strong(spark, sf_dir):
     bf = {r.query_id: r.neighbor_id for r in _brute_force_top5(spark, sf_dir).collect() if r.rk == 1}
     hits = sum(1 for k, v in ivf.items() if bf.get(k) == v)
     assert hits / len(bf) >= 0.4
+
+
+def test_lsh_dedup_pairs_subset_of_exact(spark, sf_dir):
+    # the LSH variant may miss pairs (bucket collisions are probabilistic)
+    # but must never invent one: its pairs are exactly the exact-threshold
+    # pairs whose vectors co-bucketed
+    from columnflow_spark.queries import all_queries
+
+    qs = all_queries()
+    exact = {(r.v1, r.v2) for r in qs["dedup_embedding_cosine"](spark, sf_dir).collect()}
+    lsh = {(r.v1, r.v2) for r in qs["dedup_embedding_cosine_lsh"](spark, sf_dir).collect()}
+    assert lsh <= exact

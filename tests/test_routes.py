@@ -105,3 +105,17 @@ def test_match_routes():
     routes = [Route("items.pt"), Route("items.eta"), Route("met.pt")]
     assert {str(r) for r in match_routes(routes, ["items.{pt,eta}"])} == {"items.pt", "items.eta"}
     assert {str(r) for r in match_routes(routes, ["*.pt"])} == {"items.pt", "met.pt"}
+
+
+def test_route_tag_glob_patterns():
+    # reference tests/test_columnar_util.py test_tags: pattern-matched tags
+    from columnflow_spark.core.routes import Route
+
+    r = Route("i.like.trains").add_tag({"optional", "foo.bar"})
+    assert r.has_tag("optional")
+    assert r.has_tag("opt*")
+    assert r.has_tag("foo.bar")
+    assert r.has_tag("foo.*")
+    assert not r.has_tag("bar")
+    assert Route(r).has_tag("optional") and not Route(r).has_tag("bar")
+    assert r.has_tag({"opt*", "nope"}) and not r.has_tag({"opt*", "nope"}, mode=all)
