@@ -2106,7 +2106,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    scored = tf.join(F.broadcast(df_tab), "w").select(
+    # broadcast the SMALL side: tf covers only the selected doc subset; the
+    # df table is vocabulary-sized (100M+ terms at corpus scale) and must
+    # never move — it streams past the broadcast tf rows
+    scored = df_tab.join(F.broadcast(tf), "w").select(
         "doc_id",
         F.col("w"),
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
