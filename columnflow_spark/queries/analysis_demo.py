@@ -191,3 +191,106 @@ def analysis_template_yields(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shift", "category")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("w"), 4).alias("sum_w"))
     )
+
+
+def _stack_oracle_sql() -> str:
+    """SQL twin of the catalog-driven stack: same bin arithmetic as the
+    config's VariableDef, same leaf→parent process rollup, same mc/data
+    split and xsec weights — all generated from the one catalog."""
+    from columnflow_spark.queries.histogram import _regular_bin_sql
+
+    var = _CFG.get_variable("totalprice")
+    n, lo, hi = var.binning
+    bin_sql = _regular_bin_sql(var.expression, n, lo, hi)
+    parent_case = " ".join(
+        f"WHEN o_orderpriority = '{prio}' THEN '{_CFG.get_process(pname).parent.name}'"
+        for prio, pname in _PRIORITY_TO_PROCESS.items()
+    )
+    weight_case = " ".join(
+        f"WHEN o_orderpriority = '{prio}' THEN {_CFG.get_process(pname).get_xsec(ECM)!r}"
+        for prio, pname in _PRIORITY_TO_PROCESS.items()
+    )
+    return f"""
+    WITH tagged AS (
+        SELECT {bin_sql} AS bin__totalprice,
+               CASE {parent_case} END AS process,
+               CASE {weight_case} ELSE 0.0 END AS w,
+               o_orderkey % 5 = 0 AS is_data
+        FROM orders
+    ),
+    mc AS (
+        SELECT bin__totalprice, process, sum(w) AS sum_w, sum(w * w) AS sum_w2
+        FROM tagged WHERE NOT is_data
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, CASE process WHEN 'urgent' THEN 1 WHEN 'relaxed' THEN 2 END AS rk FROM mc
+    ),
+    stacked AS (
+        SELECT bin__totalprice, process,
+               round(sum(sum_w) OVER cum - sum_w, 4) AS y_low,
+               round(sum(sum_w) OVER cum, 4) AS y_high,
+               round(sum(sum_w) OVER tot, 4) AS mc_total,
+               round(sqrt(sum(sum_w2) OVER tot), 4) AS mc_err
+        FROM ranked
+        WINDOW cum AS (PARTITION BY bin__totalprice ORDER BY rk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               tot AS (PARTITION BY bin__totalprice)
+    ),
+    data AS (
+        SELECT bin__totalprice, CAST(count(*) AS DOUBLE) AS n_data
+        FROM tagged WHERE is_data GROUP BY 1
+    )
+    SELECT s.bin__totalprice, s.process, s.y_low, s.y_high, s.mc_total, s.mc_err,
+           round(coalesce(d.n_data, 0.0) / s.mc_total, 4) AS data_over_mc
+    FROM stacked s LEFT JOIN data d USING (bin__totalprice)
+    ORDER BY s.bin__totalprice, s.process
+    """
+
+
+@query("analysis_template_stack", oracle=_stack_oracle_sql())
+def analysis_template_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-driven plot production end-to-end (reference
+    PlotVariables1D, tasks/plotting.py:118): the config's VariableDef
+    supplies the binning, the process tree supplies the leaf→parent rollup
+    and xsec weights, the dataset split supplies mc vs data, and the stack
+    envelope + ratio come from the plotting layer's window forms — one
+    scan, one hist aggregation per side, windows over the tiny hist table."""
+    from columnflow_spark.hist.axes import bin_expr
+    from columnflow_spark.plotting import stack_plot_data
+
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"]
+    )
+    var = _CFG.get_variable("totalprice").to_hist_variable()
+    parent = F.lit(None).cast("string")
+    weight = F.lit(0.0)
+    for prio, pname in _PRIORITY_TO_PROCESS.items():
+        proc = _CFG.get_process(pname)
+        parent = F.when(F.col("o_orderpriority") == prio, proc.parent.name).otherwise(parent)
+        weight = F.when(F.col("o_orderpriority") == prio, F.lit(proc.get_xsec(ECM))).otherwise(weight)
+    tagged = orders.select(
+        bin_expr(var).alias("bin__totalprice"),
+        parent.alias("process"),
+        weight.alias("w"),
+        (F.col("o_orderkey") % 5 == 0).alias("is_data"),
+    )
+    mc = (
+        tagged.filter(~F.col("is_data"))
+        .groupBy("bin__totalprice", "process")
+        .agg(F.sum("w").alias("sum_w"), F.sum(F.col("w") * F.col("w")).alias("sum_w2"))
+    )
+    stacked = stack_plot_data(mc, "process", "bin__totalprice", ["urgent", "relaxed"])
+    data = (
+        tagged.filter("is_data")
+        .groupBy("bin__totalprice")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_data"))
+    )
+    return (
+        stacked.join(data, "bin__totalprice", "left")
+        .select(
+            "bin__totalprice", "process", "y_low", "y_high", "mc_total", "mc_err",
+            F.round(F.coalesce("n_data", F.lit(0.0)) / F.col("mc_total"), 4).alias("data_over_mc"),
+        )
+        .orderBy("bin__totalprice", "process")
+    )
