@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "doc_chunk_overlap",
     # config-driven analysis template (catalog -> plan compilation)
     "analysis_template_yields",
+    "analysis_template_stack",
+    "tfidf_top_terms",
     "dedup_embedding_cosine_lsh",
     # single-pass distributed model fit + index build
     "ml_train_linreg",
