@@ -2187,3 +2187,40 @@ def dedup_canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 2)
         .orderBy("component")
     )
+
+
+# --- deterministic k-per-group sampling (eval/holdout set construction:
+# exactly k docs per source, reproducible on any cluster layout).  Rank by
+# a content-derived hash (never by partition order), keep rank <= k — one
+# window over group-partitioned data; at corpus scale the window's sort is
+# per-group and the groups are the parallelism. ---
+@query(
+    "sample_k_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substring(sha256(concat_ws('|', CAST(doc_id AS VARCHAR), 'holdout')), 1, 15))::BIGINT,
+                            doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 10
+    ORDER BY source, rk
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.functions.hashing import seed_long
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    win = W.partitionBy("source").orderBy(
+        seed_long(F.col("doc_id"), F.lit("holdout")), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 10)
+        .select("source", "doc_id", "n_chars", "rk")
+        .orderBy("source", "rk")
+    )

@@ -619,3 +619,27 @@ def user_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- approximate percentiles (KLL/GK-style sketch; the scale form of
+# value_percentiles' exact sort: one pass, mergeable partials, error
+# bounded by the accuracy knob — rows-only driver check, accuracy pinned
+# against the exact form in tests/test_sketches.py). ---
+@query("approx_value_percentiles")
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["event_type", "value"])
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.element_at("pcts", 1), 4).alias("p50"),
+            F.round(F.element_at("pcts", 2), 4).alias("p90"),
+            F.round(F.element_at("pcts", 3), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

@@ -69,3 +69,32 @@ def test_add_missing_shifts(spark):
     # the absent shift got nominal's contents; present shifts untouched
     assert rows[("price_down", 0)] == 10 and rows[("price_up", 0)] == 12
     assert add_missing_shifts(out, ["nominal", "price_up", "price_down"]).count() == 3
+
+
+def test_approx_percentiles_accuracy(spark, sf_dir):
+    # the sketch must track the exact per-group percentiles closely at the
+    # configured accuracy (10k): compare to percentile() exact
+    from columnflow_spark.queries import all_queries
+    from columnflow_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    approx = {r.event_type: (r.p50, r.p90, r.p99)
+              for r in all_queries()["approx_value_percentiles"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events", columns=["event_type", "value"])
+    exact = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in ev.groupBy("event_type").agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.9)).alias("p90"),
+            F.percentile("value", F.lit(0.99)).alias("p99"),
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for et, (a50, a90, a99) in approx.items():
+        e50, e90, e99 = exact[et]
+        spread = max(abs(e99), 1.0)
+        # 10% of spread: exact percentile() interpolates between order
+        # statistics while the sketch returns a witnessed value, which on
+        # the smallest sf's thin groups differs by a few percent alone
+        for a, e in ((a50, e50), (a90, e90), (a99, e99)):
+            assert abs(a - e) <= 0.1 * spread, (et, a, e)
