@@ -28,14 +28,29 @@ def _collect_rates(rates) -> dict[tuple[str, str], float]:
     return {(r["category"], r["process"]): float(r["sum_w"]) for r in rates.collect()}
 
 
+def export_shapes(hists, path: str) -> str:
+    """Write the per-(category, process, shift) histogram table as the
+    datacard's shapes store (reference DatacardWriter writes ROOT
+    templates via uproot, inference/cms/datacard.py:243; ROOT IO is out of
+    scope here — SURVEY §2.1 — so the store is a parquet directory
+    partitioned by category, with the combine naming contract
+    ``$CHANNEL/$PROCESS`` / ``$CHANNEL/$PROCESS_$SYSTEMATIC(Up|Down)``
+    realized as the (category, process, shift) columns)."""
+    hists.write.mode("overwrite").partitionBy("category").parquet(path)
+    return path
+
+
 def render_datacard(
     model: InferenceModel,
     rates,
     *,
     observations: Mapping[str, float] | None = None,
     rate_precision: int = 4,
+    shapes_file: str | None = None,
 ) -> str:
-    """Serialize *model* + *rates* into datacard text."""
+    """Serialize *model* + *rates* into datacard text.  With
+    *shapes_file*, a combine-style ``shapes`` header line is emitted
+    pointing at the exported store (see :func:`export_shapes`)."""
     rate_map = _collect_rates(rates)
     observations = dict(observations or {})
 
@@ -78,6 +93,11 @@ def render_datacard(
         f"jmax {max(0, max((sum(1 for c2, *_ in columns if c2 == c.name) for c in model.categories), default=1) - 1)}",
         f"kmax {len(param_names)}",
         sep,
+    ]
+    if shapes_file is not None:
+        lines.append(f"shapes * * {shapes_file} $CHANNEL/$PROCESS $CHANNEL/$PROCESS_$SYSTEMATIC")
+        lines.append(sep)
+    lines += [
         "bin          " + "  ".join(c.name for c in model.categories),
         "observation  " + "  ".join(fmt(o) for o in obs_lines),
         sep,

@@ -16,8 +16,11 @@ from dataclasses import dataclass, field
 class Parameter:
     """Nuisance parameter attached to one process in one category.
 
-    ``type``: ``"rate_gauss"`` (lnN) or ``"rate_uniform"`` (lnU).
-    ``effect``: symmetric factor (1.02) or ``(down, up)`` pair.
+    ``type``: ``"rate_gauss"`` (lnN), ``"rate_uniform"`` (lnU) or
+    ``"shape"`` (template morphing; the per-shift histograms live in the
+    exported shapes file, reference inference/__init__.py ParameterType).
+    ``effect``: symmetric factor (1.02) or ``(down, up)`` pair; for shape
+    parameters it is the morphing coefficient (usually 1.0).
     """
 
     name: str
@@ -26,7 +29,7 @@ class Parameter:
 
     @property
     def combine_type(self) -> str:
-        return {"rate_gauss": "lnN", "rate_uniform": "lnU"}[self.type]
+        return {"rate_gauss": "lnN", "rate_uniform": "lnU", "shape": "shape"}[self.type]
 
     def effect_str(self, precision: int = 4) -> str:
         if isinstance(self.effect, tuple):

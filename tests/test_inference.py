@@ -63,3 +63,42 @@ def test_render_datacard_from_yield_table(spark, sf_dir):
     rate_line = next(l for l in text.splitlines() if l.startswith("rate"))
     vals = [float(v) for v in rate_line.split()[1:]]
     assert len(vals) == 2 and all(v > 0 for v in vals)
+
+
+def test_shape_datacard_with_exported_templates(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from columnflow_spark.inference.datacard import export_shapes, render_datacard
+    from columnflow_spark.inference.model import Category, InferenceModel, Parameter, Process
+
+    model = InferenceModel("shape_demo")
+    cat = model.add_category(Category("cat_price", variable="price"))
+    sig = cat.add_process(Process("sig", is_signal=True))
+    bkg = cat.add_process(Process("bkg"))
+    sig.add_parameter(Parameter("price_scale", type="shape", effect=1.0))
+    bkg.add_parameter(Parameter("lumi", type="rate_gauss", effect=1.02))
+
+    # per-(category, process, shift) hist table — the shapes store content
+    rows = [
+        ("cat_price", p, s, b, float(10 * (b + 1)), 1.0)
+        for p in ("sig", "bkg")
+        for s in ("nominal", "price_scaleUp", "price_scaleDown")
+        for b in range(3)
+    ]
+    hists = spark.createDataFrame(
+        rows, "category string, process string, shift string, bin__price int, sum_w double, sum_w2 double"
+    )
+    shapes_path = export_shapes(hists, str(tmp_path / "shapes"))
+    back = spark.read.parquet(shapes_path)
+    assert back.count() == len(rows)
+    combos = {(r.category, r.process, r.shift) for r in back.select("category", "process", "shift").distinct().collect()}
+    assert ("cat_price", "sig", "price_scaleUp") in combos and len(combos) == 6
+
+    card = render_datacard(
+        model,
+        {("cat_price", "sig"): 5.0, ("cat_price", "bkg"): 50.0},
+        shapes_file=shapes_path,
+    )
+    assert f"shapes * * {shapes_path} $CHANNEL/$PROCESS $CHANNEL/$PROCESS_$SYSTEMATIC" in card
+    assert "price_scale  shape  1.0  -" in card
+    assert "lumi  lnN  -  1.02" in card
