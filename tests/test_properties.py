@@ -71,3 +71,59 @@ def test_parameter_effect_str(x):
     pair = Parameter("p", "rate_uniform", (x, x + 0.1))
     assert pair.combine_type == "lnU"
     assert "/" in pair.effect_str()
+
+
+_group_sizes = st.lists(st.integers(min_value=1, max_value=3), min_size=2, max_size=4)
+_partition_flags = st.lists(st.booleans(), min_size=2, max_size=4)
+
+
+@given(st.data())
+def test_category_combination_counts_match_formula(data):
+    # the number of created categories equals the subset-product formula
+    # for each parent_mode (reference config_util.py:549 iteration order)
+    import itertools
+
+    from columnflow_spark.catalog import Category, CategoryGroup, Config, create_category_combinations
+
+    sizes = data.draw(_group_sizes)
+    flags = data.draw(st.lists(st.booleans(), min_size=len(sizes), max_size=len(sizes)))
+    mode = data.draw(st.sampled_from(["all", "none", "safe"]))
+
+    cfg = Config("prop", 1)
+    groups = {}
+    next_id = 1
+    for gi, (sz, is_part) in enumerate(zip(sizes, flags)):
+        cats = []
+        for ci in range(sz):
+            c = cfg.add_category(Category(f"g{gi}c{ci}", next_id, selection=f"x = {next_id}"))
+            next_id += 1
+            cats.append(c)
+        groups[f"g{gi}"] = CategoryGroup(categories=cats, is_complete=is_part, has_overlap=False)
+
+    n = create_category_combinations(
+        cfg, groups, lambda cats: "__".join(c.name for c in cats.values()), parent_mode=mode
+    )
+
+    names = list(groups)
+    unsafe = {nm for nm, g in groups.items() if not g.is_partition}
+    expected = 0
+    subset_sizes = [len(names)] if mode == "none" else range(2, len(names) + 1)
+    for size in subset_sizes:
+        for combo in itertools.combinations(names, size):
+            if mode == "safe" and (set(names) - set(combo)) & unsafe:
+                continue
+            prod = 1
+            for nm in combo:
+                prod *= len(groups[nm].categories)
+            expected += prod
+    assert n == expected
+
+
+@given(st.lists(st.text(alphabet="abcd.", min_size=1, max_size=6), min_size=1, max_size=4))
+def test_route_tags_never_affect_identity(tags):
+    from columnflow_spark.core.routes import Route
+
+    r = Route("a.b").add_tag(set(tags))
+    assert r == Route("a.b")
+    assert hash(r) == hash(Route("a.b"))
+    assert Route(r).tags == r.tags
