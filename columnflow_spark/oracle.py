@@ -53,7 +53,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.astype("float64")
         elif s.dtype == object:
-            df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            import numpy as np
+
+            df[c] = s.map(
+                lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
+                else tuple(v) if isinstance(v, (list, tuple)) else v
+            )
     sort_cols = list(df.columns)
     return df.sort_values(sort_cols, na_position="first").reset_index(drop=True)
 

@@ -2224,3 +2224,176 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars", "rk")
         .orderBy("source", "rk")
     )
+
+
+# --- product quantization: encode + asymmetric-distance search (the
+# compression layer real ANN systems put under IVF: vectors become m
+# uint8 codes against per-subspace codebooks; queries scan codes with a
+# per-subspace distance lookup table instead of raw floats — memory drops
+# 32x and the scan is table-additions).  Codebook here: the first K
+# vectors' sub-vectors (deterministic and data-adapted, so the oracle
+# reproduces it exactly); production would Lloyd-iterate per subspace
+# (kmeans_lloyd_step is that building block).  m=8 subspaces x 8 dims,
+# K=16 codes. ---
+_PQ_M = 8
+_PQ_DIM = 8
+_PQ_K = 16
+
+
+def _pq_subdist(v_expr: str, c_expr: str, s_expr: str) -> str:
+    """SQL: squared L2 between 8-dim sub-slices of two 64-dim lists at
+    subspace s (1-based list indexing)."""
+    return (
+        f"list_aggregate(list_transform(range(1, {_PQ_DIM + 1}), "
+        f"j -> ({v_expr}[({s_expr}) * {_PQ_DIM} + j] - {c_expr}[({s_expr}) * {_PQ_DIM} + j]) "
+        f"* ({v_expr}[({s_expr}) * {_PQ_DIM} + j] - {c_expr}[({s_expr}) * {_PQ_DIM} + j])), 'sum')"
+    )
+
+
+@query(
+    "ann_pq_codes",
+    oracle=f"""
+    WITH cb AS (SELECT vec_id AS code, embedding AS c FROM embeddings WHERE vec_id < {_PQ_K}),
+    pairs AS (
+        SELECT e.vec_id, s.s AS sub, cb.code,
+               {_pq_subdist('e.embedding', 'cb.c', 's.s')} AS d
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
+        CROSS JOIN cb
+    ),
+    best AS (
+        SELECT vec_id, sub, code, row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        FROM pairs
+    )
+    SELECT vec_id, array_to_string(list(CAST(code AS INT) ORDER BY sub), '-') AS codes
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding: per subspace, the argmin codebook entry.  The codebook
+    broadcasts; encoding is one scan with in-row HOF math (the per-vector
+    work is m*K sub-distances), no shuffle until the (tiny) code table."""
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    cb_rows = sorted(
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("code"), F.col("embedding").alias("c"))
+        .collect(),
+        key=lambda r: r.code,
+    )
+    # literal codebook: m x K sub-centroid slices shipped as plan constants
+    def sub_slice(vec, s):
+        return [float(x) for x in vec[s * _PQ_DIM:(s + 1) * _PQ_DIM]]
+
+    codebook = {
+        s: [(int(r.code), sub_slice(r.c, s)) for r in cb_rows] for s in range(_PQ_M)
+    }
+
+    def subdist(s: int, centroid: list[float]):
+        sub = F.slice("embedding", s * _PQ_DIM + 1, _PQ_DIM)
+        lit = F.array(*[F.lit(x) for x in centroid])
+        return F.aggregate(
+            F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    # per subspace: distances as ONE array literal-fold, argmin via
+    # array_position(d, array_min(d)) — first match breaks ties toward the
+    # lower code, matching the oracle's (d, code) ordering.  (A when-chain
+    # fold would duplicate the running-min subexpression per step and blow
+    # the expression tree up exponentially.)
+    code_cols = []
+    for s in range(_PQ_M):
+        d_arr = F.array(*[subdist(s, centroid) for _code, centroid in codebook[s]])
+        code_cols.append((F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("int"))
+    # codes emitted as a dash-joined string: a scalar cell keeps every
+    # downstream hash-compare implementation happy (array cells are not
+    # universally hashable)
+    return emb.select(
+        "vec_id", F.concat_ws("-", *[c.cast("string") for c in code_cols]).alias("codes")
+    ).orderBy("vec_id")
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH cb AS (SELECT vec_id AS code, embedding AS c FROM embeddings WHERE vec_id < {_PQ_K}),
+    pairs AS (
+        SELECT e.vec_id, s.s AS sub, cb.code,
+               {_pq_subdist('e.embedding', 'cb.c', 's.s')} AS d
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
+        CROSS JOIN cb
+    ),
+    best AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code, row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    lut AS (
+        SELECT q.query_id, s.s AS sub, cb.code,
+               {_pq_subdist('q.qe', 'cb.c', 's.s')} AS d
+        FROM q
+        CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
+        CROSS JOIN cb
+    ),
+    adc AS (
+        SELECT l.query_id, b.vec_id AS neighbor_id, sum(l.d) AS dist
+        FROM best b JOIN lut l ON l.sub = b.sub AND l.code = b.code
+        WHERE b.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, round(dist, 4) AS adc_dist, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY round(dist, 4), neighbor_id) AS rk
+        FROM adc
+    )
+    WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance search over PQ codes: per query, an m x K
+    distance lookup table (query sub-vector vs codebook), then each
+    candidate's approximate distance is the sum of m table entries
+    addressed by its codes — the corpus is scanned as codes only, the
+    float vectors never move.  Ranking on the rounded distance keeps the
+    argsort stable across engines (sum-of-8-doubles join order)."""
+    codes = ann_pq_codes.__wrapped__(spark, sf_dir)
+    exploded = codes.select(
+        "vec_id",
+        F.posexplode(F.split("codes", "-").cast("array<int>")).alias("sub", "code"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_rows = emb.filter(F.col("vec_id") < 5).collect()
+    cb_rows = emb.filter(F.col("vec_id") < _PQ_K).collect()
+    lut_rows = []
+    for qr in q_rows:
+        for s in range(_PQ_M):
+            qs = qr.embedding[s * _PQ_DIM:(s + 1) * _PQ_DIM]
+            for cr in cb_rows:
+                cs = cr.embedding[s * _PQ_DIM:(s + 1) * _PQ_DIM]
+                d = 0.0
+                for a, b in zip(qs, cs):
+                    d += (float(a) - float(b)) * (float(a) - float(b))
+                lut_rows.append((int(qr.vec_id), s, int(cr.vec_id), d))
+    lut = spark.createDataFrame(lut_rows, "query_id long, sub int, code int, d double")
+    adc = (
+        exploded.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("dist"))
+    )
+    win = W.partitionBy("query_id").orderBy(F.round("dist", 4), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", F.round("dist", 4).alias("adc_dist"), "rk")
+        .orderBy("query_id", "rk")
+    )
