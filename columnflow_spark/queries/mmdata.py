@@ -2273,9 +2273,13 @@ def _pq_subdist(v_expr: str, c_expr: str, s_expr: str) -> str:
     """,
 )
 def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ encoding: per subspace, the argmin codebook entry.  The codebook
-    broadcasts; encoding is one scan with in-row HOF math (the per-vector
-    work is m*K sub-distances), no shuffle until the (tiny) code table."""
+    """PQ encoding via row fan-out: explode each vector into its m
+    sub-vectors, join the (broadcast, m*K-row) codebook on the subspace id,
+    compute ONE sub-distance per joined row, take the per-(vector,
+    subspace) ``min_by`` — the same structure as the oracle.  An in-row
+    form with all m*K distances as expressions runs ~10x slower here:
+    higher-order functions are interpreted, so 128 HOF aggregates per row
+    beat the codegen'd join fan-out badly."""
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     cb_rows = sorted(
         emb.filter(F.col("vec_id") < _PQ_K)
@@ -2283,37 +2287,44 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect(),
         key=lambda r: r.code,
     )
-    # literal codebook: m x K sub-centroid slices shipped as plan constants
-    def sub_slice(vec, s):
-        return [float(x) for x in vec[s * _PQ_DIM:(s + 1) * _PQ_DIM]]
-
-    codebook = {
-        s: [(int(r.code), sub_slice(r.c, s)) for r in cb_rows] for s in range(_PQ_M)
-    }
-
-    def subdist(s: int, centroid: list[float]):
-        sub = F.slice("embedding", s * _PQ_DIM + 1, _PQ_DIM)
-        lit = F.array(*[F.lit(x) for x in centroid])
-        return F.aggregate(
-            F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x,
+    cb = spark.createDataFrame(
+        [
+            (s, int(r.code), [float(x) for x in r.c[s * _PQ_DIM:(s + 1) * _PQ_DIM]])
+            for s in range(_PQ_M)
+            for r in cb_rows
+        ],
+        "sub int, code int, c array<double>",
+    )
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("embedding", s * _PQ_DIM + 1, _PQ_DIM) for s in range(_PQ_M)])
+        ).alias("sub", "v"),
+    )
+    d = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    best = (
+        subs.join(F.broadcast(cb), "sub")
+        .withColumn("d", d)
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by("code", F.struct("d", "code")).alias("code"))
+    )
+    # codes emitted as a dash-joined string ordered by subspace: a scalar
+    # cell keeps every downstream hash-compare implementation happy
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                    lambda x: x["code"].cast("string"),
+                ),
+                "-",
+            ).alias("codes")
         )
-
-    # per subspace: distances as ONE array literal-fold, argmin via
-    # array_position(d, array_min(d)) — first match breaks ties toward the
-    # lower code, matching the oracle's (d, code) ordering.  (A when-chain
-    # fold would duplicate the running-min subexpression per step and blow
-    # the expression tree up exponentially.)
-    code_cols = []
-    for s in range(_PQ_M):
-        d_arr = F.array(*[subdist(s, centroid) for _code, centroid in codebook[s]])
-        code_cols.append((F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("int"))
-    # codes emitted as a dash-joined string: a scalar cell keeps every
-    # downstream hash-compare implementation happy (array cells are not
-    # universally hashable)
-    return emb.select(
-        "vec_id", F.concat_ws("-", *[c.cast("string") for c in code_cols]).alias("codes")
-    ).orderBy("vec_id")
+        .orderBy("vec_id")
+    )
 
 
 @query(
