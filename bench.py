@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_connected_components",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_pq_adc_topk",
     "text_quality",
     "quality_gate_rules",
     "stratified_sample",
