@@ -155,3 +155,27 @@ def read_side_output(path: str) -> object:
 
     with open(path) as fh:
         return json.load(fh)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Iterable[str],
+    n_buckets: int = 32,
+    *,
+    sort_cols: Iterable[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table write — the storage layout that
+    makes repeated fact-fact joins and groupBys on the bucket key
+    exchange-free (SURVEY §4: pre-shuffled storage; the production answer
+    to re-shuffling 100 TB per query).  Buckets require the table catalog
+    (``saveAsTable``); ``sort_cols`` additionally orders within buckets so
+    sort-merge joins skip their sorts."""
+    writer = df.write.mode(mode).bucketBy(int(n_buckets), *list(bucket_cols))
+    if sort_cols:
+        writer = writer.sortBy(*list(sort_cols))
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table_name)

@@ -90,3 +90,19 @@ def test_bucketed_aggregation_reuses_layout(spark, sf_dir, tmp_path):
         assert "Exchange" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_orders_cust")
+
+
+def test_write_bucketed_sink_api(spark, sf_dir, tmp_path):
+    from columnflow_spark.sources.sinks import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(orders, "orders_bkt_api", ["o_orderkey"], 4,
+                   sort_cols=["o_orderkey"], path=str(tmp_path / "orders_bkt"))
+    try:
+        back = spark.table("orders_bkt_api")
+        assert back.count() == orders.count()
+        # a groupBy on the bucket key plans without an Exchange
+        plan = _formatted(back.groupBy("o_orderkey").count())
+        assert "Exchange" not in plan.split("==")[1]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bkt_api")

@@ -86,3 +86,14 @@ def test_operator_setup_receives_payloads(spark, golden_file, tmp_path):
     )()
     op.setup(bundle.as_payloads(spark))
     assert seen == {"golden": payload}
+
+
+def test_bundle_from_catalog_config(spark, golden_file, tmp_path):
+    # reference wiring: cfg.x.external_files declares the bundle
+    from columnflow_spark.catalog import Config
+    from columnflow_spark.payloads import ExternalFile, PayloadBundle
+
+    path, payload = golden_file
+    cfg = Config("c", 1, aux={"external_files": {"golden": ExternalFile(path)}})
+    bundle = PayloadBundle.from_config(cfg, cache_dir=str(tmp_path / "cache"))
+    assert bundle.load("golden") == payload
