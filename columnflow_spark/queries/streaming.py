@@ -398,3 +398,82 @@ def streaming_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_clean"))
     )
     return _run_to_memory(clean, spark, mode="complete")
+
+# raw schema of embeddings.parquet for the streaming encode path
+_EMB_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+# --- streaming embedding ingest: PQ-encode vectors as they arrive (the
+# ingestion-time form of ann_pq_codes: the codebook is a static broadcast
+# literal, encoding is a stateless per-row map — append mode, no state, no
+# aggregation — so an unbounded embedding feed compresses before it lands
+# in the index store).  m=4 subspaces x 16 dims, K=8 codes here: the
+# in-row argmin costs m*K interpreted HOF aggregates per vector, so the
+# streaming flavor uses a smaller codebook than the batch encoder (whose
+# join fan-out form needs an aggregation streaming would forbid chaining).
+@query(
+    "streaming_pq_encode",
+    oracle="""
+    WITH cb AS (SELECT vec_id AS code, embedding AS c FROM embeddings WHERE vec_id < 8),
+    pairs AS (
+        SELECT e.vec_id, s.s AS sub, cb.code,
+               list_aggregate(list_transform(range(1, 17),
+                   j -> (e.embedding[(s.s) * 16 + j] - cb.c[(s.s) * 16 + j])
+                      * (e.embedding[(s.s) * 16 + j] - cb.c[(s.s) * 16 + j])), 'sum') AS d
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(range(4)) AS s) s
+        CROSS JOIN cb
+    ),
+    best AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code, row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, array_to_string(list(CAST(code AS INT) ORDER BY sub), '-') AS codes
+    FROM best GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def streaming_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.sources import load_table
+
+    m, dim, k = 4, 16, 8
+    emb_static = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cb_rows = sorted(
+        emb_static.filter(F.col("vec_id") < k).collect(), key=lambda r: r.vec_id
+    )
+    codebook = {
+        s: [[float(x) for x in r.embedding[s * dim:(s + 1) * dim]] for r in cb_rows]
+        for s in range(m)
+    }
+    stream = (
+        spark.readStream.schema(_EMB_RAW_SCHEMA)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+    def subdist(s: int, centroid: list[float]):
+        sub = F.slice("embedding", s * dim + 1, dim)
+        lit = F.array(*[F.lit(x) for x in centroid])
+        return F.aggregate(
+            F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    code_cols = []
+    for s in range(m):
+        d_arr = F.array(*[subdist(s, c) for c in codebook[s]])
+        code_cols.append((F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("int"))
+    encoded = stream.select(
+        "vec_id",
+        F.concat_ws("-", *[c.cast("string") for c in code_cols]).alias("codes"),
+    )
+    return _run_to_memory(encoded, spark, mode="append").orderBy("vec_id")
