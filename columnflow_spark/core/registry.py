@@ -146,14 +146,27 @@ class ArrayFunction:
         return self.deps[dep]
 
     def create_dependencies(self) -> None:
-        for entry in list(self.uses) + list(self.produces):
+        # descend through nested containers AND ConditionalColumn contents:
+        # the reference iterates DeferredColumn contents during dependency
+        # sync (columnar_util.py:2116/2240), so e.g. IF_MC(SomeProducer)
+        # must instantiate SomeProducer here — applies() gates resolution
+        # later, not construction
+        def walk(entry: Any):
             dep_cls = self._as_dependency(entry)
-            if dep_cls is not None and dep_cls not in self.deps:
-                inst = dep_cls(**self.inst_dict)
-                if inst.skipped:
-                    self.deps[dep_cls] = inst  # keep for introspection
-                else:
-                    self.deps[dep_cls] = inst
+            if dep_cls is not None:
+                yield dep_cls
+            elif isinstance(entry, ConditionalColumn):
+                for r in entry.routes:
+                    yield from walk(r)
+            elif isinstance(entry, (set, frozenset, tuple, list)):
+                for r in entry:
+                    yield from walk(r)
+
+        for entry in list(self.uses) + list(self.produces):
+            for dep_cls in walk(entry):
+                if dep_cls not in self.deps:
+                    # skipped deps are kept too, for introspection
+                    self.deps[dep_cls] = dep_cls(**self.inst_dict)
 
     @staticmethod
     def _as_dependency(entry: Any) -> "type[ArrayFunction] | None":  # noqa: UP037
@@ -173,7 +186,20 @@ class ArrayFunction:
         if id(self) in _seen:
             return set()
         _seen.add(id(self))
-        out: set[Route] = set()
+        # keyed by route (tags excluded from eq/hash), values carry the
+        # UNION of tags seen for that route: when the same column appears
+        # both tagged and untagged across entries/deps, which instance
+        # arrives first must not decide skip-filtering or optional-pruning
+        out: dict[Route, Route] = {}
+
+        def merge(r: Route) -> None:
+            prev = out.get(r)
+            if prev is None:
+                out[r] = r
+            elif r.tags - prev.tags:
+                merged = Route(prev)
+                merged.tags |= r.tags
+                out[r] = merged
 
         def add_entry(entry: Any) -> None:
             dep_cls = self._as_dependency(entry)
@@ -183,7 +209,8 @@ class ArrayFunction:
                     # a dependency in `uses` contributes its USED columns;
                     # in `produces` its PRODUCED columns (reference flag
                     # semantics AUTO, columnar_util.py:2350-2365)
-                    out.update(dep._resolve_columns(attr, _seen))
+                    for r in dep._resolve_columns(attr, _seen):
+                        merge(r)
             elif isinstance(entry, ConditionalColumn):
                 # evaluated against THIS instance: dataset-dependent columns
                 # appear/disappear per dataset (reference IF_MC/IF_DATA)
@@ -191,9 +218,9 @@ class ArrayFunction:
                     for r in entry.routes:
                         add_entry(r)
             elif isinstance(entry, Route):
-                out.add(entry)
+                merge(entry)
             elif isinstance(entry, str):
-                out.add(Route(entry))
+                merge(Route(entry))
             elif isinstance(entry, (set, frozenset, tuple, list)):
                 for r in entry:
                     add_entry(r)
@@ -202,7 +229,7 @@ class ArrayFunction:
 
         for entry in getattr(self, attr):
             add_entry(entry)
-        return out
+        return set(out.values())
 
     @property
     def used_columns(self) -> set[Route]:

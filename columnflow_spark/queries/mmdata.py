@@ -30,11 +30,14 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from columnflow_spark.functions.similarity import (
+    bucketed_candidate_pairs,
     cosine,
     hamming64,
     hyperplane_signs,
     lsh_band_keys,
     minhash_signature_agg,
+    nearest_centroid_assign,
+    salt_oversized_buckets,
     simhash64,
 )
 from columnflow_spark.functions.text import (
@@ -51,6 +54,13 @@ from columnflow_spark.queries import query
 from columnflow_spark.sources import load_table, spread
 
 JACCARD_THRESHOLD = 0.8
+
+# bucket-skew guard for LSH-family self-joins: buckets above this size are
+# salt-chunked (see functions.similarity.salt_oversized_buckets).  The test
+# corpora's buckets sit far below it, so capped and uncapped plans produce
+# identical output there; at 100 TB it is the incident guard against
+# boilerplate-degenerate band keys.
+LSH_BUCKET_CAP = 256
 
 # SQL fragment: distinct word-trigram list per doc (twin of word_shingles(n=3))
 _GRAMS_CTE = """
@@ -138,6 +148,56 @@ def hashed_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _GRAMS_CACHE[key] = g
     return g
+
+
+#: per-(session, dir) materialized MinHash signature table — the second
+#: canonical dedup-index artifact after the shingle table: one row per doc,
+#: 32 longs.  Band explode, the skew-guard size count and both candidate
+#: join sides are all cheap projections over it; without materialization
+#: each reference re-runs the signature aggregation (the broadcast size
+#: count lives in a separate subtree, so ReuseExchange cannot collapse it).
+_SIGS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, sig)``: 32-permutation MinHash signatures, materialized
+    once per session from the shared hashed-shingle table."""
+    key = (id(spark), sf_dir)
+    s = _SIGS_CACHE.get(key)
+    if s is None:
+        g = hashed_grams(spark, sf_dir)
+        s = minhash_signature_agg(g, ["doc_id"], "hs", k=32, pre_hashed=True).localCheckpoint(
+            eager=True
+        )
+        _SIGS_CACHE[key] = s
+    return s
+
+
+#: same role for SimHash: one 64-bit fingerprint per doc, materialized so
+#: the md5-shingle vote pass (the expensive projection) runs once per
+#: session instead of once per plan reference.
+_SIMHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, sh)``: 60-bit md5-family SimHash fingerprints (the
+    engine-portable hash family — see functions/hashing.py), materialized
+    once per session."""
+    key = (id(spark), sf_dir)
+    t = _SIMHASH_CACHE.get(key)
+    if t is None:
+        docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+        md5_hashes = F.transform(
+            word_shingles(F.col("text"), 3),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+        t = (
+            docs.filter(F.size(tokens(F.col("text"))) >= 3)
+            .select("doc_id", simhash64(md5_hashes).alias("sh"))
+            .localCheckpoint(eager=True)
+        )
+        _SIMHASH_CACHE[key] = t
+    return t
 
 
 def _verify_pairs_exact(g: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
@@ -246,19 +306,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode+groupBy-min signature (flat codegen; the nested-HOF form
     # costs seconds of JIT per stage — see minhash_signature_agg)
     g = hashed_grams(spark, sf_dir)
-    sigs = minhash_signature_agg(g, ["doc_id"], "hs", k=32, pre_hashed=True)
+    sigs = minhash_sigs(spark, sf_dir)
     # explode ONLY (doc_id, band_key): the shingle arrays must not ride
     # through the 16x band duplication and its shuffle — at corpus scale
     # that multiplies shuffle bytes by the band count
     banded = sigs.select(
         "doc_id", F.explode(F.array(*lsh_band_keys(F.col("sig"), bands=16, rows=2))).alias("bk")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
-        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .dropDuplicates(["d1", "d2"])
-    )
+    # skew-guarded bucket self-join: buckets over LSH_BUCKET_CAP are
+    # salt-chunked so a degenerate band key (boilerplate-heavy corpus)
+    # costs O(n·cap) candidates across n/cap tasks, never one O(n²)
+    # straggler; buckets under the cap — all of them, on a healthy
+    # corpus — are paired exactly, so the oracle is unchanged
+    candidates = bucketed_candidate_pairs(banded, ["bk"], cap=LSH_BUCKET_CAP)
     # exact verification against the same hashed-shingle table: cost
     # scales with |candidates|, not corpus size
     return _verify_pairs_exact(g, candidates, JACCARD_THRESHOLD)
@@ -291,14 +351,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
-    md5_hashes = F.transform(
-        word_shingles(F.col("text"), 3),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-    )
-    hashed = docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
-        "doc_id", simhash64(md5_hashes).alias("sh")
-    )
+    hashed = simhash_table(spark, sf_dir)
     # bucket on 16-bit blocks: near-dups (hamming <= 6 over 64 bits) share
     # at least one of 4 blocks by pigeonhole when hamming <= 3... use 8
     # blocks of 8 bits to guarantee a shared block up to hamming 7
@@ -313,12 +366,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = banded.repartition(
         spark.sparkContext.defaultParallelism, "block_idx", "block_val"
     )
+    # same skew guard as the MinHash path: an 8-bit block value shared by
+    # a huge boilerplate cluster would otherwise put the whole cluster in
+    # one quadratic bucket.  The md5-shingle simhash projection — the
+    # expensive part — still runs once: the size count and both join sides
+    # all sit above the same repartition Exchange (ReusedExchange).
+    banded = salt_oversized_buckets(banded, ["block_idx", "block_val"], "doc_id", LSH_BUCKET_CAP)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.block_idx") == F.col("b.block_idx"))
             & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -799,32 +859,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(c, F.lit(0.0), lambda s, v: s + (v * v).cast("double"))
     )
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
-    # norms are computed ONCE per side before the n_vec x n_cells score
-    # join — inside the join the cosine costs one dot product, not three
-    # array reductions (csim = dot / (na * nb) is the exact same value
-    # and operation order as cosine())
-    nemb = emb.withColumn("na", norm(F.col("embedding")))
-    cents = nemb.filter(F.col("vec_id") % 64 == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("na").alias("nb")
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        norm(F.col("embedding")).alias("nb"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("embedding"), F.col("ce"), lambda x, y: (x * y).cast("double")),
-        F.lit(0.0),
-        lambda s, v: s + v,
-    )
-    # index build: nearest-centroid assignment, centroids broadcast.
-    # argmax via max_by instead of a window rank: the per-(vector,
-    # centroid) scores partial-aggregate map-side, so the shuffle carries
-    # one row per VECTOR instead of one per (vector, centroid) — at
-    # n_cells cells that is a n_cells-fold shuffle reduction, and no sort.
-    # Tie-break (higher csim, then lower cid) via lexicographic struct.
-    scored = nemb.join(F.broadcast(cents)).withColumn(
-        "csim", dot / (F.col("na") * F.col("nb"))
-    )
-    assign = scored.groupBy("vec_id").agg(
-        F.max_by("cid", F.struct(F.col("csim"), (-F.col("cid")).alias("nc"))).alias("cid"),
-        F.any_value("embedding").alias("embedding"),  # constant within the group
-    )
+    # index build: nearest-centroid assignment fully map-side
+    # (nearest_centroid_assign: bounded centroid set baked into an
+    # Arrow-batched numpy-matmul UDF).  Zero per-centroid row fan-out and
+    # zero groupBy(vec_id) shuffle: the assignment is a pure projection
+    # over the scan, which is what survives a 100x corpus.  Tie-break
+    # (higher csim, then lower cid) matches the oracle's window.
+    assign = nearest_centroid_assign(emb, cents.select("cid", "ce"))
     # query side: probe the 2 closest cells
     queries_df = emb.filter(F.col("vec_id") % 100 == 7).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
@@ -1375,16 +1421,16 @@ def dedup_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    # map-side assignment (nearest_centroid_assign): the bounded centroid
+    # set is baked into an Arrow-batched numpy-matmul UDF, so assignment
+    # is a pure projection — no x n_centroids row fan-out, no
+    # groupBy(vec_id) shuffle.  At large K the fan-out form's pre-shuffle
+    # row multiplication dominates; this form's per-row cost is one BLAS
+    # matvec.
     cents = emb.filter(F.col("vec_id") % 64 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    scored = emb.join(F.broadcast(cents)).withColumn(
-        "csim", cosine(F.col("embedding"), F.col("ce"))
-    )
-    assign = scored.groupBy("vec_id").agg(
-        F.max_by("cid", F.struct(F.col("csim"), (-F.col("cid")).alias("nc"))).alias("cid"),
-        F.any_value("embedding").alias("embedding"),
-    )
+    assign = nearest_centroid_assign(emb, cents)
     n = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
     d = assign.select("cid", F.posexplode("embedding").alias("pos0", "val"))
     m = d.groupBy("cid", F.col("pos0") + 1).agg(
