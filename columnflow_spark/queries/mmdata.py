@@ -2276,131 +2276,233 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compression layer real ANN systems put under IVF: vectors become m
 # uint8 codes against per-subspace codebooks; queries scan codes with a
 # per-subspace distance lookup table instead of raw floats — memory drops
-# 32x and the scan is table-additions).  Codebook here: the first K
-# vectors' sub-vectors (deterministic and data-adapted, so the oracle
-# reproduces it exactly); production would Lloyd-iterate per subspace
-# (kmeans_lloyd_step is that building block).  m=8 subspaces x 8 dims,
-# K=16 codes. ---
+# 32x and the scan is table-additions).  Sub-codebooks are Lloyd-TRAINED
+# (2 iterations per subspace, seeded from the first K vectors'
+# sub-vectors) on an integer grid: every component is quantized to
+# round(x * 1000) first, so cluster means are exact-integer-sums / counts
+# — bit-identical in IEEE double on BOTH engines regardless of partial
+# aggregation order — and every argmin decision of the training chain
+# reproduces exactly in the SQL oracle.  m=8 subspaces x 8 dims, K=16
+# codes, grid step 1e-3 (~1e-7 relative quantization error on unit-scale
+# embeddings — far below centroid separation). ---
 _PQ_M = 8
 _PQ_DIM = 8
 _PQ_K = 16
+_PQ_GRID = 1000
+_PQ_ITERS = 2
+_PQ_SAMPLE = 512  # training-sample bound (vec_id < bound): PQ codebooks
+# train on a bounded sample, never the full corpus — the artifact is
+# K*m centroids regardless of corpus size
 
 
-def _pq_subdist(v_expr: str, c_expr: str, s_expr: str) -> str:
-    """SQL: squared L2 between 8-dim sub-slices of two 64-dim lists at
-    subspace s (1-based list indexing)."""
-    return (
-        f"list_aggregate(list_transform(range(1, {_PQ_DIM + 1}), "
-        f"j -> ({v_expr}[({s_expr}) * {_PQ_DIM} + j] - {c_expr}[({s_expr}) * {_PQ_DIM} + j]) "
-        f"* ({v_expr}[({s_expr}) * {_PQ_DIM} + j] - {c_expr}[({s_expr}) * {_PQ_DIM} + j])), 'sum')"
+def _pq_assign_sql(t_rel: str, cb_rel: str) -> str:
+    """SQL: nearest-code assignment of quantized sub-vectors ``t_rel``
+    (vec_id, sub, t) against codebook ``cb_rel`` (sub, code, c) — squared
+    L2 on the grid, ties to the lowest code."""
+    return f"""
+        SELECT vec_id, sub, code, t FROM (
+            SELECT t.vec_id, t.sub, cb.code, t.t,
+                   row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+                       list_aggregate(list_transform(range(1, {_PQ_DIM + 1}),
+                           j -> (t.t[j] - cb.c[j]) * (t.t[j] - cb.c[j])), 'sum'),
+                       cb.code) AS rn
+            FROM {t_rel} t JOIN {cb_rel} cb ON cb.sub = t.sub
+        ) WHERE rn = 1"""
+
+
+def _pq_train_ctes(iters: int = _PQ_ITERS) -> str:
+    """SQL CTE chain reproducing the integer-grid Lloyd training exactly:
+    quantized sub-vectors -> seed codebook (first K) -> per-iteration
+    assignment (over the bounded training sample) + exact-mean update
+    (CAST(sum) AS BIGINT keeps the sum an integer — DuckDB sum(BIGINT) is
+    HUGEINT — so the division reproduces an integer-sum / count mean
+    bit-for-bit on any engine).  Materialized CTEs: DuckDB inlines by
+    default, which re-runs every prior round exponentially."""
+    parts = [
+        f"""
+    t AS MATERIALIZED (
+        SELECT vec_id, s.s AS sub,
+               list_transform(range(1, {_PQ_DIM + 1}),
+                   j -> CAST(round(embedding[s.s * {_PQ_DIM} + j] * {_PQ_GRID}) AS BIGINT)) AS t
+        FROM embeddings CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    ts AS MATERIALIZED (SELECT * FROM t WHERE vec_id < {_PQ_SAMPLE}),
+    cb0 AS MATERIALIZED (
+        SELECT sub, CAST(vec_id AS INT) AS code, list_transform(t, x -> x::DOUBLE) AS c
+        FROM t WHERE vec_id < {_PQ_K}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    a{i} AS MATERIALIZED ({_pq_assign_sql('ts', f'cb{i - 1}')}
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT sub, code, j, CAST(sum(tv) AS BIGINT) / count(*) AS mv
+        FROM (SELECT sub, code, unnest(t) AS tv, generate_subscripts(t, 1) AS j FROM a{i})
+        GROUP BY sub, code, j
+    ),
+    cb{i} AS MATERIALIZED (
+        SELECT cb.sub, cb.code,
+               CASE WHEN m.c IS NULL THEN cb.c ELSE m.c END AS c
+        FROM cb{i - 1} cb
+        LEFT JOIN (SELECT sub, code, list(mv ORDER BY j) AS c FROM m{i} GROUP BY sub, code) m
+               ON m.sub = cb.sub AND m.code = cb.code
+    )"""
+        )
+    return "".join(parts)
+
+
+def _pq_quantized_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(vec_id, sub, t)``: each vector exploded into its m sub-vectors,
+    components quantized to the integer grid ``round(x * 1000)`` (exact
+    longs — the representation the whole PQ chain trains and encodes on)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    tq = F.transform("embedding", lambda x: F.round(x.cast("double") * _PQ_GRID, 0).cast("long"))
+    return emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice(tq, s * _PQ_DIM + 1, _PQ_DIM) for s in range(_PQ_M)])
+        ).alias("sub", "t"),
     )
+
+
+#: per-(session, dir) trained PQ codebook — like the shingle/signature
+#: tables, the trained index artifact is built once per session and every
+#: PQ query (encode, ADC search, streaming encode) reuses it.
+_PQ_CB_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def pq_trained_codebook(spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS) -> DataFrame:
+    """``(sub, code, c)``: per-subspace codebook after ``iters`` Lloyd
+    iterations on the integer grid, seeded from the first K vectors and
+    trained on the bounded sample ``vec_id < _PQ_SAMPLE``.
+
+    The sample is collected once (bounded: sample_size x dim integers —
+    PQ codebooks are always trained on a sample, the artifact is K*m
+    centroids regardless of corpus size) and iterated in numpy.  Every
+    step is engine-exact against the SQL replay: component sums are
+    integer (int64) so the mean ``sum / count`` is the SAME double in any
+    summation order on any engine; per-sub-vector distances sum 8 doubles
+    sequentially (numpy stays sequential below its pairwise blocksize,
+    matching list_aggregate / F.aggregate); argmin ties fall to the first
+    (lowest) code; empty codes keep their previous centroid."""
+    codes, cmats = _pq_train_np(spark, sf_dir, iters)
+    return spark.createDataFrame(
+        [
+            (s, int(codes[s][ci]), [float(x) for x in cmats[s][ci]])
+            for s in range(_PQ_M)
+            for ci in range(len(codes[s]))
+        ],
+        "sub int, code int, c array<double>",
+    )
+
+
+def _pq_train_np(spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS):
+    """Numpy Lloyd training on the collected sample (see
+    :func:`pq_trained_codebook`): returns per-subspace ``(codes, cmat)``
+    — code ids sorted ascending and their centroid matrix (K x dim
+    float64), cached per (session, dir)."""
+    import numpy as np  # noqa: PLC0415
+
+    key = (id(spark), sf_dir)
+    cached = _PQ_CB_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sample = (
+        _pq_quantized_subs(spark, sf_dir)
+        .filter(F.col("vec_id") < _PQ_SAMPLE)
+        .collect()
+    )
+    by_sub: dict[int, list] = {}
+    for r in sorted(sample, key=lambda r: (r.sub, r.vec_id)):
+        by_sub.setdefault(r.sub, []).append((r.vec_id, r.t))
+    codes_out, cmats_out = [], []
+    for s in range(_PQ_M):
+        rows = by_sub.get(s, [])
+        tmat = np.array([t for _, t in rows], dtype=np.int64)
+        codes = np.array(sorted(vid for vid, _ in rows if vid < _PQ_K), dtype=np.int64)
+        cmat = tmat[: len(codes)].astype(np.float64)
+        for _ in range(iters):
+            # assignment: squared L2 per (vector, code), first-min tie-break
+            d = ((tmat[:, None, :].astype(np.float64) - cmat[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(axis=1)
+            for ci in range(len(codes)):
+                members = tmat[assign == ci]
+                if len(members):
+                    # exact integer sums -> order-independent double mean
+                    cmat[ci] = members.sum(axis=0, dtype=np.int64) / len(members)
+        codes_out.append(codes)
+        cmats_out.append(cmat)
+    _PQ_CB_CACHE[key] = (codes_out, cmats_out)
+    return codes_out, cmats_out
 
 
 @query(
     "ann_pq_codes",
     oracle=f"""
-    WITH cb AS (SELECT vec_id AS code, embedding AS c FROM embeddings WHERE vec_id < {_PQ_K}),
-    pairs AS (
-        SELECT e.vec_id, s.s AS sub, cb.code,
-               {_pq_subdist('e.embedding', 'cb.c', 's.s')} AS d
-        FROM embeddings e
-        CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
-        CROSS JOIN cb
-    ),
-    best AS (
-        SELECT vec_id, sub, code, row_number() OVER (
-            PARTITION BY vec_id, sub ORDER BY d, code) AS rn
-        FROM pairs
+    WITH {_pq_train_ctes()},
+    af AS ({_pq_assign_sql('t', f'cb{_PQ_ITERS}')}
     )
     SELECT vec_id, array_to_string(list(CAST(code AS INT) ORDER BY sub), '-') AS codes
-    FROM best WHERE rn = 1
-    GROUP BY vec_id
-    ORDER BY vec_id
+    FROM af GROUP BY vec_id ORDER BY vec_id
     """,
 )
 def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ encoding via row fan-out: explode each vector into its m
-    sub-vectors, join the (broadcast, m*K-row) codebook on the subspace id,
-    compute ONE sub-distance per joined row, take the per-(vector,
-    subspace) ``min_by`` — the same structure as the oracle.  An in-row
-    form with all m*K distances as expressions runs ~10x slower here:
-    higher-order functions are interpreted, so 128 HOF aggregates per row
-    beat the codegen'd join fan-out badly."""
+    """PQ encoding against the Lloyd-trained codebook as ONE vectorized
+    projection: the (bounded, m x K x dim) trained codebook is baked into
+    an Arrow-batched numpy UDF that quantizes each vector to the grid and
+    argmins all m subspaces per batch with matrix arithmetic — no row
+    fan-out, no shuffle, no per-element interpreted HOFs; the corpus is
+    scanned exactly once (the same shape as nearest_centroid_assign).
+
+    The oracle replays the ENTIRE training + encode chain in SQL and must
+    land on identical integer codes — the integer-grid training makes
+    that exact: quantization uses half-away rounding (floor(|y|+0.5),
+    exact because y = float32 * 1000 and y + 0.5 are exactly
+    representable), distances sum 8 doubles sequentially on both engines,
+    ties fall to the lowest code.
+
+    Codes are emitted as a dash-joined string ordered by subspace: a
+    scalar cell keeps every downstream hash-compare implementation happy."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
-    cb_rows = sorted(
-        emb.filter(F.col("vec_id") < _PQ_K)
-        .select(F.col("vec_id").alias("code"), F.col("embedding").alias("c"))
-        .collect(),
-        key=lambda r: r.code,
-    )
-    cb = spark.createDataFrame(
-        [
-            (s, int(r.code), [float(x) for x in r.c[s * _PQ_DIM:(s + 1) * _PQ_DIM]])
-            for s in range(_PQ_M)
-            for r in cb_rows
-        ],
-        "sub int, code int, c array<double>",
-    )
-    subs = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[F.slice("embedding", s * _PQ_DIM + 1, _PQ_DIM) for s in range(_PQ_M)])
-        ).alias("sub", "v"),
-    )
-    d = F.aggregate(
-        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, x: acc + x
-    )
-    best = (
-        subs.join(F.broadcast(cb), "sub")
-        .withColumn("d", d)
-        .groupBy("vec_id", "sub")
-        .agg(F.min_by("code", F.struct("d", "code")).alias("code"))
-    )
-    # codes emitted as a dash-joined string ordered by subspace: a scalar
-    # cell keeps every downstream hash-compare implementation happy
-    return (
-        best.groupBy("vec_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("sub", "code"))),
-                    lambda x: x["code"].cast("string"),
-                ),
-                "-",
-            ).alias("codes")
-        )
-        .orderBy("vec_id")
-    )
+    codes_arr, cmats = _pq_train_np(spark, sf_dir)
+
+    @F.pandas_udf("string")
+    def _encode(batch):
+        x = np.vstack(batch.to_numpy()).astype(np.float64)
+        y = x * _PQ_GRID
+        t = np.sign(y) * np.floor(np.abs(y) + 0.5)  # half-away, exact
+        cols = []
+        for s in range(_PQ_M):
+            sub = t[:, s * _PQ_DIM:(s + 1) * _PQ_DIM]
+            d = ((sub[:, None, :] - cmats[s][None, :, :]) ** 2).sum(-1)
+            cols.append(codes_arr[s][d.argmin(axis=1)])
+        packed = np.stack(cols, axis=1)
+        return pd.Series(["-".join(map(str, row)) for row in packed])
+
+    return emb.select("vec_id", _encode("embedding").alias("codes")).orderBy("vec_id")
 
 
 @query(
     "ann_pq_adc_topk",
     oracle=f"""
-    WITH cb AS (SELECT vec_id AS code, embedding AS c FROM embeddings WHERE vec_id < {_PQ_K}),
-    pairs AS (
-        SELECT e.vec_id, s.s AS sub, cb.code,
-               {_pq_subdist('e.embedding', 'cb.c', 's.s')} AS d
-        FROM embeddings e
-        CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
-        CROSS JOIN cb
+    WITH {_pq_train_ctes()},
+    best AS MATERIALIZED ({_pq_assign_sql('t', f'cb{_PQ_ITERS}')}
     ),
-    best AS (
-        SELECT vec_id, sub, code FROM (
-            SELECT vec_id, sub, code, row_number() OVER (
-                PARTITION BY vec_id, sub ORDER BY d, code) AS rn
-            FROM pairs
-        ) WHERE rn = 1
-    ),
-    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
     lut AS (
-        SELECT q.query_id, s.s AS sub, cb.code,
-               {_pq_subdist('q.qe', 'cb.c', 's.s')} AS d
-        FROM q
-        CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
-        CROSS JOIN cb
+        SELECT t.vec_id AS query_id, t.sub, cb.code,
+               list_aggregate(list_transform(range(1, {_PQ_DIM + 1}),
+                   j -> (t.t[j] - cb.c[j]) * (t.t[j] - cb.c[j])), 'sum') AS d
+        FROM t JOIN cb{_PQ_ITERS} cb ON cb.sub = t.sub
+        WHERE t.vec_id < 50
     ),
     adc AS (
-        SELECT l.query_id, b.vec_id AS neighbor_id, sum(l.d) AS dist
+        SELECT l.query_id, b.vec_id AS neighbor_id,
+               sum(l.d) / {_PQ_GRID * _PQ_GRID} AS dist
         FROM best b JOIN lut l ON l.sub = b.sub AND l.code = b.code
         WHERE b.vec_id <> l.query_id
         GROUP BY 1, 2
@@ -2416,36 +2518,43 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric-distance search over PQ codes: per query, an m x K
-    distance lookup table (query sub-vector vs codebook), then each
-    candidate's approximate distance is the sum of m table entries
-    addressed by its codes — the corpus is scanned as codes only, the
-    float vectors never move.  Ranking on the rounded distance keeps the
-    argsort stable across engines (sum-of-8-doubles join order)."""
+    """Asymmetric-distance search over PQ codes (trained codebook): per
+    query, an m x K distance lookup table (query sub-vector vs codebook),
+    then each candidate's approximate distance is the sum of m table
+    entries addressed by its codes — the corpus is scanned as codes only,
+    the float vectors never move.  The LUT is a DataFrame op (posexplode
+    query sub-vectors x broadcast codebook — the same shape the corpus
+    encode uses), so a 10k-query batch builds its LUTs distributed, with
+    no driver loop anywhere.  Distances live on the quantized grid (the
+    space the codebook was trained in); ranking on the rounded distance
+    keeps the argsort stable across engines."""
     codes = ann_pq_codes.__wrapped__(spark, sf_dir)
     exploded = codes.select(
         "vec_id",
         F.posexplode(F.split("codes", "-").cast("array<int>")).alias("sub", "code"),
     )
-    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q_rows = emb.filter(F.col("vec_id") < 5).collect()
-    cb_rows = emb.filter(F.col("vec_id") < _PQ_K).collect()
-    lut_rows = []
-    for qr in q_rows:
-        for s in range(_PQ_M):
-            qs = qr.embedding[s * _PQ_DIM:(s + 1) * _PQ_DIM]
-            for cr in cb_rows:
-                cs = cr.embedding[s * _PQ_DIM:(s + 1) * _PQ_DIM]
-                d = 0.0
-                for a, b in zip(qs, cs):
-                    d += (float(a) - float(b)) * (float(a) - float(b))
-                lut_rows.append((int(qr.vec_id), s, int(cr.vec_id), d))
-    lut = spark.createDataFrame(lut_rows, "query_id long, sub int, code int, d double")
+    cb = pq_trained_codebook(spark, sf_dir)
+    qsubs = (
+        _pq_quantized_subs(spark, sf_dir)
+        .filter(F.col("vec_id") < 50)
+        .select(F.col("vec_id").alias("query_id"), "sub", F.col("t").alias("qs"))
+    )
+    subd = F.aggregate(
+        F.zip_with("qs", "c", lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = qsubs.join(F.broadcast(cb), "sub").select("query_id", "sub", "code", subd.alias("d"))
+    # distances are computed on the integer grid (magnitude ~GRID² larger
+    # than raw units); divide back down BEFORE the round-4 so the compare
+    # tolerance stays absolute-1e-4-at-raw-scale — the m-term sum's
+    # floating-point order is partial-aggregation-dependent, and at grid
+    # magnitude a 4-decimal round would demand ~1e-11 relative agreement
     adc = (
         exploded.join(F.broadcast(lut), ["sub", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("d").alias("dist"))
+        .agg((F.sum("d") / F.lit(float(_PQ_GRID * _PQ_GRID))).alias("dist"))
     )
     win = W.partitionBy("query_id").orderBy(F.round("dist", 4), F.asc("neighbor_id"))
     return (
