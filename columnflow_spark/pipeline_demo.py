@@ -162,3 +162,44 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     produced = chain.run(events)
     return fill_hist(produced, [HT_VARIABLE], categorical=["category"])
+
+
+def write_reduced_store(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    shifts: tuple[str, ...] = ("nominal", "price_up"),
+    dataset: str = "orders",
+) -> str:
+    """Materialize the flagship pipeline's reduced events as the prunable
+    ``dataset=…/shift=…`` hive store (SURVEY §7.3 step 7; the reference
+    persists ReduceEvents output per (dataset, shift) as task-addressed
+    files — tasks/reduction.py — and every downstream task reads exactly
+    one slice).  On a cluster this layout is what turns a single-shift
+    histogram pass over a 100 TB store into a scan of 1/N_shifts of it:
+    the shift/dataset predicates resolve at PLANNING time against the
+    directory listing (PartitionFilters), no file footer is even opened
+    for pruned slices.  test_plan_quality pins that property."""
+    from columnflow_spark.sources.sinks import write_events
+
+    events = build_nested_events(spark, sf_dir)
+    slices = []
+    for shift in shifts:
+        # shifted calibration: the up-variation scales the correction —
+        # the same operator chain, different inst_dict (reference shift
+        # semantics: one task tree per shift)
+        scale = PRICE_SCALE * (1.05 if shift.endswith("_up") else 1.0)
+        chain = StageChain(
+            [price_scale(scale=scale), qty_selector(), cf_default_reduce(), features()],
+            keep=["o_orderkey"],
+        )
+        slices.append(
+            chain.run(events)
+            .withColumn("dataset", F.lit(dataset))
+            .withColumn("shift", F.lit(shift))
+        )
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    write_events(out, path, partition_by=("dataset", "shift"))
+    return path

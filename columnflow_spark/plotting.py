@@ -99,10 +99,21 @@ def render_heatmap_2d(
     width: int = 640,
     height: int = 480,
     value_col: str = "w",
+    log_z: bool = False,
+    zlabel: str = "",
+    xlabel: str = "",
+    ylabel: str = "",
+    vmin: float | None = None,
+    vmax: float | None = None,
 ) -> str:
-    """Draw a 2-D cell map from :func:`heatmap_plot_data` rows —
-    matplotlib ``pcolormesh`` when importable, else the SVG fallback
-    (linear white→blue ramp, per-cell tooltips)."""
+    """Draw a 2-D cell map from :func:`heatmap_plot_data` rows with the
+    reference ``plot_2d`` controls (plotting/plot_functions_2d.py:36):
+    ``log_z`` for a log color scale, ``zlabel`` for the colorbar label,
+    axis labels, and ``vmin``/``vmax`` clamps for the color range.
+    Matplotlib ``pcolormesh`` when importable, else the SVG fallback
+    (white→blue ramp, per-cell tooltips, inline colorbar legend)."""
+    import math  # noqa: PLC0415
+
     data = _normalize_rows(rows)
     if not data:
         raise ValueError("no heatmap rows to render")
@@ -110,21 +121,45 @@ def render_heatmap_2d(
     bx, by = cols[0], cols[1]
     xs = sorted({r[bx] for r in data})
     ys = sorted({r[by] for r in data})
-    vmax = max(r[value_col] for r in data) or 1.0
+    values = [r[value_col] for r in data]
+    v_hi = vmax if vmax is not None else (max(values) or 1.0)
+    if log_z:
+        pos = [v for v in values if v > 0]
+        v_lo = vmin if vmin is not None and vmin > 0 else (min(pos) if pos else 1.0)
+    else:
+        v_lo = vmin if vmin is not None else 0.0
+
+    def frac(v: float) -> float:
+        """Clamped color fraction (linear or log scale)."""
+        if log_z:
+            if v <= 0 or v_hi <= v_lo:
+                return 0.0
+            f = (math.log(v) - math.log(v_lo)) / (math.log(v_hi) - math.log(v_lo))
+        else:
+            f = (v - v_lo) / ((v_hi - v_lo) or 1.0)
+        return min(max(f, 0.0), 1.0)
 
     try:
         import matplotlib  # noqa: PLC0415
 
         matplotlib.use("Agg")
+        import matplotlib.colors as mcolors  # noqa: PLC0415
         import matplotlib.pyplot as plt  # noqa: PLC0415
 
         grid = [[0.0] * len(xs) for _ in ys]
         for r in data:
             grid[ys.index(r[by])][xs.index(r[bx])] = r[value_col]
         fig, ax = plt.subplots(figsize=(width / 96, height / 96))
-        mesh = ax.pcolormesh(grid, cmap="Blues")
-        fig.colorbar(mesh, ax=ax)
+        norm = (
+            mcolors.LogNorm(vmin=v_lo, vmax=v_hi)
+            if log_z
+            else mcolors.Normalize(vmin=v_lo, vmax=v_hi)
+        )
+        mesh = ax.pcolormesh(grid, cmap="Blues", norm=norm)
+        fig.colorbar(mesh, ax=ax, label=zlabel)
         ax.set_title(title)
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel(ylabel)
         if out_path:
             fig.savefig(out_path)
             plt.close(fig)
@@ -141,16 +176,48 @@ def render_heatmap_2d(
         f'viewBox="0 0 {width} {height}">',
         f'<text x="{width / 2}" y="14" text-anchor="middle" font-size="12">{title}</text>',
     ]
+    if xlabel:
+        parts.append(
+            f'<text x="{width / 2}" y="{height - 4}" text-anchor="middle" font-size="11">{xlabel}</text>'
+        )
+    if ylabel:
+        parts.append(
+            f'<text x="12" y="{height / 2}" text-anchor="middle" font-size="11" '
+            f'transform="rotate(-90 12 {height / 2})">{ylabel}</text>'
+        )
     for r in data:
         i, j = xs.index(r[bx]), ys.index(r[by])
-        frac = r[value_col] / vmax
+        f = frac(r[value_col])
         # white -> steel blue ramp
-        red = int(255 - 200 * frac)
-        green = int(255 - 140 * frac)
+        red = int(255 - 200 * f)
+        green = int(255 - 140 * f)
         parts.append(
             f'<rect x="{pad + i * cw:.1f}" y="{pad + j * ch:.1f}" width="{cw:.1f}" '
             f'height="{ch:.1f}" fill="rgb({red},{green},255)">'
             f"<title>{r[bx]},{r[by]}: {r[value_col]}</title></rect>"
+        )
+    # inline colorbar: 5 swatches from v_lo to v_hi (the SVG stand-in for
+    # fig.colorbar), labelled with zlabel and the scale type
+    bar_x = width - pad + 6
+    for k in range(5):
+        fk = k / 4
+        v = (
+            math.exp(math.log(v_lo) + fk * (math.log(v_hi) - math.log(v_lo)))
+            if log_z and v_lo > 0
+            else v_lo + fk * (v_hi - v_lo)
+        )
+        f = frac(v)
+        red = int(255 - 200 * f)
+        green = int(255 - 140 * f)
+        y = height - pad - (k + 1) * 16
+        parts.append(
+            f'<rect x="{bar_x}" y="{y}" width="10" height="16" fill="rgb({red},{green},255)">'
+            f"<title>{v:.3g}</title></rect>"
+        )
+    if zlabel:
+        parts.append(
+            f'<text x="{bar_x + 5}" y="{height - pad + 12}" font-size="9" '
+            f'text-anchor="middle">{zlabel}{" (log)" if log_z else ""}</text>'
         )
     parts.append("</svg>")
     svg = "\n".join(parts)
@@ -298,6 +365,266 @@ def render_stack_1d(
         y = 24 + j * 14
         parts.append(f'<rect x="{width - 150}" y="{y}" width="10" height="10" fill="{colors[p]}"/>')
         parts.append(f'<text x="{width - 136}" y="{y + 9}" font-size="10">{p}</text>')
+    parts.append("</svg>")
+    svg = "\n".join(parts)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(svg)
+        return out_path
+    return svg
+
+
+def shifted_plot_data(
+    hist: DataFrame,
+    bin_col: str,
+    shift_col: str = "shift",
+    value_col: str = "sum_w",
+    nominal: str = "nominal",
+    round_to: int = 4,
+) -> DataFrame:
+    """Plot table for the nominal-vs-shifts overlay (reference
+    ``plot_shifted_variable``, plotting/plot_functions_1d.py:232): per
+    (shift, bin) the value, the per-bin ratio to nominal (the ratio-panel
+    series) and the shift's total relative offset in percent (the
+    reference's "(+x.xx%)" legend annotation).  One broadcast join of the
+    nominal slice + per-shift window totals — the hist table is already
+    tiny (bins x shifts) by the time it reaches plotting."""
+    nom = hist.filter(F.col(shift_col) == nominal).select(
+        F.col(bin_col), F.col(value_col).alias("_nom")
+    )
+    ws = W.partitionBy(shift_col)
+    joined = hist.join(F.broadcast(nom), bin_col, "left")
+    diff_pct = (F.sum(value_col).over(ws) / F.sum("_nom").over(ws) - 1) * 100
+    return joined.select(
+        F.col(shift_col),
+        F.col(bin_col),
+        F.round(F.col(value_col), round_to).alias("w"),
+        F.round(F.col(value_col) / F.col("_nom"), round_to).alias("ratio"),
+        F.round(diff_pct, 2).alias("total_diff_pct"),
+    )
+
+
+def _shift_color(name: str, nominal: str = "nominal") -> str:
+    """Reference color convention (plot_functions_1d.py:276): nominal
+    black, up-shifts red, down-shifts blue."""
+    if name == nominal:
+        return "black"
+    if name.endswith("_up") or name == "up":
+        return "#d62728"
+    if name.endswith("_down") or name == "down":
+        return "#1f77b4"
+    return "#888888"
+
+
+def render_shifted_variable(
+    rows,
+    title: str = "",
+    out_path: str | None = None,
+    width: int = 640,
+    height: int = 480,
+    nominal: str = "nominal",
+    ratio_ylim: tuple[float, float] = (0.25, 1.75),
+) -> str:
+    """Draw the nominal/up/down overlay with a ratio panel from
+    :func:`shifted_plot_data` rows (reference ``plot_shifted_variable``):
+    step lines per shift in the black/red/blue convention, shift legend
+    annotated with the total offset percent, ratio panel (shift/nominal)
+    fixed to the reference's (0.25, 1.75) window.  Matplotlib when
+    importable, else the dependency-free SVG writer."""
+    data = _normalize_rows(rows)
+    if not data:
+        raise ValueError("no shifted-variable rows to render")
+    shift_col = next(c for c in data[0] if c not in ("w", "ratio", "total_diff_pct") and not c.startswith("bin"))
+    bin_col = next(c for c in data[0] if c.startswith("bin"))
+    bins = sorted({r[bin_col] for r in data})
+    by_shift: dict[str, dict] = {}
+    for r in data:
+        by_shift.setdefault(r[shift_col], {})[r[bin_col]] = r
+    # nominal first, then alphabetical: a stable draw/legend order
+    shifts = sorted(by_shift, key=lambda s: (s != nominal, s))
+
+    def label(s: str) -> str:
+        if s == nominal:
+            return s
+        d = next(iter(by_shift[s].values()))["total_diff_pct"]
+        return f"{s} ({d:+.2f}%)"
+
+    try:
+        import matplotlib  # noqa: PLC0415
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt  # noqa: PLC0415
+
+        fig, (ax, axr) = plt.subplots(
+            2, 1, sharex=True, height_ratios=[3, 1], figsize=(width / 96, height / 96)
+        )
+        xs = range(len(bins))
+        for s in shifts:
+            ys = [by_shift[s].get(b, {}).get("w", 0.0) for b in bins]
+            ax.step(xs, ys, where="mid", color=_shift_color(s, nominal), label=label(s))
+            if s != nominal:
+                # shift-only bins have no nominal partner -> draw at 1.0
+                rr = [by_shift[s].get(b, {}).get("ratio") or 1.0 for b in bins]
+                axr.step(xs, rr, where="mid", color=_shift_color(s, nominal))
+        axr.axhline(1.0, color="#444444", linewidth=0.8)
+        axr.set_ylim(*ratio_ylim)
+        axr.set_ylabel("Ratio")
+        ax.set_title(title)
+        ax.legend(fontsize=7)
+        if out_path:
+            fig.savefig(out_path)
+            plt.close(fig)
+            return out_path
+        return fig  # pragma: no cover - interactive use
+    except ImportError:
+        pass
+
+    # ---- SVG fallback -----------------------------------------------------
+    y_max = max(r["w"] for r in data) or 1.0
+    mh, rh = int(height * 0.62), int(height * 0.22)
+    pad, r_top = 40, int(height * 0.72)
+    bw = (width - 2 * pad) / max(len(bins), 1)
+    lo, hi = ratio_ylim
+
+    def sx(i: float) -> float:
+        return pad + i * bw
+
+    def sy(v: float) -> float:
+        return 20 + mh - (v / y_max) * mh
+
+    def ry(v: float) -> float:
+        v = min(max(v, lo), hi)
+        return r_top + rh - (v - lo) / (hi - lo) * rh
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
+        f'viewBox="0 0 {width} {height}">',
+        f'<text x="{width / 2}" y="14" text-anchor="middle" font-size="12">{title}</text>',
+        f'<line x1="{pad}" y1="{ry(1.0):.1f}" x2="{width - pad}" y2="{ry(1.0):.1f}" '
+        f'stroke="#444444" stroke-width="0.8"/>',
+    ]
+    for s in shifts:
+        color = _shift_color(s, nominal)
+        pts = " ".join(
+            f"{sx(i) + bw / 2:.1f},{sy(by_shift[s].get(b, {}).get('w') or 0.0):.1f}"
+            for i, b in enumerate(bins)
+        )
+        parts.append(
+            f'<polyline points="{pts}" fill="none" stroke="{color}" stroke-width="1.5">'
+            f"<title>{label(s)}</title></polyline>"
+        )
+        if s != nominal:
+            rpts = " ".join(
+                f"{sx(i) + bw / 2:.1f},{ry(by_shift[s].get(b, {}).get('ratio') or 1.0):.1f}"
+                for i, b in enumerate(bins)
+            )
+            parts.append(
+                f'<polyline points="{rpts}" fill="none" stroke="{color}" stroke-width="1.2"/>'
+            )
+    for j, s in enumerate(shifts):
+        y = 24 + j * 14
+        parts.append(
+            f'<rect x="{width - 190}" y="{y}" width="10" height="10" fill="{_shift_color(s, nominal)}"/>'
+        )
+        parts.append(f'<text x="{width - 176}" y="{y + 9}" font-size="10">{label(s)}</text>')
+    parts.append("</svg>")
+    svg = "\n".join(parts)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(svg)
+        return out_path
+    return svg
+
+
+def render_cutflow(
+    rows,
+    step_order: list[str] | None = None,
+    title: str = "",
+    out_path: str | None = None,
+    width: int = 640,
+    height: int = 480,
+    shape_norm: bool = False,
+) -> str:
+    """Draw the per-step selection-yield curve from ``cutflow_steps`` rows
+    (reference ``plot_cutflow``, plotting/plot_functions_1d.py:342): one
+    marker-line per process (single anonymous series when the rows carry
+    no process column), step names as rotated x-tick labels, optional
+    ``shape_norm`` dividing every step by the first ("Selection
+    efficiency" mode).  Matplotlib when importable, else SVG."""
+    data = _normalize_rows(rows)
+    if not data:
+        raise ValueError("no cutflow rows to render")
+    val_col = "n" if "n" in data[0] else next(c for c in data[0] if c not in ("step", "process"))
+    has_proc = "process" in data[0]
+    series: dict[str, dict] = {}
+    for r in data:
+        series.setdefault(r["process"] if has_proc else "all", {})[r["step"]] = float(r[val_col])
+    steps = step_order or list(dict.fromkeys(r["step"] for r in data))
+    if shape_norm:
+        for vals in series.values():
+            first = vals.get(steps[0]) or 1.0
+            for k in vals:
+                vals[k] = vals[k] / first
+    colors = {p: _PALETTE[i % len(_PALETTE)] for i, p in enumerate(series)}
+
+    try:
+        import matplotlib  # noqa: PLC0415
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt  # noqa: PLC0415
+
+        fig, ax = plt.subplots(figsize=(width / 96, height / 96))
+        xs = range(len(steps))
+        for p, vals in series.items():
+            ax.plot(xs, [vals.get(s, 0.0) for s in steps], marker="o", color=colors[p], label=p)
+        ax.set_xticks(list(xs))
+        ax.set_xticklabels(steps, rotation=45, ha="right")
+        ax.set_ylabel("Selection efficiency" if shape_norm else "Selection yield")
+        ax.set_xlabel("Selection step")
+        ax.set_title(title)
+        if has_proc:
+            ax.legend(fontsize=7, loc="upper right")
+        if out_path:
+            fig.savefig(out_path, bbox_inches="tight")
+            plt.close(fig)
+            return out_path
+        return fig  # pragma: no cover - interactive use
+    except ImportError:
+        pass
+
+    # ---- SVG fallback -----------------------------------------------------
+    y_max = max(max(v.values()) for v in series.values()) or 1.0
+    pad = 50
+    mh = height - 2 * pad
+    bw = (width - 2 * pad) / max(len(steps), 1)
+
+    def sx(i: float) -> float:
+        return pad + (i + 0.5) * bw
+
+    def sy(v: float) -> float:
+        return pad + mh - (v / y_max) * mh
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
+        f'viewBox="0 0 {width} {height}">',
+        f'<text x="{width / 2}" y="14" text-anchor="middle" font-size="12">{title}</text>',
+    ]
+    for p, vals in series.items():
+        pts = " ".join(f"{sx(i):.1f},{sy(vals.get(s, 0.0)):.1f}" for i, s in enumerate(steps))
+        parts.append(
+            f'<polyline points="{pts}" fill="none" stroke="{colors[p]}" stroke-width="1.5">'
+            f"<title>{p}</title></polyline>"
+        )
+        for i, s in enumerate(steps):
+            parts.append(
+                f'<circle cx="{sx(i):.1f}" cy="{sy(vals.get(s, 0.0)):.1f}" r="3" '
+                f'fill="{colors[p]}"><title>{p}/{s}: {vals.get(s, 0.0)}</title></circle>'
+            )
+    for i, s in enumerate(steps):
+        parts.append(
+            f'<text x="{sx(i):.1f}" y="{height - 18}" font-size="10" text-anchor="end" '
+            f'transform="rotate(-45 {sx(i):.1f} {height - 18})">{s}</text>'
+        )
     parts.append("</svg>")
     svg = "\n".join(parts)
     if out_path:

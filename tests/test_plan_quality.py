@@ -199,3 +199,31 @@ def test_kmeans_assignment_is_map_side(spark, sf_dir):
         assert "max_by" not in plan, name
         key_lines = [l for l in plan.splitlines() if "Keys" in l]
         assert all("vec_id" not in l for l in key_lines), (name, key_lines)
+
+
+def test_reduced_store_partition_pruning(spark, sf_dir, tmp_path):
+    # the dataset=/shift= hive layout must prune at PLANNING time: a
+    # single-shift read shows the shift predicate under PartitionFilters
+    # (directory-level skip) and NOT as a post-scan data filter
+    from columnflow_spark.pipeline_demo import write_reduced_store
+
+    path = str(tmp_path / "reduced_store")
+    write_reduced_store(spark, sf_dir, path)
+    df = spark.read.parquet(path).filter(
+        "shift = 'nominal' AND dataset = 'orders'"
+    ).select("o_orderkey", "ht")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, plan
+    assert any("shift" in l and "nominal" in l for l in pf_lines), pf_lines
+    # both shifts exist in the store; the pruned read returns only nominal
+    assert set(
+        r.shift for r in spark.read.parquet(path).select("shift").distinct().collect()
+    ) == {"nominal", "price_up"}
+    assert df.count() > 0

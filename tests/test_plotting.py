@@ -78,7 +78,8 @@ def test_heatmap_2d_from_query(spark, sf_dir, tmp_path):
     assert all(abs(v - 1.0) < 0.01 for v in acc.values())
     out = render_heatmap_2d(rows, title="flag x price", out_path=str(tmp_path / "h.svg"))
     content = open(out).read()
-    assert content.count("<rect") == len(rows) and "</svg>" in content
+    # one rect per cell plus the 5-swatch inline colorbar
+    assert content.count("<rect") == len(rows) + 5 and "</svg>" in content
 
 
 def test_catalog_variable_drives_hist(spark, sf_dir):
@@ -123,3 +124,94 @@ def test_density_negative_blinding_helpers(spark):
     kept = blind_sensitive_bins(data, sig, bkg, "bin__x", threshold=3.0)
     # bin 0: s/sqrt(b) = 50 -> blinded; bin 1: 0.1 -> kept
     assert [r.bin__x for r in kept.collect()] == [1]
+
+
+def test_render_shifted_variable_from_query(spark, sf_dir, tmp_path):
+    # reference plot_shifted_variable (plot_functions_1d.py:232): the
+    # shift-union hist table drives a nominal/up overlay + ratio panel
+    from columnflow_spark.plotting import render_shifted_variable, shifted_plot_data
+    from columnflow_spark.queries import all_queries
+
+    hist = all_queries()["hist_shift_union"](spark, sf_dir)
+    rows = shifted_plot_data(hist, "bin__price").collect()
+    # every shifted row carries a ratio to nominal and the total offset
+    shifted = [r for r in rows if r["shift"] == "price_up"]
+    # bins present in the nominal slice get a ratio; shift-only bins
+    # (e.g. overflow migration) have no nominal partner -> null
+    nominal_bins = {r["bin__price"] for r in rows if r["shift"] == "nominal"}
+    assert shifted and all(
+        r["ratio"] is not None for r in shifted if r["bin__price"] in nominal_bins
+    )
+    assert len({r["total_diff_pct"] for r in shifted}) == 1
+    nominal = [r for r in rows if r["shift"] == "nominal"]
+    assert all(r["total_diff_pct"] == 0.0 for r in nominal)
+    out = render_shifted_variable(rows, title="price shifts", out_path=str(tmp_path / "s.svg"))
+    content = open(out).read()
+    assert "<svg" in content[:200] or content.lstrip().startswith(("%PDF", "\x89PNG"))
+    if "<svg" in content[:200]:
+        assert content.count("<polyline") >= 3  # nominal + up + its ratio
+        assert "price shifts" in content
+        assert "%)" in content  # the (+x.xx%) legend annotation
+
+
+def test_render_cutflow_from_query(spark, sf_dir, tmp_path):
+    # reference plot_cutflow (plot_functions_1d.py:342): step curve
+    from columnflow_spark.plotting import render_cutflow
+    from columnflow_spark.queries import all_queries
+
+    rows = all_queries()["cutflow_steps"](spark, sf_dir).collect()
+    out = render_cutflow(
+        rows, step_order=["initial", "qty", "price", "discount"],
+        title="cutflow", out_path=str(tmp_path / "c.svg"),
+    )
+    content = open(out).read()
+    if "<svg" in content[:200]:
+        assert content.count("<circle") == 4  # one marker per step
+        assert "initial" in content and "discount" in content
+    # shape_norm divides by the initial step
+    out2 = render_cutflow(rows, shape_norm=True, out_path=str(tmp_path / "c2.svg"))
+    assert open(out2).read()
+
+
+def test_render_cutflow_multi_process(tmp_path):
+    from columnflow_spark.plotting import render_cutflow
+
+    rows = [
+        {"process": p, "step": s, "n": n}
+        for p, counts in {"tt": [100, 60, 30], "dy": [80, 70, 10]}.items()
+        for s, n in zip(["initial", "sel", "tight"], counts)
+    ]
+    out = render_cutflow(rows, out_path=str(tmp_path / "m.svg"))
+    content = open(out).read()
+    if "<svg" in content[:200]:
+        assert content.count("<polyline") == 2
+
+
+def test_heatmap_2d_controls(spark, sf_dir, tmp_path):
+    # reference plot_2d controls: log-z, colorbar/axis labels, clamps
+    import pytest
+
+    from columnflow_spark.plotting import heatmap_plot_data, render_heatmap_2d
+    from columnflow_spark.queries import all_queries
+
+    hist2d = all_queries()["hist_2d_flag_price"](spark, sf_dir)
+    cols = hist2d.columns
+    bx = next(c for c in cols if not c.startswith(("n", "sum")))
+    by = next(c for c in cols if c.startswith("bin"))
+    rows = heatmap_plot_data(hist2d, bx, by).collect()
+    for log_z in (False, True):
+        out = render_heatmap_2d(
+            rows, title="2d", log_z=log_z, zlabel="weight",
+            xlabel="flag", ylabel="price bin", vmin=None, vmax=None,
+            out_path=str(tmp_path / f"h_{log_z}.svg"),
+        )
+        content = open(out).read()
+        if "<svg" in content[:200]:
+            assert "weight" in content and "flag" in content and "price bin" in content
+            if log_z:
+                assert "(log)" in content
+    # vmax clamp: cells above vmax saturate instead of rescaling the ramp
+    out = render_heatmap_2d(rows, vmax=1e-9, out_path=str(tmp_path / "clamp.svg"))
+    assert open(out).read()
+    with pytest.raises(ValueError):
+        render_heatmap_2d([])
