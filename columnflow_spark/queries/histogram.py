@@ -192,6 +192,45 @@ def hist_shift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nominal.unionByName(shifted)
 
 
+# --- shifted-variable overlay plot table (reference plot_shifted_variable,
+# plotting/plot_functions_1d.py:232): per (shift, bin) the value, ratio to
+# nominal (the ratio panel) and the shift's total offset percent (the
+# "(+x.xx%)" legend annotation).  The draw step is
+# plotting.render_shifted_variable; this registers the COMPUTE side on the
+# driver-checked surface.  sum_w here is count-valued, so every ratio is
+# an exact integer quotient — no fp-order sensitivity. ---
+@query(
+    "plot_shifted_overlay",
+    oracle=f"""
+    WITH h AS (
+        SELECT 'nominal' AS shift,
+            {_regular_bin_sql("l_extendedprice", 10, 0.0, 110000.0)} AS bin__price,
+            sum(1.0) AS sum_w
+        FROM lineitem GROUP BY 2
+        UNION ALL
+        SELECT 'price_up' AS shift,
+            {_regular_bin_sql("l_extendedprice * 1.05", 10, 0.0, 110000.0)} AS bin__price,
+            sum(1.0) AS sum_w
+        FROM lineitem GROUP BY 2
+    ),
+    nom AS (SELECT bin__price, sum_w AS nom_w FROM h WHERE shift = 'nominal')
+    SELECT h.shift, h.bin__price,
+           round(h.sum_w, 4) AS w,
+           round(h.sum_w / nom.nom_w, 4) AS ratio,
+           round((sum(h.sum_w) OVER (PARTITION BY h.shift)
+                  / sum(nom.nom_w) OVER (PARTITION BY h.shift) - 1) * 100, 2)
+               AS total_diff_pct
+    FROM h LEFT JOIN nom ON nom.bin__price = h.bin__price
+    ORDER BY 1, 2
+    """,
+)
+def plot_shifted_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.plotting import shifted_plot_data
+
+    hist = hist_shift_union.__wrapped__(spark, sf_dir)
+    return shifted_plot_data(hist, "bin__price").orderBy("shift", "bin__price")
+
+
 # --- axis-bin manipulation: merge adjacent bins by re-aggregation
 # (reference hist_util.py:563 merge_axis_bins) ---
 @query(

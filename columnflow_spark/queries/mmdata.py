@@ -2563,3 +2563,112 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("dist", 4).alias("adc_dist"), "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# --- deterministic training-order sharding: the "global shuffle" step of
+# corpus assembly without a global sort.  Order derives from
+# sha256(doc_id): shard = key % n_shards (the training-file id), pos =
+# rank within shard — one shuffle on the shard key and a per-shard sort
+# of corpus/n_shards rows; no single-partition window anywhere.  The
+# order is a pure function of content, so it is identical on 1 core or
+# 1000 executors, across reruns and repartitions — the property a
+# reproducible training run needs from its data order. ---
+_SHUFFLE_SHARDS = 8
+
+
+@query(
+    "training_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               ('0x' || substr(sha256('shuffle|' || doc_id), 1, 15))::BIGINT AS k
+        FROM documents
+    )
+    SELECT CAST(k % {_SHUFFLE_SHARDS} AS INT) AS shard, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY k % {_SHUFFLE_SHARDS} ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    ORDER BY shard, pos
+    """,
+)
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.functions.hashing import seed_long
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    k = seed_long(F.lit("shuffle"), F.col("doc_id"))
+    keyed = docs.withColumn("k", k).withColumn(
+        "shard", F.pmod(F.col("k"), F.lit(_SHUFFLE_SHARDS)).cast("int")
+    )
+    w = W.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("shard", "doc_id", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+# --- embedding pooling: per-label elementwise centroid (the mean-pooled
+# class/chunk embedding of retrieval pipelines; also the per-cluster
+# summary after dedup).  Same distributed shape as the kmeans update:
+# posexplode to (label, pos, val), two-level aggregation — shuffle
+# carries label x dim rows, never vectors x dim. ---
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH d AS (
+        SELECT label, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    m AS (SELECT label, pos, avg(val::DOUBLE) AS mv FROM d GROUP BY label, pos),
+    c AS (SELECT label, round(sqrt(sum(mv * mv)), 4) AS centroid_norm FROM m GROUP BY label),
+    n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+    SELECT c.label, n.n_vectors, c.centroid_norm
+    FROM c JOIN n USING (label)
+    ORDER BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["label", "embedding"]))
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    d = emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+    m = d.groupBy("label", (F.col("pos0") + 1).alias("pos")).agg(
+        F.avg(F.col("val").cast("double")).alias("mv")
+    )
+    c = m.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("mv") * F.col("mv"))), 4).alias("centroid_norm")
+    )
+    return c.join(n, "label").select("label", "n_vectors", "centroid_norm").orderBy("label")
+
+
+# --- temperature-scaled mixture weights: the multinomial sampling weights
+# of multi-source corpus mixing (p_s ∝ n_s^alpha; alpha < 1 upsamples
+# small sources — the standard multilingual/multi-domain trade).  Pure
+# arithmetic over the tiny per-source count table; the only window runs
+# over that table, never the corpus. ---
+_MIX_TEMP_ALPHA = 0.5
+_MIX_TEMP_BUDGET = 1000
+
+
+@query(
+    "source_temperature_weights",
+    oracle=f"""
+    WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT source, n_docs, pow(n_docs, {_MIX_TEMP_ALPHA}) AS s FROM n)
+    SELECT source, n_docs,
+           round(s / sum(s) OVER (), 4) AS weight,
+           CAST(round(s / sum(s) OVER () * {_MIX_TEMP_BUDGET}) AS BIGINT) AS quota
+    FROM t ORDER BY source
+    """,
+)
+def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["source"])
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = n.withColumn("s", F.pow(F.col("n_docs"), F.lit(_MIX_TEMP_ALPHA)))
+    # global window over the per-source table only (a handful of rows)
+    tot = F.sum("s").over(W.partitionBy())
+    return t.select(
+        "source",
+        "n_docs",
+        F.round(F.col("s") / tot, 4).alias("weight"),
+        F.round(F.col("s") / tot * _MIX_TEMP_BUDGET, 0).cast("long").alias("quota"),
+    ).orderBy("source")
