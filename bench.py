@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     "text_quality",
     "quality_gate_rules",
     "stratified_sample",

