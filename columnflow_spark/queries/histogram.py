@@ -598,3 +598,160 @@ def hist_profile_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin__qty")
     )
+
+
+# --- systematic-uncertainty band: the quadrature envelope over shift
+# PAIRS that a stack plot's hatched band and a datacard's shape column
+# consume (reference plot_util.py systematic band assembly; the
+# per-shift inputs are the hist_shift_union table shape).  Per bin:
+# err_up² = Σ_s max(up_s − nom, down_s − nom, 0)², err_dn mirrored —
+# the standard asymmetric combination.  Compute is a conditional pivot
+# over the (bins x shifts) table: one groupBy, no joins.  Counts are
+# integer-valued so every deviation is exact; only the final sqrt is
+# rounded. ---
+_BAND_SHIFTS = {"price_a": (1.05, 0.95), "price_b": (1.10, 0.90)}
+
+
+def _band_hist_sql() -> str:
+    sels = [
+        f"""
+        SELECT 'nominal' AS shift,
+            {_regular_bin_sql("l_extendedprice", 10, 0.0, 110000.0)} AS bin__price,
+            sum(1.0) AS sum_w
+        FROM lineitem GROUP BY 2"""
+    ]
+    for name, (up, dn) in _BAND_SHIFTS.items():
+        for d, scale in (("up", up), ("down", dn)):
+            sels.append(
+                f"""
+        SELECT '{name}_{d}' AS shift,
+            {_regular_bin_sql(f"l_extendedprice * {scale}", 10, 0.0, 110000.0)} AS bin__price,
+            sum(1.0) AS sum_w
+        FROM lineitem GROUP BY 2"""
+            )
+    return "\n        UNION ALL".join(sels)
+
+
+@query(
+    "hist_systematic_band",
+    oracle=f"""
+    WITH h AS ({_band_hist_sql()}),
+    p AS (
+        SELECT bin__price,
+            sum(CASE WHEN shift = 'nominal' THEN sum_w ELSE 0 END) AS nom,
+            {", ".join(
+                f"sum(CASE WHEN shift = '{n}_up' THEN sum_w ELSE 0 END) AS {n}_up, "
+                f"sum(CASE WHEN shift = '{n}_down' THEN sum_w ELSE 0 END) AS {n}_down"
+                for n in _BAND_SHIFTS
+            )}
+        FROM h GROUP BY bin__price
+    )
+    SELECT bin__price, round(nom, 4) AS nominal,
+        round(sqrt({" + ".join(
+            f"pow(greatest({n}_up - nom, {n}_down - nom, 0), 2)" for n in _BAND_SHIFTS
+        )}), 4) AS err_up,
+        round(sqrt({" + ".join(
+            f"pow(greatest(nom - {n}_up, nom - {n}_down, 0), 2)" for n in _BAND_SHIFTS
+        )}), 4) AS err_dn
+    FROM p ORDER BY bin__price
+    """,
+)
+def hist_systematic_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_extendedprice"])
+    binning = (10, 0.0, 110000.0)
+    hists = [
+        fill_hist(li, [Variable("price", "l_extendedprice", binning)]).withColumn(
+            "shift", F.lit("nominal")
+        )
+    ]
+    for name, (up, dn) in _BAND_SHIFTS.items():
+        for d, scale in (("up", up), ("down", dn)):
+            shifted = li.withColumn("l_extendedprice", F.col("l_extendedprice") * scale)
+            hists.append(
+                fill_hist(shifted, [Variable("price", "l_extendedprice", binning)]).withColumn(
+                    "shift", F.lit(f"{name}_{d}")
+                )
+            )
+    h = hists[0]
+    for x in hists[1:]:
+        h = h.unionByName(x)
+    # conditional pivot: one grouped pass collapses the shift axis
+    aggs = [F.sum(F.when(F.col("shift") == "nominal", F.col("sum_w")).otherwise(0.0)).alias("nom")]
+    for n in _BAND_SHIFTS:
+        for d in ("up", "down"):
+            aggs.append(
+                F.sum(
+                    F.when(F.col("shift") == f"{n}_{d}", F.col("sum_w")).otherwise(0.0)
+                ).alias(f"{n}_{d}")
+            )
+    p = h.groupBy("bin__price").agg(*aggs)
+    up_terms = [
+        F.pow(F.greatest(F.col(f"{n}_up") - F.col("nom"), F.col(f"{n}_down") - F.col("nom"), F.lit(0.0)), 2)
+        for n in _BAND_SHIFTS
+    ]
+    dn_terms = [
+        F.pow(F.greatest(F.col("nom") - F.col(f"{n}_up"), F.col("nom") - F.col(f"{n}_down"), F.lit(0.0)), 2)
+        for n in _BAND_SHIFTS
+    ]
+    sum_up = up_terms[0]
+    for t in up_terms[1:]:
+        sum_up = sum_up + t
+    sum_dn = dn_terms[0]
+    for t in dn_terms[1:]:
+        sum_dn = sum_dn + t
+    return p.select(
+        "bin__price",
+        F.round("nom", 4).alias("nominal"),
+        F.round(F.sqrt(sum_up), 4).alias("err_up"),
+        F.round(F.sqrt(sum_dn), 4).alias("err_dn"),
+    ).orderBy("bin__price")
+
+
+# --- equal-frequency (quantile) binning: bin edges from exact quartiles
+# of the data rather than a fixed grid (the adaptive-binning variant of
+# plot_util's binning helpers).  Edges come from percentile/quantile_cont
+# — identical linear-interpolation definition on both engines, and EXACT
+# here because l_quantity is integer-valued and quartile fractions are
+# dyadic (k * 0.25 / 0.75 products are exact doubles), so the edge
+# literals match bit-for-bit and no value sits on a rounding knife-edge.
+# Compute: one tiny percentile agg (3 doubles to the driver — the same
+# bounded footprint as a broadcast), then a literal when-chain bin pass. ---
+@query(
+    "hist_quantile_binned",
+    oracle="""
+    WITH e AS (
+        SELECT quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS q FROM lineitem
+    )
+    SELECT
+        CASE
+            WHEN l_quantity < q[1] THEN 0
+            WHEN l_quantity < q[2] THEN 1
+            WHEN l_quantity < q[3] THEN 2
+            ELSE 3
+        END AS bin__qty_quartile,
+        count(*) AS n,
+        round(sum(l_extendedprice), 4) AS sum_w
+    FROM lineitem CROSS JOIN e
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def hist_quantile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    q1, q2, q3 = li.agg(
+        F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    ).first()[0]
+    b = (
+        F.when(F.col("l_quantity") < q1, 0)
+        .when(F.col("l_quantity") < q2, 1)
+        .when(F.col("l_quantity") < q3, 2)
+        .otherwise(3)
+    )
+    return (
+        li.groupBy(b.alias("bin__qty_quartile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_w"),
+        )
+        .orderBy("bin__qty_quartile")
+    )

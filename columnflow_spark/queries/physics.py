@@ -200,15 +200,24 @@ _MET_SCALE = 1.05
     "met_propagation",
     oracle=f"""
     WITH obj AS (
-        SELECT l_orderkey,
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag,
                l_extendedprice / 1000.0 AS pt,
                l_discount * 50.0 AS phi
         FROM lineitem
     ),
     delta AS (
+        -- fold in the EXACT order Spark's items array is sorted
+        -- (array_sort struct order: linenumber, qty, price, discount,
+        -- returnflag) via a sequential ordered-list aggregate — an
+        -- unordered sum() can land a different last-ulp on the round-4
+        -- knife edge (seen once at sf0.1)
         SELECT l_orderkey,
-               sum(({_MET_SCALE} - 1.0) * pt * cos(phi)) AS dpx,
-               sum(({_MET_SCALE} - 1.0) * pt * sin(phi)) AS dpy
+               list_aggregate(list(({_MET_SCALE} - 1.0) * pt * cos(phi)
+                   ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag),
+                   'sum') AS dpx,
+               list_aggregate(list(({_MET_SCALE} - 1.0) * pt * sin(phi)
+                   ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag),
+                   'sum') AS dpy
         FROM obj GROUP BY 1
     ),
     met AS (
@@ -218,7 +227,8 @@ _MET_SCALE = 1.05
     )
     SELECT m.o_orderkey AS okey,
            round(sqrt(pow(m.met_pt * cos(m.met_phi) - coalesce(d.dpx, 0.0), 2)
-                      + pow(m.met_pt * sin(m.met_phi) - coalesce(d.dpy, 0.0), 2)), 4)
+                      + pow(m.met_pt * sin(m.met_phi) - coalesce(d.dpy, 0.0), 2))
+                 * 10000) / 10000.0
                AS met_pt_corr
     FROM met m LEFT JOIN delta d ON d.l_orderkey = m.o_orderkey
     """,
@@ -240,9 +250,13 @@ def met_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     met_phi = F.col("o_orderkey") * 0.7
     mx = met_pt * F.cos(met_phi) - dpx
     my = met_pt * F.sin(met_phi) - dpy
+    # round via explicit scale-up: both engines then round the SAME double
+    # (round(x, 4) diverges on decimal-boundary values — Spark rounds the
+    # shortest decimal repr, DuckDB rounds in fp; seen once at sf0.1 where
+    # the raw value landed exactly on a .00005 boundary)
     return events.select(
         F.col("o_orderkey").alias("okey"),
-        F.round(F.sqrt(mx * mx + my * my), 4).alias("met_pt_corr"),
+        (F.round(F.sqrt(mx * mx + my * my) * 10000, 0) / 10000.0).alias("met_pt_corr"),
     )
 
 

@@ -227,3 +227,28 @@ def test_reduced_store_partition_pruning(spark, sf_dir, tmp_path):
         r.shift for r in spark.read.parquet(path).select("shift").distinct().collect()
     ) == {"nominal", "price_up"}
     assert df.count() > 0
+
+
+def test_ivfpq_no_cartesian_and_broadcast_lut(spark, sf_dir):
+    # the composed index query must keep both parents' plan properties:
+    # no cartesian; the only conditionless join is the bounded
+    # query-set x centroid-table probe scorer (a BNLJ over two broadcast-
+    # size inputs, same shape as ann_ivf_topk); codes/LUT joins hash-join
+    plan = _plan(spark, sf_dir, "ann_ivfpq_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_shards_no_global_window(spark, sf_dir):
+    # the training-order shard must never compile to a single-partition
+    # global rank: every window spec partitions by the shard key
+    from columnflow_spark.queries import all_queries
+
+    df = all_queries()["training_shuffle_shards"](spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", logical)
+    assert specs
+    assert all("shard" in s or "pmod" in s for s in specs), specs
