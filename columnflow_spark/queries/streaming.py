@@ -477,3 +477,115 @@ def streaming_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("-", *[c.cast("string") for c in code_cols]).alias("codes"),
     )
     return _run_to_memory(encoded, spark, mode="append").orderBy("vec_id")
+
+
+# --- streaming ingest-time NEAR-dup detection (the streaming flavor of
+# dedup_simhash): each arriving doc gets its 60-bit SimHash (pure
+# projection — streaming-safe), fans out to its 8 block buckets, and a
+# stateful operator per bucket remembers every (doc_id, fingerprint)
+# seen and flags docs within hamming 6 of any PRIOR doc.  The 8x8-bit
+# block pigeonhole guarantees any pair within hamming 7 shares a bucket,
+# so bucket-local state finds every near-dup pair — state per bucket is
+# the bucket's fingerprint list (8 bytes + id per doc), not documents.
+# "Prior" = lower doc_id (in-batch) / earlier micro-batch; the single
+# test batch makes the relation total, giving an exact SQL oracle: dup
+# iff an earlier doc sits within hamming 6 — the batch dedup_simhash
+# pair relation.  Final per-doc verdict = OR over the doc's buckets,
+# aggregated on the materialized sink output (chaining a second stateful
+# agg onto applyInPandasWithState is not supported in append mode). ---
+_NEARDUP_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+@query(
+    "streaming_neardup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ts) - 1),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gs
+        FROM toks WHERE len(ts) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    hx AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM ex),
+    bits AS (
+        SELECT doc_id, b,
+               CASE WHEN 2 * CAST(sum((h >> b) & 1) AS BIGINT) > count(*) THEN 1 ELSE 0 END AS bit
+        FROM hx CROSS JOIN (SELECT unnest(range(60)) AS b)
+        GROUP BY doc_id, b
+    ),
+    sh AS (SELECT doc_id, CAST(sum(bit::BIGINT << b) AS BIGINT) AS sh FROM bits GROUP BY doc_id)
+    SELECT a.doc_id, count(b.doc_id) > 0 AS is_dup
+    FROM sh a LEFT JOIN sh b
+      ON b.doc_id < a.doc_id AND bit_count(xor(a.sh, b.sh)) <= 6
+    GROUP BY a.doc_id
+    ORDER BY a.doc_id
+    """,
+)
+def streaming_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.functions.similarity import simhash64
+    from columnflow_spark.functions.text import tokens, word_shingles
+
+    stream = (
+        spark.readStream.schema(_NEARDUP_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    md5_hashes = F.transform(
+        word_shingles(F.col("text"), 3),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    hashed = stream.filter(F.size(tokens(F.col("text"))) >= 3).select(
+        "doc_id", simhash64(md5_hashes).alias("sh")
+    )
+    blocks = F.array(
+        *[F.shiftright(F.col("sh"), 8 * i).bitwiseAND(F.lit(255)) for i in range(8)]
+    )
+    banded = hashed.select("doc_id", "sh", F.posexplode(blocks).alias("block_idx", "block_val"))
+
+    def update(key, pdfs, state: GroupState):
+        seen_ids, seen_shs = state.get if state.exists else ([], [])
+        seen_ids, seen_shs = list(seen_ids), list(seen_shs)
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        out_ids, out_dup = [], []
+        for doc_id, sh in zip(rows["doc_id"], rows["sh"]):
+            sh = int(sh)
+            dup = any(
+                pid < doc_id and bin(sh ^ psh).count("1") <= 6
+                for pid, psh in zip(seen_ids, seen_shs)
+            )
+            out_ids.append(int(doc_id))
+            out_dup.append(dup)
+            seen_ids.append(int(doc_id))
+            seen_shs.append(sh)
+        state.update((seen_ids, seen_shs))
+        yield pd.DataFrame({"doc_id": out_ids, "dup_local": out_dup})
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("dup_local", T.BooleanType())]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("shs", T.ArrayType(T.LongType())),
+        ]
+    )
+    flagged = banded.groupBy("block_idx", "block_val").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    sunk = _run_to_memory(flagged, spark, mode="update")
+    return (
+        sunk.groupBy("doc_id")
+        .agg(F.max("dup_local").alias("is_dup"))
+        .orderBy("doc_id")
+    )
