@@ -139,13 +139,18 @@ def main() -> None:
     # spikes (a query measured 1.3 s and 19.7 s across identical runs);
     # min-of-two keeps one noisy sample from masquerading as a plan
     # regression.  The re-run is skipped above 3 s so the pathological
-    # case cannot double the bench wall time.
+    # case cannot double the bench wall time.  Queries whose FIRST run
+    # builds a session index artifact (shared shingle table, MinHash
+    # signatures, PQ codebook) keep their first-run time — their second
+    # run reads the materialized artifact and would otherwise report a
+    # near-zero warm-path number that hides build-cost regressions.
+    cold_first = {"dedup_shingle_index", "dedup_minhash_lsh", "ann_pq_adc_topk"}
     for name in names:
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
         df.count()
         elapsed = time.perf_counter() - t0
-        if elapsed < 3.0:
+        if elapsed < 3.0 and name not in cold_first:
             t1 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             elapsed = min(elapsed, time.perf_counter() - t1)

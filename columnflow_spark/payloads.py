@@ -99,16 +99,22 @@ class PayloadBundle:
         if name not in self._loaded:
             path = self.fetch(name)
             ef = self.files[name]
-            with open(path) as fh:
-                if ef.fmt == "json":
-                    self._loaded[name] = json.load(fh)
-                elif ef.fmt == "csv":
-                    # stdlib csv: quoted fields, embedded commas and CRLF
-                    # endings all parse correctly (a naive split(',') does
-                    # not — correction/SF tables commonly quote labels)
-                    self._loaded[name] = [row for row in csv.reader(fh) if row]
-                else:
-                    self._loaded[name] = fh.read()
+            if ef.fmt == "csv":
+                # stdlib csv: quoted fields, embedded commas/newlines and
+                # CRLF endings all parse correctly (a naive split(',')
+                # does not — correction/SF tables commonly quote labels).
+                # newline="" hands line-ending handling to the csv module
+                # (required for quoted embedded newlines); rows that are
+                # empty or whitespace-only are dropped, like before.
+                with open(path, newline="") as fh:
+                    self._loaded[name] = [
+                        row for row in csv.reader(fh) if any(c.strip() for c in row)
+                    ]
+            else:
+                with open(path) as fh:
+                    self._loaded[name] = (
+                        json.load(fh) if ef.fmt == "json" else fh.read()
+                    )
         return self._loaded[name]
 
     # -- ship to executors ---------------------------------------------------

@@ -447,7 +447,9 @@ def render_shifted_variable(
         if s == nominal:
             return s
         d = next(iter(by_shift[s].values()))["total_diff_pct"]
-        return f"{s} ({d:+.2f}%)"
+        # d is null when no shifted bin overlaps nominal (total offset
+        # undefined) — label without the percent rather than crash
+        return s if d is None else f"{s} ({d:+.2f}%)"
 
     try:
         import matplotlib  # noqa: PLC0415

@@ -808,6 +808,48 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with corpus/n_cells, not corpus.  Deterministic centroid choice gives the
 # op an exact SQL twin; recall vs the brute-force baseline is asserted in
 # tests. ---
+def _ivf_norm(c):
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, v: s + (v * v).cast("double")))
+
+
+def _ivf_cents(emb: DataFrame) -> DataFrame:
+    """``(cid, ce, nb)``: IVF cell centroids (every 64th vector) with the
+    L2 norm precomputed ONCE — probe scoring then costs one dot product
+    per (query, cell) pair, not three array reductions."""
+    return emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        _ivf_norm(F.col("embedding")).alias("nb"),
+    )
+
+
+def _ivf_probes(emb: DataFrame, cents: DataFrame, n_probe: int = 2) -> DataFrame:
+    """``(query_id, cid, q)``: each query's top-``n_probe`` cells by
+    cosine.  Norms precomputed per side before the query x cell score
+    join; ``dot / (qn * nb)`` is the exact same value and operation order
+    as :func:`cosine`, so the oracle's list_cosine_similarity ranking is
+    reproduced bit-for-bit."""
+    queries_df = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        _ivf_norm(F.col("embedding")).alias("qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("ce"), lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    qscored = queries_df.join(F.broadcast(cents)).withColumn(
+        "csim", dot / (F.col("qn") * F.col("nb"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cid", "q")
+    )
+
+
 @query(
     "ann_ivf_topk",
     oracle="""
@@ -855,15 +897,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda s, v: s + (v * v).cast("double"))
-    )
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
-    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        norm(F.col("embedding")).alias("nb"),
-    )
+    cents = _ivf_cents(emb)
     # index build: nearest-centroid assignment fully map-side
     # (nearest_centroid_assign: bounded centroid set baked into an
     # Arrow-batched numpy-matmul UDF).  Zero per-centroid row fan-out and
@@ -871,18 +906,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the scan, which is what survives a 100x corpus.  Tie-break
     # (higher csim, then lower cid) matches the oracle's window.
     assign = nearest_centroid_assign(emb, cents.select("cid", "ce"))
-    # query side: probe the 2 closest cells
-    queries_df = emb.filter(F.col("vec_id") % 100 == 7).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
-    )
-    qscored = queries_df.join(F.broadcast(cents)).withColumn("csim", cosine(F.col("q"), F.col("ce")))
-    wq = W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
-    probes = (
-        qscored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 2)
-        .select("query_id", "cid", "q")
-    )
-    # search only the probed cells (probes are tiny -> broadcast)
+    # query side: probe the 2 closest cells; search only those (probes
+    # are tiny -> broadcast)
+    probes = _ivf_probes(emb, cents)
     cand = assign.join(F.broadcast(probes), "cid").filter(F.col("vec_id") != F.col("query_id"))
     sims = cand.select(
         "query_id",
@@ -2367,10 +2393,11 @@ def _pq_quantized_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: per-(session, dir) trained PQ codebook — like the shingle/signature
-#: tables, the trained index artifact is built once per session and every
-#: PQ query (encode, ADC search, streaming encode) reuses it.
-_PQ_CB_CACHE: dict[tuple[int, str], DataFrame] = {}
+#: per-(session, dir, iters) trained PQ codebook as numpy arrays
+#: (list-of-code-ids, list-of-centroid-matrices per subspace) — like the
+#: shingle/signature tables, the trained index artifact is built once per
+#: session and every PQ query (encode, ADC search) reuses it.
+_PQ_CB_CACHE: dict[tuple[int, str, int], tuple[list, list]] = {}
 
 
 def pq_trained_codebook(spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS) -> DataFrame:
@@ -2402,10 +2429,10 @@ def _pq_train_np(spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS):
     """Numpy Lloyd training on the collected sample (see
     :func:`pq_trained_codebook`): returns per-subspace ``(codes, cmat)``
     — code ids sorted ascending and their centroid matrix (K x dim
-    float64), cached per (session, dir)."""
+    float64), cached per (session, dir, iters)."""
     import numpy as np  # noqa: PLC0415
 
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, iters)
     cached = _PQ_CB_CACHE.get(key)
     if cached is not None:
         return cached
@@ -2487,6 +2514,36 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", _encode("embedding").alias("codes")).orderBy("vec_id")
 
 
+def _pq_exploded_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(vec_id, sub, code)``: the trained-codebook corpus codes exploded
+    one row per subspace — the join-ready form of the PQ index."""
+    return ann_pq_codes.__wrapped__(spark, sf_dir).select(
+        "vec_id",
+        F.posexplode(F.split("codes", "-").cast("array<int>")).alias("sub", "code"),
+    )
+
+
+def _pq_query_lut(spark: SparkSession, sf_dir: str, query_pred) -> DataFrame:
+    """``(query_id, sub, code, d)``: per-query ADC lookup table — query
+    sub-vectors (rows selected by ``query_pred`` on vec_id) joined against
+    the broadcast trained codebook, grid-space squared L2 per entry.  A
+    DataFrame op with the same shape the corpus encode uses, so a
+    10k-query batch builds its LUTs distributed, with no driver loop."""
+    qsubs = (
+        _pq_quantized_subs(spark, sf_dir)
+        .filter(query_pred)
+        .select(F.col("vec_id").alias("query_id"), "sub", F.col("t").alias("qs"))
+    )
+    subd = F.aggregate(
+        F.zip_with("qs", "c", lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return qsubs.join(F.broadcast(pq_trained_codebook(spark, sf_dir)), "sub").select(
+        "query_id", "sub", "code", subd.alias("d")
+    )
+
+
 @query(
     "ann_pq_adc_topk",
     oracle=f"""
@@ -2528,23 +2585,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver loop anywhere.  Distances live on the quantized grid (the
     space the codebook was trained in); ranking on the rounded distance
     keeps the argsort stable across engines."""
-    codes = ann_pq_codes.__wrapped__(spark, sf_dir)
-    exploded = codes.select(
-        "vec_id",
-        F.posexplode(F.split("codes", "-").cast("array<int>")).alias("sub", "code"),
-    )
-    cb = pq_trained_codebook(spark, sf_dir)
-    qsubs = (
-        _pq_quantized_subs(spark, sf_dir)
-        .filter(F.col("vec_id") < 50)
-        .select(F.col("vec_id").alias("query_id"), "sub", F.col("t").alias("qs"))
-    )
-    subd = F.aggregate(
-        F.zip_with("qs", "c", lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    lut = qsubs.join(F.broadcast(cb), "sub").select("query_id", "sub", "code", subd.alias("d"))
+    exploded = _pq_exploded_codes(spark, sf_dir)
+    lut = _pq_query_lut(spark, sf_dir, F.col("vec_id") < 50)
     # distances are computed on the integer grid (magnitude ~GRID² larger
     # than raw units); divide back down BEFORE the round-4 so the compare
     # tolerance stays absolute-1e-4-at-raw-scale — the m-term sum's
@@ -2742,49 +2784,16 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda s, v: s + (v * v).cast("double"))
-    )
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
-    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        norm(F.col("embedding")).alias("nb"),
-    )
+    cents = _ivf_cents(emb)
     # index build: map-side cell assignment + PQ codes (both zero-shuffle
     # projections; at scale this index is written out partitioned by cid)
     assign = nearest_centroid_assign(emb, cents.select("cid", "ce")).select("vec_id", "cid")
-    exploded = ann_pq_codes.__wrapped__(spark, sf_dir).select(
-        "vec_id",
-        F.posexplode(F.split("codes", "-").cast("array<int>")).alias("sub", "code"),
-    )
-    # query side: probe the 2 closest cells (tiny -> broadcast)
-    queries_df = emb.filter(F.col("vec_id") % 100 == 7).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
-    )
-    qscored = queries_df.join(F.broadcast(cents)).withColumn(
-        "csim", cosine(F.col("q"), F.col("ce"))
-    )
-    wq = W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
-    probes = (
-        qscored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 2)
-        .select("query_id", "cid")
-    )
-    # per-query ADC LUT vs the trained codebook (DataFrame op, broadcast)
-    qsubs = (
-        _pq_quantized_subs(spark, sf_dir)
-        .filter(F.col("vec_id") % 100 == 7)
-        .select(F.col("vec_id").alias("query_id"), "sub", F.col("t").alias("qs"))
-    )
-    subd = F.aggregate(
-        F.zip_with("qs", "c", lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    lut = qsubs.join(F.broadcast(pq_trained_codebook(spark, sf_dir)), "sub").select(
-        "query_id", "sub", "code", subd.alias("d")
-    )
+    exploded = _pq_exploded_codes(spark, sf_dir)
+    # query side: probe the 2 closest cells (tiny -> broadcast), per-query
+    # ADC LUT vs the trained codebook — both shared with the parent ops
+    probes = _ivf_probes(emb, cents).select("query_id", "cid")
+    lut = _pq_query_lut(spark, sf_dir, F.col("vec_id") % 100 == 7)
     # search: only probed cells' members are scored, as codes
     cand = assign.join(F.broadcast(probes), "cid").filter(
         F.col("vec_id") != F.col("query_id")

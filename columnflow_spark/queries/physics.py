@@ -211,11 +211,15 @@ _MET_SCALE = 1.05
         -- returnflag) via a sequential ordered-list aggregate — an
         -- unordered sum() can land a different last-ulp on the round-4
         -- knife edge (seen once at sf0.1)
+        -- the scale literal is the PYTHON double repr of _MET_SCALE - 1.0:
+        -- DuckDB's (1.05 - 1.0) is DECIMAL arithmetic (exactly 0.05) while
+        -- Spark folds with the double 0.050000000000000044 — a ~1e-15
+        -- per-term difference that re-opens the round-4 knife edge
         SELECT l_orderkey,
-               list_aggregate(list(({_MET_SCALE} - 1.0) * pt * cos(phi)
+               list_aggregate(list({_MET_SCALE - 1.0!r}::DOUBLE * pt * cos(phi)
                    ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag),
                    'sum') AS dpx,
-               list_aggregate(list(({_MET_SCALE} - 1.0) * pt * sin(phi)
+               list_aggregate(list({_MET_SCALE - 1.0!r}::DOUBLE * pt * sin(phi)
                    ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag),
                    'sum') AS dpy
         FROM obj GROUP BY 1

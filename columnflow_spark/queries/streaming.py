@@ -554,32 +554,29 @@ def streaming_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = hashed.select("doc_id", "sh", F.posexplode(blocks).alias("block_idx", "block_val"))
 
     def update(key, pdfs, state: GroupState):
-        seen_ids, seen_shs = state.get if state.exists else ([], [])
-        seen_ids, seen_shs = list(seen_ids), list(seen_shs)
+        # "prior" = arrival order: everything already in state arrived in
+        # an earlier micro-batch and counts as prior REGARDLESS of its
+        # doc_id (an id condition would silently admit a late-arriving
+        # lower-id near-dup); within a batch, rows are processed in
+        # doc_id order so in-batch priority is deterministic — and with
+        # the single test batch that makes the relation exactly the
+        # oracle's doc_id order.
+        seen_shs = list(state.get[0]) if state.exists else []
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
         out_ids, out_dup = [], []
         for doc_id, sh in zip(rows["doc_id"], rows["sh"]):
             sh = int(sh)
-            dup = any(
-                pid < doc_id and bin(sh ^ psh).count("1") <= 6
-                for pid, psh in zip(seen_ids, seen_shs)
-            )
+            dup = any(bin(sh ^ psh).count("1") <= 6 for psh in seen_shs)
             out_ids.append(int(doc_id))
             out_dup.append(dup)
-            seen_ids.append(int(doc_id))
             seen_shs.append(sh)
-        state.update((seen_ids, seen_shs))
+        state.update((seen_shs,))
         yield pd.DataFrame({"doc_id": out_ids, "dup_local": out_dup})
 
     out_schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("dup_local", T.BooleanType())]
     )
-    state_schema = T.StructType(
-        [
-            T.StructField("ids", T.ArrayType(T.LongType())),
-            T.StructField("shs", T.ArrayType(T.LongType())),
-        ]
-    )
+    state_schema = T.StructType([T.StructField("shs", T.ArrayType(T.LongType()))])
     flagged = banded.groupBy("block_idx", "block_val").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
