@@ -95,3 +95,28 @@ def test_approx_percentiles_accuracy(spark, sf_dir):
         spread = max(abs(exact[et][2]), 1.0)
         for a, e in zip(got, exact[et]):
             assert abs(a - e) <= 0.02 * spread, (et, a, e)
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """A Bloom filter may over-approximate but NEVER under-approximate:
+    every incoming doc whose exact fingerprint exists in the index side
+    must be flagged maybe_dup."""
+    from pyspark.sql import functions as F
+
+    from columnflow_spark.functions.text import fingerprint
+    from columnflow_spark.queries import all_queries
+    from columnflow_spark.sources import load_table
+
+    flagged = {
+        r.doc_id: r.maybe_dup
+        for r in all_queries()["dedup_bloom_prefilter"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"]).select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("f")
+    )
+    idx = {r.f for r in docs.filter(F.col("source") != "src0").collect()}
+    true_dups = [r.doc_id for r in docs.filter(F.col("source") == "src0").collect() if r.f in idx]
+    missed = [d for d in true_dups if not flagged.get(d)]
+    assert not missed, f"bloom false negatives: {missed[:5]}"
+    # and the filter is selective: flagged set should not be everything
+    assert sum(flagged.values()) < len(flagged)
