@@ -2896,3 +2896,88 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.min("present") == 1).alias("maybe_dup"))
         .orderBy("doc_id")
     )
+
+
+# --- Count-Min sketch heavy hitters: sub-linear-memory frequency
+# estimation over an unbounded token stream (the companion primitive to
+# the Bloom prefilter: Bloom answers "seen before?", CMS answers "roughly
+# how often?").  d=4 hash rows x w=1024 counters build with ONE groupBy
+# over (row, counter) — the sketch is <= d*w rows regardless of corpus
+# size and broadcasts; estimates are min over the d addressed counters
+# (the classic overestimate-only bound, pinned by a property test).
+# Deterministic md5-family hashing makes the sketch — and therefore the
+# estimates and the heavy-hitter ranking — exactly reproducible in the
+# SQL oracle. ---
+_CMS_D = 4
+_CMS_W = 1024
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents
+    ),
+    cells AS (
+        SELECT j, ('0x' || substr(md5(tok || '|' || j), 1, 15))::BIGINT % {_CMS_W} AS idx,
+               count(*) AS c
+        FROM toks CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j) s
+        GROUP BY 1, 2
+    ),
+    vocab AS (SELECT DISTINCT tok FROM toks),
+    est AS (
+        SELECT v.tok, min(c.c) AS est
+        FROM vocab v
+        CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j) s
+        JOIN cells c ON c.j = s.j
+                    AND c.idx = ('0x' || substr(md5(v.tok || '|' || s.j), 1, 15))::BIGINT % {_CMS_W}
+        GROUP BY 1
+    )
+    SELECT tok, CAST(est AS BIGINT) AS est_count, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT tok, est, row_number() OVER (ORDER BY est DESC, tok) AS rk FROM est
+    )
+    WHERE rk <= 15
+    ORDER BY rk
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["text"]))
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+
+    def cms_idx(tok, j):
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", tok, F.lit(str(j)))), 1, 15), 16, 10
+        ).cast("long")
+        return F.pmod(h, F.lit(_CMS_W))
+
+    cells = (
+        toks.select(
+            F.posexplode(F.array(*[cms_idx(F.col("tok"), j) for j in range(_CMS_D)])).alias(
+                "j", "idx"
+            )
+        )
+        .groupBy("j", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = toks.distinct()
+    vcells = vocab.select(
+        "tok",
+        F.posexplode(F.array(*[cms_idx(F.col("tok"), j) for j in range(_CMS_D)])).alias("j", "idx"),
+    )
+    est = (
+        vcells.join(F.broadcast(cells), ["j", "idx"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("est"))
+    )
+    # distributed top-k first (TakeOrderedAndProject — per-partition heads
+    # merged on the driver, never a vocab-wide single-partition sort);
+    # the rank window then runs over 15 rows
+    top = est.orderBy(F.desc("est"), F.asc("tok")).limit(15)
+    w = W.orderBy(F.desc("est"), F.asc("tok"))
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select("tok", F.col("est").cast("long").alias("est_count"), "rk")
+        .orderBy("rk")
+    )

@@ -120,3 +120,31 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     assert not missed, f"bloom false negatives: {missed[:5]}"
     # and the filter is selective: flagged set should not be everything
     assert sum(flagged.values()) < len(flagged)
+
+
+def test_cms_overestimates_only_and_finds_heavy_hitters(spark, sf_dir):
+    """Count-Min property: every estimate >= the true count (min over d
+    counters can only overestimate via collisions, never under); and the
+    top estimated tokens are the true heavy hitters."""
+    from pyspark.sql import functions as F
+
+    from columnflow_spark.functions.text import tokens
+    from columnflow_spark.queries import all_queries
+    from columnflow_spark.sources import load_table
+
+    est = {r.tok: r.est_count for r in all_queries()["cms_heavy_hitters"](spark, sf_dir).collect()}
+    true_counts = {
+        r.tok: r.n
+        for r in load_table(spark, sf_dir, "documents", columns=["text"])
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert est, "empty CMS output"
+    assert all(est[t] >= true_counts[t] for t in est), {
+        t: (est[t], true_counts[t]) for t in est if est[t] < true_counts[t]
+    }
+    # the true top-5 tokens must all appear in the estimated top-15
+    top5_true = sorted(true_counts, key=lambda t: (-true_counts[t], t))[:5]
+    assert set(top5_true) <= set(est)
