@@ -164,3 +164,39 @@ def load_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def load_evolving(
+    spark: SparkSession,
+    *paths: str,
+    required: Iterable[str] = (),
+    fill: dict[str, object] | None = None,
+) -> DataFrame:
+    """Schema-evolution read: union parquet files/directories whose schemas
+    drifted (columns added over time) into one relation.
+
+    ``mergeSchema`` makes the scan's schema the union of all footers
+    (files missing a column yield nulls for it — Spark's native evolution
+    semantics, same engine behavior the reference gets from awkward's
+    optional fields).  ``required`` columns absent from EVERY file are
+    materialized as null columns so downstream operators written against
+    the newest schema still compile (the reference's ``optional_column``
+    route contract at the IO boundary); ``fill`` maps column -> sentinel
+    to replace nulls with the engine's EMPTY_INT/EMPTY_FLOAT-style values
+    after the union.
+
+    Scale note: schema merging reads every file FOOTER at planning time —
+    fine for per-dataset stores (the reference merges per-dataset files
+    too); for 100k+-file lakes, register the union schema in a catalog
+    instead and pass it via ``.schema(...)`` to skip footer sweeps."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    for col in required:
+        if col not in df.columns:
+            df = df.withColumn(col, F.lit(None))
+    if fill:
+        df = df.withColumns(
+            {c: F.coalesce(F.col(c), F.lit(v)) for c, v in fill.items() if c in df.columns}
+        )
+    return df

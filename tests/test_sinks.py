@@ -170,3 +170,29 @@ def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "dataset" in plan.split("PartitionFilters")[1].split("]")[0]
     assert pruned.count() == orders.filter(F.col("o_orderkey") % 2 == 0).count()
+
+
+def test_load_evolving_merges_drifted_schemas(spark, tmp_path):
+    # v1 files lack the later-added column; the merged relation exposes
+    # the union schema, nulls for old files, sentinel fill on request
+    from pyspark.sql import functions as F
+
+    from columnflow_spark.core.routes import EMPTY_FLOAT
+    from columnflow_spark.sources.tables import load_evolving
+
+    v1 = spark.range(5).select(F.col("id"), F.lit("a").alias("tag"))
+    v2 = spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("tag"), (F.col("id") * 1.5).alias("score")
+    )
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    v1.write.parquet(p1)
+    v2.write.parquet(p2)
+    df = load_evolving(spark, p1, p2, fill={"score": EMPTY_FLOAT})
+    assert set(df.columns) == {"id", "tag", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[0].score == EMPTY_FLOAT  # old file: sentinel-filled
+    assert rows[6].score == 9.0
+    # a column absent everywhere still materializes when required
+    df2 = load_evolving(spark, p1, required=["not_yet_written"])
+    assert "not_yet_written" in df2.columns
+    assert df2.filter(F.col("not_yet_written").isNull()).count() == 5
