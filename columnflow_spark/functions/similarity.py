@@ -259,7 +259,73 @@ def nearest_centroid_assign(df, cents_df, vec: str = "embedding", out: str = "ci
     return df.withColumn(out, _assign(F.col(vec)))
 
 
-def hyperplane_signs(vec: Column, planes: list[list[float]]) -> Column:
+def kmeans_fit(
+    df,
+    k: int = 16,
+    iters: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    tol: float = 1e-6,
+):
+    """Full k-means training loop over a vector DataFrame — the index-build
+    tool behind IVF (the per-step primitive is the ``kmeans_lloyd_step``
+    query; this iterates it to convergence).
+
+    Per iteration: map-side assignment via :func:`nearest_centroid_assign`
+    (zero shuffle — the corpus never moves), then the centroid update as
+    ONE distributed aggregation per iteration: component sums + counts per
+    cluster, k x dim rows to the driver (bounded — the model, not data).
+    Seeds are the first k vectors by id.  Stops early when the max
+    centroid movement (L2) drops under ``tol``.
+
+    Centroids are re-normalized to unit length after each mean update
+    (spherical k-means — the proper Lloyd variant for the cosine metric;
+    the normalization never changes any cosine argmax).  Fully
+    deterministic: seeds, assignment tie-breaks and the integer-count
+    means contain no RNG or partition dependence.
+
+    Returns ``(centroids, info)``: centroids as a list of (cid, vector)
+    with cids 0..k-1, and info = {"iters": n_ran, "shift": last max
+    absolute centroid movement, "n_per_cluster": members per cluster}.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    seeds = sorted(
+        df.select(id_col, vec).orderBy(id_col).limit(k).collect(), key=lambda r: r[0]
+    )
+    cmat = np.array([list(r[1]) for r in seeds], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    info = {"iters": 0, "shift": float("inf"), "sse": float("inf")}
+    for it in range(iters):
+        cents_df = df.sparkSession.createDataFrame(
+            [(int(i), [float(x) for x in cmat[i]]) for i in range(len(cmat))],
+            "cid long, ce array<double>",
+        )
+        assigned = nearest_centroid_assign(df.select(id_col, vec), cents_df, vec=vec)
+        # one aggregation: per-cluster component sums + counts + residual
+        stats = (
+            assigned.select(
+                "cid",
+                F.posexplode(vec).alias("j", "v"),
+            )
+            .groupBy("cid", "j")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = np.array(cmat)
+        counts = np.zeros(len(cmat))
+        for r in stats:
+            new[r.cid, r.j] = r.s / r.n
+            counts[r.cid] = r.n
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        new /= norms  # spherical k-means: unit centroids for the cosine metric
+        shift = float(np.abs(new - cmat).max())
+        cmat = new
+        info = {"iters": it + 1, "shift": shift, "n_per_cluster": counts.tolist()}
+        if shift < tol:
+            break
+    return [(i, cmat[i].tolist()) for i in range(len(cmat))], info
     """Random-hyperplane LSH bucket id: sign bits of dot(vec, plane_i)
     packed into a long.  ``planes`` is a small driver-side constant list
     (broadcast as literals into the plan)."""

@@ -148,3 +148,22 @@ def test_cms_overestimates_only_and_finds_heavy_hitters(spark, sf_dir):
     # the true top-5 tokens must all appear in the estimated top-15
     top5_true = sorted(true_counts, key=lambda t: (-true_counts[t], t))[:5]
     assert set(top5_true) <= set(est)
+
+
+def test_kmeans_fit_converges_and_is_deterministic(spark, sf_dir):
+    """Full k-means training loop (the IVF index builder): centroid
+    movement shrinks across iterations, clusters stay populated, and two
+    runs produce bit-identical centroids (no RNG, no partition order)."""
+    from columnflow_spark.functions.similarity import kmeans_fit
+    from columnflow_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    c1, info1 = kmeans_fit(emb, k=8, iters=4)
+    c2, info2 = kmeans_fit(emb, k=8, iters=4)
+    assert info1["iters"] >= 1
+    assert len(c1) == 8
+    # every cluster keeps members on this corpus
+    assert all(n > 0 for n in info1["n_per_cluster"])
+    # shift after several iterations is small (converging, not bouncing)
+    assert info1["shift"] < 0.5
+    assert c1 == c2 and info1 == info2
