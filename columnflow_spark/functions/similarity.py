@@ -326,6 +326,9 @@ def kmeans_fit(
         if shift < tol:
             break
     return [(i, cmat[i].tolist()) for i in range(len(cmat))], info
+
+
+def hyperplane_signs(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: sign bits of dot(vec, plane_i)
     packed into a long.  ``planes`` is a small driver-side constant list
     (broadcast as literals into the plan)."""
