@@ -679,3 +679,156 @@ def blind_sensitive_bins(
         .select(bin_col)
     )
     return data_hist.join(F.broadcast(sensitive), bin_col, "left_anti")
+
+
+def render_roc(
+    rows,
+    title: str = "",
+    out_path: str | None = None,
+    width: int = 480,
+    height: int = 480,
+) -> str:
+    """Draw a ROC curve from ``ml_roc_curve`` rows (reference ``plot_roc``,
+    plotting/plot_ml_evaluation.py:319): the (fpr, tpr) sweep with the
+    random-classifier diagonal and the trapezoid AUC in the title area.
+    Matplotlib when importable, else SVG."""
+    data = sorted(_normalize_rows(rows), key=lambda r: (r["fpr"], r["tpr"]))
+    if not data:
+        raise ValueError("no ROC rows to render")
+    pts = [(0.0, 0.0)] + [(r["fpr"], r["tpr"]) for r in data] + [(1.0, 1.0)]
+    pts = sorted(set(pts))
+    auc = sum(
+        (x2 - x1) * (y1 + y2) / 2 for (x1, y1), (x2, y2) in zip(pts, pts[1:])
+    )
+    label = f"{title} (AUC = {auc:.3f})".strip()
+
+    try:
+        import matplotlib  # noqa: PLC0415
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt  # noqa: PLC0415
+
+        fig, ax = plt.subplots(figsize=(width / 96, height / 96))
+        ax.plot([p[0] for p in pts], [p[1] for p in pts], color="#0072b2")
+        ax.plot([0, 1], [0, 1], linestyle="--", color="#999999")
+        ax.set_xlabel("False positive rate")
+        ax.set_ylabel("True positive rate")
+        ax.set_title(label)
+        if out_path:
+            fig.savefig(out_path)
+            plt.close(fig)
+            return out_path
+        return fig  # pragma: no cover - interactive use
+    except ImportError:
+        pass
+
+    pad = 40
+    s = min(width, height) - 2 * pad
+
+    def sx(v: float) -> float:
+        return pad + v * s
+
+    def sy(v: float) -> float:
+        return pad + s - v * s
+
+    curve = " ".join(f"{sx(x):.1f},{sy(y):.1f}" for x, y in pts)
+    svg = "\n".join(
+        [
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
+            f'viewBox="0 0 {width} {height}">',
+            f'<text x="{width / 2}" y="16" text-anchor="middle" font-size="12">{label}</text>',
+            f'<line x1="{sx(0):.1f}" y1="{sy(0):.1f}" x2="{sx(1):.1f}" y2="{sy(1):.1f}" '
+            f'stroke="#999999" stroke-dasharray="4 3"/>',
+            f'<polyline points="{curve}" fill="none" stroke="#0072b2" stroke-width="1.8"/>',
+            f'<text x="{width / 2}" y="{height - 8}" text-anchor="middle" font-size="10">FPR</text>',
+            f'<text x="12" y="{height / 2}" font-size="10" '
+            f'transform="rotate(-90 12 {height / 2})">TPR</text>',
+            "</svg>",
+        ]
+    )
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(svg)
+        return out_path
+    return svg
+
+
+def render_profile(
+    rows,
+    title: str = "",
+    out_path: str | None = None,
+    width: int = 640,
+    height: int = 480,
+) -> str:
+    """Draw a profile histogram from ``hist_profile_qty_price``-shaped rows
+    (reference ``plot_profile``, plotting/plot_functions_1d.py:421): per
+    x-bin the mean of the profiled variable as a point with the width
+    (stddev) as an error bar.  Matplotlib when importable, else SVG."""
+    data = _normalize_rows(rows)
+    if not data:
+        raise ValueError("no profile rows to render")
+    bin_col = next(c for c in data[0] if c.startswith("bin"))
+    mean_col = next(c for c in data[0] if c.startswith("mean"))
+    width_col = next(c for c in data[0] if c.startswith("width"))
+    data = sorted(data, key=lambda r: r[bin_col])
+    bins = [r[bin_col] for r in data]
+    y_hi = max(r[mean_col] + r[width_col] for r in data)
+    y_lo = min(r[mean_col] - r[width_col] for r in data)
+
+    try:
+        import matplotlib  # noqa: PLC0415
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt  # noqa: PLC0415
+
+        fig, ax = plt.subplots(figsize=(width / 96, height / 96))
+        ax.errorbar(
+            range(len(bins)),
+            [r[mean_col] for r in data],
+            yerr=[r[width_col] for r in data],
+            fmt="ko",
+            capsize=3,
+        )
+        ax.set_xticks(range(len(bins)))
+        ax.set_xticklabels([str(b) for b in bins])
+        ax.set_title(title)
+        if out_path:
+            fig.savefig(out_path)
+            plt.close(fig)
+            return out_path
+        return fig  # pragma: no cover - interactive use
+    except ImportError:
+        pass
+
+    pad = 40
+    bw = (width - 2 * pad) / max(len(bins), 1)
+    span = (y_hi - y_lo) or 1.0
+
+    def sx(i: float) -> float:
+        return pad + (i + 0.5) * bw
+
+    def sy(v: float) -> float:
+        return 24 + (height - 2 * pad) * (1 - (v - y_lo) / span)
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
+        f'viewBox="0 0 {width} {height}">',
+        f'<text x="{width / 2}" y="14" text-anchor="middle" font-size="12">{title}</text>',
+    ]
+    for i, r in enumerate(data):
+        lo, hi = r[mean_col] - r[width_col], r[mean_col] + r[width_col]
+        parts.append(
+            f'<line x1="{sx(i):.1f}" y1="{sy(lo):.1f}" x2="{sx(i):.1f}" y2="{sy(hi):.1f}" '
+            f'stroke="#333333"/>'
+        )
+        parts.append(
+            f'<circle cx="{sx(i):.1f}" cy="{sy(r[mean_col]):.1f}" r="3" fill="black">'
+            f"<title>{r[bin_col]}: {r[mean_col]} ± {r[width_col]}</title></circle>"
+        )
+    parts.append("</svg>")
+    svg = "\n".join(parts)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(svg)
+        return out_path
+    return svg

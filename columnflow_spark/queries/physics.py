@@ -606,3 +606,136 @@ def ml_interface_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("l_orderkey") < 1000).select(
         F.col("l_orderkey").alias("okey"), "fold", "x1", "x2", F.round("score", 4).alias("score")
     )
+
+
+# --- ML evaluation plot tables (reference plotting/plot_ml_evaluation.py:
+# plot_cm :79 and plot_roc :319): the confusion matrix and the ROC sweep
+# are COMPUTE over the scored events — they belong on the cluster; the
+# draw steps are render_heatmap_2d (the CM is literally a 2-D cell map)
+# and plotting.render_roc.  Scores reuse the ml_evaluation_scores model;
+# truth = "high-value order" (o_totalprice > 150000). ---
+_ML_TRUTH_SQL = "CAST(o_totalprice > 150000.0 AS INT)"
+_ML_SCORE_SQL = f"1.0 / (1.0 + exp(-(CASE fold {_FOLD_CASES} END)))"
+_ML_FEATS_CTE = """
+    feats AS (
+        SELECT o_orderkey, o_totalprice,
+               o_orderkey % 3 AS fold,
+               o_totalprice / 100000.0 AS f1,
+               CAST(length(o_orderpriority) AS DOUBLE) AS f2
+        FROM orders
+    )
+"""
+
+
+@query(
+    "ml_confusion_matrix",
+    oracle=f"""
+    WITH {_ML_FEATS_CTE},
+    scored AS (
+        SELECT {_ML_TRUTH_SQL} AS y_true,
+               CAST({_ML_SCORE_SQL} >= 0.5 AS INT) AS y_pred
+        FROM feats
+    ),
+    cm AS (SELECT y_true, y_pred, count(*) AS n FROM scored GROUP BY 1, 2)
+    SELECT y_true, y_pred, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY y_true), 4) AS row_share
+    FROM cm ORDER BY y_true, y_pred
+    """,
+)
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-normalized confusion matrix of the k-fold model vs the
+    high-value-order truth — one grouped pass; renders directly with
+    render_heatmap_2d (y_true x y_pred cells weighted by row_share)."""
+    scored = _ml_scored(spark, sf_dir)
+    cm = scored.groupBy("y_true", "y_pred").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("y_true")
+    return cm.select(
+        "y_true",
+        "y_pred",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w), 4).alias("row_share"),
+    ).orderBy("y_true", "y_pred")
+
+
+def _ml_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"]
+    )
+    feats = orders.select(
+        "o_totalprice",
+        (F.col("o_orderkey") % 3).alias("fold"),
+        (F.col("o_totalprice") / 100000.0).alias("f1"),
+        F.length("o_orderpriority").cast("double").alias("f2"),
+    )
+    lin = None
+    for k, (w0, w1) in _FOLD_W.items():
+        branch = F.lit(w0) * F.col("f1") + F.lit(w1) * F.col("f2")
+        lin = F.when(F.col("fold") == k, branch) if lin is None else lin.when(
+            F.col("fold") == k, branch
+        )
+    score = 1.0 / (1.0 + F.exp(-lin))
+    return feats.select(
+        (F.col("o_totalprice") > 150000.0).cast("int").alias("y_true"),
+        (score >= 0.5).cast("int").alias("y_pred"),
+        score.alias("score"),
+    )
+
+
+@query(
+    "ml_roc_curve",
+    oracle=f"""
+    WITH {_ML_FEATS_CTE},
+    scored AS (
+        SELECT {_ML_TRUTH_SQL} AS y, {_ML_SCORE_SQL} AS score FROM feats
+    ),
+    binned AS (
+        SELECT least(CAST(floor(score * 100) AS INT), 100) AS b,
+               count(*) FILTER (y = 1) AS pos,
+               count(*) FILTER (y = 0) AS neg
+        FROM scored GROUP BY 1
+    ),
+    sweep AS (
+        SELECT b,
+               sum(pos) OVER (ORDER BY b DESC) AS tp,
+               sum(neg) OVER (ORDER BY b DESC) AS fp,
+               sum(pos) OVER () AS p_tot,
+               sum(neg) OVER () AS n_tot
+        FROM binned
+    )
+    SELECT round(b / 100.0, 2) AS thr,
+           round(tp * 1.0 / p_tot, 4) AS tpr,
+           round(fp * 1.0 / n_tot, 4) AS fpr
+    FROM sweep ORDER BY thr
+    """,
+)
+def ml_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC sweep via one grouped pass + a window over the (<=101-row)
+    threshold-bin table: per score centile, the TPR/FPR of predicting
+    positive at score >= threshold.  The corpus is aggregated once; the
+    cumulative sweep never touches event rows (the classic distributed
+    ROC shape — same two-phase pattern as pack_sequences)."""
+    from pyspark.sql import Window as W
+
+    scored = _ml_scored(spark, sf_dir)
+    binned = scored.groupBy(
+        F.least(F.floor(F.col("score") * 100).cast("int"), F.lit(100)).alias("b")
+    ).agg(
+        F.count_if(F.col("y_true") == 1).alias("pos"),
+        F.count_if(F.col("y_true") == 0).alias("neg"),
+    )
+    wd = W.orderBy(F.desc("b")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.partitionBy()
+    sweep = binned.select(
+        "b",
+        F.sum("pos").over(wd).alias("tp"),
+        F.sum("neg").over(wd).alias("fp"),
+        F.sum("pos").over(wt).alias("p_tot"),
+        F.sum("neg").over(wt).alias("n_tot"),
+    )
+    return sweep.select(
+        F.round(F.col("b") / 100.0, 2).alias("thr"),
+        F.round(F.col("tp") * 1.0 / F.col("p_tot"), 4).alias("tpr"),
+        F.round(F.col("fp") * 1.0 / F.col("n_tot"), 4).alias("fpr"),
+    ).orderBy("thr")

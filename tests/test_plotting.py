@@ -215,3 +215,37 @@ def test_heatmap_2d_controls(spark, sf_dir, tmp_path):
     assert open(out).read()
     with pytest.raises(ValueError):
         render_heatmap_2d([])
+
+
+def test_render_roc_and_confusion_matrix(spark, sf_dir, tmp_path):
+    # reference plot_roc / plot_cm (plot_ml_evaluation.py): ROC sweep
+    # renders with AUC, the confusion matrix renders via the generic 2-D
+    # cell renderer
+    from columnflow_spark.plotting import render_heatmap_2d, render_roc
+    from columnflow_spark.queries import all_queries
+
+    roc = all_queries()["ml_roc_curve"](spark, sf_dir).collect()
+    out = render_roc(roc, title="kfold model", out_path=str(tmp_path / "roc.svg"))
+    content = open(out).read()
+    if "<svg" in content[:200]:
+        assert "AUC = " in content and "<polyline" in content
+    cm = all_queries()["ml_confusion_matrix"](spark, sf_dir).collect()
+    rows = [
+        {"y_true": r.y_true, "y_pred": r.y_pred, "w": r.row_share} for r in cm
+    ]
+    out2 = render_heatmap_2d(rows, title="confusion", zlabel="row share",
+                             out_path=str(tmp_path / "cm.svg"))
+    assert "</svg>" in open(out2).read() or open(out2).read()
+
+
+def test_render_profile_from_query(spark, sf_dir, tmp_path):
+    # reference plot_profile (plot_functions_1d.py:421)
+    from columnflow_spark.plotting import render_profile
+    from columnflow_spark.queries import all_queries
+
+    rows = all_queries()["hist_profile_qty_price"](spark, sf_dir).collect()
+    out = render_profile(rows, title="qty profile", out_path=str(tmp_path / "p.svg"))
+    content = open(out).read()
+    if "<svg" in content[:200]:
+        assert content.count("<circle") == len(rows)
+        assert content.count("<line") == len(rows)
