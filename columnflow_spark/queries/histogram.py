@@ -755,3 +755,48 @@ def hist_quantile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin__qty_quartile")
     )
+
+
+# --- cut-efficiency curve (reference plot_variable_efficiency,
+# plotting/plot_functions_1d.py:121): per process, each bin shows the
+# efficiency of requiring value >= that bin's edge — a reverse cumulative
+# sum over the (tiny) per-process hist table divided by the process
+# total.  The corpus is aggregated ONCE into bins; the cumsum window runs
+# over bins-per-process rows only. ---
+@query(
+    "efficiency_curve",
+    oracle=f"""
+    WITH h AS (
+        SELECT l_returnflag AS process,
+               {_regular_bin_sql("l_extendedprice", 20, 0.0, 110000.0)} AS bin__price,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT process, bin__price,
+           round(sum(n) OVER (PARTITION BY process ORDER BY bin__price DESC)
+                 * 1.0 / sum(n) OVER (PARTITION BY process), 4) AS efficiency
+    FROM h
+    ORDER BY process, bin__price
+    """,
+)
+def efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    h = fill_hist(
+        li.withColumnRenamed("l_returnflag", "process"),
+        [Variable("price", "l_extendedprice", (20, 0.0, 110000.0))],
+        categorical=["process"],
+        round_to=None,
+    )
+    from pyspark.sql import Window as W
+
+    wc = (
+        W.partitionBy("process")
+        .orderBy(F.desc("bin__price"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("process")
+    return h.select(
+        "process",
+        "bin__price",
+        F.round(F.sum("n").over(wc) * 1.0 / F.sum("n").over(wt), 4).alias("efficiency"),
+    ).orderBy("process", "bin__price")
