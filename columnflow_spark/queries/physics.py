@@ -739,3 +739,261 @@ def ml_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tp") * 1.0 / F.col("p_tot"), 4).alias("tpr"),
         F.round(F.col("fp") * 1.0 / F.col("n_tot"), 4).alias("fpr"),
     ).orderBy("thr")
+
+
+# --- theory-uncertainty weight family (reference production/cms/pdf.py:46
+# pdf_weights, scale.py:178 murmuf_envelope_weights, top_pt_weight.py:60):
+# per-event envelopes over a replica-weight vector.  The replica vector is
+# derived in-row from the embeddings table (the LHEPdfWeight analog); every
+# op below is a pure projection — zero shuffle, trivially scale-safe.
+# Replica weights are built as 1 + x/8 (division by a power of two is exact
+# in IEEE-754, so both engines see bit-identical doubles before the
+# envelope math). ---
+
+# number of variations entering the pdf envelope (reference takes the
+# first 100 of 101 replicas; embeddings carry 64 -> nominal + 48 of 63)
+_PDF_N_VAR = 48
+# 1-based positions of the 16th / 84th percentile entries in the sorted
+# variation vector (reference pdf.py:156: indices 15/83 of 100, 0-based)
+_PDF_P16 = 8
+_PDF_P84 = 40
+_PDF_OUTLIER = 0.5  # outlier_threshold with outlier_action="remove"
+
+
+@query(
+    "pdf_weight_envelope",
+    oracle=f"""
+    WITH w AS (
+        SELECT
+            vec_id,
+            1.0 + CAST(embedding[1] AS DOUBLE) / 8 AS nom,
+            list_sort([
+                (1.0 + CAST(x AS DOUBLE) / 8) / (1.0 + CAST(embedding[1] AS DOUBLE) / 8)
+                FOR x IN embedding[2:{_PDF_N_VAR + 1}]
+            ]) AS vars
+        FROM embeddings
+    ),
+    s AS (
+        SELECT
+            vec_id,
+            (vars[{_PDF_P84}] - vars[{_PDF_P16}]) / 2 AS stddev
+        FROM w
+    )
+    SELECT
+        vec_id,
+        CASE WHEN stddev > {_PDF_OUTLIER} THEN 0.0 ELSE 1.0 END AS pdf_weight,
+        CASE WHEN stddev > {_PDF_OUTLIER} THEN 0.0
+             ELSE round(1.0 + stddev, 4) END AS pdf_weight_up,
+        CASE WHEN stddev > {_PDF_OUTLIER} THEN 0.0
+             ELSE round(1.0 - stddev, 4) END AS pdf_weight_down
+    FROM s
+    """,
+)
+def pdf_weight_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF uncertainty envelope (reference production/cms/pdf.py:147-166):
+    normalize replica weights by the nominal (first) entry, sort, take half
+    the width of the central 68% interval as the symmetric uncertainty, and
+    zero out outlier events (outlier_action="remove", pdf.py:178)."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    nom = F.lit(1.0) + F.element_at("embedding", 1).cast("double") / 8
+    variations = F.array_sort(
+        F.transform(
+            F.slice("embedding", 2, _PDF_N_VAR),
+            lambda x: (F.lit(1.0) + x.cast("double") / 8) / nom,
+        )
+    )
+    stddev = (
+        F.element_at(variations, _PDF_P84) - F.element_at(variations, _PDF_P16)
+    ) / 2
+    out = emb.select(F.col("vec_id"), stddev.alias("stddev"))
+    bad = F.col("stddev") > _PDF_OUTLIER
+    return out.select(
+        "vec_id",
+        F.when(bad, F.lit(0.0)).otherwise(F.lit(1.0)).alias("pdf_weight"),
+        F.when(bad, F.lit(0.0)).otherwise(F.round(F.lit(1.0) + F.col("stddev"), 4)).alias("pdf_weight_up"),
+        F.when(bad, F.lit(0.0)).otherwise(F.round(F.lit(1.0) - F.col("stddev"), 4)).alias("pdf_weight_down"),
+    )
+
+
+# 1-based positions of the 3x3 mur/muf grid entries that enter the envelope
+# (reference scale.py:183-191: all combos except the two anti-correlated
+# extremes mur_down_muf_up / mur_up_muf_down); position 5 is the nominal.
+_MURMUF_ENVELOPE_POS = (1, 2, 4, 5, 6, 8, 9)
+_MURMUF_NOM_POS = 5
+
+
+@query(
+    "murmuf_envelope",
+    oracle=f"""
+    WITH w AS (
+        SELECT
+            vec_id,
+            [
+                (1.0 + CAST(embedding[p] AS DOUBLE) / 8) / (1.0 + CAST(embedding[{_MURMUF_NOM_POS}] AS DOUBLE) / 8)
+                FOR p IN {list(_MURMUF_ENVELOPE_POS)}
+            ] AS murf
+        FROM embeddings
+    )
+    SELECT
+        vec_id,
+        1.0 AS murmuf_envelope_weight,
+        round(list_min(murf), 4) AS murmuf_envelope_weight_down,
+        round(list_max(murf), 4) AS murmuf_envelope_weight_up
+    FROM w
+    """,
+)
+def murmuf_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mur/muf scale envelope (reference production/cms/scale.py:193-209):
+    min/max per event over the 7 renormalization/factorization-scale combos
+    that exclude the anti-correlated extremes, normalized to the central
+    combo (scale.py:86)."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    nom = F.lit(1.0) + F.element_at("embedding", _MURMUF_NOM_POS).cast("double") / 8
+    murf = F.array(
+        *[
+            (F.lit(1.0) + F.element_at("embedding", p).cast("double") / 8) / nom
+            for p in _MURMUF_ENVELOPE_POS
+        ]
+    )
+    return emb.select(
+        "vec_id",
+        F.lit(1.0).alias("murmuf_envelope_weight"),
+        F.round(F.array_min(murf), 4).alias("murmuf_envelope_weight_down"),
+        F.round(F.array_max(murf), 4).alias("murmuf_envelope_weight_up"),
+    )
+
+
+# data-based top-pt reweighting fit parameters (reference
+# top_pt_weight.py:33 TopPtWeightFromDataConfig defaults; public CMS
+# TopPtReweighting twiki values) with a pt cap of 500
+_TOP_PT_PARAMS = {"a": 0.0615, "a_up": 0.0725, "a_down": 0.0505,
+                  "b": -0.0005, "b_up": -0.0006, "b_down": -0.0004}
+_TOP_PT_MAX = 500.0
+
+
+@query(
+    "top_pt_weight",
+    oracle=f"""
+    WITH tops AS (
+        SELECT
+            l_orderkey AS okey,
+            least(l_quantity * 10.0, {_TOP_PT_MAX}) AS pt,
+            row_number() OVER (
+                PARTITION BY l_orderkey ORDER BY l_linenumber
+            ) AS rn
+        FROM lineitem
+    ),
+    pairs AS (
+        SELECT
+            okey,
+            max(CASE WHEN rn = 1 THEN pt END) AS pt1,
+            max(CASE WHEN rn = 2 THEN pt END) AS pt2
+        FROM tops
+        GROUP BY okey
+        HAVING count(*) = 2
+    )
+    SELECT
+        okey,
+        round(sqrt(exp({_TOP_PT_PARAMS["a"]} + {_TOP_PT_PARAMS["b"]} * pt1)
+                 * exp({_TOP_PT_PARAMS["a"]} + {_TOP_PT_PARAMS["b"]} * pt2)), 4)
+            AS top_pt_weight,
+        round(sqrt(exp({_TOP_PT_PARAMS["a_up"]} + {_TOP_PT_PARAMS["b_up"]} * pt1)
+                 * exp({_TOP_PT_PARAMS["a_up"]} + {_TOP_PT_PARAMS["b_up"]} * pt2)), 4)
+            AS top_pt_weight_up,
+        round(sqrt(exp({_TOP_PT_PARAMS["a_down"]} + {_TOP_PT_PARAMS["b_down"]} * pt1)
+                 * exp({_TOP_PT_PARAMS["a_down"]} + {_TOP_PT_PARAMS["b_down"]} * pt2)), 4)
+            AS top_pt_weight_down
+    FROM pairs
+    """,
+)
+def top_pt_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-pt reweighting, data-based method (reference
+    production/cms/top_pt_weight.py:60-115): SF(pt) = exp(a + b*pt) per
+    generator top with pt capped at 500, event weight = sqrt of the product
+    over the two tops, with up/down fit-parameter variations.  The two
+    "tops" are the first two objects of each event's collection; events
+    without exactly two are skipped (the reference raises there — same
+    event set).  Pure in-row math on the nested table: zero shuffle."""
+    events = build_nested_events(spark, sf_dir)
+    two = events.filter(F.size("items") == 2)
+    pt = lambda i: F.least(  # noqa: E731
+        F.element_at("items", i)["qty"] * 10.0, F.lit(_TOP_PT_MAX)
+    )
+    cols = {"okey": F.col("o_orderkey")}
+    for variation in ("", "_up", "_down"):
+        a = F.lit(_TOP_PT_PARAMS[f"a{variation}" if variation else "a"])
+        b = F.lit(_TOP_PT_PARAMS[f"b{variation}" if variation else "b"])
+        sf1 = F.exp(a + b * pt(1))
+        sf2 = F.exp(a + b * pt(2))
+        cols[f"top_pt_weight{variation}"] = F.round(F.sqrt(sf1 * sf2), 4)
+    return two.select(*[v.alias(k) for k, v in cols.items()])
+
+
+# per-object b-tag-style scale factors keyed by qty bins; values are exact
+# binary fractions so per-event products and per-group sums are exact
+# dyadic rationals in IEEE double -> both engines agree bit-for-bit before
+# the final rounding (same trick as ml_train_linreg's integer scaling)
+_BTAG_SF_BINS = [
+    (0.0, 10.0, 0.875),
+    (10.0, 25.0, 1.0),
+    (25.0, 40.0, 1.125),
+    (40.0, 1e18, 1.25),
+]
+
+
+@query(
+    "btag_weight_normalized",
+    oracle=f"""
+    WITH ev AS (
+        SELECT
+            l_orderkey AS okey,
+            count(*) AS n_obj,
+            product(CASE
+                WHEN l_quantity >= 0.0 AND l_quantity < 10.0 THEN 0.875
+                WHEN l_quantity >= 10.0 AND l_quantity < 25.0 THEN 1.0
+                WHEN l_quantity >= 25.0 AND l_quantity < 40.0 THEN 1.125
+                ELSE 1.25 END) AS btag_weight
+        FROM lineitem
+        GROUP BY l_orderkey
+    ),
+    norm AS (
+        SELECT n_obj, count(*) * 1.0 / sum(btag_weight) AS ratio
+        FROM ev
+        GROUP BY n_obj
+    )
+    SELECT
+        ev.okey,
+        round(ev.btag_weight, 4) AS btag_weight,
+        round(ev.btag_weight * norm.ratio, 4) AS btag_weight_normalized
+    FROM ev JOIN norm USING (n_obj)
+    """,
+)
+def btag_weight_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized b-tag weights (reference production/cms/btag.py:83
+    btag_weights + the standard per-multiplicity renormalization that keeps
+    the btag SF product from changing yields: ratio = sum(w_before) /
+    sum(w_before * btag_weight) per object-multiplicity bin, applied back
+    per event).  Two-phase distributed shape: (1) in-row SF product over
+    the collection, (2) a tiny per-multiplicity aggregate (<= ~7 rows)
+    broadcast-joined back — the event table is never shuffled."""
+    events = build_nested_events(spark, sf_dir)
+
+    def sf(x):
+        e = F.lit(_BTAG_SF_BINS[-1][2])
+        for lo, hi, s in _BTAG_SF_BINS[:-1]:
+            e = F.when((x["qty"] >= lo) & (x["qty"] < hi), F.lit(s)).otherwise(e)
+        return e
+
+    ev = events.filter(F.size("items") > 0).select(
+        F.col("o_orderkey").alias("okey"),
+        F.size("items").alias("n_obj"),
+        F.aggregate("items", F.lit(1.0), lambda acc, x: acc * sf(x)).alias("btag_weight"),
+    )
+    norm = ev.groupBy("n_obj").agg(
+        (F.count("*") * F.lit(1.0) / F.sum("btag_weight")).alias("ratio")
+    )
+    return ev.join(F.broadcast(norm), "n_obj").select(
+        "okey",
+        F.round("btag_weight", 4).alias("btag_weight"),
+        F.round(F.col("btag_weight") * F.col("ratio"), 4).alias("btag_weight_normalized"),
+    )
