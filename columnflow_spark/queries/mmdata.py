@@ -2981,3 +2981,250 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", F.col("est").cast("long").alias("est_count"), "rk")
         .orderBy("rk")
     )
+
+
+# --- DSIR-style data selection (public method: Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling"): score
+# every raw doc by the log-likelihood ratio of two hashed-unigram LMs
+# (target distribution = the 'en' slice here, raw = the whole corpus),
+# then resample with Gumbel top-k so selection probability follows the
+# importance weight — all deterministic.  Distributed shape: one token
+# explode + two tiny bucket-count tables (B=1024 rows) broadcast back;
+# the corpus is scanned once and never shuffled beyond the per-doc sum.
+# Hash bucketing uses the same sha256->long primitive as
+# functions/hashing.py (exact integers in both engines). ---
+_DSIR_B = 1024
+_DSIR_BUCKET_SQL = "(('0x' || substr(sha256(w), 1, 15))::BIGINT % {b})".format(b=_DSIR_B)
+
+
+def _dsir_logw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.functions.hashing import seed_long
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w"),
+    ).withColumn("b", seed_long(F.col("w")) % _DSIR_B)
+    # ONE stats pass builds both LMs: per-bucket raw + target counts
+    # (<= B=1024 rows, a bounded side table like a PQ codebook), collected
+    # so the log-ratio lookup broadcasts without re-triggering the scan
+    buckets = (
+        words.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.count_if(F.col("lang") == "en").alias("c_tgt"),
+        )
+        .collect()
+    )
+    n_raw = sum(r.c_raw for r in buckets)
+    n_tgt = sum(r.c_tgt for r in buckets)
+    import math
+
+    lam = spark.createDataFrame(
+        [
+            (
+                r.b,
+                math.log((r.c_tgt + 1.0) / (n_tgt + _DSIR_B))
+                - math.log((r.c_raw + 1.0) / (n_raw + _DSIR_B)),
+            )
+            for r in buckets
+        ],
+        "b long, logratio double",
+    )
+    return (
+        words.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("logratio").alias("logw"),
+        )
+    )
+
+
+_DSIR_LOGW_SQL = f"""
+    words AS (
+        SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+             unnest(ws) AS t(w)
+        WHERE w <> ''
+    ),
+    raw AS (SELECT b, count(*) AS c_raw FROM words GROUP BY b),
+    tgt AS (SELECT b, count(*) AS c_tgt FROM words WHERE lang = 'en' GROUP BY b),
+    tot AS (
+        SELECT (SELECT count(*) FROM words) AS n_raw,
+               (SELECT count(*) FROM words WHERE lang = 'en') AS n_tgt
+    ),
+    lam AS (
+        SELECT raw.b,
+               ln((coalesce(tgt.c_tgt, 0) + 1.0) / (tot.n_tgt + {_DSIR_B}))
+             - ln((raw.c_raw + 1.0) / (tot.n_raw + {_DSIR_B})) AS logratio
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot
+    ),
+    scored AS (
+        SELECT doc_id, count(*) AS n_tokens, sum(logratio) AS logw
+        FROM words JOIN lam USING (b)
+        GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_DSIR_LOGW_SQL}
+    SELECT doc_id, n_tokens, round(logw, 4) AS logw
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _dsir_logw(spark, sf_dir)
+        .select("doc_id", "n_tokens", F.round("logw", 4).alias("logw"))
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_K = 50
+
+
+@query(
+    "dsir_resample",
+    oracle=f"""
+    WITH {_DSIR_LOGW_SQL},
+    keyed AS (
+        SELECT doc_id, logw,
+               logw - ln(-ln(
+                   (('0x' || substr(sha256('g|' || doc_id), 1, 13))::BIGINT + 1.0)
+                   / (power(16.0, 13) + 2.0)
+               )) AS gkey
+        FROM scored
+    )
+    SELECT doc_id, round(gkey, 4) AS gkey
+    FROM keyed
+    ORDER BY gkey DESC, doc_id
+    LIMIT {_DSIR_K}
+    """,
+)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k importance resampling: adding a deterministic
+    per-doc Gumbel(0,1) draw to the log-weight and taking the global
+    top-k samples k docs without replacement with probability
+    proportional to exp(logw) — the streaming-friendly form of weighted
+    sampling (same content-derived-key pattern as weighted_sample_aes).
+    Distributed top-k via orderBy+limit (TakeOrderedAndProject: partial
+    per-partition heads, no global sort)."""
+    scored = _dsir_logw(spark, sf_dir)
+    u = (
+        F.conv(F.substring(F.sha2(F.concat(F.lit("g|"), F.col("doc_id").cast("string")), 256), 1, 13), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / (16.0 ** 13 + 2.0)
+    keyed = scored.select(
+        "doc_id", (F.col("logw") - F.log(-F.log(u))).alias("gkey")
+    )
+    return (
+        keyed.orderBy(F.desc("gkey"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+        .select("doc_id", F.round("gkey", 4).alias("gkey"))
+    )
+
+
+# --- text normalization (training-data hygiene: casefold, strip
+# punctuation, collapse whitespace — the standard pre-dedup canonical
+# form).  The synthetic corpus is already clean, so the query injects
+# deterministic messiness first (uppercase flips, punctuation, ragged
+# spacing derived from doc_id) and then normalizes it back; the compare
+# verifies the normalization pipeline itself.  Pure codegen string ops:
+# one scan, no shuffle beyond the per-source rollup. ---
+@query(
+    "text_normalize",
+    oracle="""
+    WITH messy AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 3 = 0 THEN upper(text)
+                    WHEN doc_id % 3 = 1 THEN replace(text, ' ', '   ')
+                    ELSE text END
+               || CASE WHEN doc_id % 5 = 0 THEN '!!  Read,  MORE... ' ELSE '' END
+               AS t
+        FROM documents
+    ),
+    norm AS (
+        SELECT doc_id, source, t,
+               trim(regexp_replace(
+                   regexp_replace(lower(t), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')) AS clean
+        FROM messy
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE t <> clean) AS BIGINT) AS n_changed,
+           CAST(sum(length(t) - length(clean)) AS BIGINT) AS chars_removed,
+           min(md5(clean)) AS sample_fingerprint
+    FROM norm
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    messy = docs.withColumn(
+        "t",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.upper("text"))
+            .when(F.col("doc_id") % 3 == 1, F.replace(F.col("text"), F.lit(" "), F.lit("   ")))
+            .otherwise(F.col("text")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("!!  Read,  MORE... ")).otherwise(F.lit("")),
+        ),
+    )
+    norm = messy.withColumn(
+        "clean",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("t"), "[^a-z0-9 ]", ""), " +", " "
+            )
+        ),
+    )
+    return (
+        norm.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("t") != F.col("clean")).alias("n_changed"),
+            F.sum(F.length("t") - F.length("clean")).alias("chars_removed"),
+            F.min(F.md5("clean")).alias("sample_fingerprint"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- per-source corpus statistics (dataset-card style rollup: doc and
+# token counts plus exact length quantiles per (source, lang) slice).
+# One groupBy; quantiles are exact percentile_cont with linear
+# interpolation on both engines (integer inputs -> interpolation is a
+# single division, identical IEEE on both sides). ---
+@query(
+    "corpus_stats_by_source",
+    oracle="""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+)
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "lang", "text", "n_chars"])
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+        )
+        .orderBy("source", "lang")
+    )
