@@ -15,5 +15,6 @@ from columnflow_spark.mmdata.media import (  # noqa: F401
     audio_features,
     build_media_table,
     decode_image,
+    resize_image,
     sample_frames,
 )

@@ -126,3 +126,73 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     src = df.select(id_col, F.col("media.payload").alias("payload"))
     return src.mapInPandas(gen, schema=f"{id_col} bigint, duration_ms bigint, loudness double")
+
+
+def resize_image(
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Aspect-preserving thumbnail resize -> (id, out payload, out dims).
+
+    Real path uses PIL ``Image.thumbnail`` + re-encode when importable;
+    the deterministic fallback computes the same integer-exact output
+    dims (scale = min(target/w, target/h, 1) done in integer rationals)
+    and stands in for the re-encoded bytes with a proportional payload
+    prefix.  Payload bytes move through one Arrow batch and never fan
+    out; all post-resize planning runs on the typed output columns.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401, PLC0415
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        for pdf in batches:
+            payload = pdf["payload"]
+            n_bytes = payload.map(len)
+            if have_pil:  # pragma: no cover - PIL absent in this container
+                import io  # noqa: PLC0415
+
+                from PIL import Image  # noqa: PLC0415
+
+                out_p, out_w, out_h = [], [], []
+                for b in payload:
+                    im = Image.open(io.BytesIO(b))
+                    im.thumbnail((target_w, target_h))
+                    buf = io.BytesIO()
+                    im.save(buf, format=im.format or "PNG")
+                    out_p.append(buf.getvalue())
+                    out_w.append(im.width)
+                    out_h.append(im.height)
+                out_payload = pd.Series(out_p, index=pdf.index)
+                width = pd.Series(out_w, index=pdf.index).astype("int32")
+                height = pd.Series(out_h, index=pdf.index).astype("int32")
+            else:
+                w, h = _fake_dims(n_bytes)
+                w64, h64 = w.astype("int64"), h.astype("int64")
+                wide = w64 * target_h >= h64 * target_w
+                no_shrink = (w64 <= target_w) & (h64 <= target_h)
+                width = w64.where(no_shrink, (w64 * target_h // h64).where(~wide, target_w))
+                height = h64.where(no_shrink, (h64 * target_w // w64).where(wide, target_h))
+                out_len = (n_bytes * (width * height)) // (w64 * h64)
+                out_payload = pd.Series(
+                    [b[: int(k)] for b, k in zip(payload, out_len)], index=pdf.index
+                )
+                width, height = width.astype("int32"), height.astype("int32")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": out_payload,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    src = df.select(id_col, F.col("media.payload").alias("payload"))
+    return src.mapInPandas(
+        gen, schema=f"{id_col} bigint, payload binary, width int, height int"
+    )

@@ -3228,3 +3228,56 @@ def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# --- multimodal: aspect-preserving thumbnail resize over binary payloads
+# (mmdata.media.resize_image; real PIL path gated, deterministic fallback
+# active here).  Output dims use integer-rational scaling so both engines
+# agree exactly; the payload checksum proves the bytes themselves round-trip
+# through the Arrow batch.  DuckDB `//` is integer division like the
+# fallback's numpy `//`. ---
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id, text,
+               octet_length(encode(text)) AS n_bytes,
+               64 + octet_length(encode(text)) % 577 AS w,
+               64 + (octet_length(encode(text)) * 7) % 577 AS h
+        FROM documents WHERE doc_id < 100
+    ),
+    sized AS (
+        SELECT doc_id, text, n_bytes, w, h,
+               CASE WHEN w <= 224 AND h <= 224 THEN w
+                    WHEN w * 224 >= h * 224 THEN 224
+                    ELSE (w * 224) // h END AS out_w,
+               CASE WHEN w <= 224 AND h <= 224 THEN h
+                    WHEN w * 224 >= h * 224 THEN (h * 224) // w
+                    ELSE 224 END AS out_h
+        FROM media
+    )
+    SELECT doc_id, out_w AS width, out_h AS height,
+           (n_bytes * (out_w * out_h)) // (w * h) AS out_bytes,
+           md5(substr(text, 1, CAST((n_bytes * (out_w * out_h)) // (w * h) AS INT)))
+               AS payload_md5
+    FROM sized
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.mmdata import build_media_table, resize_image
+
+    docs = (
+        load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    media = build_media_table(docs, payload="payload", mime="image/png")
+    out = resize_image(media)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("payload").cast("bigint").alias("out_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("doc_id")
