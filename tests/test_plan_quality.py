@@ -252,3 +252,45 @@ def test_shuffle_shards_no_global_window(spark, sf_dir):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", logical)
     assert specs
     assert all("shard" in s or "pmod" in s for s in specs), specs
+
+
+def test_weight_envelopes_are_pure_projections(spark, sf_dir):
+    # pdf/murmuf envelopes are in-row math over the embeddings scan:
+    # any Exchange in the plan means a refactor introduced a shuffle
+    for name in ("pdf_weight_envelope", "murmuf_envelope"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name
+
+
+def test_btag_norm_table_broadcasts(spark, sf_dir):
+    # the per-multiplicity ratio table (<= ~7 rows) must broadcast back
+    # onto the event table, never sort-merge
+    plan = _plan(spark, sf_dir, "btag_weight_normalized")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_lambda_broadcasts(spark, sf_dir):
+    # the bucket log-ratio lookup (<= 1024 rows) must broadcast onto the
+    # exploded token stream; the corpus side must not shuffle for the join
+    plan = _plan(spark, sf_dir, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_resample_uses_partial_topk(spark, sf_dir):
+    # global top-k must be TakeOrderedAndProject (per-partition heads),
+    # never a global Sort + Limit over all rows
+    plan = _plan(spark, sf_dir, "dsir_resample")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_resize_payload_never_shuffles(spark, sf_dir):
+    # payload bytes ride one Arrow batch boundary; no Exchange may carry
+    # the binary column (the only exchange allowed is the final orderBy
+    # over the slim typed output)
+    plan = _plan(spark, sf_dir, "multimodal_resize")
+    for line in plan.splitlines():
+        if "Exchange" in line and "payload" in line:
+            raise AssertionError(f"payload in exchange: {line}")
