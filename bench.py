@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "analysis_template_yields",
     "analysis_template_stack",
     "tfidf_top_terms",
+    "bpe_encode_corpus",
     "dedup_embedding_cosine_lsh",
     # single-pass distributed model fit + index build
     "ml_train_linreg",
@@ -144,7 +145,7 @@ def main() -> None:
     # signatures, PQ codebook) keep their first-run time — their second
     # run reads the materialized artifact and would otherwise report a
     # near-zero warm-path number that hides build-cost regressions.
-    cold_first = {"dedup_shingle_index", "dedup_minhash_lsh", "ann_pq_adc_topk"}
+    cold_first = {"dedup_shingle_index", "dedup_minhash_lsh", "ann_pq_adc_topk", "bpe_encode_corpus"}
     for name in names:
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
