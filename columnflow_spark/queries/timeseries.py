@@ -643,3 +643,39 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- hot-key top-k via two-phase salted windows (functions/skew.py):
+# event_type has ~5 distinct values, so at 100 TB a single
+# Window.partitionBy(event_type) serializes ~20 TB per task; the salted
+# form spreads phase 1 over (key, salt) and ranks only the <= n_salt*k
+# survivors in phase 2.  Top-k is reduction-safe, so the result is
+# bit-identical to the unsalted window (the oracle computes exactly
+# that). ---
+@query(
+    "skew_salted_topk_values",
+    oracle="""
+    SELECT event_type, rk, event_id, value
+    FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value DESC, event_id
+               ) AS rk
+        FROM events
+    )
+    WHERE rk <= 10
+    ORDER BY event_type, rk
+    """,
+)
+def skew_salted_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.functions.skew import salted_topk
+
+    events = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+    top = salted_topk(
+        events,
+        keys=["event_type"],
+        order_cols=[F.desc("value"), F.asc("event_id")],
+        k=10,
+        salt_src=F.col("event_id"),
+    )
+    return top.select("event_type", "rk", "event_id", "value").orderBy("event_type", "rk")

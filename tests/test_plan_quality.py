@@ -294,3 +294,11 @@ def test_resize_payload_never_shuffles(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line and "payload" in line:
             raise AssertionError(f"payload in exchange: {line}")
+
+
+def test_salted_topk_two_phase_windows(spark, sf_dir):
+    # the hot-key top-k must compile to TWO window stages — (key, salt)
+    # then key — so no single task ever sees a whole hot key's rows
+    plan = _plan(spark, sf_dir, "skew_salted_topk_values")
+    assert plan.count("Window") >= 2
+    assert "_salt" in plan
