@@ -61,3 +61,26 @@ def test_salted_join_left_outer(spark):
     out = salted_join(big, dim, on=["k"], salt_src=F.col("rid"), n_salt=4, how="left")
     assert out.count() == 2000
     assert out.filter(F.col("label").isNotNull()).count() == 0
+
+
+def test_salted_topk_invariant_in_n_salt(spark):
+    # the salt factor is a physical knob: any n_salt must give the same rows
+    df = _skewed(spark)
+    results = []
+    for n_salt in (1, 3, 16):
+        out = salted_topk(
+            df, keys=["k"], order_cols=[F.desc("v"), F.asc("rid")], k=4,
+            salt_src=F.col("rid"), n_salt=n_salt,
+        ).select("k", "rk", "rid", "v")
+        results.append(sorted(map(tuple, out.collect())))
+    assert results[0] == results[1] == results[2]
+
+
+def test_salted_join_invariant_in_n_salt(spark):
+    big = _skewed(spark)
+    dim = spark.range(7).select(F.col("id").alias("k"), (F.col("id") + 7).alias("lab"))
+    results = []
+    for n_salt in (1, 5, 32):
+        out = salted_join(big, dim, on=["k"], salt_src=F.col("rid"), n_salt=n_salt)
+        results.append(sorted(map(tuple, out.select("k", "rid", "v", "lab").collect())))
+    assert results[0] == results[1] == results[2]
