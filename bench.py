@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "analysis_template_stack",
     "tfidf_top_terms",
     "bpe_encode_corpus",
+    "training_corpus_pipeline",
     "dedup_embedding_cosine_lsh",
     # single-pass distributed model fit + index build
     "ml_train_linreg",

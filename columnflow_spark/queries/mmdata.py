@@ -3495,3 +3495,150 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("nt").alias("n_tokens"), F.sum("nc").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+# --- the composed training-corpus pipeline as a funnel report: every
+# curation stage this engine provides, chained end-to-end the way a real
+# pretraining data build runs them — language filter, quality gate, exact
+# dedup, eval-set decontamination, BPE tokenization, sequence-packing
+# sizing — with the surviving doc count (and final token/sequence totals)
+# after each stage.  Each stage reuses the session artifacts of its
+# standalone op (shingle table, BPE merges), so the whole funnel costs
+# one corpus scan per independent aggregate and every join is broadcast;
+# the oracle replays all six stages in one CTE chain. ---
+_TCP_MIN_TOKENS = 25
+_TCP_SEQ_LEN = 512
+_TCP_EVAL_SRC = "src2"
+
+
+@query(
+    "training_corpus_pipeline",
+    oracle=f"""
+    WITH {_GRAMS_CTE},
+    {_bpe_round_ctes()},
+    s1 AS (SELECT doc_id, text, lang, source FROM documents),
+    s2 AS (SELECT * FROM s1 WHERE lang = 'en'),
+    s3 AS (
+        SELECT * FROM s2
+        WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) >= {_TCP_MIN_TOKENS}
+    ),
+    s4 AS (
+        SELECT * FROM s3 WHERE doc_id IN (
+            SELECT min(doc_id) FROM s3 GROUP BY md5(text)
+        )
+    ),
+    eval_g AS (
+        SELECT DISTINCT ug AS gram
+        FROM grams g JOIN documents d USING (doc_id), unnest(g.gs) AS t(ug)
+        WHERE d.source = '{_TCP_EVAL_SRC}'
+    ),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id
+        FROM grams g, unnest(g.gs) AS t(ug)
+        WHERE ug IN (SELECT gram FROM eval_g)
+    ),
+    s5 AS (
+        SELECT * FROM s4
+        WHERE source <> '{_TCP_EVAL_SRC}'
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    tokde AS (
+        SELECT doc_id,
+               {"".join("replace(" for _ in range(_BPE_ROUNDS))}
+                   regexp_replace(w, '(.)', '\\1|', 'g')
+               {"".join(
+                   f", (SELECT a || '|' || b || '|' FROM best{r})"
+                   f", (SELECT a || b || '|' FROM best{r}))"
+                   for r in range(1, _BPE_ROUNDS + 1)
+               )} AS s
+        FROM (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM s5
+        )
+    ),
+    s6 AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(s, '|')) - 1) AS BIGINT) AS n_tokens
+        FROM tokde
+    )
+    SELECT * FROM (
+        SELECT 1 AS stage, 'input' AS name,
+               (SELECT count(*) FROM s1) AS n_docs,
+               CAST(0 AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS n_sequences
+        UNION ALL SELECT 2, 'lang_filter', (SELECT count(*) FROM s2), 0, 0
+        UNION ALL SELECT 3, 'quality_gate', (SELECT count(*) FROM s3), 0, 0
+        UNION ALL SELECT 4, 'exact_dedup', (SELECT count(*) FROM s4), 0, 0
+        UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM s5), 0, 0
+        UNION ALL SELECT 6, 'tokenized', (SELECT n_docs FROM s6),
+                          (SELECT n_tokens FROM s6),
+                          CAST(ceil((SELECT n_tokens FROM s6) / {_TCP_SEQ_LEN}.0) AS BIGINT)
+    )
+    ORDER BY stage
+    """,
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    s2 = docs.filter(F.col("lang") == "en")
+    s3 = s2.filter(
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")) >= _TCP_MIN_TOKENS
+    )
+    keep = s3.groupBy(F.md5("text").alias("dg")).agg(F.min("doc_id").alias("doc_id"))
+    s4 = s3.join(F.broadcast(keep.select("doc_id")), "doc_id")
+    # decontamination: docs sharing any shingle with the eval source are
+    # dropped — the eval gram SET broadcasts, the corpus never shuffles
+    grams = hashed_grams(spark, sf_dir)
+    src = F.broadcast(load_table(spark, sf_dir, "documents", columns=["doc_id", "source"]))
+    eval_set = (
+        grams.join(src, "doc_id")
+        .filter(F.col("source") == _TCP_EVAL_SRC)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    contaminated = (
+        grams.select("doc_id", F.explode("hs").alias("h"))
+        .join(F.broadcast(eval_set), "h", "leftsemi")
+        .select("doc_id")
+        .distinct()
+    )
+    s5 = (
+        s4.filter(F.col("source") != _TCP_EVAL_SRC)
+        .join(F.broadcast(contaminated), "doc_id", "leftanti")
+    )
+    # tokenization: the learned BPE rules as an in-row replace chain
+    merges = bpe_train(spark, sf_dir)
+    enc = F.regexp_replace(F.col("w"), "(.)", "$1|")
+    for a, b, _ in merges:
+        enc = F.replace(enc, F.lit(f"{a}|{b}|"), F.lit(f"{a}{b}|"))
+    tok = (
+        s5.select("doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
+        .select("doc_id", F.size(_bpe_syms(enc)).alias("nt"))
+    )
+    s6 = tok.agg(
+        F.countDistinct("doc_id").alias("n_docs"), F.sum("nt").alias("n_tokens")
+    )
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("n_sequences"),
+        )
+
+    final = s6.select(
+        F.lit(6).alias("stage"),
+        F.lit("tokenized").alias("name"),
+        F.col("n_docs"),
+        F.col("n_tokens"),
+        F.ceil(F.col("n_tokens") / float(_TCP_SEQ_LEN)).cast("long").alias("n_sequences"),
+    )
+    funnel = (
+        stage(1, "input", docs)
+        .unionByName(stage(2, "lang_filter", s2))
+        .unionByName(stage(3, "quality_gate", s3))
+        .unionByName(stage(4, "exact_dedup", s4))
+        .unionByName(stage(5, "decontaminated", s5))
+        .unionByName(final)
+    )
+    return funnel.orderBy("stage")
