@@ -3642,3 +3642,170 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(final)
     )
     return funnel.orderBy("stage")
+
+
+# --- distributed PCA, phase 1: exact covariance of the embedding matrix.
+# The scalable shape is per-partition numpy partial sums (each Arrow batch
+# folds its rows into one d x d product matrix, so the shuffle carries
+# partitions * d(d+1)/2 rows, never n * d^2) merged by a final groupBy.
+# Components are quantized to an integer grid first (round(x * 1000) —
+# the PQ trick), so the cross-product sums are exact int64 on every
+# engine and the oracle matches bit-for-bit; magnitudes are bounded by
+# |q| <= 578, n * q^2 < 2^53 far past 100x this corpus. ---
+_PCA_GRID = 1000
+_PCA_D = 64
+
+
+def _pca_moment_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(i, j, s_ij)`` upper-triangle integer product sums plus the
+    ``j = 0`` column holding the per-dimension linear sums ``s_i``."""
+    import numpy as np  # noqa: PLC0415
+
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["embedding"]))
+
+    def partial(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.rint(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * _PCA_GRID
+            ).astype(np.int64)
+            prod = q.T @ q  # d x d int64
+            lin = q.sum(axis=0)
+            iu, ju = np.triu_indices(_PCA_D)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu + 1, np.arange(1, _PCA_D + 1)]),
+                    "j": np.concatenate([ju + 1, np.zeros(_PCA_D, dtype=np.int64)]),
+                    "s": np.concatenate([prod[iu, ju], lin]),
+                    "n": np.concatenate(
+                        [np.zeros(len(iu), dtype=np.int64), np.full(_PCA_D, len(pdf))]
+                    ),
+                }
+            )
+
+    return (
+        emb.mapInPandas(partial, schema="i int, j int, s long, n long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+
+
+@query(
+    "embedding_covariance",
+    oracle=f"""
+    WITH q AS (
+        SELECT list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {_PCA_GRID}) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    tot AS (SELECT count(*) AS n FROM q),
+    lin AS (
+        SELECT i, CAST(sum(q[i]) AS BIGINT) AS s
+        FROM q, unnest(range(1, {_PCA_D + 1})) AS t(i)
+        GROUP BY i
+    ),
+    prod AS (
+        SELECT i, j, CAST(sum(q[i] * q[j]) AS BIGINT) AS s
+        FROM q, unnest(range(1, {_PCA_D + 1})) AS t(i), unnest(range(1, {_PCA_D + 1})) AS u(j)
+        WHERE j >= i
+        GROUP BY i, j
+    )
+    SELECT p.i, p.j,
+           round((CAST(p.s AS DOUBLE) / n - (CAST(a.s AS DOUBLE) / n) * (CAST(b.s AS DOUBLE) / n))
+                 / {_PCA_GRID * _PCA_GRID}, 10) AS cov
+    FROM prod p, tot, lin a, lin b
+    WHERE a.i = p.i AND b.i = p.j
+    ORDER BY p.i, p.j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sums = _pca_moment_sums(spark, sf_dir)
+    lin = sums.filter(F.col("j") == 0).select(
+        F.col("i"), F.col("s").alias("ls"), F.col("n").alias("n")
+    )
+    prod = sums.filter(F.col("j") > 0).select("i", "j", "s")
+    a = lin.select(F.col("i").alias("i"), F.col("ls").alias("s_a"), "n")
+    b = lin.select(F.col("i").alias("j"), F.col("ls").alias("s_b"))
+    return (
+        prod.join(F.broadcast(a), "i")
+        .join(F.broadcast(b), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("s").cast("double") / F.col("n")
+                    - (F.col("s_a").cast("double") / F.col("n"))
+                    * (F.col("s_b").cast("double") / F.col("n"))
+                )
+                / (_PCA_GRID * _PCA_GRID),
+                10,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+#: per-(session, dir) principal axes (numpy d x k) — the PCA model is a
+#: bounded artifact (64 x 4 doubles) derived from the covariance table,
+#: like a trained codebook
+_PCA_MODEL_CACHE: dict[tuple[int, str], object] = {}
+_PCA_K = 4
+
+
+def pca_components(spark: SparkSession, sf_dir: str):
+    """Top-``_PCA_K`` eigenvectors of the covariance (driver eigh on the
+    collected 64 x 64 matrix — bounded regardless of corpus size), sign
+    fixed so each component's largest-|.|. entry is positive."""
+    import numpy as np  # noqa: PLC0415
+
+    key = (id(spark), sf_dir)
+    cached = _PCA_MODEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    rows = _pca_moment_sums(spark, sf_dir).collect()
+    n = max(r.n for r in rows if r.j == 0)
+    lin = np.zeros(_PCA_D)
+    cov = np.zeros((_PCA_D, _PCA_D))
+    for r in rows:
+        if r.j == 0:
+            lin[r.i - 1] = r.s
+    for r in rows:
+        if r.j > 0:
+            c = r.s / n - (lin[r.i - 1] / n) * (lin[r.j - 1] / n)
+            cov[r.i - 1, r.j - 1] = cov[r.j - 1, r.i - 1] = c
+    cov /= _PCA_GRID * _PCA_GRID
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:_PCA_K]
+    comps = vecs[:, order]
+    for k in range(comps.shape[1]):
+        lead = np.argmax(np.abs(comps[:, k]))
+        if comps[lead, k] < 0:
+            comps[:, k] = -comps[:, k]
+    model = (vals[order], comps)
+    _PCA_MODEL_CACHE[key] = model
+    return model
+
+
+@query("embedding_pca_project")
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project embeddings onto the top principal axes: the component
+    matrix is baked into the plan as literal arrays and the dot products
+    run in-row (zip_with + aggregate, zero shuffle).  Rows-only for the
+    driver (eigendecomposition has no SQL twin); variance ordering and
+    orthonormality are pinned in tests/test_pca.py."""
+    _, comps = pca_components(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cols = [F.col("vec_id")]
+    for k in range(comps.shape[1]):
+        axis = F.array(*[F.lit(float(x)) for x in comps[:, k]])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding").cast("array<double>"), axis, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(dot, 6).alias(f"pc{k + 1}"))
+    return emb.select(*cols).orderBy("vec_id")
