@@ -586,3 +586,48 @@ def streaming_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("dup_local").alias("is_dup"))
         .orderBy("doc_id")
     )
+
+
+# --- streaming ingest-time BPE tokenization (the streaming flavor of
+# bpe_encode_corpus): the learned merge rules are a batch-trained session
+# artifact (like the streaming PQ codebook) baked into the stream's plan
+# as a static in-row replace chain — a pure projection, so it composes
+# with any downstream streaming stage.  Per-doc token counts + the
+# lossless-segmentation char check; oracle replays training + encoding. ---
+def _bpe_oracle() -> str:
+    import columnflow_spark.queries.mmdata  # noqa: F401  (registers the oracle)
+    from columnflow_spark.queries import ORACLES
+
+    return ORACLES["bpe_encode_corpus"]
+
+
+@query(
+    "streaming_bpe_tokenize",
+    oracle=_bpe_oracle(),
+)
+def streaming_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.queries.mmdata import _bpe_syms, bpe_train
+
+    merges = bpe_train(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_DOCS_RAW_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    enc = F.regexp_replace(F.col("w"), "(.)", "$1|")
+    for a, b, _ in merges:
+        enc = F.replace(enc, F.lit(f"{a}|{b}|"), F.lit(f"{a}{b}|"))
+    per_word = stream.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"),
+    ).select(
+        "doc_id",
+        F.size(_bpe_syms(enc)).alias("nt"),
+        F.length(F.replace(enc, F.lit("|"), F.lit(""))).alias("nc"),
+    )
+    out = _run_to_memory(per_word, spark, mode="append")
+    return (
+        out.groupBy("doc_id")
+        .agg(F.sum("nt").alias("n_tokens"), F.sum("nc").alias("n_chars"))
+        .orderBy("doc_id")
+    )
