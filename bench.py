@@ -146,16 +146,35 @@ def main() -> None:
     # signatures, PQ codebook) keep their first-run time — their second
     # run reads the materialized artifact and would otherwise report a
     # near-zero warm-path number that hides build-cost regressions.
-    cold_first = {"dedup_shingle_index", "dedup_minhash_lsh", "ann_pq_adc_topk", "bpe_encode_corpus"}
+    # cold-first queries keep their artifact-BUILD cost in the timing; to
+    # still get best-of-2 under hypervisor noise, the second run clears
+    # exactly that query's artifact cache first (min of two COLD runs).
+    # Only the named cache is purged, so downstream consumers of OTHER
+    # session artifacts keep their intended warm inputs.
+    import columnflow_spark.queries.mmdata as _mm
+
+    cold_first: dict[str, list[dict]] = {
+        "dedup_shingle_index": [_mm._GRAMS_CACHE],
+        "dedup_minhash_lsh": [_mm._SIGS_CACHE],
+        "ann_pq_adc_topk": [_mm._PQ_CB_CACHE],
+        "bpe_encode_corpus": [_mm._BPE_MERGE_CACHE],
+        "training_corpus_pipeline": [],
+    }
+    # unconditional best-of-2: this VM's hypervisor noise can inflate an
+    # identical run 2-10x (a 1.5 s index build has measured 9.9 s), so a
+    # single sample is meaningless; every legitimate query here is <= ~2 s
+    # warm, so the retry at most roughly doubles bench wall time while
+    # keeping spikes out of the recorded numbers
     for name in names:
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
         df.count()
         elapsed = time.perf_counter() - t0
-        if elapsed < 3.0 and name not in cold_first:
-            t1 = time.perf_counter()
-            queries[name](spark, sf_dir).count()
-            elapsed = min(elapsed, time.perf_counter() - t1)
+        for cache in cold_first.get(name, ()):
+            cache.clear()
+        t1 = time.perf_counter()
+        queries[name](spark, sf_dir).count()
+        elapsed = min(elapsed, time.perf_counter() - t1)
         timings[name] = round(elapsed, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
