@@ -19,6 +19,10 @@ _INVARIANT_QUERIES = [
     "dedup_bloom_prefilter",
     "cms_heavy_hitters",
     "ann_pq_codes",
+    "dsir_resample",
+    "bpe_train_merges",
+    "skew_salted_topk_values",
+    "embedding_pca_project",
 ]
 
 
