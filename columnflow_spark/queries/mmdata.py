@@ -3809,3 +3809,98 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols.append(F.round(dot, 6).alias(f"pc{k + 1}"))
     return emb.select(*cols).orderBy("vec_id")
+
+
+# --- winnowing fingerprint selection (Schleimer-Wilkerson-Aiken 2003,
+# the MOSS local fingerprinting algorithm; public paper): slide a window
+# of w consecutive k-gram hashes and select each window's minimum —
+# rightmost on ties — deduping repeated selections.  Winnowing guarantees
+# any shared substring of length >= w + k - 1 yields a shared
+# fingerprint, with far fewer fingerprints than full shingling; it is
+# the standard accuracy/size trade for plagiarism-style span matching.
+# Entirely in-row (one corpus scan, zero shuffle); gram hashes use the
+# sha256->long primitive both engines share, so selection decisions are
+# engine-exact. ---
+_WINNOW_K = 3
+_WINNOW_W = 4
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    hs AS (
+        SELECT doc_id,
+               [ ('0x' || substr(sha256(array_to_string(ts[i:i + {_WINNOW_K - 1}], ' ')), 1, 15))::BIGINT
+                 FOR i IN range(1, len(ts) - {_WINNOW_K - 2}) ] AS h
+        FROM toks WHERE len(ts) >= {_WINNOW_K}
+    ),
+    sel AS (
+        SELECT doc_id,
+               list_distinct([
+                   CAST(list_max([ i + j FOR j IN range({_WINNOW_W})
+                                   IF h[i + j] = list_min(h[i:i + {_WINNOW_W - 1}]) ]) AS VARCHAR)
+                   || ':' || CAST(list_min(h[i:i + {_WINNOW_W - 1}]) AS VARCHAR)
+                   FOR i IN range(1, len(h) - {_WINNOW_W - 2})
+               ]) AS sels,
+               [ list_min(h[i:i + {_WINNOW_W - 1}])
+                 FOR i IN range(1, len(h) - {_WINNOW_W - 2}) ] AS mins
+        FROM hs WHERE len(h) >= {_WINNOW_W}
+    )
+    SELECT doc_id,
+           CAST(len(sels) AS BIGINT) AS n_fingerprints,
+           list_min(mins) AS min_fp,
+           list_max(mins) AS max_fp
+    FROM sel
+    ORDER BY doc_id
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.functions.hashing import seed_long
+    from columnflow_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    ts = tokens(F.col("text"))
+    k, w = _WINNOW_K, _WINNOW_W
+    # ordered (positional) k-gram hash sequence — winnowing is positional,
+    # unlike the distinct shingle sets of the dedup family
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ts, i, k)),
+    )
+    h = F.transform(grams, lambda g: seed_long(g))
+    docs = docs.filter(F.size(ts) >= k).select("doc_id", h.alias("h"))
+    n = F.size("h")
+    win_min = lambda i: F.array_min(F.slice("h", i, w))  # noqa: E731
+    sel_str = F.transform(
+        F.sequence(F.lit(1), n - (w - 1)),
+        lambda i: F.concat_ws(
+            ":",
+            F.array_max(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(w - 1)),
+                        lambda j: F.when(
+                            F.element_at("h", (i + j).cast("int")) == win_min(i), i + j
+                        ).otherwise(F.lit(-1)),
+                    ),
+                    lambda x: x >= 0,
+                )
+            ),
+            win_min(i),
+        ),
+    )
+    mins = F.transform(F.sequence(F.lit(1), n - (w - 1)), lambda i: win_min(i))
+    return (
+        docs.filter(n >= w)
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(sel_str)).cast("long").alias("n_fingerprints"),
+            F.array_min(mins).alias("min_fp"),
+            F.array_max(mins).alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
