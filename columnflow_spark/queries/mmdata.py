@@ -3904,3 +3904,53 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: per-(session, dir) trained IVF centroid set — the Lloyd-trained
+#: counterpart of _ivf_cents' seeded cells, built once per session
+_IVF_TRAINED_CACHE: dict[tuple[int, str], list] = {}
+
+
+def _ivf_trained_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.functions.similarity import kmeans_fit
+
+    key = (id(spark), sf_dir)
+    rows = _IVF_TRAINED_CACHE.get(key)
+    if rows is None:
+        emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        # same cell density as the seeded index (one cell per 64 vectors):
+        # recall comparisons are then apples-to-apples at equal probe volume
+        n = emb.count()
+        k = max(2, (n + 63) // 64)
+        cents, _info = kmeans_fit(emb, k=k, iters=3)
+        rows = [(int(cid), [float(x) for x in vec]) for cid, vec in cents]
+        _IVF_TRAINED_CACHE[key] = rows
+    df = spark.createDataFrame(rows, "cid long, ce array<double>")
+    return df.select("cid", "ce", _ivf_norm(F.col("ce")).alias("nb"))
+
+
+@query("ann_ivf_trained_topk")
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over Lloyd-TRAINED cells (kmeans_fit, spherical, 3
+    iterations) instead of ann_ivf_topk's every-64th-vector seeds — the
+    production index-build path: trained cells track the data's actual
+    cluster structure, so the same 2-cell probe recovers more true
+    neighbors.  Same plan shape as ann_ivf_topk (map-side assignment,
+    broadcast probes); rows-only for the driver (the trained model has
+    no SQL twin), with recall-vs-seeded pinned in test_ann_recall.py."""
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    cents = _ivf_trained_cents(spark, sf_dir)
+    assign = nearest_centroid_assign(emb, cents.select("cid", "ce"))
+    probes = _ivf_probes(emb, cents)
+    cand = assign.join(F.broadcast(probes), "cid").filter(F.col("vec_id") != F.col("query_id"))
+    sims = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q"), F.col("embedding")).alias("sim"),
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rk")
+    )

@@ -146,3 +146,20 @@ def test_ivfpq_is_consistent_with_parents(spark, sf_dir):
         assert r.neighbor_id != r.query_id
     assert set(per_query) == {r.query_id for r in ivf}
     assert all(sorted(x.rk for x in v) == list(range(1, len(v) + 1)) for v in per_query.values())
+
+
+def test_trained_ivf_recall_not_worse_than_seeded(spark, sf_dir):
+    """The Lloyd-trained cells must not lose recall vs the every-64th
+    seeds on the same probe budget (trained cells track real cluster
+    structure; equality is allowed — tiny corpora can saturate)."""
+    qs = all_queries()
+    bf = _brute_force_top5(spark, sf_dir).collect()
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf}
+
+    def recall(name):
+        hits = {(r.query_id, r.neighbor_id) for r in qs[name](spark, sf_dir).collect()}
+        return len(hits & bf_set) / len(bf_set)
+
+    seeded, trained = recall("ann_ivf_topk"), recall("ann_ivf_trained_topk")
+    assert trained >= seeded - 1e-9, f"trained {trained} < seeded {seeded}"
+    assert trained >= 0.25
