@@ -179,3 +179,38 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Iterable[str],
+    rows_per_file: int = DEFAULT_ROWS_PER_FILE,
+) -> None:
+    """Idempotent per-partition replace into the ``dataset=…/shift=…``
+    store: only the partitions PRESENT in ``df`` are overwritten, sibling
+    partitions are untouched (dynamic partition overwrite).
+
+    This is the incremental form of :func:`write_events` — re-running one
+    dataset/shift (the reference's per-task idempotent output semantics,
+    task outputs short-circuit on existence) must not clobber the rest of
+    a store that took cluster-days to build.  The conf flip is scoped and
+    restored."""
+    partition_by = list(partition_by)
+    if not partition_by:
+        raise ValueError("upsert_partitions requires partition columns")
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            sort_fields(df)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_file)
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, before)

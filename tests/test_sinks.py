@@ -196,3 +196,23 @@ def test_load_evolving_merges_drifted_schemas(spark, tmp_path):
     df2 = load_evolving(spark, p1, required=["not_yet_written"])
     assert "not_yet_written" in df2.columns
     assert df2.filter(F.col("not_yet_written").isNull()).count() == 5
+
+
+def test_upsert_partitions_preserves_siblings(spark, sf_dir, tmp_path):
+    from columnflow_spark.sources.sinks import upsert_partitions, write_events
+
+    out = str(tmp_path / "store")
+    base = spark.range(10).selectExpr(
+        "id", "CASE WHEN id < 5 THEN 'ds_a' ELSE 'ds_b' END AS dataset"
+    )
+    write_events(base, out, partition_by=["dataset"])
+    # re-run only ds_a with different content; ds_b must survive intact
+    redo = spark.range(100, 103).selectExpr("id", "'ds_a' AS dataset")
+    upsert_partitions(redo, out, partition_by=["dataset"])
+    got = spark.read.parquet(out)
+    a = sorted(r.id for r in got.filter("dataset = 'ds_a'").collect())
+    b = sorted(r.id for r in got.filter("dataset = 'ds_b'").collect())
+    assert a == [100, 101, 102]
+    assert b == [5, 6, 7, 8, 9]
+    # conf restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
