@@ -3954,3 +3954,53 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rk")
     )
+
+
+# --- incremental corpus maintenance: snapshot delta detection
+# (functions/delta.py).  Two deterministic snapshot views of the corpus
+# (simulating yesterday's and today's crawl: some docs removed, some
+# added, some re-crawled with changed content) full-outer-joined on the
+# key with md5 fingerprints -> added/removed/changed/unchanged counts —
+# the decision input for incremental re-processing. ---
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 8 = 1 THEN 'v1 ' || text ELSE text END) AS fp
+        FROM documents WHERE doc_id % 4 <> 3
+    ),
+    new AS (
+        SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 4 <> 2
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+        SELECT CASE
+            WHEN old.fp IS NULL THEN 'added'
+            WHEN new.fp IS NULL THEN 'removed'
+            WHEN old.fp <> new.fp THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+        FROM old FULL OUTER JOIN new USING (doc_id)
+    )
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.functions.delta import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    old = docs.filter(F.col("doc_id") % 4 != 3).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 8 == 1, F.concat(F.lit("v1 "), F.col("text")))
+            .otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    new = docs.filter(F.col("doc_id") % 4 != 2).select("doc_id", F.md5("text").alias("fp"))
+    return (
+        snapshot_diff(old, new, ["doc_id"], "fp")
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("change_type")
+    )
