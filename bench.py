@@ -158,7 +158,6 @@ def main() -> None:
         "dedup_minhash_lsh": [_mm._SIGS_CACHE],
         "ann_pq_adc_topk": [_mm._PQ_CB_CACHE],
         "bpe_encode_corpus": [_mm._BPE_MERGE_CACHE],
-        "training_corpus_pipeline": [],
     }
     # unconditional best-of-2: this VM's hypervisor noise can inflate an
     # identical run 2-10x (a 1.5 s index build has measured 9.9 s), so a

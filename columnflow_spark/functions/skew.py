@@ -66,7 +66,13 @@ def salted_join(
     ``n_salt`` times, so a hot join key spreads over ``n_salt`` reducers.
 
     ``small`` here means "replicable" (a dimension too big to broadcast
-    but fine to shuffle x n_salt), the standard skew-join shape."""
+    but fine to shuffle x n_salt), the standard skew-join shape.
+
+    Only join types that preserve each small-side row at most once per
+    match are allowed: right/full-outer would emit one null-padded copy
+    of an unmatched small row PER SALT."""
+    if how not in ("inner", "left", "left_outer", "leftsemi", "left_semi", "leftanti", "left_anti"):
+        raise ValueError(f"salted_join does not support how={how!r}")
     b = with_salt(big, salt_src, n_salt)
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>"))

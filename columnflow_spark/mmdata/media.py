@@ -8,13 +8,16 @@ prune/filter without touching payload bytes (a scan that filters on
 ``media.meta.n_bytes`` never reads the payload pages in Parquet).
 
 Every op is ``mapInPandas`` (Arrow batches, zero-copy into pandas) with a
-``try``-gated real decoder and a deterministic fallback, so plans, schemas
-and tests exercise the identical code path that a container with PIL/pyav
-would run.
+real decoder gated behind ``SPARK_GRAFT_REAL_DECODE=1`` (opt-in: the
+synthetic test payloads are not decodable media, so merely having PIL
+importable must not flip the code path) and a deterministic fallback, so
+plans, schemas and tests exercise the identical code path that a container
+with PIL/pyav would run.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -53,12 +56,14 @@ def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     importable; otherwise the deterministic fallback (clearly marked)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401, PLC0415
+        have_pil = False
+        if os.environ.get("SPARK_GRAFT_REAL_DECODE") == "1":
+            try:
+                from PIL import Image  # noqa: F401, PLC0415
 
-            have_pil = True
-        except ImportError:
-            have_pil = False
+                have_pil = True
+            except ImportError:
+                have_pil = False
         for pdf in batches:
             payload = pdf["payload"]
             n_bytes = payload.map(len)
@@ -108,12 +113,13 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     the byte stream."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import librosa  # noqa: F401, PLC0415
+        if os.environ.get("SPARK_GRAFT_REAL_DECODE") == "1":
+            try:
+                import librosa  # noqa: F401, PLC0415
 
-            raise NotImplementedError("real audio decode not wired in this container")
-        except ImportError:
-            pass
+                raise NotImplementedError("real audio decode not wired in this container")
+            except ImportError:
+                pass
         for pdf in batches:
             n_bytes = pdf["payload"].map(len)
             yield pd.DataFrame(
@@ -145,12 +151,14 @@ def resize_image(
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401, PLC0415
+        have_pil = False
+        if os.environ.get("SPARK_GRAFT_REAL_DECODE") == "1":
+            try:
+                from PIL import Image  # noqa: F401, PLC0415
 
-            have_pil = True
-        except ImportError:
-            have_pil = False
+                have_pil = True
+            except ImportError:
+                have_pil = False
         for pdf in batches:
             payload = pdf["payload"]
             n_bytes = payload.map(len)

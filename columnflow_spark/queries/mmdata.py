@@ -3005,7 +3005,10 @@ def _dsir_logw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w"),
-    ).withColumn("b", seed_long(F.col("w")) % _DSIR_B)
+    ).withColumn("b", seed_long(F.col("w")) % _DSIR_B).localCheckpoint(eager=True)
+    # the exploded token table is materialized once (doc_id + bucket per
+    # token — far narrower than text) so the stats pass below and the
+    # scoring join share ONE corpus scan
     # ONE stats pass builds both LMs: per-bucket raw + target counts
     # (<= B=1024 rows, a bounded side table like a PQ codebook), collected
     # so the log-ratio lookup broadcasts without re-triggering the scan
@@ -3287,9 +3290,12 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trainer runs on the word-COUNT table (the classic scalable form: the
 # corpus collapses to distinct words x counts first, so each merge round
 # touches a table whose size is the vocabulary, not the corpus).  The
-# segmentation state is a separator-string ("a|b|c|"): applying a merge
-# (a,b) is replace(s, 'a|b|', 'ab|') — SQL replace is left-to-right
-# non-overlapping, which IS greedy BPE merge order, so the whole round
+# segmentation state wraps every symbol in delimiters ("<a><b><c>"):
+# applying a merge (a,b) is replace(s, '<a><b>', '<ab>') — SQL replace is
+# left-to-right non-overlapping, which IS greedy BPE merge order, and the
+# two-sided wrapping anchors BOTH symbol boundaries, so a rule (a,b) can
+# never fire on a longer symbol that merely ends in `a` (with one-sided
+# separators, rule (h,e) would corrupt state '<th><e>').  The whole round
 # is codegen string ops with no UDF.  Each round's best pair is one
 # bounded collect (a 3-field scalar, same artifact class as PQ seeds).
 # Encoding then applies the learned rules as a static chain of replaces
@@ -3300,7 +3306,8 @@ _BPE_MERGE_CACHE: dict[tuple[int, str], list[tuple[str, str, int]]] = {}
 
 
 def _bpe_train_rows(rows: list[tuple[int, str]]) -> list[tuple[str, str, int]]:
-    """Driver-side rounds over (count, sep-string) word rows."""
+    """Driver-side rounds over (count, wrapped-symbol-string) word rows."""
+    import re
     from collections import Counter
 
     merges: list[tuple[str, str, int]] = []
@@ -3308,19 +3315,20 @@ def _bpe_train_rows(rows: list[tuple[int, str]]) -> list[tuple[str, str, int]]:
     for _ in range(_BPE_ROUNDS):
         counts: Counter[tuple[str, str]] = Counter()
         for cnt, sep in states:
-            syms = [x for x in sep.split("|") if x]
+            syms = [x for x in re.split("[<>]+", sep) if x]
             for a, b in zip(syms, syms[1:]):
                 counts[(a, b)] += cnt
         if not counts:
             break
         (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((a, b, int(n)))
-        states = [(cnt, sep.replace(f"{a}|{b}|", f"{a}{b}|")) for cnt, sep in states]
+        states = [(cnt, sep.replace(f"<{a}><{b}>", f"<{a}{b}>")) for cnt, sep in states]
     return merges
 
 
 def _bpe_syms(col):
-    return F.filter(F.split(col, "\\|"), lambda x: x != "")
+    """Clean symbol list of a wrapped state string '<a><bc>' -> [a, bc]."""
+    return F.filter(F.split(F.regexp_replace(col, "^<|>$", ""), "><"), lambda x: x != "")
 
 
 def _bpe_word_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3331,7 +3339,7 @@ def _bpe_word_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     # the word-count table IS the training set (vocabulary-sized, tiny);
     # materialize it so the corpus is scanned exactly once
-    return wc.withColumn("s", F.regexp_replace("w", "(.)", "$1|")).localCheckpoint(
+    return wc.withColumn("s", F.regexp_replace("w", "(.)", "<$1>")).localCheckpoint(
         eager=True
     )
 
@@ -3383,7 +3391,7 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
         # checkpoint each round: without it round k's lineage replays
         # rounds 1..k-1 (quadratic); the table is vocabulary-sized
         state = state.withColumn(
-            "s", F.replace(F.col("s"), F.lit(f"{a}|{b}|"), F.lit(f"{a}{b}|"))
+            "s", F.replace(F.col("s"), F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
         ).localCheckpoint(eager=True)
     _BPE_MERGE_CACHE[key] = merges
     return merges
@@ -3394,7 +3402,7 @@ def _bpe_round_ctes() -> str:
     parts = [
         """
     wstate0 AS MATERIALIZED (
-        SELECT w, cnt, regexp_replace(w, '(.)', '\\1|', 'g') AS s
+        SELECT w, cnt, regexp_replace(w, '(.)', '<\\1>', 'g') AS s
         FROM (
             SELECT w, count(*) AS cnt
             FROM (
@@ -3410,15 +3418,17 @@ def _bpe_round_ctes() -> str:
     pairs{r} AS MATERIALIZED (
         SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS n
         FROM (
-            SELECT cnt, string_split(s, '|') AS syms FROM wstate{r - 1}
-        ), unnest(range(1, len(syms) - 1)) AS t(i)
+            SELECT cnt,
+                   string_split(regexp_replace(s, '^<|>$', '', 'g'), '><') AS syms
+            FROM wstate{r - 1}
+        ), unnest(range(1, len(syms))) AS t(i)
         GROUP BY a, b
     ),
     best{r} AS MATERIALIZED (
         SELECT a, b, n FROM pairs{r} ORDER BY n DESC, a, b LIMIT 1
     ),
     wstate{r} AS MATERIALIZED (
-        SELECT w, cnt, replace(s, a || '|' || b || '|', a || b || '|') AS s
+        SELECT w, cnt, replace(s, '<' || a || '><' || b || '>', '<' || a || b || '>') AS s
         FROM wstate{r - 1}, best{r}
     )""")
     return ",".join(parts)
@@ -3452,10 +3462,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded AS (
         SELECT doc_id,
                {"".join("replace(" for _ in range(_BPE_ROUNDS))}
-                   regexp_replace(w, '(.)', '\\1|', 'g')
+                   regexp_replace(w, '(.)', '<\\1>', 'g')
                {"".join(
-                   f", (SELECT a || '|' || b || '|' FROM best{r})"
-                   f", (SELECT a || b || '|' FROM best{r}))"
+                   f", (SELECT '<' || a || '><' || b || '>' FROM best{r})"
+                   f", (SELECT '<' || a || b || '>' FROM best{r}))"
                    for r in range(1, _BPE_ROUNDS + 1)
                )} AS s
         FROM (
@@ -3464,8 +3474,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     SELECT doc_id,
-           CAST(sum(len(string_split(s, '|')) - 1) AS BIGINT) AS n_tokens,
-           CAST(sum(length(replace(s, '|', ''))) AS BIGINT) AS n_chars
+           CAST(sum(len(string_split(s, '><'))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(replace(replace(s, '<', ''), '>', ''))) AS BIGINT) AS n_chars
     FROM encoded
     GROUP BY doc_id
     ORDER BY doc_id
@@ -3479,16 +3489,16 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     word = F.col("w")
-    enc = F.regexp_replace(word, "(.)", "$1|")
+    enc = F.regexp_replace(word, "(.)", "<$1>")
     for a, b, _ in merges:
-        enc = F.replace(enc, F.lit(f"{a}|{b}|"), F.lit(f"{a}{b}|"))
+        enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
     per_word = docs.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"),
     ).select(
         "doc_id",
         F.size(_bpe_syms(enc)).alias("nt"),
-        F.length(F.replace(enc, F.lit("|"), F.lit(""))).alias("nc"),
+        F.length(F.replace(F.replace(enc, F.lit("<"), F.lit("")), F.lit(">"), F.lit(""))).alias("nc"),
     )
     return (
         per_word.groupBy("doc_id")
@@ -3545,10 +3555,10 @@ _TCP_EVAL_SRC = "src2"
     tokde AS (
         SELECT doc_id,
                {"".join("replace(" for _ in range(_BPE_ROUNDS))}
-                   regexp_replace(w, '(.)', '\\1|', 'g')
+                   regexp_replace(w, '(.)', '<\\1>', 'g')
                {"".join(
-                   f", (SELECT a || '|' || b || '|' FROM best{r})"
-                   f", (SELECT a || b || '|' FROM best{r}))"
+                   f", (SELECT '<' || a || '><' || b || '>' FROM best{r})"
+                   f", (SELECT '<' || a || b || '>' FROM best{r}))"
                    for r in range(1, _BPE_ROUNDS + 1)
                )} AS s
         FROM (
@@ -3558,7 +3568,7 @@ _TCP_EVAL_SRC = "src2"
     ),
     s6 AS (
         SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-               CAST(sum(len(string_split(s, '|')) - 1) AS BIGINT) AS n_tokens
+               CAST(sum(len(string_split(s, '><'))) AS BIGINT) AS n_tokens
         FROM tokde
     )
     SELECT * FROM (
@@ -3606,9 +3616,9 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tokenization: the learned BPE rules as an in-row replace chain
     merges = bpe_train(spark, sf_dir)
-    enc = F.regexp_replace(F.col("w"), "(.)", "$1|")
+    enc = F.regexp_replace(F.col("w"), "(.)", "<$1>")
     for a, b, _ in merges:
-        enc = F.replace(enc, F.lit(f"{a}|{b}|"), F.lit(f"{a}{b}|"))
+        enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
     tok = (
         s5.select("doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
         .select("doc_id", F.size(_bpe_syms(enc)).alias("nt"))

@@ -614,16 +614,16 @@ def streaming_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    enc = F.regexp_replace(F.col("w"), "(.)", "$1|")
+    enc = F.regexp_replace(F.col("w"), "(.)", "<$1>")
     for a, b, _ in merges:
-        enc = F.replace(enc, F.lit(f"{a}|{b}|"), F.lit(f"{a}{b}|"))
+        enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
     per_word = stream.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"),
     ).select(
         "doc_id",
         F.size(_bpe_syms(enc)).alias("nt"),
-        F.length(F.replace(enc, F.lit("|"), F.lit(""))).alias("nc"),
+        F.length(F.replace(F.replace(enc, F.lit("<"), F.lit("")), F.lit(">"), F.lit(""))).alias("nc"),
     )
     out = _run_to_memory(per_word, spark, mode="append")
     return (

@@ -205,12 +205,6 @@ def upsert_partitions(
     before = spark.conf.get(key, "static")
     spark.conf.set(key, "dynamic")
     try:
-        (
-            sort_fields(df)
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", rows_per_file)
-            .partitionBy(*partition_by)
-            .parquet(path)
-        )
+        write_events(df, path, partition_by=partition_by, rows_per_file=rows_per_file)
     finally:
         spark.conf.set(key, before)

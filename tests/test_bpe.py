@@ -1,0 +1,41 @@
+"""BPE merge-application semantics: two-sided symbol wrapping must anchor
+both boundaries (regression for the one-sided-separator bug where rule
+(h,e) fired on state '<th><e>' because 'h|e|' suffix-matched 'th|e|')."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from columnflow_spark.queries.mmdata import _bpe_syms, _bpe_train_rows
+
+
+def _apply_chain(spark, words, merges):
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    enc = F.regexp_replace("w", "(.)", "<$1>")
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    rows = df.select("w", _bpe_syms(enc).alias("syms")).collect()
+    return {r.w: r.syms for r in rows}
+
+def test_merge_cannot_cross_symbol_boundary(spark):
+    # after (t,h), 'the' is [th, e]; rule (h,e) must NOT see an 'h' inside 'th'
+    out = _apply_chain(spark, ["the", "she", "he"], [("t", "h"), ("h", "e")])
+    assert out["the"] == ["th", "e"]
+    assert out["she"] == ["s", "he"]
+    assert out["he"] == ["he"]
+
+
+def test_greedy_left_to_right_non_overlapping(spark):
+    out = _apply_chain(spark, ["aaaa", "aaa"], [("a", "a")])
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+
+
+def test_driver_trainer_learns_textbook_merges(spark):
+    # corpus: 5x 'the', 3x 'she' -> pair counts th:5, he:8, sh:3 ->
+    # round 1 merges (h,e); round 2 then sees (t,he):5, (s,he):3 -> (t,he)
+    rows = [(5, "<t><h><e>"), (3, "<s><h><e>")]
+    merges = _bpe_train_rows(rows)
+    assert merges[0] == ("h", "e", 8)
+    assert merges[1] == ("t", "he", 5)
+    assert merges[2] == ("s", "he", 3)
