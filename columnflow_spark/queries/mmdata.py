@@ -4014,3 +4014,43 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("change_type")
     )
+
+
+# --- custom Python DataSource scan (sources/pydatasource.py): the
+# reference's ChunkedParquetReader (columnar_util.py:3276) as a Spark 4
+# Python data source — metadata-only chunk planning, Arrow-batch reads,
+# column projection and comparison-filter pushdown INSIDE the pyarrow
+# scan.  The integration blueprint for any Python-only columnar reader
+# (the uproot/ROOT scan would plug into exactly this shape).  Oracle
+# reads the same table natively, proving the source is transparent. ---
+@query(
+    "pyds_chunked_scan_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE n_chars > 150
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def pyds_chunked_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("chunked_parquet")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("columns", "lang,n_chars")
+        .load()
+    )
+    return (
+        df.filter(F.col("n_chars") > 150)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
