@@ -631,3 +631,37 @@ def streaming_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("nt").alias("n_tokens"), F.sum("nc").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+# --- custom Python streaming source (sources/pydatasource.py
+# EventsReplaySource): deterministic replay of the events table as
+# micro-batches — the reproducible backfill/test harness for every
+# streaming operator here.  Stream-batch equivalence is the oracle: the
+# replayed stream's grouped counts must equal the batch table's. ---
+@query(
+    "streaming_replay_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.sources.pydatasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batch_rows", "2500")
+        .load()
+        .select("event_type", "value")
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value") > 50.0).alias("n_high"),
+    )
+    return _run_to_memory(agg, spark, mode="complete").orderBy("event_type")

@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 DEFAULT_CHUNK_SIZE = 100_000  # reference law.cfg:66
@@ -146,3 +147,65 @@ def register(spark) -> None:
     default) so ``pushFilters`` participates in planning."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ChunkedParquetDataSource)
+    spark.dataSource.register(EventsReplaySource)
+
+
+class _EventsReplayReader(SimpleDataSourceStreamReader):
+    """Deterministic replay of a parquet table as a stream, ``batch_rows``
+    per micro-batch in ``order_col`` order.
+
+    A driver-side *simple* reader by design: this is the reproducible
+    test/backfill harness for the streaming operators (same events, same
+    batch boundaries, every run).  A firehose-scale source would use the
+    partitioned ``DataSourceStreamReader`` API instead — same offset
+    model, reads on executors."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.batch_rows = int(options.get("batch_rows", 2500))
+        self.order_col = options.get("order_col", "event_id")
+        self._table = None
+
+    def _load(self):
+        if self._table is None:
+            import pyarrow.parquet as pq  # noqa: PLC0415
+
+            self._table = pq.read_table(self.path).sort_by(self.order_col)
+        return self._table
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        t = self._load()
+        return [tuple(r.values()) for r in t.slice(lo, hi - lo).to_pylist()]
+
+    def read(self, start: dict):
+        t = self._load()
+        lo = start["row"]
+        hi = min(lo + self.batch_rows, t.num_rows)
+        if lo >= hi:
+            return iter([]), {"row": lo}
+        # a list_iterator, not a generator: the runtime pickles the batch
+        # for its prefetch cache
+        return iter(self._rows(lo, hi)), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["row"], end["row"]))
+
+
+class EventsReplaySource(DataSource):
+    """``spark.readStream.format("events_replay").option("path", …)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "events_replay"
+
+    def schema(self):
+        import pyarrow.parquet as pq  # noqa: PLC0415
+        from pyspark.sql.pandas.types import from_arrow_schema  # noqa: PLC0415
+
+        return from_arrow_schema(pq.ParquetFile(self.options["path"]).schema_arrow)
+
+    def simpleStreamReader(self, schema) -> _EventsReplayReader:
+        return _EventsReplayReader(dict(self.options))

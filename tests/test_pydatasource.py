@@ -64,3 +64,18 @@ def test_chunk_planning_from_footers(spark, sf_dir):
     meta = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
     covered = [rg for p in parts for rg in p.row_groups]
     assert sorted(covered) == list(range(meta.num_row_groups))
+
+
+def test_replay_offsets_deterministic(sf_dir):
+    from columnflow_spark.sources.pydatasource import _EventsReplayReader
+
+    r = _EventsReplayReader({"path": f"{sf_dir}/events.parquet", "batch_rows": "100"})
+    it, off1 = r.read({"row": 0})
+    batch1 = list(it)
+    assert off1 == {"row": 100} and len(batch1) == 100
+    # replay between offsets returns the identical batch (checkpoint recovery)
+    assert list(r.readBetweenOffsets({"row": 0}, {"row": 100})) == batch1
+    # exhausted source holds its offset
+    total = r._load().num_rows
+    it, off = r.read({"row": total})
+    assert off == {"row": total} and list(it) == []
