@@ -1,8 +1,13 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
-SF_SMOKE = "/root/testdata/sf0.001"
+# override with SPARK_GRAFT_TEST_SF_DIR to sweep the suite at another
+# scale factor (e.g. sf0.1 — catches round-4 float knife edges that only
+# materialize with more rows)
+SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_ORACLE = "/root/testdata/sf0.001"
 
 
