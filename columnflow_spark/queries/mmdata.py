@@ -4054,3 +4054,70 @@ def pyds_chunked_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- CCNet-style perplexity bucketing (public pipeline: Wenzek et al.
+# 2020 — split each language's corpus into head/middle/tail by LM score;
+# head feeds training, tail gets dropped or down-weighted).  The LM is
+# the corpus unigram model (unigram_logprob_score's shape); buckets are
+# per-language score terciles via ntile — one token pass + one
+# vocabulary broadcast + one window over slim (doc, score) rows. ---
+@query(
+    "ccnet_perplexity_buckets",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, lang, w
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+             unnest(ws) AS t(w)
+        WHERE w <> ''
+    ),
+    vocab AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab),
+    scored AS (
+        SELECT doc_id, lang, round(avg(-ln(c / n)), 8) AS nlp
+        FROM words JOIN vocab USING (w), total
+        GROUP BY doc_id, lang
+    ),
+    bucketed AS (
+        SELECT lang,
+               ntile(3) OVER (PARTITION BY lang ORDER BY nlp, doc_id) AS tercile
+        FROM scored
+    )
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM bucketed
+    GROUP BY lang, tercile
+    ORDER BY lang, tercile
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    words = docs.select(
+        "doc_id", "lang",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w"),
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        words.join(F.broadcast(vocab), "w")
+        .join(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        # round before ordering: the avg is partial-aggregation
+        # order-dependent in its last ulps, and a near-tie straddling a
+        # tercile boundary must resolve identically on both engines
+        # (doc_id then breaks the now-exact tie)
+        .agg(F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 8).alias("nlp"))
+    )
+    # per-language tercile: the window runs over slim (doc, score) rows,
+    # never tokens; languages partition the work so no global sort exists
+    tercile = F.ntile(3).over(W.partitionBy("lang").orderBy("nlp", "doc_id"))
+    bucket = (
+        F.when(tercile == 1, "head").when(tercile == 2, "middle").otherwise("tail")
+    )
+    return (
+        scored.select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", F.when(F.col("bucket") == "head", 1).when(F.col("bucket") == "middle", 2).otherwise(3))
+    )
