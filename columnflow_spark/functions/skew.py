@@ -71,7 +71,8 @@ def salted_join(
     Only join types that preserve each small-side row at most once per
     match are allowed: right/full-outer would emit one null-padded copy
     of an unmatched small row PER SALT."""
-    if how not in ("inner", "left", "left_outer", "leftsemi", "left_semi", "leftanti", "left_anti"):
+    canonical = how.lower().replace("_", "")
+    if canonical not in ("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"):
         raise ValueError(f"salted_join does not support how={how!r}")
     b = with_salt(big, salt_src, n_salt)
     s = small.withColumn(

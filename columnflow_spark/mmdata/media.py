@@ -52,8 +52,9 @@ def _fake_dims(n_bytes: pd.Series) -> tuple[pd.Series, pd.Series]:
 
 
 def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Image decode -> (id, n_bytes, width, height).  Real path uses PIL if
-    importable; otherwise the deterministic fallback (clearly marked)."""
+    """Image decode -> (id, n_bytes, width, height).  The real PIL path
+    requires the SPARK_GRAFT_REAL_DECODE=1 opt-in (AND PIL importable);
+    otherwise the deterministic fallback runs."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         have_pil = False
@@ -108,9 +109,10 @@ def sample_frames(df: DataFrame, every_n: int = 30, id_col: str = "doc_id") -> D
 
 
 def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Audio feature extraction -> (id, duration_ms, loudness).  Real path
-    would use librosa/soundfile; deterministic fallback derives both from
-    the byte stream."""
+    """Audio feature extraction -> (id, duration_ms, loudness).  The real
+    librosa path requires the SPARK_GRAFT_REAL_DECODE=1 opt-in (and is
+    unwired here); the deterministic fallback derives both from the byte
+    stream."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if os.environ.get("SPARK_GRAFT_REAL_DECODE") == "1":
@@ -142,8 +144,8 @@ def resize_image(
 ) -> DataFrame:
     """Aspect-preserving thumbnail resize -> (id, out payload, out dims).
 
-    Real path uses PIL ``Image.thumbnail`` + re-encode when importable;
-    the deterministic fallback computes the same integer-exact output
+    The real path (PIL ``Image.thumbnail`` + re-encode) requires the
+    SPARK_GRAFT_REAL_DECODE=1 opt-in; the deterministic fallback computes the same integer-exact output
     dims (scale = min(target/w, target/h, 1) done in integer rationals)
     and stands in for the re-encoded bytes with a proportional payload
     prefix.  Payload bytes move through one Arrow batch and never fan

@@ -3005,10 +3005,10 @@ def _dsir_logw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w"),
-    ).withColumn("b", seed_long(F.col("w")) % _DSIR_B).localCheckpoint(eager=True)
-    # the exploded token table is materialized once (doc_id + bucket per
-    # token — far narrower than text) so the stats pass below and the
-    # scoring join share ONE corpus scan
+    ).withColumn("b", seed_long(F.col("w")) % _DSIR_B)
+    # the token stream is re-derived for the scoring join rather than
+    # checkpointed: at corpus scale two column-pruned parquet scans are
+    # cheaper than materializing an exploded token table to local disk
     # ONE stats pass builds both LMs: per-bucket raw + target counts
     # (<= B=1024 rows, a bounded side table like a PQ codebook), collected
     # so the log-ratio lookup broadcasts without re-triggering the scan
@@ -3296,7 +3296,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two-sided wrapping anchors BOTH symbol boundaries, so a rule (a,b) can
 # never fire on a longer symbol that merely ends in `a` (with one-sided
 # separators, rule (h,e) would corrupt state '<th><e>').  The whole round
-# is codegen string ops with no UDF.  Each round's best pair is one
+# is codegen string ops with no UDF.  Delimiter characters are STRIPPED
+# from input words first (every surface, both engines): a corpus '<' or
+# '>' would otherwise silently corrupt symbol boundaries — the same
+# normalization a production tokenizer applies to its own specials.  Each round's best pair is one
 # bounded collect (a 3-field scalar, same artifact class as PQ seeds).
 # Encoding then applies the learned rules as a static chain of replaces
 # over every doc in-row: one corpus scan, zero shuffle. ---
@@ -3326,6 +3329,12 @@ def _bpe_train_rows(rows: list[tuple[int, str]]) -> list[tuple[str, str, int]]:
     return merges
 
 
+def _bpe_clean_word(col):
+    """Strip the state delimiters from an input word (the op's
+    normalization contract — see the header comment)."""
+    return F.replace(F.replace(col, F.lit("<"), F.lit("")), F.lit(">"), F.lit(""))
+
+
 def _bpe_syms(col):
     """Clean symbol list of a wrapped state string '<a><bc>' -> [a, bc]."""
     return F.filter(F.split(F.regexp_replace(col, "^<|>$", ""), "><"), lambda x: x != "")
@@ -3339,7 +3348,9 @@ def _bpe_word_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     # the word-count table IS the training set (vocabulary-sized, tiny);
     # materialize it so the corpus is scanned exactly once
-    return wc.withColumn("s", F.regexp_replace("w", "(.)", "<$1>")).localCheckpoint(
+    return wc.withColumn(
+        "s", F.regexp_replace(_bpe_clean_word(F.col("w")), "(.)", "<$1>")
+    ).localCheckpoint(
         eager=True
     )
 
@@ -3402,7 +3413,8 @@ def _bpe_round_ctes() -> str:
     parts = [
         """
     wstate0 AS MATERIALIZED (
-        SELECT w, cnt, regexp_replace(w, '(.)', '<\\1>', 'g') AS s
+        SELECT w, cnt,
+               regexp_replace(replace(replace(w, '<', ''), '>', ''), '(.)', '<\\1>', 'g') AS s
         FROM (
             SELECT w, count(*) AS cnt
             FROM (
@@ -3462,7 +3474,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded AS (
         SELECT doc_id,
                {"".join("replace(" for _ in range(_BPE_ROUNDS))}
-                   regexp_replace(w, '(.)', '<\\1>', 'g')
+                   regexp_replace(replace(replace(w, '<', ''), '>', ''), '(.)', '<\\1>', 'g')
                {"".join(
                    f", (SELECT '<' || a || '><' || b || '>' FROM best{r})"
                    f", (SELECT '<' || a || b || '>' FROM best{r}))"
@@ -3489,7 +3501,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     word = F.col("w")
-    enc = F.regexp_replace(word, "(.)", "<$1>")
+    enc = F.regexp_replace(_bpe_clean_word(word), "(.)", "<$1>")
     for a, b, _ in merges:
         enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
     per_word = docs.select(
@@ -3555,7 +3567,7 @@ _TCP_EVAL_SRC = "src2"
     tokde AS (
         SELECT doc_id,
                {"".join("replace(" for _ in range(_BPE_ROUNDS))}
-                   regexp_replace(w, '(.)', '<\\1>', 'g')
+                   regexp_replace(replace(replace(w, '<', ''), '>', ''), '(.)', '<\\1>', 'g')
                {"".join(
                    f", (SELECT '<' || a || '><' || b || '>' FROM best{r})"
                    f", (SELECT '<' || a || b || '>' FROM best{r}))"
@@ -3616,7 +3628,7 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tokenization: the learned BPE rules as an in-row replace chain
     merges = bpe_train(spark, sf_dir)
-    enc = F.regexp_replace(F.col("w"), "(.)", "<$1>")
+    enc = F.regexp_replace(_bpe_clean_word(F.col("w")), "(.)", "<$1>")
     for a, b, _ in merges:
         enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
     tok = (
@@ -4060,8 +4072,9 @@ def pyds_chunked_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2020 — split each language's corpus into head/middle/tail by LM score;
 # head feeds training, tail gets dropped or down-weighted).  The LM is
 # the corpus unigram model (unigram_logprob_score's shape); buckets are
-# per-language score terciles via ntile — one token pass + one
-# vocabulary broadcast + one window over slim (doc, score) rows. ---
+# per-language score terciles via ntile — two column-pruned corpus scans
+# (vocabulary build, scoring) with the vocabulary broadcast back, then
+# one window over slim (doc, score) rows. ---
 @query(
     "ccnet_perplexity_buckets",
     oracle="""
@@ -4079,13 +4092,15 @@ def pyds_chunked_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, lang
     ),
     bucketed AS (
-        SELECT lang,
+        SELECT lang, nlp,
                ntile(3) OVER (PARTITION BY lang ORDER BY nlp, doc_id) AS tercile
         FROM scored
     )
     SELECT lang,
            CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
-           CAST(count(*) AS BIGINT) AS n_docs
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(nlp), 4) AS min_nlp,
+           round(max(nlp), 4) AS max_nlp
     FROM bucketed
     GROUP BY lang, tercile
     ORDER BY lang, tercile
@@ -4116,8 +4131,15 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(tercile == 1, "head").when(tercile == 2, "middle").otherwise("tail")
     )
     return (
-        scored.select("lang", bucket.alias("bucket"))
+        scored.select("lang", "nlp", bucket.alias("bucket"))
         .groupBy("lang", "bucket")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # per-bucket score extrema make the oracle sensitive to the
+            # SCORING, not just per-language row counts (ntile sizes alone
+            # would pass with any formula)
+            F.round(F.min("nlp"), 4).alias("min_nlp"),
+            F.round(F.max("nlp"), 4).alias("max_nlp"),
+        )
         .orderBy("lang", F.when(F.col("bucket") == "head", 1).when(F.col("bucket") == "middle", 2).otherwise(3))
     )

@@ -606,7 +606,7 @@ def _bpe_oracle() -> str:
     oracle=_bpe_oracle(),
 )
 def streaming_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from columnflow_spark.queries.mmdata import _bpe_syms, bpe_train
+    from columnflow_spark.queries.mmdata import _bpe_clean_word, _bpe_syms, bpe_train
 
     merges = bpe_train(spark, sf_dir)
     stream = (
@@ -614,7 +614,7 @@ def streaming_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    enc = F.regexp_replace(F.col("w"), "(.)", "<$1>")
+    enc = F.regexp_replace(_bpe_clean_word(F.col("w")), "(.)", "<$1>")
     for a, b, _ in merges:
         enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
     per_word = stream.select(

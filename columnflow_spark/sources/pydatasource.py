@@ -59,9 +59,11 @@ class ChunkedParquetReader(DataSourceReader):
         self._filters: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Accept simple single-column comparisons (evaluated inside the
-        pyarrow scan — row groups whose statistics exclude the predicate
-        are never read); everything else stays with Spark."""
+        """Accept simple single-column comparisons: row groups whose
+        footer min/max statistics exclude the predicate are skipped
+        without decoding any pages (``_prune_row_groups``), and surviving
+        rows are filtered in the Arrow table before crossing into the
+        JVM; everything else stays with Spark."""
         supported = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
         for f in filters:
             if isinstance(f, supported) and len(f.attribute) == 1:
@@ -104,14 +106,53 @@ class ChunkedParquetReader(DataSourceReader):
             chunks.append(RowGroupChunk(self.path, tuple(current)))
         return chunks or [RowGroupChunk(self.path, ())]
 
+    def _prune_row_groups(self, pf, row_groups: list[int]) -> list[int]:
+        """Drop row groups whose footer min/max statistics prove the
+        pushed predicate matches nothing — metadata-only, no page reads."""
+        if not self._filters:
+            return row_groups
+        meta = pf.metadata
+        name_to_idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        kept = []
+        for rg in row_groups:
+            rg_meta = meta.row_group(rg)
+            excluded = False
+            for f in self._filters:
+                ci = name_to_idx.get(f.attribute[0])
+                if ci is None:
+                    continue
+                stats = rg_meta.column(ci).statistics
+                if stats is None or not stats.has_min_max:
+                    continue
+                lo, hi = stats.min, stats.max
+                v = f.value
+                try:
+                    if (
+                        (isinstance(f, EqualTo) and (v < lo or v > hi))
+                        or (isinstance(f, GreaterThan) and hi <= v)
+                        or (isinstance(f, GreaterThanOrEqual) and hi < v)
+                        or (isinstance(f, LessThan) and lo >= v)
+                        or (isinstance(f, LessThanOrEqual) and lo > v)
+                    ):
+                        excluded = True
+                        break
+                except TypeError:  # incomparable stats type: keep the group
+                    continue
+            if not excluded:
+                kept.append(rg)
+        return kept
+
     def read(self, partition: RowGroupChunk):
         import pyarrow.parquet as pq  # noqa: PLC0415
 
         if not partition.row_groups:
             return
         pf = pq.ParquetFile(partition.path)
+        row_groups = self._prune_row_groups(pf, list(partition.row_groups))
+        if not row_groups:
+            return
         flt = self._arrow_filter()
-        table = pf.read_row_groups(list(partition.row_groups), columns=self.columns)
+        table = pf.read_row_groups(row_groups, columns=self.columns)
         if flt is not None:
             table = table.filter(flt)
         yield from table.to_batches()
@@ -142,9 +183,13 @@ class ChunkedParquetDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the custom source on a session; also
-    enables Python-source filter pushdown (a runtime SQL conf, off by
-    default) so ``pushFilters`` participates in planning."""
+    """Idempotent registration of the custom sources on a session.
+
+    Also enables Python-source filter pushdown for the REST of the
+    session (a runtime SQL conf, off by default) — deliberately NOT
+    scoped-and-restored: planning of the registered sources happens
+    lazily at action time, after any scope would have closed, and the
+    conf only affects sources that implement ``pushFilters``."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ChunkedParquetDataSource)
     spark.dataSource.register(EventsReplaySource)

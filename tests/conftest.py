@@ -8,7 +8,6 @@ import pytest
 # scale factor (e.g. sf0.1 — catches round-4 float knife edges that only
 # materialize with more rows)
 SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-SF_ORACLE = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")

@@ -6,12 +6,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from columnflow_spark.queries.mmdata import _bpe_syms, _bpe_train_rows
+from columnflow_spark.queries.mmdata import _bpe_clean_word, _bpe_syms, _bpe_train_rows
 
 
 def _apply_chain(spark, words, merges):
     df = spark.createDataFrame([(w,) for w in words], "w string")
-    enc = F.regexp_replace("w", "(.)", "<$1>")
+    enc = F.regexp_replace(_bpe_clean_word(F.col("w")), "(.)", "<$1>")
     for a, b in merges:
         enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
     rows = df.select("w", _bpe_syms(enc).alias("syms")).collect()
@@ -39,3 +39,12 @@ def test_driver_trainer_learns_textbook_merges(spark):
     assert merges[0] == ("h", "e", 8)
     assert merges[1] == ("t", "he", 5)
     assert merges[2] == ("s", "he", 3)
+
+
+def test_delimiter_chars_in_corpus_are_stripped(spark):
+    # corpus text containing the state delimiters must not corrupt symbol
+    # boundaries: '<b>' tokenizes as the 1-char word 'b'
+    out = _apply_chain(spark, ["<b>", "a<b", "x>y"], [])
+    assert out["<b>"] == ["b"]
+    assert out["a<b"] == ["a", "b"]
+    assert out["x>y"] == ["x", "y"]

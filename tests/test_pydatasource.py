@@ -79,3 +79,26 @@ def test_replay_offsets_deterministic(sf_dir):
     total = r._load().num_rows
     it, off = r.read({"row": total})
     assert off == {"row": total} and list(it) == []
+
+
+def test_row_group_stats_pruning(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import GreaterThan
+
+    # 4 row groups of 100 rows, v strictly increasing -> clean min/max stats
+    path = str(tmp_path / "rg.parquet")
+    t = pa.table({"k": list(range(400)), "v": [float(i) for i in range(400)]})
+    pq.write_table(t, path, row_group_size=100)
+
+    r = ChunkedParquetReader({"path": path, "chunk_size": "1000"})
+    list(r.pushFilters([GreaterThan(("v",), 250.0)]))
+    pf = pq.ParquetFile(path)
+    kept = r._prune_row_groups(pf, [0, 1, 2, 3])
+    # groups 0-1 (v <= 199) are provably excluded; 2 (200-299) straddles
+    assert kept == [2, 3]
+    # and the surviving rows are exactly the predicate's
+    parts = r.partitions()
+    rows = [row for p in parts for row in r.read(p)]
+    total = sum(b.num_rows for b in rows)
+    assert total == 149  # v in (250, 399]
