@@ -302,3 +302,20 @@ def test_salted_topk_two_phase_windows(spark, sf_dir):
     plan = _plan(spark, sf_dir, "skew_salted_topk_values")
     assert plan.count("Window") >= 2
     assert "_salt" in plan
+
+
+def test_python_source_pushes_filters(spark, sf_dir):
+    # the custom chunked_parquet source must receive the comparison
+    # predicate through pushFilters (visible as PushedFilters on its scan)
+    plan = _plan(spark, sf_dir, "pyds_chunked_scan_stats")
+    assert "BatchScan chunked_parquet" in plan
+    assert "PushedFilters: [GreaterThan(n_chars,150)]" in plan
+
+
+def test_winnowing_is_pure_projection(spark, sf_dir):
+    # fingerprint selection is in-row; only the final orderBy may exchange
+    # (formatted plans print each node twice: once in the tree, once in
+    # the details section — count tree nodes only)
+    plan = _plan(spark, sf_dir, "winnowing_fingerprints")
+    assert plan.count("- Exchange") <= 1
+    assert "Join" not in plan
