@@ -14,6 +14,7 @@ from functools import reduce
 from operator import and_
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from columnflow_spark.pipeline_demo import build_nested_events
@@ -996,4 +997,150 @@ def btag_weight_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "okey",
         F.round("btag_weight", 4).alias("btag_weight"),
         F.round(F.col("btag_weight") * F.col("ratio"), 4).alias("btag_weight_normalized"),
+    )
+
+
+# --- ridge model selection (MLModel lifecycle extension): a lambda grid
+# of L2-regularized linear models trained from ONE sufficient-statistics
+# pass (the same normal-equations aggregation as ml_train_linreg — ridge
+# only adds lambda to the x'x diagonal, so every candidate model is
+# driver-free algebra over the same tiny stats rows), validated on a
+# held-out split with the SSE expanded in the SAME sufficient statistics
+# (sy2 etc.), so model selection never rescans data.  All features are
+# integer-valued doubles bounded so every sum (including sum(y^2)) stays
+# under 2^53 — bit-exact on both engines, making even the is_best
+# comparison engine-stable. ---
+_RIDGE_LAMBDAS = (0.0, 100.0, 10000.0)
+
+
+def _ridge_sse(b0, b1, b2, st):
+    """Validation SSE from sufficient stats, fixed operation order."""
+    return (
+        st["vy2"]
+        + (b0 * b0) * st["vn"]
+        + (b1 * b1) * st["v11"]
+        + (b2 * b2) * st["v22"]
+        + ((b0 * b1) * st["v1"]) * 2.0
+        + ((b0 * b2) * st["v2"]) * 2.0
+        + ((b1 * b2) * st["v12"]) * 2.0
+        - (b0 * st["vy"]) * 2.0
+        - (b1 * st["v1y"]) * 2.0
+        - (b2 * st["v2y"]) * 2.0
+    )
+
+
+def _ridge_sql() -> str:
+    t = {k: _S(f"t.{k}") for k in ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")}
+    lam = _S("l.lam")
+    a11 = t["s11"] + lam
+    a22 = t["s22"] + lam
+    det = _det3(t["n"], t["s1"], t["s2"], t["s1"], a11, t["s12"], t["s2"], t["s12"], a22)
+    det0 = _det3(t["sy"], t["s1"], t["s2"], t["s1y"], a11, t["s12"], t["s2y"], t["s12"], a22)
+    det1 = _det3(t["n"], t["sy"], t["s2"], t["s1"], t["s1y"], t["s12"], t["s2"], t["s2y"], a22)
+    det2 = _det3(t["n"], t["s1"], t["sy"], t["s1"], a11, t["s1y"], t["s2"], t["s12"], t["s2y"])
+    b0, b1, b2 = f"(({det0}) / ({det}))", f"(({det1}) / ({det}))", f"(({det2}) / ({det}))"
+    v = {
+        "vn": _S("v.n"), "v1": _S("v.s1"), "v2": _S("v.s2"), "v11": _S("v.s11"),
+        "v12": _S("v.s12"), "v22": _S("v.s22"), "vy": _S("v.sy"),
+        "v1y": _S("v.s1y"), "v2y": _S("v.s2y"), "vy2": _S("v.sy2"),
+    }
+    sse = _ridge_sse(_S(b0), _S(b1), _S(b2), v)
+    return f"""
+    WITH feat AS (
+        SELECT
+            CASE WHEN l_orderkey % 4 < 3 THEN 'train' ELSE 'val' END AS split,
+            CAST(l_quantity AS DOUBLE) AS x1,
+            round(l_discount * 100, 0) AS x2,
+            round(l_extendedprice / 100, 0) AS y
+        FROM lineitem
+    ),
+    suff AS (
+        SELECT split,
+            CAST(count(*) AS DOUBLE) AS n,
+            sum(x1) AS s1, sum(x2) AS s2,
+            sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+            sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+            sum(y * y) AS sy2
+        FROM feat GROUP BY split
+    ),
+    grid AS (
+        SELECT * FROM (VALUES {", ".join(f"({x})" for x in _RIDGE_LAMBDAS)}) AS g(lam)
+    ),
+    models AS (
+        SELECT l.lam,
+               {b0} AS beta0, {b1} AS beta1, {b2} AS beta2,
+               {sse} AS sse
+        FROM (SELECT * FROM suff WHERE split = 'train') t
+        CROSS JOIN (SELECT * FROM suff WHERE split = 'val') v
+        CROSS JOIN grid l
+    )
+    SELECT lam,
+           round(beta0, 4) AS beta0,
+           round(beta1, 4) AS beta1,
+           round(beta2, 4) AS beta2,
+           round(sse / 1000.0, 4) AS val_sse_k,
+           CASE WHEN sse = (SELECT min(sse) FROM models) THEN 1 ELSE 0 END AS is_best
+    FROM models
+    ORDER BY lam
+    """
+
+
+@query("ml_ridge_model_selection", oracle=_ridge_sql())
+def ml_ridge_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+    feat = li.select(
+        F.when(F.col("l_orderkey") % 4 < 3, "train").otherwise("val").alias("split"),
+        F.col("l_quantity").cast("double").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).alias("x2"),
+        F.round(F.col("l_extendedprice") / 100, 0).alias("y"),
+    )
+    suff = feat.groupBy("split").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    train = suff.filter(F.col("split") == "train").drop("split")
+    val = suff.filter(F.col("split") == "val").drop("split")
+    val = val.select(*[F.col(c).alias(f"v_{c}") for c in val.columns])
+    grid = spark.createDataFrame([(x,) for x in _RIDGE_LAMBDAS], "lam double")
+    m = train.crossJoin(F.broadcast(val)).crossJoin(F.broadcast(grid))
+    t = {k: F.col(k) for k in ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")}
+    lam = F.col("lam")
+    a11, a22 = t["s11"] + lam, t["s22"] + lam
+    det = _det3(t["n"], t["s1"], t["s2"], t["s1"], a11, t["s12"], t["s2"], t["s12"], a22)
+    det0 = _det3(t["sy"], t["s1"], t["s2"], t["s1y"], a11, t["s12"], t["s2y"], t["s12"], a22)
+    det1 = _det3(t["n"], t["sy"], t["s2"], t["s1"], t["s1y"], t["s12"], t["s2"], t["s2y"], a22)
+    det2 = _det3(t["n"], t["s1"], t["sy"], t["s1"], a11, t["s1y"], t["s2"], t["s12"], t["s2y"])
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    v = {
+        "vn": F.col("v_n"), "v1": F.col("v_s1"), "v2": F.col("v_s2"),
+        "v11": F.col("v_s11"), "v12": F.col("v_s12"), "v22": F.col("v_s22"),
+        "vy": F.col("v_sy"), "v1y": F.col("v_s1y"), "v2y": F.col("v_s2y"),
+        "vy2": F.col("v_sy2"),
+    }
+    sse = _ridge_sse(b0, b1, b2, v)
+    models = m.select(
+        "lam",
+        F.round(b0, 4).alias("beta0"),
+        F.round(b1, 4).alias("beta1"),
+        F.round(b2, 4).alias("beta2"),
+        F.round(sse / 1000.0, 4).alias("val_sse_k"),
+        sse.alias("_sse"),
+    )
+    wmin = W.partitionBy()
+    return (
+        models.withColumn(
+            "is_best", (F.col("_sse") == F.min("_sse").over(wmin)).cast("int")
+        )
+        .drop("_sse")
+        .orderBy("lam")
     )
