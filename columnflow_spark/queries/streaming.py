@@ -606,7 +606,13 @@ def _bpe_oracle() -> str:
     oracle=_bpe_oracle(),
 )
 def streaming_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from columnflow_spark.queries.mmdata import _bpe_clean_word, _bpe_syms, bpe_train
+    from columnflow_spark.queries.mmdata import (
+        _bpe_clean_word,
+        _bpe_syms,
+        _bpe_words,
+        bpe_encode_expr,
+        bpe_train,
+    )
 
     merges = bpe_train(spark, sf_dir)
     stream = (
@@ -614,16 +620,11 @@ def streaming_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    enc = F.regexp_replace(_bpe_clean_word(F.col("w")), "(.)", "<$1>")
-    for a, b, _ in merges:
-        enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
-    per_word = stream.select(
-        "doc_id",
-        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"),
-    ).select(
+    enc = bpe_encode_expr(merges)
+    per_word = _bpe_words(stream.select("doc_id", "text")).select(
         "doc_id",
         F.size(_bpe_syms(enc)).alias("nt"),
-        F.length(F.replace(F.replace(enc, F.lit("<"), F.lit("")), F.lit(">"), F.lit(""))).alias("nc"),
+        F.length(_bpe_clean_word(enc)).alias("nc"),
     )
     out = _run_to_memory(per_word, spark, mode="append")
     return (

@@ -92,11 +92,16 @@ class ChunkedParquetReader(DataSourceReader):
     def partitions(self) -> Sequence[RowGroupChunk]:
         import pyarrow.parquet as pq  # noqa: PLC0415
 
-        meta = pq.ParquetFile(self.path).metadata
+        pf = pq.ParquetFile(self.path)
+        meta = pf.metadata
+        # statistics pruning happens HERE, at planning time (pushFilters
+        # runs before partitions), so fully-excluded chunks never become
+        # Spark tasks at all — metadata-only, one footer read
+        surviving = self._prune_row_groups(pf, list(range(meta.num_row_groups)))
         chunks: list[RowGroupChunk] = []
         current: list[int] = []
         rows = 0
-        for rg in range(meta.num_row_groups):
+        for rg in surviving:
             current.append(rg)
             rows += meta.row_group(rg).num_rows
             if rows >= self.chunk_size:
@@ -148,11 +153,8 @@ class ChunkedParquetReader(DataSourceReader):
         if not partition.row_groups:
             return
         pf = pq.ParquetFile(partition.path)
-        row_groups = self._prune_row_groups(pf, list(partition.row_groups))
-        if not row_groups:
-            return
         flt = self._arrow_filter()
-        table = pf.read_row_groups(row_groups, columns=self.columns)
+        table = pf.read_row_groups(list(partition.row_groups), columns=self.columns)
         if flt is not None:
             table = table.filter(flt)
         yield from table.to_batches()

@@ -48,3 +48,18 @@ def test_delimiter_chars_in_corpus_are_stripped(spark):
     assert out["<b>"] == ["b"]
     assert out["a<b"] == ["a", "b"]
     assert out["x>y"] == ["x", "y"]
+
+
+def test_pure_delimiter_token_is_dropped(spark):
+    # a whitespace token made only of delimiter chars cleans to the empty
+    # string and must vanish entirely (the SQL twin's string_split('')
+    # would otherwise count it as one token)
+    from columnflow_spark.queries.mmdata import _bpe_syms, _bpe_words, bpe_encode_expr
+
+    docs = spark.createDataFrame([(1, "a <> b"), (2, "<><>")], "doc_id long, text string")
+    per_word = _bpe_words(docs).select(
+        "doc_id", F.size(_bpe_syms(bpe_encode_expr([]))).alias("nt")
+    )
+    agg = {r.doc_id: r.total for r in per_word.groupBy("doc_id").agg(
+        F.sum("nt").alias("total")).collect()}
+    assert agg == {1: 2}  # doc 2 has no surviving words at all

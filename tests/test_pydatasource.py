@@ -97,8 +97,9 @@ def test_row_group_stats_pruning(tmp_path):
     kept = r._prune_row_groups(pf, [0, 1, 2, 3])
     # groups 0-1 (v <= 199) are provably excluded; 2 (200-299) straddles
     assert kept == [2, 3]
-    # and the surviving rows are exactly the predicate's
+    # pruning happens at PLANNING time: excluded groups never enter a task
     parts = r.partitions()
+    assert [rg for p in parts for rg in p.row_groups] == [2, 3]
     rows = [row for p in parts for row in r.read(p)]
     total = sum(b.num_rows for b in rows)
     assert total == 149  # v in (250, 399]
