@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine_lsh",
     # single-pass distributed model fit + index build
     "ml_train_linreg",
+    "ml_ridge_model_selection",
     "ml_interface_scores",
     "kmeans_lloyd_step",
     # pandas-UDF slow path (greedy per-event matching)
