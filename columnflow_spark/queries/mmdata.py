@@ -4168,3 +4168,94 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "bucket", "n_docs", "lang_avg_nlp")
         .orderBy("lang", F.when(F.col("bucket") == "head", 1).when(F.col("bucket") == "middle", 2).otherwise(3))
     )
+
+
+# --- full logistic-regression training loop (the gradient-descent member
+# of the iterative-training family next to kmeans_fit / PQ / BPE): K
+# fixed gradient steps, each ONE distributed aggregation (64 partial-sum
+# rows to the driver — the model, never data), with the weight vector a
+# bounded per-step artifact baked back into the next step's plan as a
+# literal array.  The oracle replays all K rounds in materialized CTEs;
+# both engines compute each row's logit as the SAME ascending-j fold over
+# a weight LIST, so the only cross-engine noise is exp()'s final ulp —
+# far below the round-4 output. ---
+_LOGREG_STEPS = 3
+_LOGREG_LR = 0.1
+
+
+def _logreg_fit_ctes() -> str:
+    parts = [f"""
+    feat AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS x,
+               CASE WHEN label > 4 THEN 1.0 ELSE 0.0 END AS y
+        FROM embeddings
+    ),
+    wl0 AS MATERIALIZED (
+        SELECT list_transform(range(64), j -> {_LOGREG_W0}) AS wl
+    )"""]
+    for k in range(1, _LOGREG_STEPS + 1):
+        parts.append(f""",
+    scored{k} AS MATERIALIZED (
+        SELECT vec_id, x, y,
+               1.0 / (1.0 + exp(-list_aggregate(
+                   list_transform(range(1, 65), j -> wl[j] * x[j]), 'sum'))) AS p
+        FROM feat, wl{k - 1}
+    ),
+    grad{k} AS MATERIALIZED (
+        SELECT j, sum((p - y) * x[j + 1]) AS g
+        FROM scored{k}, unnest(range(64)) AS t(j)
+        GROUP BY j
+    ),
+    wl{k} AS MATERIALIZED (
+        SELECT list(w ORDER BY j) AS wl FROM (
+            SELECT g.j, wl[g.j + 1] - {_LOGREG_LR} * g.g AS w
+            FROM grad{k} g, wl{k - 1}
+        )
+    )""")
+    return "".join(parts)
+
+
+@query(
+    "ml_logreg_fit",
+    oracle=f"""
+    WITH {_logreg_fit_ctes()}
+    SELECT j, round(wl[j + 1], 4) AS w
+    FROM wl{_LOGREG_STEPS}, unnest(range(64)) AS t(j)
+    ORDER BY j
+    """,
+)
+def ml_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]))
+    feat = emb.select(
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+        F.when(F.col("label") > 4, 1.0).otherwise(0.0).alias("y"),
+    )
+    w = [_LOGREG_W0] * 64
+    for _ in range(_LOGREG_STEPS):
+        wl = F.array(*[F.lit(float(v)) for v in w])
+        # ascending-j fold, same order as the oracle's list_aggregate
+        z = F.aggregate(
+            F.zip_with(wl, F.col("x"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        grads = (
+            feat.select(
+                F.posexplode(
+                    F.transform("x", lambda v: (p - F.col("y")) * v)
+                ).alias("j", "term")
+            )
+            .groupBy("j")
+            .agg(F.sum("term").alias("g"))
+            .collect()
+        )
+        gmap = {r.j: r.g for r in grads}
+        w = [w[j] - _LOGREG_LR * gmap[j] for j in range(64)]
+    # rounding happens in the SQL engine (Python round() is banker's,
+    # Spark/DuckDB round are half-away — the cookbook's knife edge)
+    return (
+        spark.createDataFrame([(j, float(w[j])) for j in range(64)], "j int, w double")
+        .select("j", F.round("w", 4).alias("w"))
+        .orderBy("j")
+    )
