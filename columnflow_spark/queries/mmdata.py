@@ -4215,16 +4215,21 @@ def _logreg_fit_ctes() -> str:
     return "".join(parts)
 
 
-@query(
-    "ml_logreg_fit",
-    oracle=f"""
-    WITH {_logreg_fit_ctes()}
-    SELECT j, round(wl[j + 1], 4) AS w
-    FROM wl{_LOGREG_STEPS}, unnest(range(64)) AS t(j)
-    ORDER BY j
-    """,
-)
-def ml_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _logreg_logit(w: list[float]):
+    """In-row logit against the trained weights as a 64-literal array —
+    ascending-j fold, the same order as the oracle's ``list_aggregate``."""
+    wl = F.array(*[F.lit(float(v)) for v in w])
+    return F.aggregate(
+        F.zip_with(wl, F.col("x"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _logreg_train(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Run the K-step gradient loop; each step is ONE distributed
+    aggregation whose result (64 partial-sum rows — the model, never data)
+    is folded into the next step's plan as literals."""
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]))
     feat = emb.select(
         F.transform("embedding", lambda v: v.cast("double")).alias("x"),
@@ -4232,14 +4237,7 @@ def ml_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = [_LOGREG_W0] * 64
     for _ in range(_LOGREG_STEPS):
-        wl = F.array(*[F.lit(float(v)) for v in w])
-        # ascending-j fold, same order as the oracle's list_aggregate
-        z = F.aggregate(
-            F.zip_with(wl, F.col("x"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_logit(w)))
         grads = (
             feat.select(
                 F.posexplode(
@@ -4252,10 +4250,69 @@ def ml_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         gmap = {r.j: r.g for r in grads}
         w = [w[j] - _LOGREG_LR * gmap[j] for j in range(64)]
+    return w
+
+
+@query(
+    "ml_logreg_fit",
+    oracle=f"""
+    WITH {_logreg_fit_ctes()}
+    SELECT j, round(wl[j + 1], 4) AS w
+    FROM wl{_LOGREG_STEPS}, unnest(range(64)) AS t(j)
+    ORDER BY j
+    """,
+)
+def ml_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _logreg_train(spark, sf_dir)
     # rounding happens in the SQL engine (Python round() is banker's,
     # Spark/DuckDB round are half-away — the cookbook's knife edge)
     return (
         spark.createDataFrame([(j, float(w[j])) for j in range(64)], "j int, w double")
         .select("j", F.round("w", 4).alias("w"))
         .orderBy("j")
+    )
+
+
+# --- quality-classifier corpus filter (the classifier-filtering stage of
+# GPT/LLaMA-style data pipelines: train a cheap linear classifier on
+# labeled examples, score EVERY document, keep the high-quality side).
+# Training reuses the logreg loop above; scoring is an in-row dot product
+# against the 64 trained weights baked in as literals — zero shuffle, no
+# join, no UDF — and the keep decision is ``z >= 0`` (the sigmoid-0.5
+# threshold expressed on the logit), pure fixed-order double arithmetic
+# that both engines compute bit-identically, unlike ``p >= 0.5`` whose
+# exp() ulp could flip a knife-edge row.  Kept doc metadata arrives via
+# one equi-join on doc_id (broadcastable: the kept-id side is a
+# projection of the scored scan). ---
+@query(
+    "quality_classifier_filter",
+    oracle=f"""
+    WITH {_logreg_fit_ctes()},
+    scored AS MATERIALIZED (
+        SELECT vec_id,
+               list_aggregate(list_transform(range(1, 65), j -> wl[j] * x[j]), 'sum') AS z
+        FROM feat, wl{_LOGREG_STEPS}
+    )
+    SELECT d.doc_id, d.lang, d.source, round(1.0 / (1.0 + exp(-s.z)), 4) AS quality
+    FROM scored s JOIN documents d ON d.doc_id = s.vec_id
+    WHERE s.z >= 0
+    ORDER BY d.doc_id
+    """,
+)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _logreg_train(spark, sf_dir)
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    scored = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+    ).select("vec_id", _logreg_logit(w).alias("z"))
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    return (
+        scored.filter(F.col("z") >= 0)
+        .join(docs, scored.vec_id == docs.doc_id)
+        .select(
+            "doc_id", "lang", "source",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 4).alias("quality"),
+        )
+        .orderBy("doc_id")
     )

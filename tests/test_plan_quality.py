@@ -319,3 +319,15 @@ def test_winnowing_is_pure_projection(spark, sf_dir):
     plan = _plan(spark, sf_dir, "winnowing_fingerprints")
     assert plan.count("- Exchange") <= 1
     assert "Join" not in plan
+
+
+def test_quality_classifier_scoring_is_in_row(spark, sf_dir):
+    # the classifier-filter's scoring side must be an in-row dot product
+    # against literal weights: no UDF, exactly one join (doc metadata),
+    # and the logit filter applied before that join so only kept ids move
+    plan = _plan(spark, sf_dir, "quality_classifier_filter")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("- SortMergeJoin") + plan.count("- BroadcastHashJoin") == 1
+    # embeddings scan reads only vec_id + embedding for the scoring pass
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l and "embedding" in l]
+    assert read_schemas and all("label" not in l for l in read_schemas)
