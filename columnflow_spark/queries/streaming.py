@@ -666,3 +666,48 @@ def streaming_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("value") > 50.0).alias("n_high"),
     )
     return _run_to_memory(agg, spark, mode="complete").orderBy("event_type")
+
+
+# --- streaming ingest-time quality filtering: the deployment form of
+# quality_classifier_filter (reference-free bonus op; model trained
+# OFFLINE on the batch side, applied to the ingest feed).  The trained
+# weight vector is baked into the streaming plan as 64 literals, scoring
+# is a stateless in-row dot product and the keep decision is the logit
+# sign (z >= 0, bit-exact across engines — see the batch twin), so the
+# plan is projection -> filter -> one aggregation: no state store, no
+# join, unbounded-feed safe.  The oracle replays the K training rounds
+# and the scoring pass in one SQL chain. ---
+from columnflow_spark.queries.mmdata import _LOGREG_STEPS, _logreg_fit_ctes  # noqa: E402
+
+
+@query(
+    "streaming_quality_filter",
+    oracle=f"""
+    WITH {_logreg_fit_ctes()},
+    scored AS MATERIALIZED (
+        SELECT e.label,
+               list_aggregate(list_transform(range(1, 65), j -> wl[j] * x[j]), 'sum') AS z
+        FROM feat JOIN embeddings e USING (vec_id), wl{_LOGREG_STEPS}
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_kept
+    FROM scored WHERE z >= 0
+    GROUP BY label ORDER BY label
+    """,
+)
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.queries.mmdata import _logreg_logit, _logreg_train
+
+    w = _logreg_train(spark, sf_dir)  # offline batch training pass
+    stream = (
+        spark.readStream.schema(_EMB_RAW_SCHEMA)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .select(
+            "label",
+            F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+        )
+        .select("label", _logreg_logit(w).alias("z"))
+        .filter(F.col("z") >= 0)
+    )
+    kept = stream.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+    return _run_to_memory(kept, spark, mode="complete").orderBy("label")
