@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "ml_train_linreg",
     "ml_ridge_model_selection",
     "ml_interface_scores",
+    "quality_classifier_filter",
     "kmeans_lloyd_step",
     # pandas-UDF slow path (greedy per-event matching)
     "greedy_match_pairs",
@@ -159,6 +160,7 @@ def main() -> None:
         "dedup_minhash_lsh": [_mm._SIGS_CACHE],
         "ann_pq_adc_topk": [_mm._PQ_CB_CACHE],
         "bpe_encode_corpus": [_mm._BPE_MERGE_CACHE],
+        "quality_classifier_filter": [_mm._LOGREG_W_CACHE],
     }
     # unconditional best-of-2: this VM's hypervisor noise can inflate an
     # identical run 2-10x (a 1.5 s index build has measured 9.9 s), so a

@@ -673,11 +673,16 @@ def streaming_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # OFFLINE on the batch side, applied to the ingest feed).  The trained
 # weight vector is baked into the streaming plan as 64 literals, scoring
 # is a stateless in-row dot product and the keep decision is the logit
-# sign (z >= 0, bit-exact across engines — see the batch twin), so the
-# plan is projection -> filter -> one aggregation: no state store, no
-# join, unbounded-feed safe.  The oracle replays the K training rounds
-# and the scoring pass in one SQL chain. ---
-from columnflow_spark.queries.mmdata import _LOGREG_STEPS, _logreg_fit_ctes  # noqa: E402
+# sign (z >= 0 — see the batch twin's knife-edge note), so the plan is
+# projection -> filter -> one aggregation: no state store, no join,
+# unbounded-feed safe.  The oracle replays the K training rounds and the
+# scoring pass in one SQL chain. ---
+from columnflow_spark.queries.mmdata import (  # noqa: E402
+    _LOGREG_STEPS,
+    _logreg_fit_ctes,
+    _logreg_logit,
+    _logreg_train,
+)
 
 
 @query(
@@ -685,9 +690,9 @@ from columnflow_spark.queries.mmdata import _LOGREG_STEPS, _logreg_fit_ctes  # n
     oracle=f"""
     WITH {_logreg_fit_ctes()},
     scored AS MATERIALIZED (
-        SELECT e.label,
+        SELECT label,
                list_aggregate(list_transform(range(1, 65), j -> wl[j] * x[j]), 'sum') AS z
-        FROM feat JOIN embeddings e USING (vec_id), wl{_LOGREG_STEPS}
+        FROM feat, wl{_LOGREG_STEPS}
     )
     SELECT label, CAST(count(*) AS BIGINT) AS n_kept
     FROM scored WHERE z >= 0
@@ -695,8 +700,6 @@ from columnflow_spark.queries.mmdata import _LOGREG_STEPS, _logreg_fit_ctes  # n
     """,
 )
 def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from columnflow_spark.queries.mmdata import _logreg_logit, _logreg_train
-
     w = _logreg_train(spark, sf_dir)  # offline batch training pass
     stream = (
         spark.readStream.schema(_EMB_RAW_SCHEMA)
