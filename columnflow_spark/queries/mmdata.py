@@ -4323,3 +4323,48 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- classifier calibration curve (reliability diagram): bucket the
+# trained logreg's predicted probability into deciles and compare the
+# mean prediction against the observed positive rate per bucket — the
+# standard check before using classifier scores as sampling weights or
+# keep thresholds in a curation pipeline.  ONE aggregation over the
+# scored scan (map-side partial per bucket); the trained weights arrive
+# as plan literals via the shared kernel, so nothing but 10 bucket rows
+# ever moves.  A row within float-ulp of a decile edge could bin
+# differently across engines (p needs exp()) — same measure-zero class
+# as the filter's logit-sign note above. ---
+@query(
+    "ml_calibration_curve",
+    oracle=f"""
+    WITH {_logreg_fit_ctes()},
+    scored AS MATERIALIZED (
+        SELECT y,
+               1.0 / (1.0 + exp(-list_aggregate(
+                   list_transform(range(1, 65), j -> wl[j] * x[j]), 'sum'))) AS p
+        FROM feat, wl{_LOGREG_STEPS}
+    )
+    SELECT least(CAST(floor(p * 10) AS INT), 9) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(p), 4) AS mean_pred,
+           round(avg(y), 4) AS frac_pos
+    FROM scored
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def ml_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _logreg_train(spark, sf_dir)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_logit(w)))
+    scored = _logreg_feat(spark, sf_dir).select("y", p.alias("p"))
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p"), 4).alias("mean_pred"),
+            F.round(F.avg("y"), 4).alias("frac_pos"),
+        )
+        .orderBy("bucket")
+    )
