@@ -4368,3 +4368,53 @@ def ml_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- hard-negative mining (contrastive-training support): for each
+# anchor vector, the top-k most-similar vectors with a DIFFERENT label —
+# the "hard" negatives that make embedding training converge, mined
+# directly in the engine.  Same broadcast shape as ann_cosine_topk (the
+# anchor batch broadcasts, the corpus never shuffles; per-anchor top-k
+# via window over the candidate fan-out); a production-scale miner would
+# route candidate generation through the IVF index (ann_ivf_topk) and
+# keep only this op's label-exclusion + rank stage. ---
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH sims AS (
+        SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id, c.label AS negative_label,
+               list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        FROM embeddings a
+        JOIN embeddings c ON a.vec_id % 50 = 3 AND c.label <> a.label
+    )
+    SELECT anchor_id, negative_id, negative_label, round(sim, 4) AS sim, rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY sim DESC, negative_id) AS rk
+        FROM sims
+    )
+    WHERE rk <= 3
+    ORDER BY anchor_id, rk
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]))
+    anchors = emb.filter(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a"),
+        F.col("label").alias("anchor_label"),
+    )
+    cand = emb.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
+    sims = cand.select(
+        "anchor_id",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        cosine(F.col("a"), F.col("embedding")).alias("sim"),
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("negative_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("anchor_id", "negative_id", "negative_label", F.round("sim", 4).alias("sim"), "rk")
+        .orderBy("anchor_id", "rk")
+    )
