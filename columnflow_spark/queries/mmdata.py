@@ -1732,11 +1732,17 @@ def _logreg_logit(w: list[float]):
     )
 
 
+def _logreg_prob(w: list[float]):
+    """Predicted probability sigmoid(w.x) — the one place the model's
+    probability form lives, shared by training and calibration."""
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_logit(w)))
+
+
 def _logreg_grad(feat: DataFrame, w: list[float]) -> DataFrame:
     """One gradient step as ONE groupBy(j) partial+final aggregation:
     (sigmoid(w.x) - y) * x_j posexploded to (j, term) rows — at scale
     each executor emits 64 partial sums, nothing else moves."""
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_logit(w)))
+    p = _logreg_prob(w)
     return (
         feat.select(
             F.posexplode(F.transform("x", lambda v: (p - F.col("y")) * v)).alias("j", "term")
@@ -4355,8 +4361,7 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _logreg_train(spark, sf_dir)
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_logit(w)))
-    scored = _logreg_feat(spark, sf_dir).select("y", p.alias("p"))
+    scored = _logreg_feat(spark, sf_dir).select("y", _logreg_prob(w).alias("p"))
     return (
         scored.groupBy(
             F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bucket")
@@ -4373,19 +4378,26 @@ def ml_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- hard-negative mining (contrastive-training support): for each
 # anchor vector, the top-k most-similar vectors with a DIFFERENT label —
 # the "hard" negatives that make embedding training converge, mined
-# directly in the engine.  Same broadcast shape as ann_cosine_topk (the
-# anchor batch broadcasts, the corpus never shuffles; per-anchor top-k
-# via window over the candidate fan-out); a production-scale miner would
-# route candidate generation through the IVF index (ann_ivf_topk) and
-# keep only this op's label-exclusion + rank stage. ---
+# directly in the engine.  Mining is per anchor MINI-BATCH (the training
+# batch), so the anchor side is bounded by construction (vec_id cap):
+# the broadcast is <=512 rows at any corpus size and the candidate
+# fan-out is O(corpus x batch) — linear in the corpus, with the corpus
+# side never shuffling before the per-anchor top-k window.  A
+# production-scale miner would route candidate generation through the
+# IVF index (ann_ivf_topk) and keep only this op's label-exclusion +
+# rank stage. ---
+_HNM_BATCH_CAP = 25600  # anchor ids below this -> <=512 anchors per batch
+
+
 @query(
     "hard_negative_mining",
-    oracle="""
+    oracle=f"""
     WITH sims AS (
         SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id, c.label AS negative_label,
                list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
         FROM embeddings a
-        JOIN embeddings c ON a.vec_id % 50 = 3 AND c.label <> a.label
+        JOIN embeddings c ON a.vec_id % 50 = 3 AND a.vec_id < {_HNM_BATCH_CAP}
+                          AND c.label <> a.label
     )
     SELECT anchor_id, negative_id, negative_label, round(sim, 4) AS sim, rk
     FROM (
@@ -4399,7 +4411,9 @@ def ml_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]))
-    anchors = emb.filter(F.col("vec_id") % 50 == 3).select(
+    anchors = emb.filter(
+        (F.col("vec_id") % 50 == 3) & (F.col("vec_id") < _HNM_BATCH_CAP)
+    ).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("embedding").alias("a"),
         F.col("label").alias("anchor_label"),
