@@ -331,3 +331,11 @@ def test_quality_classifier_scoring_is_in_row(spark, sf_dir):
     # embeddings scan reads only vec_id + embedding for the scoring pass
     read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l and "embedding" in l]
     assert read_schemas and all("label" not in l for l in read_schemas)
+
+
+def test_hard_negative_anchor_side_broadcasts(spark, sf_dir):
+    # the anchor mini-batch must be the broadcast side of the non-equi
+    # join (bounded by _HNM_BATCH_CAP); the corpus must never sort-merge
+    plan = _plan(spark, sf_dir, "hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
