@@ -4432,3 +4432,63 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "negative_id", "negative_label", F.round("sim", 4).alias("sim"), "rk")
         .orderBy("anchor_id", "rk")
     )
+
+
+# --- tokenizer fertility by language (the standard multilingual
+# tokenizer-quality metric: average BPE tokens per word, plus the
+# chars-per-token compression rate).  Same trained-merge replace chain
+# as bpe_encode_corpus (static in-row expression, no UDF, no shuffle
+# before the per-language aggregate); the ratios divide exact integer
+# sums, so both engines agree bit-exactly before the round. ---
+@query(
+    "bpe_fertility_by_lang",
+    oracle=f"""
+    WITH {_bpe_round_ctes()},
+    encoded AS (
+        SELECT lang,
+               {"".join("replace(" for _ in range(_BPE_ROUNDS))}
+                   regexp_replace({_bpe_clean_sql('w')}, '(.)', '<\\1>', 'g')
+               {"".join(
+                   f", (SELECT '<' || a || '><' || b || '>' FROM best{r})"
+                   f", (SELECT '<' || a || b || '>' FROM best{r}))"
+                   for r in range(1, _BPE_ROUNDS + 1)
+               )} AS s
+        FROM (
+            SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM documents
+        )
+        WHERE length({_bpe_clean_sql('w')}) > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(s, '><'))) AS BIGINT) AS n_tokens,
+           round(sum(len(string_split(s, '><'))) * 1.0 / count(*), 4) AS fertility,
+           round(sum(length({_bpe_clean_sql('s')})) * 1.0
+                 / sum(len(string_split(s, '><'))), 4) AS chars_per_token
+    FROM encoded
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = bpe_train(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", columns=["lang", "text"])
+    words = docs.select(
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"),
+    ).filter(F.length(_bpe_clean_word(F.col("w"))) > 0)
+    enc = bpe_encode_expr(merges)
+    per_word = words.select(
+        "lang",
+        F.size(_bpe_syms(enc)).alias("nt"),
+        F.length(_bpe_clean_word(enc)).alias("nc"),
+    )
+    return (
+        per_word.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nt").alias("n_tokens"),
+            F.round(F.sum("nt") / F.count(F.lit(1)), 4).alias("fertility"),
+            F.round(F.sum("nc") / F.sum("nt"), 4).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
