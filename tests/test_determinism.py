@@ -38,3 +38,24 @@ def test_partition_invariance(name, spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert a == b, f"{name} changed under different shuffle parallelism"
+
+
+def test_logreg_training_partition_invariance(spark, sf_dir):
+    # training sums are partial-aggregated, so the trained weights differ
+    # at ulp level across parallelism — the round-4 published model must
+    # not.  The per-corpus weight memo is cleared so training re-runs.
+    from columnflow_spark.queries import mmdata
+
+    q = all_queries()["ml_logreg_fit"]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        mmdata._LOGREG_W_CACHE.clear()
+        a = sorted(map(tuple, q(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        mmdata._LOGREG_W_CACHE.clear()
+        b = sorted(map(tuple, q(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        mmdata._LOGREG_W_CACHE.clear()
+    assert a == b, "published logreg model changed under different shuffle parallelism"
