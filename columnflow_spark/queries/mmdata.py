@@ -4492,3 +4492,90 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- IVF-routed hard-negative mining: the production-scale form promised
+# by hard_negative_mining's header — candidate generation goes through
+# the IVF index (map-side cell assignment, broadcast probes: the exact
+# chain of ann_ivf_topk) and only the probed cells' members reach the
+# label-exclusion + rank stage, so per-anchor work is corpus/n_cells
+# rather than the full corpus.  Anchors use the engine's IVF query
+# convention (vec_id % 100 = 7).  Negatives outside the probed cells are
+# unreachable by construction — the standard IVF recall trade, measured
+# for this geometry in test_ann_recall.py. ---
+@query(
+    "hard_negative_mining_ivf",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id % 64 = 0
+    ),
+    assign AS (
+        SELECT vec_id, label, cid FROM (
+            SELECT e.vec_id, e.label, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce) DESC, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT anchor_id, anchor_label, cid FROM (
+            SELECT q.vec_id AS anchor_id, q.label AS anchor_label, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.ce) DESC, c.cid
+                   ) AS rn
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id % 100 = 7
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT p.anchor_id, a.vec_id AS negative_id, a.label AS negative_label
+        FROM probes p JOIN assign a ON a.cid = p.cid
+        WHERE a.label <> p.anchor_label
+    )
+    SELECT anchor_id, negative_id, negative_label, round(sim, 4) AS sim, rk FROM (
+        SELECT c.anchor_id, c.negative_id, c.negative_label,
+               list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS sim,
+               row_number() OVER (
+                   PARTITION BY c.anchor_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                            c.negative_id
+               ) AS rk
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.anchor_id
+        JOIN embeddings n ON n.vec_id = c.negative_id
+    ) WHERE rk <= 3
+    ORDER BY anchor_id, rk
+    """,
+)
+def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]))
+    cents = _ivf_cents(emb)
+    # index side: map-side cell assignment, label rides along the scan
+    assign = nearest_centroid_assign(emb, cents.select("cid", "ce"))
+    # anchor side: top-2 probed cells + the anchor's own label (tiny)
+    anchor_info = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("anchor_label")
+    )
+    probes = _ivf_probes(emb, cents).join(F.broadcast(anchor_info), "query_id")
+    cand = assign.join(F.broadcast(probes), "cid").filter(
+        F.col("label") != F.col("anchor_label")
+    )
+    sims = cand.select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        cosine(F.col("q"), F.col("embedding")).alias("sim"),
+    )
+    wr = W.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("negative_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "anchor_id", "negative_id", "negative_label",
+            F.round("sim", 4).alias("sim"), "rk",
+        )
+        .orderBy("anchor_id", "rk")
+    )
