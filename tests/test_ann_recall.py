@@ -163,3 +163,39 @@ def test_trained_ivf_recall_not_worse_than_seeded(spark, sf_dir):
     seeded, trained = recall("ann_ivf_topk"), recall("ann_ivf_trained_topk")
     assert trained >= seeded - 1e-9, f"trained {trained} < seeded {seeded}"
     assert trained >= 0.25
+
+
+def _brute_force_negatives_top3(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    q = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("q"),
+        F.col("label").alias("anchor_label"),
+    )
+    sims = emb.join(F.broadcast(q), F.col("label") != F.col("anchor_label")).select(
+        "anchor_id",
+        F.col("vec_id").alias("negative_id"),
+        cosine(F.col("q"), F.col("embedding")).alias("sim"),
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("negative_id"))
+    return sims.withColumn("rk", F.row_number().over(w)).filter("rk <= 3")
+
+
+def test_ivf_mined_negatives_recall(spark, sf_dir):
+    """IVF-routed mining must recover a healthy share of the true hardest
+    negatives (probed-volume floor applies, as for ann_ivf_topk), and
+    every mined negative must genuinely carry a different label."""
+    ivf = all_queries()["hard_negative_mining_ivf"](spark, sf_dir).collect()
+    bf = _brute_force_negatives_top3(spark, sf_dir).collect()
+    bf_set = {(r.anchor_id, r.negative_id) for r in bf}
+    ivf_set = {(r.anchor_id, r.negative_id) for r in ivf}
+    assert bf_set, "brute-force negative baseline is empty"
+    recall = len(ivf_set & bf_set) / len(bf_set)
+    assert recall >= 0.25, f"IVF negative-mining recall collapsed: {recall}"
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings", columns=["vec_id", "label"]).collect()
+    }
+    for r in ivf:
+        assert labels[r.negative_id] != labels[r.anchor_id]
+        assert r.negative_label == labels[r.negative_id]
