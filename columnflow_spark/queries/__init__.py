@@ -61,6 +61,7 @@ _MODULES = (
     "columnflow_spark.queries.physics",
     "columnflow_spark.queries.timeseries",
     "columnflow_spark.queries.mmdata",
+    "columnflow_spark.queries.annindex",
     "columnflow_spark.queries.streaming",
     "columnflow_spark.queries.analysis_demo",
 )

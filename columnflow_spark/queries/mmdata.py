@@ -2581,10 +2581,19 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Codes are emitted as a dash-joined string ordered by subspace: a
     scalar cell keeps every downstream hash-compare implementation happy."""
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    encode = pq_encode_udf(spark, sf_dir)
+    return emb.select("vec_id", encode("embedding").alias("codes")).orderBy("vec_id")
+
+
+def pq_encode_udf(spark: SparkSession, sf_dir: str):
+    """The Arrow-batched PQ encoder (vector -> dash-joined code string)
+    with the trained codebook baked in — shared by :func:`ann_pq_codes`
+    and the materialized index build (queries/annindex.py), so the
+    persisted codes are bit-identical to the in-session ones."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
-    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     codes_arr, cmats = _pq_train_np(spark, sf_dir)
 
     @F.pandas_udf("string")
@@ -2600,7 +2609,7 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         packed = np.stack(cols, axis=1)
         return pd.Series(["-".join(map(str, row)) for row in packed])
 
-    return emb.select("vec_id", _encode("embedding").alias("codes")).orderBy("vec_id")
+    return _encode
 
 
 def _pq_exploded_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2814,9 +2823,10 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus/n_cells code additions; memory is codes not floats — the two
 # scale levers composed.  The oracle replays cell assignment, codebook
 # training, encoding, probing and ADC scoring in one SQL chain. ---
-@query(
-    "ann_ivfpq_topk",
-    oracle=f"""
+#: shared with the materialized-index sibling (queries/annindex.py): the
+#: persisted index must produce bit-identical search results, so both
+#: register the same SQL replay.
+IVFPQ_ORACLE = f"""
     WITH {_pq_train_ctes()},
     best AS MATERIALIZED ({_pq_assign_sql('t', f'cb{_PQ_ITERS}')}
     ),
@@ -2870,8 +2880,10 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rk <= 5
     ORDER BY query_id, rk
-    """,
-)
+    """
+
+
+@query("ann_ivfpq_topk", oracle=IVFPQ_ORACLE)
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     cents = _ivf_cents(emb)

@@ -1,0 +1,67 @@
+"""Run the full oracle sweep at an arbitrary sf dir with per-query timing.
+
+Used for the sf1 validation sweep (VERDICT r3 item #1): the driver tops
+out at sf0.1, so scale validation runs against the repo's own generated
+data (columnflow_spark/testgen.py).
+
+    python scripts/sweep_sf.py <sf_dir> <out_jsonl>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    sf_dir, out_path = sys.argv[1], sys.argv[2]
+    # size the single-JVM driver to the box: local[32] runs all executor
+    # threads in the driver heap, and sf>=1 aggregation buffers do not fit
+    # the 1g vanilla default (observed OOM in ObjectHashAggregate at sf1)
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.driver.memory", os.environ.get("SWEEP_DRIVER_MEM", "64g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from columnflow_spark.oracle import compare, duckdb_connection, CompareResult
+    from columnflow_spark.queries import all_oracles, all_queries
+
+    queries, oracles = all_queries(), all_oracles()
+    con = duckdb_connection(sf_dir)
+    n_fail = 0
+    done: set[str] = set()
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            done = {json.loads(line)["name"] for line in fh if line.strip()}
+    with open(out_path, "a") as out:
+        for name, fn in sorted(queries.items()):
+            if name in done:
+                continue
+            t0 = time.time()
+            try:
+                if name not in oracles:
+                    cnt = fn(spark, sf_dir).count()
+                    res = CompareResult(name, cnt >= 0, cnt, -1, [])
+                else:
+                    res = compare(name, fn(spark, sf_dir), oracles[name], con)
+            except Exception as ex:  # noqa: BLE001 - record, keep sweeping
+                res = CompareResult(name, False, -1, -1, [f"exception: {ex!r:.500}"])
+            dt = time.time() - t0
+            n_fail += not res.ok
+            out.write(json.dumps({
+                "name": name, "ok": res.ok, "sec": round(dt, 2),
+                "spark_rows": res.spark_rows, "oracle_rows": res.oracle_rows,
+                "issues": res.issues,
+            }) + "\n")
+            out.flush()
+    print(f"DONE {len(queries)} queries, {n_fail} failures")
+
+
+if __name__ == "__main__":
+    main()
