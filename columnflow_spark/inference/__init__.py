@@ -23,3 +23,8 @@ from columnflow_spark.inference.model import (  # noqa: F401
     Process,
 )
 from columnflow_spark.inference.datacard import render_datacard, write_datacard  # noqa: F401
+from columnflow_spark.inference.transform import (  # noqa: F401
+    shape_integral_effects,
+    transform_rate_effect,
+    transform_shapes,
+)

@@ -17,7 +17,55 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from columnflow_spark.inference.model import InferenceModel
+from columnflow_spark.inference.model import InferenceModel, Parameter
+
+
+def _effective_effect(par, cat_name: str, proc_name: str, shapes, cache: dict):
+    """Resolve a parameter's (combine type, effect string) after its
+    transformation chain (reference datacard.py:374-431).
+
+    Rate-side transformations are exact scalar math
+    (transform.py:transform_rate_effect); the from_shape family pulls the
+    per-(category, process) integral effects and flatness verdicts from
+    the shapes table in ONE aggregation per parameter (cached across the
+    datacard's columns).  ``effect_from_shape_if_flat`` converts the
+    parameter to shape-type when a variation isn't flat — the effect
+    column then reads ``1`` and the templates stay in the shapes store.
+    """
+    trafos = tuple(getattr(par, "transformations", ()) or ())
+    if par.type == "shape":
+        if "effect_from_rate" in trafos:
+            return "shape", "1"  # template built from the rate; effect resets
+        return "shape", par.effect_str()
+    if not trafos:
+        return par.combine_type, par.effect_str()
+
+    shape_effect = shape_is_flat = None
+    if trafos[0] in ("effect_from_shape", "effect_from_shape_if_flat"):
+        if shapes is None:
+            raise ValueError(
+                f"parameter '{par.name}' uses {trafos[0]} and needs the shapes table"
+            )
+        info = cache.get(par.name)
+        if info is None:
+            from columnflow_spark.inference.transform import shape_integral_effects
+
+            info = {
+                (r.category, r.process): (float(r.eff_down), float(r.eff_up), bool(r.is_flat))
+                for r in shape_integral_effects(shapes, par.name).collect()
+            }
+            cache[par.name] = info
+        eff_d, eff_u, flat = info[(cat_name, proc_name)]
+        shape_effect, shape_is_flat = (eff_d, eff_u), flat
+
+    from columnflow_spark.inference.transform import transform_rate_effect
+
+    effect, became_shape = transform_rate_effect(
+        par.effect, trafos, shape_effect=shape_effect, shape_is_flat=shape_is_flat
+    )
+    if became_shape:
+        return "shape", "1"
+    return par.combine_type, Parameter(par.name, par.type, effect).effect_str()
 
 
 def _collect_rates(rates) -> dict[tuple[str, str], float]:
@@ -47,10 +95,14 @@ def render_datacard(
     observations: Mapping[str, float] | None = None,
     rate_precision: int = 4,
     shapes_file: str | None = None,
+    shapes=None,
 ) -> str:
     """Serialize *model* + *rates* into datacard text.  With
     *shapes_file*, a combine-style ``shapes`` header line is emitted
-    pointing at the exported store (see :func:`export_shapes`)."""
+    pointing at the exported store (see :func:`export_shapes`).  *shapes*
+    is the long-format hist table backing ``effect_from_shape(_if_flat)``
+    parameter transformations (only required when a parameter uses
+    them)."""
     rate_map = _collect_rates(rates)
     observations = dict(observations or {})
 
@@ -107,9 +159,10 @@ def render_datacard(
         "rate     " + "  ".join(f"{round(r, rate_precision)}" for *_x, r in columns),
         sep,
     ]
+    shape_info_cache: dict = {}
     for pname in param_names:
-        effects = []
-        ptype = "lnN"
+        effects: list[str] = []
+        types: set[str] = set()
         for cat_name, proc_name, _pid, _rate in columns:
             par = next(
                 (
@@ -122,8 +175,19 @@ def render_datacard(
             if par is None:
                 effects.append("-")
             else:
-                ptype = par.combine_type
-                effects.append(par.effect_str())
+                tname, estr = _effective_effect(
+                    par, cat_name, proc_name, shapes, shape_info_cache
+                )
+                types.add(tname)
+                effects.append(estr)
+        if len(types) == 1:
+            ptype = types.pop()
+        elif types == {"lnN", "shape"}:
+            # combine's mixed-type marker: it decides per column
+            # (reference datacard.py:469-471)
+            ptype = "shape?"
+        else:
+            ptype = "/".join(sorted(types)) if types else "lnN"
         lines.append(f"{pname}  {ptype}  " + "  ".join(effects))
     return "\n".join(lines) + "\n"
 

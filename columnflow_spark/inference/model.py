@@ -21,11 +21,21 @@ class Parameter:
     exported shapes file, reference inference/__init__.py ParameterType).
     ``effect``: symmetric factor (1.02) or ``(down, up)`` pair; for shape
     parameters it is the morphing coefficient (usually 1.0).
+    ``transformations``: ordered effect transformations applied by the
+    datacard writer (reference inference/__init__.py
+    ``ParameterTransformation`` + inference/cms/datacard.py:35 docstring):
+    ``symmetrize``, ``asymmetrize``, ``asymmetrize_if_large``,
+    ``effect_from_shape``, ``effect_from_shape_if_flat``,
+    ``flip_smaller_if_one_sided``, ``flip_larger_if_one_sided`` (rate
+    side) and ``effect_from_rate``, ``normalize``, ``envelope``,
+    ``envelope_if_one_sided``, ``envelope_enforce_two_sided`` (shape
+    side) — see columnflow_spark/inference/transform.py.
     """
 
     name: str
     type: str = "rate_gauss"
     effect: float | tuple[float, float] = 1.0
+    transformations: tuple[str, ...] = ()
 
     @property
     def combine_type(self) -> str:
