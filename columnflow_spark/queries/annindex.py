@@ -66,16 +66,22 @@ def scratch_root() -> str:
     )
 
 
+#: bump when the trained-codebook/encoding math changes: persisted codes
+#: from an older encoder must not be reused
+_INDEX_FORMAT = 2
+
+
 def ivfpq_index_path(sf_dir: str) -> str:
     """Content-addressed index location: the tag hashes the embeddings
-    file identity (path + size + mtime), so a rebuilt corpus gets a fresh
-    index and an unchanged one is reused across sessions."""
+    file identity (path + size + mtime) plus the index format version, so
+    a rebuilt corpus or a changed encoder gets a fresh index and an
+    unchanged one is reused across sessions."""
     src = table_path(sf_dir, "embeddings")
     try:
         st = os.stat(src)
-        ident = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+        ident = f"v{_INDEX_FORMAT}|{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
     except OSError:
-        ident = os.path.abspath(src)
+        ident = f"v{_INDEX_FORMAT}|{os.path.abspath(src)}"
     tag = hashlib.sha1(ident.encode()).hexdigest()[:12]
     return os.path.join(scratch_root(), "ivfpq_index", tag)
 
@@ -143,13 +149,20 @@ def search_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> DataFrame
     adc = (
         cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg((F.sum("d") / F.lit(float(_PQ_GRID * _PQ_GRID))).alias("dist"))
+        .agg(F.sum("d").alias("sum_d"))
     )
-    win = W.partitionBy("query_id").orderBy(F.round("dist", 4), F.asc("neighbor_id"))
+    # integer-scaled distance: round(x*1e4) shares the fp multiply with
+    # the oracle, so there is no BigDecimal-vs-float knife edge at any sf
+    # (sf1 sweep caught round(x, 4) ties diverging)
+    # ONE division before the round: sum_d is an exact integer-valued
+    # double, sum_d/100 is the identical double on every engine, and
+    # .5 ties round half-up on both — no compound-fp-op divergence
+    adc_scaled = F.round(F.col("sum_d") / F.lit(100.0), 0).cast("long")
+    win = W.partitionBy("query_id").orderBy(adc_scaled, F.asc("neighbor_id"))
     return (
         adc.withColumn("rk", F.row_number().over(win))
         .filter(F.col("rk") <= 5)
-        .select("query_id", "neighbor_id", F.round("dist", 4).alias("adc_dist"), "rk")
+        .select("query_id", "neighbor_id", adc_scaled.alias("adc_dist"), "rk")
         .orderBy("query_id", "rk")
     )
 

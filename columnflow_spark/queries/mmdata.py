@@ -2438,7 +2438,7 @@ def _pq_train_ctes(iters: int = _PQ_ITERS) -> str:
     t AS MATERIALIZED (
         SELECT vec_id, s.s AS sub,
                list_transform(range(1, {_PQ_DIM + 1}),
-                   j -> CAST(round(embedding[s.s * {_PQ_DIM} + j] * {_PQ_GRID}) AS BIGINT)) AS t
+                   j -> CAST(round(embedding[s.s * {_PQ_DIM} + j]::DOUBLE * {_PQ_GRID}) AS BIGINT)) AS t
         FROM embeddings CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
     ),
     ts AS MATERIALIZED (SELECT * FROM t WHERE vec_id < {_PQ_SAMPLE}),
@@ -2514,6 +2514,24 @@ def pq_trained_codebook(spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS
     )
 
 
+def _seq_sqdist(x, c):
+    """Squared L2 between rows of ``x`` (N x dim) and ``c`` (K x dim),
+    accumulated DIMENSION BY DIMENSION: each output element's additions
+    happen in ascending-j order, exactly the sequential fold the SQL
+    replay's ``list_aggregate`` and the engine's ``F.aggregate`` use.
+    A plain ``((x[:,None,:]-c[None,:,:])**2).sum(-1)`` lets numpy's
+    SIMD/pairwise reduction reorder the 8 additions — bit-divergent from
+    the SQL fold at distance near-ties, which flipped one training
+    assignment at sf1 and drifted a codebook centroid."""
+    import numpy as np  # noqa: PLC0415
+
+    d = np.zeros((x.shape[0], c.shape[0]))
+    for j in range(x.shape[1]):
+        diff = x[:, None, j] - c[None, :, j]
+        d += diff * diff
+    return d
+
+
 def _pq_train_np(spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS):
     """Numpy Lloyd training on the collected sample (see
     :func:`pq_trained_codebook`): returns per-subspace ``(codes, cmat)``
@@ -2541,7 +2559,7 @@ def _pq_train_np(spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS):
         cmat = tmat[: len(codes)].astype(np.float64)
         for _ in range(iters):
             # assignment: squared L2 per (vector, code), first-min tie-break
-            d = ((tmat[:, None, :].astype(np.float64) - cmat[None, :, :]) ** 2).sum(-1)
+            d = _seq_sqdist(tmat.astype(np.float64), cmat)
             assign = d.argmin(axis=1)
             for ci in range(len(codes)):
                 members = tmat[assign == ci]
@@ -2604,7 +2622,7 @@ def pq_encode_udf(spark: SparkSession, sf_dir: str):
         cols = []
         for s in range(_PQ_M):
             sub = t[:, s * _PQ_DIM:(s + 1) * _PQ_DIM]
-            d = ((sub[:, None, :] - cmats[s][None, :, :]) ** 2).sum(-1)
+            d = _seq_sqdist(sub, cmats[s])
             cols.append(codes_arr[s][d.argmin(axis=1)])
         packed = np.stack(cols, axis=1)
         return pd.Series(["-".join(map(str, row)) for row in packed])
@@ -2637,8 +2655,13 @@ def _pq_query_lut(spark: SparkSession, sf_dir: str, query_pred) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # LUT entries are QUANTIZED to integers (round 0) — the standard ADC
+    # quantized-lookup-table trick, and the reason the downstream
+    # sum(d) is exact in ANY summation order on any engine (the sf1
+    # sweep caught the unquantized 8-double sum diverging by 1 ulp
+    # between Spark's and DuckDB's fold orders at a rounding knife edge)
     return qsubs.join(F.broadcast(pq_trained_codebook(spark, sf_dir)), "sub").select(
-        "query_id", "sub", "code", subd.alias("d")
+        "query_id", "sub", "code", F.round(subd, 0).alias("d")
     )
 
 
@@ -2650,22 +2673,22 @@ def _pq_query_lut(spark: SparkSession, sf_dir: str, query_pred) -> DataFrame:
     ),
     lut AS (
         SELECT t.vec_id AS query_id, t.sub, cb.code,
-               list_aggregate(list_transform(range(1, {_PQ_DIM + 1}),
-                   j -> (t.t[j] - cb.c[j]) * (t.t[j] - cb.c[j])), 'sum') AS d
+               round(list_aggregate(list_transform(range(1, {_PQ_DIM + 1}),
+                   j -> (t.t[j] - cb.c[j]) * (t.t[j] - cb.c[j])), 'sum')) AS d
         FROM t JOIN cb{_PQ_ITERS} cb ON cb.sub = t.sub
         WHERE t.vec_id < 50
     ),
     adc AS (
         SELECT l.query_id, b.vec_id AS neighbor_id,
-               sum(l.d) / {_PQ_GRID * _PQ_GRID} AS dist
+               sum(l.d) AS sum_d
         FROM best b JOIN lut l ON l.sub = b.sub AND l.code = b.code
         WHERE b.vec_id <> l.query_id
         GROUP BY 1, 2
     )
-    SELECT query_id, neighbor_id, round(dist, 4) AS adc_dist, CAST(rk AS INT) AS rk
+    SELECT query_id, neighbor_id, CAST(round(sum_d / 100) AS BIGINT) AS adc_dist, CAST(rk AS INT) AS rk
     FROM (
         SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY round(dist, 4), neighbor_id) AS rk
+            PARTITION BY query_id ORDER BY round(sum_d / 100), neighbor_id) AS rk
         FROM adc
     )
     WHERE rk <= 5
@@ -2694,13 +2717,20 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded.join(F.broadcast(lut), ["sub", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg((F.sum("d") / F.lit(float(_PQ_GRID * _PQ_GRID))).alias("dist"))
+        .agg(F.sum("d").alias("sum_d"))
     )
-    win = W.partitionBy("query_id").orderBy(F.round("dist", 4), F.asc("neighbor_id"))
+    # integer-scaled distance: round(x*1e4) shares the fp multiply with
+    # the oracle, so there is no BigDecimal-vs-float knife edge at any sf
+    # (sf1 sweep caught round(x, 4) ties diverging)
+    # ONE division before the round: sum_d is an exact integer-valued
+    # double, sum_d/100 is the identical double on every engine, and
+    # .5 ties round half-up on both — no compound-fp-op divergence
+    adc_scaled = F.round(F.col("sum_d") / F.lit(100.0), 0).cast("long")
+    win = W.partitionBy("query_id").orderBy(adc_scaled, F.asc("neighbor_id"))
     return (
         adc.withColumn("rk", F.row_number().over(win))
         .filter(F.col("rk") <= 5)
-        .select("query_id", "neighbor_id", F.round("dist", 4).alias("adc_dist"), "rk")
+        .select("query_id", "neighbor_id", adc_scaled.alias("adc_dist"), "rk")
         .orderBy("query_id", "rk")
     )
 
@@ -2854,8 +2884,8 @@ IVFPQ_ORACLE = f"""
     ),
     lut AS (
         SELECT t.vec_id AS query_id, t.sub, cb.code,
-               list_aggregate(list_transform(range(1, {_PQ_DIM + 1}),
-                   j -> (t.t[j] - cb.c[j]) * (t.t[j] - cb.c[j])), 'sum') AS d
+               round(list_aggregate(list_transform(range(1, {_PQ_DIM + 1}),
+                   j -> (t.t[j] - cb.c[j]) * (t.t[j] - cb.c[j])), 'sum')) AS d
         FROM t JOIN cb{_PQ_ITERS} cb ON cb.sub = t.sub
         WHERE t.vec_id % 100 = 7
     ),
@@ -2866,16 +2896,16 @@ IVFPQ_ORACLE = f"""
     ),
     adc AS (
         SELECT c.query_id, b.vec_id AS neighbor_id,
-               sum(l.d) / {_PQ_GRID * _PQ_GRID} AS dist
+               sum(l.d) AS sum_d
         FROM cand c
         JOIN best b ON b.vec_id = c.vec_id
         JOIN lut l ON l.query_id = c.query_id AND l.sub = b.sub AND l.code = b.code
         GROUP BY 1, 2
     )
-    SELECT query_id, neighbor_id, round(dist, 4) AS adc_dist, CAST(rk AS INT) AS rk
+    SELECT query_id, neighbor_id, CAST(round(sum_d / 100) AS BIGINT) AS adc_dist, CAST(rk AS INT) AS rk
     FROM (
         SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY round(dist, 4), neighbor_id) AS rk
+            PARTITION BY query_id ORDER BY round(sum_d / 100), neighbor_id) AS rk
         FROM adc
     )
     WHERE rk <= 5
@@ -2903,13 +2933,20 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(exploded, "vec_id")
         .join(F.broadcast(lut), ["query_id", "sub", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg((F.sum("d") / F.lit(float(_PQ_GRID * _PQ_GRID))).alias("dist"))
+        .agg(F.sum("d").alias("sum_d"))
     )
-    win = W.partitionBy("query_id").orderBy(F.round("dist", 4), F.asc("neighbor_id"))
+    # integer-scaled distance: round(x*1e4) shares the fp multiply with
+    # the oracle, so there is no BigDecimal-vs-float knife edge at any sf
+    # (sf1 sweep caught round(x, 4) ties diverging)
+    # ONE division before the round: sum_d is an exact integer-valued
+    # double, sum_d/100 is the identical double on every engine, and
+    # .5 ties round half-up on both — no compound-fp-op divergence
+    adc_scaled = F.round(F.col("sum_d") / F.lit(100.0), 0).cast("long")
+    win = W.partitionBy("query_id").orderBy(adc_scaled, F.asc("neighbor_id"))
     return (
         adc.withColumn("rk", F.row_number().over(win))
         .filter(F.col("rk") <= 5)
-        .select("query_id", "neighbor_id", F.round("dist", 4).alias("adc_dist"), "rk")
+        .select("query_id", "neighbor_id", adc_scaled.alias("adc_dist"), "rk")
         .orderBy("query_id", "rk")
     )
 
