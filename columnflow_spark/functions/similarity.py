@@ -215,11 +215,22 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Exact cosine similarity of two equal-length array<numeric> columns —
-    zip_with + aggregate, sequential sum order (matches DuckDB's
-    list_cosine_similarity for oracle parity)."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: (x * y).cast("double")), F.lit(0.0), lambda s, v: s + v)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + (v * v).cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + (v * v).cast("double")))
+    zip_with + aggregate, sequential sum order.  Every per-element product
+    is computed in DOUBLE (cast BEFORE the multiply): a float32 multiply
+    rounds to 24 bits first and diverges from any oracle that casts the
+    arrays to DOUBLE up front — a 1-ulp sim difference flipped a
+    threshold/round knife edge at sf1."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double"))
+    )
     return dot / (na * nb)
 
 

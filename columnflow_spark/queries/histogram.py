@@ -401,14 +401,17 @@ def hist_ensure_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked a JOIN ranked b ON a.l_orderkey = b.l_orderkey AND a.rk = 1 AND b.rk = 2
     )
     SELECT l_orderkey AS okey,
-           round(sqrt(greatest(
+           -- integer-scaled: round(x, 4) diverges between DuckDB's fp
+           -- rounding and Spark's BigDecimal at knife edges (seen at sf1);
+           -- the shared x*10000 multiply makes the final round identical
+           CAST(round(10000 * sqrt(greatest(
                pow(sqrt(pow(pt1 * (exp(eta1) + exp(-eta1)) / 2.0, 2) + m1 * m1)
                    + sqrt(pow(pt2 * (exp(eta2) + exp(-eta2)) / 2.0, 2) + m2 * m2), 2)
                - (pow(pt1 * cos(phi1) + pt2 * cos(phi2), 2)
                   + pow(pt1 * sin(phi1) + pt2 * sin(phi2), 2)
                   + pow(pt1 * (exp(eta1) - exp(-eta1)) / 2.0
                         + pt2 * (exp(eta2) - exp(-eta2)) / 2.0, 2)),
-               0.0)), 4) AS pair_mass
+               0.0))) AS BIGINT) AS pair_mass
     FROM pairs
     """,
 )
@@ -437,7 +440,8 @@ def leading_pair_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mass = four_vector_sum_mass(*kin(j1), *kin(j2))
     return events.select(
-        F.col("o_orderkey").alias("okey"), F.round(mass, 4).alias("pair_mass")
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.lit(10000) * mass, 0).cast("long").alias("pair_mass"),
     )
 
 

@@ -395,11 +395,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     oracle="""
-    SELECT a.vec_id AS v1, b.vec_id AS v2,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    -- explicit sequential folds with per-element DOUBLE casts: the exact
+    -- op sequence of functions/similarity.py:cosine, so the sim doubles
+    -- are bit-identical on both engines (list_cosine_similarity's
+    -- internal order diverged by 1 ulp at sf1); the emitted sim is
+    -- integer-scaled to dodge the round(x, 4) fp-vs-BigDecimal tie
+    WITH sims AS (
+        SELECT a.vec_id AS v1, b.vec_id AS v2,
+               list_aggregate(list_transform(range(1, 65),
+                   j -> a.embedding[j]::DOUBLE * b.embedding[j]::DOUBLE), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, 65),
+                      j -> a.embedding[j]::DOUBLE * a.embedding[j]::DOUBLE), 'sum'))
+                  * sqrt(list_aggregate(list_transform(range(1, 65),
+                      j -> b.embedding[j]::DOUBLE * b.embedding[j]::DOUBLE), 'sum'))) AS sim
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT v1, v2, CAST(round(sim * 10000) AS BIGINT) AS sim
+    FROM sims WHERE sim >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,7 +458,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.least("va", "vb").alias("v1"),
             F.greatest("va", "vb").alias("v2"),
-            F.round("sim", 4).alias("sim"),
+            F.round(F.col("sim") * 10000, 0).cast("long").alias("sim"),
         )
     )
 
@@ -3538,7 +3551,9 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
         _BPE_MERGE_CACHE[key] = merges
         return merges
     merges: list[tuple[str, str, int]] = []
-    for _ in range(_BPE_ROUNDS):
+    rounds = 0
+    while len(merges) < _BPE_ROUNDS:
+        rounds += 1
         syms = _bpe_syms(F.col("s"))
         # single-symbol words have no pairs; sequence(0, -1) would descend
         pairs = state.filter(F.size(syms) >= 2).select(
@@ -3553,24 +3568,79 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
                 )
             ).alias("p"),
         )
-        best = (
-            pairs.groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
+        counts = (
+            pairs.groupBy("p.a", "p.b").agg(F.sum("cnt").alias("n")).localCheckpoint(eager=True)
+        )
+        top = (
+            counts.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(_BPE_BATCH_K)
             .collect()
         )
-        if not best:
+        if not top:
             break
-        a, b, n = best[0].a, best[0].b, int(best[0].n)
-        merges.append((a, b, n))
-        # checkpoint each round: without it round k's lineage replays
-        # rounds 1..k-1 (quadratic); the table is vocabulary-sized
-        state = state.withColumn(
-            "s", F.replace(F.col("s"), F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
-        ).localCheckpoint(eager=True)
+        # multi-merge batch, provably order-equivalent to one-at-a-time
+        # BPE.  Keep the longest RANKED PREFIX m_1..m_k such that
+        # (1) prefix pairs are symbol-disjoint (none shares a symbol with
+        #     an earlier kept pair or equals its concatenation), so
+        #     applying m_i cannot change count(m_j); and
+        # (2) domination: n_j strictly exceeds every pair count any
+        #     earlier m_i could CREATE.  A new pair around c_i = a_i+b_i
+        #     is (x, c_i) <= count(x, a_i), (c_i, x) <= count(b_i, x) or
+        #     (c_i, c_i) <= count(b_i, a_i) — all bounded by M_i = max
+        #     count over existing pairs with right symbol a_i or left
+        #     symbol b_i, read from the SAME round's count table.
+        # Everything past the first violation waits for the next round.
+        per_right, per_left = _bpe_neighbor_maxes(counts, top)
+        kept: list[tuple[str, str, int]] = []
+        kept_syms: set[str] = set()
+        bound = -1  # running max of M_i over kept merges
+        for r in top:
+            a, b, n = r.a, r.b, int(r.n)
+            if kept:
+                if a in kept_syms or b in kept_syms or (a + b) in kept_syms:
+                    break
+                if n <= bound:
+                    break
+            kept.append((a, b, n))
+            kept_syms.update({a, b, a + b})
+            bound = max(bound, per_right.get(a, 0), per_left.get(b, 0))
+            if len(merges) + len(kept) >= _BPE_ROUNDS:
+                break
+        merges.extend(kept)
+        # apply the whole batch in ONE projection + checkpoint: without
+        # the checkpoint round k's lineage replays rounds 1..k-1
+        # (quadratic); the table is vocabulary-sized
+        s = F.col("s")
+        for a, b, _n in kept:
+            s = F.replace(s, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+        state = state.withColumn("s", s).localCheckpoint(eager=True)
+    bpe_train.last_fallback_rounds = rounds
     _BPE_MERGE_CACHE[key] = merges
     return merges
+
+
+#: candidates collected per distributed-fallback round (bounded scalar
+#: artifact, like the PQ seeds); the kept batch is usually smaller
+_BPE_BATCH_K = 16
+
+
+def _bpe_neighbor_maxes(counts: DataFrame, top) -> tuple[dict, dict]:
+    """For every candidate pair's symbols, the max count over existing
+    pairs ending in its left symbol (``per_right[a]``) / starting with
+    its right symbol (``per_left[b]``) — the upper bound on any pair a
+    merge (a, b) can create (see bpe_train).  TWO tiny aggregations per
+    round regardless of batch size."""
+    rights = list({r.a for r in top})
+    lefts = list({r.b for r in top})
+    per_right = {
+        r.b: int(r.m)
+        for r in counts.filter(F.col("b").isin(rights)).groupBy("b").agg(F.max("n").alias("m")).collect()
+    }
+    per_left = {
+        r.a: int(r.m)
+        for r in counts.filter(F.col("a").isin(lefts)).groupBy("a").agg(F.max("n").alias("m")).collect()
+    }
+    return per_right, per_left
 
 
 def _bpe_round_ctes() -> str:

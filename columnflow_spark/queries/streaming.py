@@ -89,6 +89,57 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("window.start").alias("hour"), "event_type", "n", "sum_value")
 
 
+def tumbling_counts_append(ev: DataFrame, *, window: str = "1 hour", watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling counts in APPEND form: only windows the
+    watermark has finalized are ever emitted, and rows later than the
+    watermark are DROPPED before they can touch closed state.  This is the
+    bounded-state production shape of ``streaming_tumbling_counts`` (whose
+    complete-mode output keeps every window open forever).  Late-drop and
+    finalization semantics are pinned in tests/test_streaming_watermark.py
+    against the deterministic replay source."""
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "streaming_tumbling_append",
+    oracle="""
+    SELECT hour, event_type, n FROM (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    -- append mode emits exactly the windows the FINAL watermark closed:
+    -- window end (hour + 1h) <= max(ts) - delay (1h)
+    WHERE hour <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+    ORDER BY hour, event_type
+    """,
+)
+def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermarked tumbling counts over the ts-ordered replay:
+    the memory sink receives each window exactly once, when the watermark
+    passes its end — the oracle reproduces that finalization predicate
+    (replay order is monotone in ts, so no input row is ever late here;
+    the late-drop path is exercised in tests/test_streaming_watermark.py)."""
+    from columnflow_spark.sources.pydatasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", table_path(sf_dir, "events"))
+        .option("batch_rows", "2500")
+        .load()
+    )
+    ev = normalize_events_ts(stream)
+    out = _run_to_memory(tumbling_counts_append(ev), spark, mode="append")
+    return out.select(
+        F.col("window.start").alias("hour"), "event_type", "n"
+    ).orderBy("hour", "event_type")
+
+
 @query(
     "streaming_session_windows",
     oracle="""
@@ -202,6 +253,83 @@ def streaming_hist_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     partials = spark.createDataFrame(partial_rows, schema_holder["schema"])
     return merge_hists([partials])
+
+
+def stream_to_partitioned_store(
+    stream_df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str],
+    transform=None,
+) -> None:
+    """Production materialization path for streams: a ``foreachBatch``
+    sink composing the engine's idempotent partitioned-store upsert
+    (sources/sinks.py:upsert_partitions).  Each micro-batch lands as the
+    ``batch=<id>`` slice of the hive layout, so
+
+    - REPLAYING a batch (restart without checkpoint, reprocessing)
+      replaces exactly its own partitions — at-least-once delivery
+      becomes effectively-once in the store;
+    - downstream readers prune on the leading partition keys at planning
+      time (PartitionFilters), exactly like the batch-side
+      ``dataset=/shift=`` store.
+
+    ``transform`` (optional) maps each micro-batch DataFrame before the
+    write — the per-batch partial-aggregate hook (fill a partial hist,
+    score a batch, …).  The ``batch`` column is appended automatically
+    and must be the LAST entry of ``partition_by``'s layout concern —
+    callers pass the data keys; batch is added here."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        out = out.withColumn("batch", F.lit(int(batch_id)))
+        upsert_partitions(out, path, partition_by=[*partition_by, "batch"])
+
+    # processAllAvailable, not availableNow: the custom replay source's
+    # prefetching simple reader exposes one batch per read() — availableNow
+    # terminates after the first prefetched range
+    q = stream_df.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+from columnflow_spark.sources.sinks import upsert_partitions  # noqa: E402
+
+
+@query(
+    "streaming_store_upsert_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    WHERE event_type IN ('click', 'error')
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_store_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end stream -> partitioned store -> pruned read-back: events
+    stream into an ``event_type=/batch=`` hive store via the foreachBatch
+    upsert sink, then ONLY the probed event types are read back (partition
+    pruning) and aggregated — the values must match the batch table
+    exactly (integer cents per row keep the compare fp-order-proof)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="cf_stream_store_")
+    ev = _stream_events(spark, sf_dir)
+    stream_to_partitioned_store(ev, path, partition_by=["event_type"])
+    stored = spark.read.parquet(path).filter(
+        F.col("event_type").isin("click", "error")
+    )
+    return (
+        stored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @query(
@@ -580,6 +708,120 @@ def streaming_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = banded.groupBy("block_idx", "block_val").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+    sunk = _run_to_memory(flagged, spark, mode="update")
+    return (
+        sunk.groupBy("doc_id")
+        .agg(F.max("dup_local").alias("is_dup"))
+        .orderBy("doc_id")
+    )
+
+
+def neardup_simhash_bounded(
+    stream: DataFrame,
+    *,
+    horizon_ms: int,
+    watermark: str = "10 seconds",
+    hamming: int = 6,
+) -> DataFrame:
+    """Bounded-state streaming SimHash near-dup: fingerprints older than
+    ``horizon_ms`` (event time) stop matching, and a bucket whose newest
+    fingerprint ages past the horizon has its WHOLE state removed via
+    event-time timeout — the difference between "state grows with the
+    corpus forever" and "state is a sliding window" on an unbounded feed.
+
+    Input needs (doc_id, text, ts); ts must be a (session-TZ) TIMESTAMP
+    for the watermark.  Two enforcement layers, both needed:
+
+    - in-update age filter: a bucket that keeps receiving docs never
+      times out, so matching against entries older than the horizon is
+      prevented row-by-row (per-row cutoff ``entry_ms >= row_ms -
+      horizon``), and aged entries are dropped from the stored lists;
+    - ``GroupStateTimeout.EventTimeTimeout``: buckets that go quiet are
+      removed wholesale when the watermark passes (newest entry +
+      horizon) — the memory bound, exercised without any new data for
+      the bucket.
+    """
+    from columnflow_spark.functions.similarity import simhash64
+    from columnflow_spark.functions.text import tokens, word_shingles
+
+    md5_hashes = F.transform(
+        word_shingles(F.col("text"), 3),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    hashed = stream.filter(F.size(tokens(F.col("text"))) >= 3).select(
+        "doc_id", "ts", simhash64(md5_hashes).alias("sh")
+    )
+    blocks = F.array(
+        *[F.shiftright(F.col("sh"), 8 * i).bitwiseAND(F.lit(255)) for i in range(8)]
+    )
+    banded = (
+        hashed.withWatermark("ts", watermark)
+        .select("doc_id", "ts", "sh", F.posexplode(blocks).alias("block_idx", "block_val"))
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        shs, mss = (
+            (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        batch_ms = int(rows["ts"].max().timestamp() * 1000)
+        keep = [(s, m) for s, m in zip(shs, mss) if m >= batch_ms - horizon_ms]
+        shs, mss = [s for s, _ in keep], [m for _, m in keep]
+        out_ids, out_dup = [], []
+        for doc_id, sh, ts in zip(rows["doc_id"], rows["sh"], rows["ts"]):
+            sh, ms = int(sh), int(ts.timestamp() * 1000)
+            dup = any(
+                bin(sh ^ p).count("1") <= hamming
+                for p, m in zip(shs, mss)
+                if m >= ms - horizon_ms
+            )
+            out_ids.append(int(doc_id))
+            out_dup.append(dup)
+            shs.append(sh)
+            mss.append(ms)
+        state.update((shs, mss))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(batch_ms, wm + 1) + horizon_ms)
+        yield pd.DataFrame({"doc_id": out_ids, "dup_local": out_dup})
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("dup_local", T.BooleanType())]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("shs", T.ArrayType(T.LongType())),
+            T.StructField("mss", T.ArrayType(T.LongType())),
+        ]
+    )
+    return banded.groupBy("block_idx", "block_val").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def _neardup_oracle() -> str:
+    from columnflow_spark.queries import ORACLES
+
+    return ORACLES["streaming_neardup_simhash"]
+
+
+@query("streaming_neardup_bounded_state", oracle=_neardup_oracle())
+def streaming_neardup_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-state near-dup over the documents table with a
+    synthetic monotone event time (doc_id seconds past 2024-01-01) and a
+    horizon longer than the corpus span — at rest it must produce EXACTLY
+    the unbounded operator's output (same oracle); the aging/expiry
+    behavior is pinned against crafted multi-batch replays in
+    tests/test_streaming_watermark.py."""
+    stream = (
+        spark.readStream.schema(_NEARDUP_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")))
+    )
+    flagged = neardup_simhash_bounded(stream, horizon_ms=30 * 86_400_000)
     sunk = _run_to_memory(flagged, spark, mode="update")
     return (
         sunk.groupBy("doc_id")

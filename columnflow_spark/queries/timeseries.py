@@ -175,8 +175,11 @@ def running_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(gap_us) AS n_gaps,
-           round(avg(gap_us / 1000000.0), 4) AS avg_gap_sec,
-           round(max(gap_us / 1000000.0), 4) AS max_gap_sec
+           -- exact integer sum first, ONE fixed division sequence after:
+           -- avg() over doubles is summation-order sensitive (1-ulp
+           -- divergence between engines flipped round() at sf1)
+           round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000.0, 4) AS avg_gap_sec,
+           round(max(gap_us) / 1000000.0, 4) AS max_gap_sec
     FROM d
     GROUP BY user_id
     """,
@@ -190,8 +193,10 @@ def inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("gap_us").alias("n_gaps"),
-            F.round(F.avg(F.col("gap_us") / 1000000.0), 4).alias("avg_gap_sec"),
-            F.round(F.max(F.col("gap_us") / 1000000.0), 4).alias("max_gap_sec"),
+            F.round(
+                F.sum("gap_us").cast("double") / F.count("gap_us") / F.lit(1000000.0), 4
+            ).alias("avg_gap_sec"),
+            F.round(F.max("gap_us") / F.lit(1000000.0), 4).alias("max_gap_sec"),
         )
     )
 

@@ -63,3 +63,23 @@ def test_pure_delimiter_token_is_dropped(spark):
     agg = {r.doc_id: r.total for r in per_word.groupBy("doc_id").agg(
         F.sum("nt").alias("total")).collect()}
     assert agg == {1: 2}  # doc 2 has no surviving words at all
+
+
+def test_distributed_fallback_batches_merges_identically(spark, sf_dir, monkeypatch):
+    # forcing the word-state over the driver cap exercises the
+    # distributed loop; its multi-merge batching (ranked symbol-disjoint
+    # prefix + creation-count domination bound) must reproduce the
+    # one-merge-at-a-time list EXACTLY, in fewer rounds
+    import columnflow_spark.queries.mmdata as M
+
+    M._BPE_MERGE_CACHE.clear()
+    reference = M.bpe_train(spark, sf_dir)  # driver path (under cap)
+    M._BPE_MERGE_CACHE.clear()
+    monkeypatch.setattr(M, "_BPE_DRIVER_CAP", 0)  # synthetic super-cap vocab
+    batched = M.bpe_train(spark, sf_dir)
+    M._BPE_MERGE_CACHE.clear()
+    assert batched == reference
+    assert len(batched) == M._BPE_ROUNDS
+    # on this corpus the 6 merges land in <= 3 rounds (measured 3);
+    # anything below _BPE_ROUNDS proves multi-merge rounds happened
+    assert M.bpe_train.last_fallback_rounds < M._BPE_ROUNDS
