@@ -3764,11 +3764,123 @@ _TCP_SEQ_LEN = 512
 _TCP_EVAL_SRC = "src2"
 
 
+# --- hashing-TF text classifier for the corpus funnel: the learned
+# (not rule-based) quality gate.  Features are in-row hashed bag-of-words
+# counts (portable md5 bucketing, a pure projection over the corpus — the
+# classic hashing-trick featurization that needs no vocabulary build);
+# training reuses the shared logistic-regression kernel (_logreg_grad: K
+# steps x ONE 16-row aggregation); scoring bakes the weights into the
+# plan as literals.  Pseudo-labels are weak supervision from a content
+# rule (docs containing the 'dup' marker token are the negative class) —
+# the standard bootstrap when no human labels exist. ---
+_TF_D = 32  # hashed-term buckets; +1 bias component appended
+_TF_STEPS = 4
+_TF_LR = 0.5
+_TF_W_CACHE: dict = {}
+
+
+def _tf_bucket(w):
+    return F.pmod(
+        F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"), F.lit(_TF_D)
+    )
+
+
+def _tf_x_expr():
+    """Hashed term-FREQUENCY feature vector + bias (length ``_TF_D + 1``)
+    of column ``text`` — one in-row expression, no explode, no shuffle.
+    Normalizing by the word count removes doc-length from the score so
+    the learned content weights decide, not the document size."""
+    ws = F.filter(F.split("text", " "), lambda t: t != "")
+    bs = F.transform(ws, _tf_bucket)
+    denom = F.greatest(F.size(ws), F.lit(1)).cast("double")
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(_TF_D - 1)),
+        lambda j: F.size(F.filter(bs, lambda b: b == j.cast("long"))).cast("double")
+        / denom,
+    )
+    return F.concat(counts, F.array(F.lit(1.0)))
+
+
+def _tf_feat(docs: DataFrame) -> DataFrame:
+    ws = F.filter(F.split("text", " "), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        _tf_x_expr().alias("x"),
+        F.when(F.array_contains(ws, "dup"), 0.0).otherwise(1.0).alias("y"),
+    )
+
+
+def _tf_logreg_train(spark: SparkSession, sf_dir: str) -> list[float]:
+    """K gradient steps on the hashed text features (the shared logistic
+    kernel with the TF schedule), memoized per corpus."""
+    if sf_dir in _TF_W_CACHE:
+        return _TF_W_CACHE[sf_dir]
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    feat = _tf_feat(docs)
+    w = [_LOGREG_W0] * (_TF_D + 1)
+    for _ in range(_TF_STEPS):
+        gmap = {r.j: r.g for r in _logreg_grad(feat, w).collect()}
+        w = [w[j] - _TF_LR * gmap[j] for j in range(_TF_D + 1)]
+    _TF_W_CACHE[sf_dir] = w
+    return w
+
+
+def _tf_fit_ctes() -> str:
+    """SQL replay of the hashing-TF featurization + K training rounds +
+    the final per-doc score and its median threshold."""
+    nd = _TF_D + 1  # features + bias
+    parts = [f"""
+    tfeat AS MATERIALIZED (
+        SELECT doc_id,
+               list_transform(range(0, {_TF_D}),
+                   j -> CAST(len(list_filter(bs, b -> b = j)) AS DOUBLE)
+                        / greatest(len(ws), 1)) || [1.0] AS x,
+               CASE WHEN list_contains(ws, 'dup') THEN 0.0 ELSE 1.0 END AS y
+        FROM (
+            SELECT doc_id, ws,
+                   list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % {_TF_D}) AS bs
+            FROM (
+                SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                FROM documents
+            )
+        )
+    ),
+    twl0 AS MATERIALIZED (SELECT list_transform(range({nd}), j -> {_LOGREG_W0}) AS wl)"""]
+    for k in range(1, _TF_STEPS + 1):
+        parts.append(f""",
+    tscored{k} AS MATERIALIZED (
+        SELECT doc_id, x, y,
+               1.0 / (1.0 + exp(-list_aggregate(
+                   list_transform(range(1, {nd + 1}), j -> wl[j] * x[j]), 'sum'))) AS p
+        FROM tfeat, twl{k - 1}
+    ),
+    tgrad{k} AS MATERIALIZED (
+        SELECT j, sum((p - y) * x[j + 1]) AS g
+        FROM tscored{k}, unnest(range({nd})) AS t(j)
+        GROUP BY j
+    ),
+    twl{k} AS MATERIALIZED (
+        SELECT list(w ORDER BY j) AS wl FROM (
+            SELECT g.j, wl[g.j + 1] - {_TF_LR} * g.g AS w
+            FROM tgrad{k} g, twl{k - 1}
+        )
+    )""")
+    parts.append(f""",
+    tscoredf AS MATERIALIZED (
+        SELECT doc_id,
+               list_aggregate(list_transform(range(1, {nd + 1}), j -> wl[j] * x[j]), 'sum') AS z
+        FROM tfeat, twl{_TF_STEPS}
+    ),
+    tthresh AS MATERIALIZED (SELECT quantile_cont(z, 0.5) AS t FROM tscoredf)""")
+    return "".join(parts)
+
+
 @query(
     "training_corpus_pipeline",
     oracle=f"""
     WITH {_GRAMS_CTE},
     {_bpe_round_ctes()},
+    {_tf_fit_ctes()},
     s1 AS (SELECT doc_id, text, lang, source FROM documents),
     s2 AS (SELECT * FROM s1 WHERE lang = 'en'),
     s3 AS (
@@ -3795,6 +3907,11 @@ _TCP_EVAL_SRC = "src2"
         WHERE source <> '{_TCP_EVAL_SRC}'
           AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     ),
+    s6 AS (
+        SELECT s5.* FROM s5
+        JOIN tscoredf sc USING (doc_id), tthresh
+        WHERE sc.z >= tthresh.t
+    ),
     tokde AS (
         SELECT doc_id,
                {"".join("replace(" for _ in range(_BPE_ROUNDS))}
@@ -3806,11 +3923,11 @@ _TCP_EVAL_SRC = "src2"
                )} AS s
         FROM (
             SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-            FROM s5
+            FROM s6
         )
         WHERE length({_bpe_clean_sql('w')}) > 0
     ),
-    s6 AS (
+    s7 AS (
         SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(sum(len(string_split(s, '><'))) AS BIGINT) AS n_tokens
         FROM tokde
@@ -3823,9 +3940,10 @@ _TCP_EVAL_SRC = "src2"
         UNION ALL SELECT 3, 'quality_gate', (SELECT count(*) FROM s3), 0, 0
         UNION ALL SELECT 4, 'exact_dedup', (SELECT count(*) FROM s4), 0, 0
         UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM s5), 0, 0
-        UNION ALL SELECT 6, 'tokenized', (SELECT n_docs FROM s6),
-                          (SELECT n_tokens FROM s6),
-                          CAST(ceil((SELECT n_tokens FROM s6) / {_TCP_SEQ_LEN}.0) AS BIGINT)
+        UNION ALL SELECT 6, 'classifier_filter', (SELECT count(*) FROM s6), 0, 0
+        UNION ALL SELECT 7, 'tokenized', (SELECT n_docs FROM s7),
+                          (SELECT n_tokens FROM s7),
+                          CAST(ceil((SELECT n_tokens FROM s7) / {_TCP_SEQ_LEN}.0) AS BIGINT)
     )
     ORDER BY stage
     """,
@@ -3858,13 +3976,30 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         s4.filter(F.col("source") != _TCP_EVAL_SRC)
         .join(F.broadcast(contaminated), "doc_id", "leftanti")
     )
+    # learned quality gate: the hashing-TF logistic classifier trained on
+    # the corpus (weak 'dup'-marker supervision), scored IN-ROW with the
+    # weights as plan literals, keeping docs at or above the corpus score
+    # median (the CCNet-style keep-the-better-half curation rule) — the
+    # threshold is one tiny aggregate, scoring is projection + filter,
+    # zero shuffle
+    w_tf = _tf_logreg_train(spark, sf_dir)
+    wl = F.array(*[F.lit(float(v)) for v in w_tf])
+    z = F.aggregate(
+        F.zip_with(wl, _tf_x_expr(), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    thr = float(
+        docs.select(z.alias("z")).agg(F.expr("percentile(z, 0.5)")).collect()[0][0]
+    )
+    s6 = s5.filter(z >= F.lit(thr))
     # tokenization: the learned BPE rules as an in-row replace chain
     merges = bpe_train(spark, sf_dir)
     enc = bpe_encode_expr(merges)
-    tok = _bpe_words(s5.select("doc_id", "text")).select(
+    tok = _bpe_words(s6.select("doc_id", "text")).select(
         "doc_id", F.size(_bpe_syms(enc)).alias("nt")
     )
-    s6 = tok.agg(
+    s7 = tok.agg(
         F.countDistinct("doc_id").alias("n_docs"), F.sum("nt").alias("n_tokens")
     )
 
@@ -3877,8 +4012,8 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("n_sequences"),
         )
 
-    final = s6.select(
-        F.lit(6).alias("stage"),
+    final = s7.select(
+        F.lit(7).alias("stage"),
         F.lit("tokenized").alias("name"),
         F.col("n_docs"),
         F.col("n_tokens"),
@@ -3890,6 +4025,7 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(3, "quality_gate", s3))
         .unionByName(stage(4, "exact_dedup", s4))
         .unionByName(stage(5, "decontaminated", s5))
+        .unionByName(stage(6, "classifier_filter", s6))
         .unionByName(final)
     )
     return funnel.orderBy("stage")

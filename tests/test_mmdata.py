@@ -54,3 +54,37 @@ def test_audio_features_shape(spark, sf_dir):
     rows = audio_features(media).collect()
     assert len(rows) == 50
     assert all(r["duration_ms"] >= 0 and 0.0 <= r["loudness"] < 1.0 for r in rows)
+
+
+def test_funnel_classifier_stage_counts_and_discrimination(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    import columnflow_spark.queries.mmdata as M
+    from columnflow_spark.queries import all_queries
+
+    rows = {r.name: r for r in all_queries()["training_corpus_pipeline"](spark, sf_dir).collect()}
+    assert [rows[n].stage for n in (
+        "input", "lang_filter", "quality_gate", "exact_dedup",
+        "decontaminated", "classifier_filter", "tokenized",
+    )] == [1, 2, 3, 4, 5, 6, 7]
+    # the learned gate actually filters, and tokenization sees its output
+    assert 0 < rows["classifier_filter"].n_docs < rows["decontaminated"].n_docs
+    assert rows["tokenized"].n_docs == rows["classifier_filter"].n_docs
+
+    # discrimination: the median-threshold keep rate for 'dup'-marked docs
+    # (the weak-supervision negative class) is below the clean-doc rate
+    docs = M.load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    w = M._tf_logreg_train(spark, sf_dir)
+    wl = F.array(*[F.lit(float(v)) for v in w])
+    z = F.aggregate(
+        F.zip_with(wl, M._tf_x_expr(), lambda a, b: a * b), F.lit(0.0), lambda a, v: a + v
+    )
+    thr = float(docs.select(z.alias("z")).agg(F.expr("percentile(z, 0.5)")).collect()[0][0])
+    scored = docs.select(z.alias("z"), F.col("text")).withColumn(
+        "keep", F.col("z") >= F.lit(thr)
+    ).withColumn("is_dup_marked", F.array_contains(F.split("text", " "), "dup"))
+    rates = {
+        r.is_dup_marked: r.rate
+        for r in scored.groupBy("is_dup_marked").agg(F.avg(F.col("keep").cast("double")).alias("rate")).collect()
+    }
+    assert rates[True] < rates[False]
