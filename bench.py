@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "bpe_encode_corpus",
     "training_corpus_pipeline",
     "dedup_embedding_cosine_lsh",
+    # persisted-index search: content-addressed store reused across
+    # sessions, so steady-state timing measures probe-pruned reads
+    "ann_ivfpq_materialized_topk",
     # single-pass distributed model fit + index build
     "ml_train_linreg",
     "ml_ridge_model_selection",
@@ -178,6 +181,8 @@ def main() -> None:
         queries[name](spark, sf_dir).count()
         elapsed = min(elapsed, time.perf_counter() - t1)
         timings[name] = round(elapsed, 4)
+        # progress to stderr only — the driver parses the final stdout line
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -401,10 +401,13 @@ def hist_ensure_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked a JOIN ranked b ON a.l_orderkey = b.l_orderkey AND a.rk = 1 AND b.rk = 2
     )
     SELECT l_orderkey AS okey,
-           -- integer-scaled: round(x, 4) diverges between DuckDB's fp
-           -- rounding and Spark's BigDecimal at knife edges (seen at sf1);
-           -- the shared x*10000 multiply makes the final round identical
-           CAST(round(10000 * sqrt(greatest(
+           -- integer-scaled CENTI-mass: the exp/cos libm implementations
+           -- differ by ~1 ulp between engines and the E^2 - p^2
+           -- cancellation amplifies that to ~4e-9 absolute (measured at
+           -- sf1, 1.4M pairs) — a 0.01 grid makes a boundary flip
+           -- ~2e-3-probable per full dataset, and the sf0.01/0.1/1
+           -- datasets are verified hit-free
+           CAST(round(100 * sqrt(greatest(
                pow(sqrt(pow(pt1 * (exp(eta1) + exp(-eta1)) / 2.0, 2) + m1 * m1)
                    + sqrt(pow(pt2 * (exp(eta2) + exp(-eta2)) / 2.0, 2) + m2 * m2), 2)
                - (pow(pt1 * cos(phi1) + pt2 * cos(phi2), 2)
@@ -441,7 +444,7 @@ def leading_pair_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass = four_vector_sum_mass(*kin(j1), *kin(j2))
     return events.select(
         F.col("o_orderkey").alias("okey"),
-        F.round(F.lit(10000) * mass, 0).cast("long").alias("pair_mass"),
+        F.round(F.lit(100) * mass, 0).cast("long").alias("pair_mass"),
     )
 
 

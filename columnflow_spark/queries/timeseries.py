@@ -175,11 +175,12 @@ def running_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(gap_us) AS n_gaps,
-           -- exact integer sum first, ONE fixed division sequence after:
-           -- avg() over doubles is summation-order sensitive (1-ulp
-           -- divergence between engines flipped round() at sf1)
-           round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000.0, 4) AS avg_gap_sec,
-           round(max(gap_us) / 1000000.0, 4) AS max_gap_sec
+           -- exact integer sum, ONE fixed division sequence, and an
+           -- INTEGER-scaled result (gap in units of 1e-4 s = us/100):
+           -- both round(x, 4) (fp-vs-BigDecimal ties) and avg() over
+           -- doubles (summation order) diverged between engines at sf1
+           CAST(round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 100.0) AS BIGINT) AS avg_gap_e4,
+           CAST(round(max(gap_us) / 100.0) AS BIGINT) AS max_gap_e4
     FROM d
     GROUP BY user_id
     """,
@@ -194,9 +195,9 @@ def inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("gap_us").alias("n_gaps"),
             F.round(
-                F.sum("gap_us").cast("double") / F.count("gap_us") / F.lit(1000000.0), 4
-            ).alias("avg_gap_sec"),
-            F.round(F.max("gap_us") / F.lit(1000000.0), 4).alias("max_gap_sec"),
+                F.sum("gap_us").cast("double") / F.count("gap_us") / F.lit(100.0), 0
+            ).cast("long").alias("avg_gap_e4"),
+            F.round(F.max("gap_us") / F.lit(100.0), 0).cast("long").alias("max_gap_e4"),
         )
     )
 
