@@ -170,6 +170,27 @@ def main() -> None:
     # single sample is meaningless; every legitimate query here is <= ~2 s
     # warm, so the retry at most roughly doubles bench wall time while
     # keeping spikes out of the recorded numbers
+    # materialized-index timing split (VERDICT r4 next #4): time the
+    # index BUILD once as its own line, so the query-loop entry below
+    # measures the steady-state probe path on both runs — a pruning
+    # regression moves the stable probe number instead of hiding inside
+    # build/hypervisor noise
+    if "ann_ivfpq_materialized_topk" in names:
+        import shutil
+
+        from columnflow_spark.queries import annindex as _ai
+
+        ipath = _ai.ivfpq_index_path(sf_dir)
+        shutil.rmtree(ipath, ignore_errors=True)
+        t0 = time.perf_counter()
+        _ai.build_ivfpq_index(spark, sf_dir, ipath)
+        timings["ann_ivfpq_index_build"] = round(time.perf_counter() - t0, 4)
+        print(
+            f"[bench] ann_ivfpq_index_build: {timings['ann_ivfpq_index_build']}s",
+            file=sys.stderr,
+            flush=True,
+        )
+
     for name in names:
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)

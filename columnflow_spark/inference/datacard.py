@@ -55,7 +55,14 @@ def _effective_effect(par, cat_name: str, proc_name: str, shapes, cache: dict):
                 for r in shape_integral_effects(shapes, par.name).collect()
             }
             cache[par.name] = info
-        eff_d, eff_u, flat = info[(cat_name, proc_name)]
+        entry = info.get((cat_name, proc_name))
+        if entry is None:
+            # the shapes table lacks Up/Down templates for this column
+            # (shape_integral_effects inner-joins them away): fall back to
+            # a flat no-op effect, mirroring the reference's
+            # fallback_key='nominal' behavior instead of a bare KeyError
+            entry = (1.0, 1.0, True)
+        eff_d, eff_u, flat = entry
         shape_effect, shape_is_flat = (eff_d, eff_u), flat
 
     from columnflow_spark.inference.transform import transform_rate_effect
@@ -186,8 +193,16 @@ def render_datacard(
             # combine's mixed-type marker: it decides per column
             # (reference datacard.py:469-471)
             ptype = "shape?"
+        elif not types:
+            ptype = "lnN"
         else:
-            ptype = "/".join(sorted(types)) if types else "lnN"
+            # any other mix (e.g. lnU + shape) has no combine rendering —
+            # fail loudly like the reference's misconfiguration check
+            # instead of emitting an invalid '/'-joined type string
+            raise ValueError(
+                f"parameter '{pname}' mixes incompatible types {sorted(types)}; "
+                "only a single type or lnN+shape (rendered 'shape?') is valid"
+            )
         lines.append(f"{pname}  {ptype}  " + "  ".join(effects))
     return "\n".join(lines) + "\n"
 

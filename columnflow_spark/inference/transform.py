@@ -289,6 +289,13 @@ def transform_shapes(
         elif trafo == "symmetrize":
             n, d, u = (F.sum(c).over(integ) for c in ("nv", "dv", "uv"))
             diff = 0.5 * (d + u) - n
+            # DELIBERATE divergence from reference output: the reference's
+            # guard min(d,n) <= n <= max(d,n) is identically true, so it
+            # symmetrizes one-sided effects too; this implements the
+            # docstring's stated intent (skip one-sided variations).
+            # Shape files for one-sided effects therefore differ from
+            # reference-produced ones — add a compat flag if byte parity
+            # with upstream checkpoints is ever required.
             two_sided = (F.least(d, u) <= n) & (n <= F.greatest(d, u))
             wide = wide.select(
                 *keys,

@@ -110,12 +110,19 @@ def build_ivfpq_index(
         F.lit(int(batch)).alias("batch"),
     )
     upsert_partitions(idx, path, partition_by=["cid", "batch"])
+    # completeness marker: dynamic partition overwrite does NOT emit a
+    # root _SUCCESS (it commits per partition), so without an explicit
+    # marker the reuse check below can never pass and every session
+    # silently pays a full rebuild — the store-level equivalent of a task
+    # output existence check
+    with open(os.path.join(path, "_BUILT"), "w") as f:
+        f.write(f"format={_INDEX_FORMAT}\n")
     return path
 
 
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     path = ivfpq_index_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if not os.path.exists(os.path.join(path, "_BUILT")):
         build_ivfpq_index(spark, sf_dir, path)
     return path
 

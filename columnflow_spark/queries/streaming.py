@@ -768,8 +768,6 @@ def neardup_simhash_bounded(
         )
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
         batch_ms = int(rows["ts"].max().timestamp() * 1000)
-        keep = [(s, m) for s, m in zip(shs, mss) if m >= batch_ms - horizon_ms]
-        shs, mss = [s for s, _ in keep], [m for _, m in keep]
         out_ids, out_dup = [], []
         for doc_id, sh, ts in zip(rows["doc_id"], rows["sh"], rows["ts"]):
             sh, ms = int(sh), int(ts.timestamp() * 1000)
@@ -782,7 +780,12 @@ def neardup_simhash_bounded(
             out_dup.append(dup)
             shs.append(sh)
             mss.append(ms)
-        state.update((shs, mss))
+        # age-prune AFTER scoring, with the batch max ts: an out-of-order
+        # row inside the batch (ts < batch max) must still see entries
+        # within ITS OWN horizon — pruning first with the batch cutoff
+        # silently dropped matches near the horizon boundary
+        keep = [(s, m) for s, m in zip(shs, mss) if m >= batch_ms - horizon_ms]
+        state.update(([s for s, _ in keep], [m for _, m in keep]))
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(batch_ms, wm + 1) + horizon_ms)
         yield pd.DataFrame({"doc_id": out_ids, "dup_local": out_dup})

@@ -82,3 +82,59 @@ def test_index_store_layout(spark, sf_dir, fresh_index):
     assert cids
     inner = os.listdir(os.path.join(fresh_index, cids[0]))
     assert any(d.startswith("batch=") for d in inner), inner
+
+
+def test_changed_source_invalidates_index_tag(tmp_path, sf_dir, monkeypatch):
+    # the content-addressed tag must change when the embeddings file is
+    # rewritten (new mtime/size => rebuild, never stale reuse) and when
+    # the index format is bumped
+    import shutil
+
+    from columnflow_spark.queries import annindex as ai
+    from columnflow_spark.sources.tables import table_path
+
+    fake_sf = tmp_path / "sf"
+    fake_sf.mkdir()
+    shutil.copy(table_path(sf_dir, "embeddings"), fake_sf / "embeddings.parquet")
+    tag0 = ai.ivfpq_index_path(str(fake_sf))
+
+    # rewrite the source (size + mtime change) -> different store path
+    with open(fake_sf / "embeddings.parquet", "ab") as f:
+        f.write(b"\x00")
+    os.utime(fake_sf / "embeddings.parquet")
+    tag1 = ai.ivfpq_index_path(str(fake_sf))
+    assert tag1 != tag0
+
+    # encoder format bump -> different store path even for identical data
+    monkeypatch.setattr(ai, "_INDEX_FORMAT", ai._INDEX_FORMAT + 1)
+    tag2 = ai.ivfpq_index_path(str(fake_sf))
+    assert tag2 not in (tag0, tag1)
+
+
+def test_ensure_index_rebuilds_on_source_change(spark, sf_dir, tmp_path, monkeypatch):
+    # end-to-end staleness contract: _ensure_index must build into the NEW
+    # tagged location after the source changes, leaving the old store
+    # intact (content-addressing, not in-place mutation)
+    import shutil
+
+    from columnflow_spark.queries import annindex as ai
+    from columnflow_spark.sources.tables import table_path
+
+    fake_sf = tmp_path / "sf"
+    fake_sf.mkdir()
+    shutil.copy(table_path(sf_dir, "embeddings"), fake_sf / "embeddings.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path / "scratch"))
+
+    p0 = ai._ensure_index(spark, str(fake_sf))
+    assert os.path.exists(os.path.join(p0, "_BUILT"))
+    # unchanged source: reuse, not rebuild (same path, marker intact)
+    marker_mtime = os.path.getmtime(os.path.join(p0, "_BUILT"))
+    assert ai._ensure_index(spark, str(fake_sf)) == p0
+    assert os.path.getmtime(os.path.join(p0, "_BUILT")) == marker_mtime
+
+    # bump the source mtime (content-identical rewrite): new tag, rebuild
+    os.utime(fake_sf / "embeddings.parquet", ns=(1, 1))
+    p1 = ai._ensure_index(spark, str(fake_sf))
+    assert p1 != p0
+    assert os.path.exists(os.path.join(p1, "_BUILT"))
+    assert os.path.exists(os.path.join(p0, "_BUILT"))

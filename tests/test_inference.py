@@ -102,3 +102,60 @@ def test_shape_datacard_with_exported_templates(spark, sf_dir, tmp_path):
     assert f"shapes * * {shapes_path} $CHANNEL/$PROCESS $CHANNEL/$PROCESS_$SYSTEMATIC" in card
     assert "price_scale  shape  1.0  -" in card
     assert "lumi  lnN  -  1.02" in card
+
+
+def test_from_shape_missing_templates_falls_back_flat(spark):
+    # a parameter using effect_from_shape on a (category, process) whose
+    # Up/Down templates are absent from the shapes table must fall back
+    # to a flat (1, 1) effect (reference fallback_key='nominal'), not
+    # raise a KeyError from the integral-effects map
+    from columnflow_spark.inference.model import (
+        Category,
+        InferenceModel,
+        Parameter,
+        Process,
+    )
+
+    model = InferenceModel("missing_tmpl")
+    cat = model.add_category(Category("c1", variable="v"))
+    sig = cat.add_process(Process("sig", is_signal=True))
+    bkg = cat.add_process(Process("bkg"))
+    sig.add_parameter(
+        Parameter("jes", type="rate_gauss", effect=1.0, transformations=("effect_from_shape",))
+    )
+    bkg.add_parameter(
+        Parameter("jes", type="rate_gauss", effect=1.0, transformations=("effect_from_shape",))
+    )
+    # shapes carry Up/Down ONLY for sig; bkg has just a nominal template
+    rows = [("c1", "sig", s, 0, 10.0, 1.0) for s in ("nominal", "jesUp", "jesDown")]
+    rows += [("c1", "bkg", "nominal", 0, 20.0, 1.0)]
+    hists = spark.createDataFrame(
+        rows,
+        "category string, process string, shift string, bin__v int, sum_w double, sum_w2 double",
+    )
+    card = render_datacard(
+        model, {("c1", "sig"): 10.0, ("c1", "bkg"): 20.0}, shapes=hists
+    )
+    jes_line = next(l for l in card.splitlines() if l.startswith("jes"))
+    # bkg column renders the flat fallback (1.0), never a crash
+    assert jes_line.split()[-1] in ("1.0", "-", "1.0/1.0")
+
+
+def test_incompatible_type_mix_raises():
+    # lnU + shape has no valid combine rendering: raise, don't emit
+    # an invalid 'lnU/shape' type token (reference misconfiguration check)
+    from columnflow_spark.inference.model import (
+        Category,
+        InferenceModel,
+        Parameter,
+        Process,
+    )
+
+    model = InferenceModel("bad_mix")
+    cat = model.add_category(Category("c1", variable="v"))
+    sig = cat.add_process(Process("sig", is_signal=True))
+    bkg = cat.add_process(Process("bkg"))
+    sig.add_parameter(Parameter("p1", type="shape", effect=1.0))
+    bkg.add_parameter(Parameter("p1", type="rate_uniform", effect=1.5))
+    with pytest.raises(ValueError, match="incompatible"):
+        render_datacard(model, {("c1", "sig"): 1.0, ("c1", "bkg"): 2.0})

@@ -262,3 +262,33 @@ def test_stream_to_partitioned_store_end_to_end(spark, tmp_path):
         _replay(spark, src, batch_rows=2), store, partition_by=["event_type"]
     )
     assert spark.read.parquet(store).count() == n_before == 4
+
+
+def test_neardup_out_of_order_row_sees_own_horizon(spark, tmp_path):
+    # regression (ADVICE r4): state used to be age-pruned with the batch
+    # MAX timestamp BEFORE scoring, so an out-of-order row inside the
+    # batch lost matches aged between its own cutoff and the batch
+    # cutoff.  Here doc 2 (t=20min) arrives in the same micro-batch as
+    # doc 3 (t=100min, horizon 30min -> batch cutoff 70min): A at t=0 is
+    # outside the batch cutoff but INSIDE doc 2's own horizon, so doc 2
+    # must still be flagged.
+    path = str(tmp_path / "docs_ooo.parquet")
+    _write_docs(path, [
+        (0, _ts(0), _TEXT_A),
+        (1, _ts(1), _TEXT_B),
+        (2, _ts(20), _TEXT_A2),  # in-horizon dup of A, out-of-order in batch
+        # doc 3 repeats A verbatim: identical simhash -> it occupies every
+        # bucket A seeded, so the batch cutoff rises past A in ALL of
+        # doc 2's candidate buckets (no private bucket can leak a match)
+        (3, _ts(100), _TEXT_A),
+    ])
+    stream = _replay(spark, path, batch_rows=2, order_col="doc_id")
+    flagged = neardup_simhash_bounded(
+        stream, horizon_ms=30 * 60_000, watermark="1 second"
+    )
+    out = _run_to_memory(flagged, spark, mode="update")
+    got = {
+        r.doc_id: r.is_dup
+        for r in out.groupBy("doc_id").agg(F.max("dup_local").alias("is_dup")).collect()
+    }
+    assert got == {0: False, 1: False, 2: True, 3: False}
