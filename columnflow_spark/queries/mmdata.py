@@ -3846,6 +3846,40 @@ def _tf_feat_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f
 
 
+def tf_gate_score_expr(w: list[float], x=None):
+    """The learned gate's score ``z = w . x`` as an in-row expression
+    (weights baked in as plan literals — zero shuffle, zero Python).
+    ``x`` defaults to featurizing the ``text`` column in place."""
+    wl = F.array(*[F.lit(float(v)) for v in w])
+    return F.aggregate(
+        F.zip_with(wl, x if x is not None else _tf_x_expr(), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+_TF_THR_CACHE: dict = {}
+
+
+def tf_learned_gate(spark: SparkSession, sf_dir: str) -> tuple[list[float], float]:
+    """``(weights, threshold)`` of the corpus-trained hashing-TF quality
+    gate: the batch-trained classifier plus the corpus-global median
+    score cutoff (CCNet keep-the-better-half).  This is the ONE artifact
+    both the batch funnel stage 6 and the streaming ingest gate consume,
+    so their keep decisions are definitionally identical."""
+    w = _tf_logreg_train(spark, sf_dir)
+    thr = _TF_THR_CACHE.get(sf_dir)
+    if thr is None:
+        feat = _tf_feat_cached(spark, sf_dir)
+        thr = float(
+            feat.select(tf_gate_score_expr(w, F.col("x")).alias("z"))
+            .agg(F.expr("percentile(z, 0.5)"))
+            .collect()[0][0]
+        )
+        _TF_THR_CACHE[sf_dir] = thr
+    return w, thr
+
+
 def _tf_logreg_train(spark: SparkSession, sf_dir: str) -> list[float]:
     """K gradient steps on the hashed text features (the shared logistic
     kernel with the TF schedule), memoized per corpus.  Gradients are
@@ -4032,27 +4066,15 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # median (the CCNet-style keep-the-better-half curation rule) — the
     # threshold is one tiny aggregate, scoring is projection + filter,
     # zero shuffle
-    w_tf = _tf_logreg_train(spark, sf_dir)
-    wl = F.array(*[F.lit(float(v)) for v in w_tf])
-
-    def z_of(x):
-        return F.aggregate(
-            F.zip_with(wl, x, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-        )
-
     # the corpus-global median threshold (by design: CCNet keeps the
     # better half of the WHOLE corpus, not of the funnel survivors) reads
-    # the checkpointed feature frame — with training above, the whole
+    # the checkpointed feature frame — with training, the whole
     # learned-gate phase featurizes the corpus exactly once; only the
     # final in-row filter over the s5 survivors re-evaluates the
-    # expression form
-    feat = _tf_feat_cached(spark, sf_dir)
-    thr = float(
-        feat.select(z_of(F.col("x")).alias("z"))
-        .agg(F.expr("percentile(z, 0.5)"))
-        .collect()[0][0]
-    )
-    s6 = s5.filter(z_of(_tf_x_expr()) >= F.lit(thr))
+    # expression form.  tf_learned_gate is the shared artifact the
+    # streaming ingest gate consumes too.
+    w_tf, thr = tf_learned_gate(spark, sf_dir)
+    s6 = s5.filter(tf_gate_score_expr(w_tf) >= F.lit(thr))
     # tokenization: the learned BPE rules as an in-row replace chain
     merges = bpe_train(spark, sf_dir)
     enc = bpe_encode_expr(merges)

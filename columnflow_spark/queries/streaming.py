@@ -959,3 +959,45 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = stream.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
     return _run_to_memory(kept, spark, mode="complete").orderBy("label")
+
+
+# --- streaming deployment of the LEARNED corpus gate (VERDICT r4 next
+# #6): the batch funnel trains the hashing-TF classifier in-engine
+# (training_corpus_pipeline stage 6); this op wires the SAME artifact —
+# tf_learned_gate's (weights, median threshold) — through the ingest
+# path, scoring each arriving document in-row with the weights as plan
+# literals.  At rest its keep decisions are definitionally identical to
+# the batch stage-6 filter (shared expression + shared artifact); the
+# oracle replays featurization + the 4 training rounds + the median in
+# SQL, the same correctness bar as the batch funnel. ---
+def _learned_gate_oracle() -> str:
+    from columnflow_spark.queries.mmdata import _tf_fit_ctes
+
+    return f"""
+    WITH {_tf_fit_ctes()}
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
+    FROM documents d JOIN tscoredf s USING (doc_id), tthresh t
+    WHERE s.z >= t.t
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
+@query("streaming_learned_quality_gate", oracle=_learned_gate_oracle())
+def streaming_learned_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.queries.mmdata import tf_gate_score_expr, tf_learned_gate
+
+    w, thr = tf_learned_gate(spark, sf_dir)  # offline batch training pass
+    stream = (
+        spark.readStream.schema(_NEARDUP_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "source", tf_gate_score_expr(w).alias("z"))
+        .filter(F.col("z") >= F.lit(thr))
+    )
+    kept = stream.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_checksum")
+    )
+    return _run_to_memory(kept, spark, mode="complete").orderBy("source")

@@ -442,3 +442,63 @@ def test_no_corpus_sized_broadcast_hints(spark, sf_dir):
                             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# --- per-query plan budgets (VERDICT r4 next #8): upper bounds on
+# exchanges and source scans for the most expensive registry queries, so
+# a future "one more stage" composition change surfaces as a plan-budget
+# diff in CI instead of a multi-x bench surprise (the r4 funnel went 16x
+# before anything tripped).  Budgets are the measured counts of the
+# current plans — tighten them when a plan improves; a bump needs the
+# same justification as a bench regression. ---
+
+_PLAN_BUDGETS = {
+    # name: (max exchanges, max parquet scans)
+    "training_corpus_pipeline": (18, 7),
+    "ann_ivfpq_materialized_topk": (4, 2),
+    "ann_pq_adc_topk": (5, 2),
+    "ann_ivfpq_topk": (10, 5),
+    "quality_classifier_filter": (2, 2),
+    "dedup_shingle_index": (1, 0),
+    "dedup_minhash_lsh": (3, 0),
+    "decontaminate_eval_overlap": (4, 0),
+    "corpus_curation_pipeline": (3, 1),
+    "dedup_connected_components": (0, 1),
+    "bpe_encode_corpus": (2, 1),
+}
+
+
+def test_expensive_query_plan_budgets(spark, sf_dir):
+    over = []
+    for qname, (max_ex, max_scan) in _PLAN_BUDGETS.items():
+        plan = _plan(spark, sf_dir, qname)
+        tree = plan.split("\n\n")[0]
+        ex, scan = tree.count("- Exchange"), tree.count("Scan parquet")
+        if ex > max_ex or scan > max_scan:
+            over.append(f"{qname}: exchanges {ex}>{max_ex} or scans {scan}>{max_scan}")
+    assert not over, over
+
+
+def test_funnel_training_phase_reads_cached_features(spark, sf_dir):
+    # the learned-gate training phase must featurize the corpus ONCE
+    # (VERDICT r4 next #2): after the cache warms, both the per-round
+    # gradient plan and the threshold plan read the checkpointed feature
+    # frame — zero parquet scans of documents anywhere in training
+    import contextlib
+    import io
+
+    from columnflow_spark.queries.mmdata import (
+        _logreg_grad,
+        _tf_feat_cached,
+        tf_learned_gate,
+    )
+
+    w, _thr = tf_learned_gate(spark, sf_dir)  # warms every cache
+    feat = _tf_feat_cached(spark, sf_dir)
+    for df in (feat, _logreg_grad(feat, w)):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        tree = buf.getvalue().split("\n\n")[0]
+        assert "Scan parquet" not in tree, tree
+        assert "ExistingRDD" in tree

@@ -292,3 +292,27 @@ def test_neardup_out_of_order_row_sees_own_horizon(spark, tmp_path):
         for r in out.groupBy("doc_id").agg(F.max("dup_local").alias("is_dup")).collect()
     }
     assert got == {0: False, 1: False, 2: True, 3: False}
+
+
+def test_streaming_learned_gate_matches_batch_stage6_filter(spark, sf_dir):
+    # the streaming ingest gate must keep EXACTLY the docs the batch
+    # funnel's stage-6 expression keeps (shared weights + threshold
+    # artifact) — compared at rest per source
+    from columnflow_spark.queries import all_queries
+    from columnflow_spark.queries.mmdata import tf_gate_score_expr, tf_learned_gate
+    from columnflow_spark.sources import load_table
+
+    w, thr = tf_learned_gate(spark, sf_dir)
+    batch = {
+        (r.source, r.n_kept, r.id_checksum)
+        for r in load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+        .filter(tf_gate_score_expr(w) >= F.lit(thr))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_checksum"))
+        .collect()
+    }
+    streamed = {
+        (r.source, r.n_kept, r.id_checksum)
+        for r in all_queries()["streaming_learned_quality_gate"](spark, sf_dir).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
