@@ -2026,11 +2026,41 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: unigram-LM vocabulary cap: the word-frequency table grows without
+#: bound with the corpus (Heaps' law — ~100M+ entries at 100 TB), so the
+#: broadcast LM keeps only the top-K words by count (count desc, word asc
+#: tie-break; compiles to Spark's distributed TakeOrderedAndProject — a
+#: map-side partial top-K, never a global single-partition sort) and
+#: scores out-of-vocabulary words with the standard 0.5-count floor.
+#: K exceeds every test corpus's vocabulary, so results are unchanged at
+#: any test sf; the cap exists to bound the broadcast at production
+#: scale (the CCNet deployment uses a fixed trained LM the same way).
+_ULM_VOCAB_K = 1 << 18
+
+
+def _unigram_lm(words: DataFrame, k: int = 0) -> tuple[DataFrame, DataFrame]:
+    """``(vocab, total)`` of the capped unigram LM over exploded
+    ``(.., w)`` rows: vocab is the top-``k`` words with exact integer
+    counts, total is the one-row full-corpus token count."""
+    k = k or _ULM_VOCAB_K
+    vocab_all = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab_all.agg(F.sum("c").cast("double").alias("n"))
+    vocab = vocab_all.orderBy(F.desc("c"), F.asc("w")).limit(k)
+    return vocab, total
+
+
+def _unigram_neg_logp():
+    """In-row ``-ln(p)`` with the OOV floor: joined count when in
+    vocabulary, half a count otherwise."""
+    return -F.log(F.coalesce(F.col("c").cast("double"), F.lit(0.5)) / F.col("n"))
+
+
 # --- unigram language-model scoring (the perplexity-proxy quality
-# filter): corpus-wide word frequencies (one groupBy over exact integer
-# counts) broadcast back onto each doc's words; the per-doc score is the
-# mean negative log-probability.  Both engines fold the identical doubles
-# in the same in-row order, so the oracle is exact after round(4). ---
+# filter): capped corpus word frequencies (one groupBy + distributed
+# top-K) broadcast back onto each doc's words; the per-doc score is the
+# mean negative log-probability with an OOV floor.  Both engines fold the
+# identical doubles in the same in-row order, so the oracle is exact
+# after round(4). ---
 @query(
     "unigram_logprob_score",
     oracle="""
@@ -2039,32 +2069,32 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), unnest(ws) AS t(w)
         WHERE w <> ''
     ),
-    vocab AS (
+    vocab_all AS (
         SELECT w, count(*) AS c FROM words GROUP BY w
     ),
-    total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab)
+    vocab AS (SELECT w, c FROM vocab_all ORDER BY c DESC, w LIMIT {_ULM_K}),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab_all)
     SELECT doc_id,
            count(*) AS n_tokens,
-           round(avg(-ln(c / n)), 4) AS avg_neg_logp
-    FROM words JOIN vocab USING (w), total
+           round(avg(-ln(coalesce(CAST(c AS DOUBLE), 0.5) / n)), 4) AS avg_neg_logp
+    FROM words LEFT JOIN vocab USING (w), total
     GROUP BY doc_id
     ORDER BY doc_id
-    """,
+    """.replace("{_ULM_K}", str(_ULM_VOCAB_K)),
 )
 def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     words = docs.select(
         "doc_id", F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w")
     )
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    vocab, total = _unigram_lm(words)
     return (
-        words.join(F.broadcast(vocab), "w")
+        words.join(F.broadcast(vocab), "w", "left")
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias("avg_neg_logp"),
+            F.round(F.avg(_unigram_neg_logp()), 4).alias("avg_neg_logp"),
         )
         .orderBy("doc_id")
     )
@@ -3624,9 +3654,14 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
         for a, b, _n in kept:
             s = F.replace(s, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
         state = state.withColumn("s", s).localCheckpoint(eager=True)
-    bpe_train.last_fallback_rounds = rounds
+    _BPE_LAST_FALLBACK_ROUNDS["rounds"] = rounds
     _BPE_MERGE_CACHE[key] = merges
     return merges
+
+
+#: test/diagnostic hook: rounds the last distributed fallback needed
+#: (a module-level cell, not function-object state)
+_BPE_LAST_FALLBACK_ROUNDS: dict = {}
 
 
 #: candidates collected per distributed-fallback round (bounded scalar
@@ -4531,11 +4566,13 @@ def pyds_chunked_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(ws) AS t(w)
         WHERE w <> ''
     ),
-    vocab AS (SELECT w, count(*) AS c FROM words GROUP BY w),
-    total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab),
+    vocab_all AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+    vocab AS (SELECT w, c FROM vocab_all ORDER BY c DESC, w LIMIT {_ULM_K}),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab_all),
     scored AS (
-        SELECT doc_id, lang, round(avg(-ln(c / n)), 8) AS nlp
-        FROM words JOIN vocab USING (w), total
+        SELECT doc_id, lang,
+               round(avg(-ln(coalesce(CAST(c AS DOUBLE), 0.5) / n)), 8) AS nlp
+        FROM words LEFT JOIN vocab USING (w), total
         GROUP BY doc_id, lang
     ),
     bucketed AS (
@@ -4554,7 +4591,7 @@ def pyds_chunked_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bucketed b JOIN lang_stats ls ON ls.lang = b.lang
     GROUP BY b.lang, tercile
     ORDER BY b.lang, tercile
-    """,
+    """.replace("{_ULM_K}", str(_ULM_VOCAB_K)),
 )
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "text"])
@@ -4562,17 +4599,16 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w"),
     )
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    vocab, total = _unigram_lm(words)
     scored = (
-        words.join(F.broadcast(vocab), "w")
+        words.join(F.broadcast(vocab), "w", "left")
         .join(F.broadcast(total))
         .groupBy("doc_id", "lang")
         # round before ordering: the avg is partial-aggregation
         # order-dependent in its last ulps, and a near-tie straddling a
         # tercile boundary must resolve identically on both engines
         # (doc_id then breaks the now-exact tie)
-        .agg(F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 8).alias("nlp"))
+        .agg(F.round(F.avg(_unigram_neg_logp()), 8).alias("nlp"))
     )
     # per-language tercile: the window runs over slim (doc, score) rows,
     # never tokens; languages partition the work so no global sort exists

@@ -82,4 +82,4 @@ def test_distributed_fallback_batches_merges_identically(spark, sf_dir, monkeypa
     assert len(batched) == M._BPE_ROUNDS
     # on this corpus the 6 merges land in <= 3 rounds (measured 3);
     # anything below _BPE_ROUNDS proves multi-merge rounds happened
-    assert M.bpe_train.last_fallback_rounds < M._BPE_ROUNDS
+    assert M._BPE_LAST_FALLBACK_ROUNDS["rounds"] < M._BPE_ROUNDS

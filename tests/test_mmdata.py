@@ -88,3 +88,60 @@ def test_funnel_classifier_stage_counts_and_discrimination(spark, sf_dir):
         for r in scored.groupBy("is_dup_marked").agg(F.avg(F.col("keep").cast("double")).alias("rate")).collect()
     }
     assert rates[True] < rates[False]
+
+
+def test_unigram_lm_cap_and_oov_floor(spark):
+    # the capped unigram LM: top-k vocabulary by (count desc, word asc)
+    # and the 0.5-count floor for out-of-vocabulary words — the path the
+    # test corpora never exercise (their vocabularies fit under the cap)
+    import math
+
+    from pyspark.sql import functions as F
+
+    from columnflow_spark.queries.mmdata import _unigram_lm, _unigram_neg_logp
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c d")], "doc_id long, text string"
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w")
+    )
+    vocab, total = _unigram_lm(words, k=2)
+    assert {(r.w, r.c) for r in vocab.collect()} == {("a", 3), ("b", 2)}
+
+    scored = {
+        r.doc_id: r.s
+        for r in words.join(F.broadcast(vocab), "w", "left")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(_unigram_neg_logp()), 6).alias("s"))
+        .collect()
+    }
+    n = 7.0
+    exp1 = (3 * -math.log(3 / n) + -math.log(2 / n)) / 4
+    exp2 = (-math.log(2 / n) + 2 * -math.log(0.5 / n)) / 3  # c, d hit the floor
+    assert scored[1] == round(exp1, 6)
+    assert scored[2] == round(exp2, 6)
+
+
+def test_unigram_vocab_cap_is_distributed_topk(spark, sf_dir):
+    # the cap must compile to TakeOrderedAndProject (map-side partial
+    # top-K), never a global single-partition Sort of the vocabulary
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from columnflow_spark.queries.mmdata import _unigram_lm
+    from columnflow_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    words = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w")
+    )
+    vocab, _total = _unigram_lm(words)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        vocab.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
