@@ -145,3 +145,25 @@ def test_unigram_vocab_cap_is_distributed_topk(spark, sf_dir):
         vocab.explain("formatted")
     tree = buf.getvalue().split("\n\n")[0]
     assert "TakeOrderedAndProject" in tree
+
+
+def test_tf_feat_explode_form_matches_inrow_expr(spark, sf_dir):
+    # _tf_feat's linear explode/count build must produce bit-identical
+    # feature vectors to the in-row _tf_x_expr form used by the scoring
+    # paths — the two are the same function computed two ways
+    from pyspark.sql import functions as F
+
+    from columnflow_spark.queries.mmdata import _tf_feat, _tf_x_expr
+    from columnflow_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    inrow = docs.select("doc_id", _tf_x_expr().alias("x"))
+    built = _tf_feat(docs)
+    n = docs.count()
+    assert built.count() == n
+    assert (
+        built.join(inrow, "doc_id")
+        .filter(built.x != inrow.x)
+        .count()
+        == 0
+    )
