@@ -4981,3 +4981,207 @@ def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "rk")
     )
+
+
+# --- SemDeDup (semantic dedup via cluster-then-prune, Abbas et al.):
+# k-means-style clusters over the embedding space bound the quadratic
+# pairwise term — cosine pairs are computed only WITHIN a cluster, so
+# the cost is sum(m_c^2) over cluster sizes instead of n^2, and the
+# cluster count grows with the corpus (the paper's scaling argument).
+# Composition of the engine's existing primitives: the seeded IVF
+# centroid set (bounded, collected once), the map-side numpy-matmul
+# assignment (pure projection, zero shuffle — same parity-with-oracle
+# contract as kmeans_lloyd_step, sf1-validated), then a cid-keyed
+# equi-join self-pairing (shuffle on cid; a degenerate giant cluster
+# would be salt-chunked exactly like the LSH bucket guard).  Keep rule:
+# a vector is dropped when it is >= tau-similar to any LOWER-id vector
+# of its cluster — deterministic keep-first, the engine's standard.
+_SEMDEDUP_TAU = 0.4
+
+_SEMDEDUP_COS_SQL = """list_aggregate(list_transform(range(1, 65),
+                   j -> e1.embedding[j]::DOUBLE * e2.embedding[j]::DOUBLE), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, 65),
+                      j -> e1.embedding[j]::DOUBLE * e1.embedding[j]::DOUBLE), 'sum'))
+                  * sqrt(list_aggregate(list_transform(range(1, 65),
+                      j -> e2.embedding[j]::DOUBLE * e2.embedding[j]::DOUBLE), 'sum')))"""
+
+
+@query(
+    "semdedup_clusters",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 64 = 0
+    ),
+    s AS (
+        SELECT e.vec_id, c.cid,
+               list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) AS sim
+        FROM embeddings e CROSS JOIN c
+    ),
+    a AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+            FROM s
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT x.cid, y.vec_id AS vb,
+               {_SEMDEDUP_COS_SQL} AS sim
+        FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        JOIN embeddings e1 ON e1.vec_id = x.vec_id
+        JOIN embeddings e2 ON e2.vec_id = y.vec_id
+    ),
+    dups AS (SELECT DISTINCT vb AS vec_id FROM pairs WHERE sim >= {_SEMDEDUP_TAU})
+    SELECT a.cid,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN d.vec_id IS NULL THEN a.vec_id END) AS BIGINT) AS kept_id_checksum
+    FROM a LEFT JOIN dups d USING (vec_id)
+    GROUP BY a.cid
+    ORDER BY a.cid
+    """,
+)
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup summary: cluster size, vectors pruned by the
+    within-cluster cosine threshold, and the checksum of kept ids.
+
+    The oracle replays the numpy-argmax assignment as the standard
+    ``row_number() = 1`` CTE and the within-cluster cosine as the exact
+    sequential fold of :func:`cosine` (per-element DOUBLE casts), the
+    bit-parity recipe the embedding dedup family established."""
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    assign = nearest_centroid_assign(emb, cents, vec="embedding", out="cid").select(
+        "vec_id", "embedding", "cid"
+    )
+    a = assign.select("cid", F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = assign.select(
+        F.col("cid").alias("cidb"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    dups = (
+        a.join(b, (F.col("cid") == F.col("cidb")) & (F.col("va") < F.col("vb")))
+        .withColumn("sim", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("sim") >= F.lit(_SEMDEDUP_TAU))
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    return (
+        assign.select("cid", "vec_id")
+        .join(dups, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("dup").isNotNull(), 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(F.col("dup").isNull(), F.col("vec_id"))).alias("kept_id_checksum"),
+        )
+        .orderBy("cid")
+    )
+
+
+# --- DoReMi-style domain reweighting (data-mixing optimization, Xie et
+# al.): multiplicative-weights iterations over per-domain excess proxy
+# loss decide how much of each source the training mixture should draw.
+# The distributed part is ONE corpus aggregation — per-token unigram
+# negative log-prob, quantized to an integer grid per token and
+# integer-summed so engine summation order cannot drift the domain loss
+# (the exact-integer-sum-first pattern from SCALE_VALIDATION #5); the
+# iterations then run driver-side over the |domains|-row table (the
+# model artifact, like the logreg weights), weights re-quantized each
+# round, and the oracle unrolls the identical rounds in CTEs. ---
+_DOREMI_ETA = 0.5
+_DOREMI_ROUNDS = 5
+_DOREMI_Q = float(2**20)
+
+
+def _doremi_round_ctes() -> str:
+    parts = [f"""
+    w0 AS MATERIALIZED (
+        SELECT source, 1.0 / (SELECT count(*) FROM dom_loss) AS w FROM dom_loss
+    )"""]
+    for t in range(1, _DOREMI_ROUNDS + 1):
+        parts.append(f""",
+    m{t} AS MATERIALIZED (
+        SELECT sum(w.w * l.loss) AS m
+        FROM w{t - 1} w JOIN dom_loss l USING (source)
+    ),
+    u{t} AS MATERIALIZED (
+        SELECT w.source, w.w * exp({_DOREMI_ETA} * (l.loss - m{t}.m)) AS uw
+        FROM w{t - 1} w JOIN dom_loss l USING (source), m{t}
+    ),
+    w{t} AS MATERIALIZED (
+        SELECT source,
+               floor(uw / (SELECT sum(uw) FROM u{t}) * {_DOREMI_Q} + 0.5) / {_DOREMI_Q} AS w
+        FROM u{t}
+    )""")
+    return "".join(parts)
+
+
+@query(
+    "doremi_domain_weights",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, source, w
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+             unnest(ws) AS t(w)
+        WHERE w <> ''
+    ),
+    vocab_all AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+    vocab AS (SELECT w, c FROM vocab_all ORDER BY c DESC, w LIMIT {{_ULM_K}}),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab_all),
+    tok AS (
+        SELECT source,
+               CAST(floor(-ln(coalesce(CAST(c AS DOUBLE), 0.5) / n) * 1000000 + 0.5) AS BIGINT) AS lq
+        FROM words LEFT JOIN vocab USING (w), total
+    ),
+    dom_loss AS MATERIALIZED (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               (CAST(sum(lq) AS BIGINT) * 1.0 / count(*)) / 1000000.0 AS loss
+        FROM tok GROUP BY source
+    ),
+    {_doremi_round_ctes()}
+    SELECT l.source, l.n_tokens,
+           CAST(floor(l.loss * 1000000 + 0.5) AS BIGINT) AS loss_q,
+           CAST(floor(w.w * 1000000 + 0.5) AS BIGINT) AS weight_q
+    FROM dom_loss l JOIN w{_DOREMI_ROUNDS} w USING (source)
+    ORDER BY l.source
+    """.replace("{{_ULM_K}}", "{_ULM_K}").replace("{_ULM_K}", str(_ULM_VOCAB_K)),
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final mixture weight per source after ``_DOREMI_ROUNDS`` rounds of
+    multiplicative weights on excess loss vs the weighted corpus mean —
+    domains with above-average proxy loss gain sampling mass."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    words = docs.select(
+        "source", F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w")
+    )
+    vocab, total = _unigram_lm(words)
+    lq = F.floor(_unigram_neg_logp() * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    dom = (
+        words.join(F.broadcast(vocab), "w", "left")
+        .join(F.broadcast(total))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum(lq).alias("sl"))
+        .collect()
+    )
+    rows = sorted(dom, key=lambda r: r.source)
+    loss = {r.source: (r.sl * 1.0 / r.n_tokens) / 1e6 for r in rows}
+    w = {r.source: 1.0 / len(rows) for r in rows}
+    for _ in range(_DOREMI_ROUNDS):
+        m = sum(w[s] * loss[s] for s in sorted(w))
+        u = {s: w[s] * math.exp(_DOREMI_ETA * (loss[s] - m)) for s in w}
+        z = sum(u[s] for s in sorted(u))
+        w = {s: math.floor(u[s] / z * _DOREMI_Q + 0.5) / _DOREMI_Q for s in u}
+    out = [
+        (
+            r.source,
+            int(r.n_tokens),
+            int(math.floor(loss[r.source] * 1e6 + 0.5)),
+            int(math.floor(w[r.source] * 1e6 + 0.5)),
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(
+        out, "source string, n_tokens long, loss_q long, weight_q long"
+    ).orderBy("source")
