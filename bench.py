@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     # persisted-index search: content-addressed store reused across
     # sessions, so steady-state timing measures probe-pruned reads
     "ann_ivfpq_materialized_topk",
+    # round-5 additions: cluster-bounded semantic dedup + mixture optimizer
+    "semdedup_clusters",
+    "doremi_domain_weights",
     # single-pass distributed model fit + index build
     "ml_train_linreg",
     "ml_ridge_model_selection",
