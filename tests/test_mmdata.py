@@ -167,3 +167,30 @@ def test_tf_feat_explode_form_matches_inrow_expr(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_semdedup_no_cartesian_and_doremi_weight_laws(spark, sf_dir):
+    # semdedup's within-cluster pairing must stay a cid-keyed hash join
+    import contextlib
+    import io
+
+    from columnflow_spark.queries import all_queries
+
+    q = all_queries()
+    df = q["semdedup_clusters"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+    # doremi invariants: weights form a distribution and mass moves
+    # monotonically with domain loss (multiplicative weights on excess
+    # loss preserves the loss ordering)
+    rows = q["doremi_domain_weights"](spark, sf_dir).collect()
+    total = sum(r.weight_q for r in rows)
+    assert abs(total - 1_000_000) <= len(rows)  # quantization slack
+    by_loss = sorted(rows, key=lambda r: r.loss_q)
+    weights_in_loss_order = [r.weight_q for r in by_loss]
+    assert weights_in_loss_order == sorted(weights_in_loss_order)
