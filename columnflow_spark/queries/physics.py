@@ -488,7 +488,7 @@ def _linreg_sql() -> str:
             round(l_extendedprice * 100, 0) AS y
         FROM lineitem
     ),
-    suff AS (
+    suff AS MATERIALIZED (
         SELECT fold,
             CAST(count(*) AS DOUBLE) AS n,
             sum(x1) AS s1, sum(x2) AS s2,
@@ -1054,7 +1054,7 @@ def _ridge_sql() -> str:
             round(l_extendedprice / 100, 0) AS y
         FROM lineitem
     ),
-    suff AS (
+    suff AS MATERIALIZED (
         SELECT split,
             CAST(count(*) AS DOUBLE) AS n,
             sum(x1) AS s1, sum(x2) AS s2,
@@ -1066,7 +1066,7 @@ def _ridge_sql() -> str:
     grid AS (
         SELECT * FROM (VALUES {", ".join(f"({x})" for x in _RIDGE_LAMBDAS)}) AS g(lam)
     ),
-    models AS (
+    models AS MATERIALIZED (
         SELECT l.lam,
                {b0} AS beta0, {b1} AS beta1, {b2} AS beta2,
                {sse} AS sse
