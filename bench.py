@@ -66,6 +66,12 @@ BENCH_QUERIES = [
     "analysis_template_yields",
     "analysis_template_stack",
     "tfidf_top_terms",
+    # posting-driven ranked keyword search (decontamination forensics)
+    "bm25_topk",
+    # incremental dedup against the persisted fingerprint store
+    "dedup_incremental_store",
+    # node-grain iterative join/agg loop on the exact integer grid
+    "pagerank_trade_graph",
     "bpe_encode_corpus",
     "training_corpus_pipeline",
     "dedup_embedding_cosine_lsh",

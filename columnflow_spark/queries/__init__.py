@@ -62,6 +62,9 @@ _MODULES = (
     "columnflow_spark.queries.timeseries",
     "columnflow_spark.queries.mmdata",
     "columnflow_spark.queries.annindex",
+    "columnflow_spark.queries.retrieval",
+    "columnflow_spark.queries.dedupstore",
+    "columnflow_spark.queries.graph",
     "columnflow_spark.queries.streaming",
     "columnflow_spark.queries.analysis_demo",
 )

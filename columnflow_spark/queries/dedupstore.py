@@ -1,0 +1,196 @@
+"""Materialized exact-dedup fingerprint store: dedup NEW data against
+ALL of history without rescanning history.
+
+``dedup_exact`` (queries/mmdata.py) fingerprints the whole corpus every
+session; at 100 TB the history side is the expensive artifact — a real
+ingest pipeline fingerprints each arriving batch once, flags it against
+the accumulated fingerprint store, and upserts the batch's new
+fingerprints, so per-batch cost is O(batch + store-join), never
+O(history rescan).  Same store contract as the materialized IVF+PQ
+index (queries/annindex.py):
+
+- **layout** ``band=<b>/batch=<n>/part-*.parquet`` rows
+  ``(fingerprint, first_doc)`` — ONE row per distinct fingerprint per
+  batch (``min(doc_id)`` aggregation at build, the map-side-combinable
+  keep-first pattern; the store grows with distinct content, not docs).
+  ``band`` = hash(fingerprint) % 16 is the co-location axis: batch
+  lookups join on (band, fingerprint), so a bucketed layout can place
+  store and probe partitions together; ``batch`` is the idempotent
+  upsert unit (re-running an ingest batch replaces exactly its own
+  files).
+- **flagging** a batch is: fingerprint the batch, LEFT-join the store
+  (shuffle join on the digest — both sides are document-grain and must
+  NEVER be broadcast, see the negative guardrail in
+  tests/test_plan_quality.py), plus a within-batch ``min() OVER
+  (PARTITION BY fingerprint)`` for intra-batch firsts.
+- **incremental contract** upserting batches 1..k then flagging batch
+  k+1 is bit-identical to flagging against a from-scratch store over
+  the same prefix (tests/test_dedupstore.py), mirroring
+  tests/test_ann_index.py's incremental ≡ full-build proof.
+
+The registered query builds the store from the history prefix (first
+60% of doc_ids), flags the remaining 40% as the arriving batch, and
+returns per-doc (dup_prior, dup_in_batch, keep) decisions; the oracle
+replays both sides from the raw table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from columnflow_spark.functions.text import fingerprint
+from columnflow_spark.queries import query
+from columnflow_spark.queries.annindex import scratch_root
+from columnflow_spark.sources import load_table
+from columnflow_spark.sources.sinks import upsert_partitions
+from columnflow_spark.sources.tables import table_path
+
+#: bump when the fingerprint definition changes: stored digests from an
+#: older normalizer must not be reused
+_STORE_FORMAT = 1
+_N_BANDS = 16
+
+
+def dedup_store_path(sf_dir: str) -> str:
+    """Content-addressed store location (same scheme as
+    annindex.ivfpq_index_path): the tag hashes the documents file
+    identity + format version, so a rebuilt corpus or a changed
+    fingerprint definition gets a fresh store."""
+    src = table_path(sf_dir, "documents")
+    try:
+        st = os.stat(src)
+        ident = f"v{_STORE_FORMAT}|{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ident = f"v{_STORE_FORMAT}|{os.path.abspath(src)}"
+    tag = hashlib.sha1(ident.encode()).hexdigest()[:12]
+    return os.path.join(scratch_root(), "dedup_store", tag)
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """``(doc_id, fingerprint, band)`` for a ``(doc_id, text, …)`` frame."""
+    return docs.select(
+        "doc_id", fingerprint(F.col("text")).alias("fingerprint")
+    ).withColumn("band", F.pmod(F.hash("fingerprint"), F.lit(_N_BANDS)))
+
+
+def _fingerprints(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    if pred is not None:
+        docs = docs.filter(pred)
+    return doc_fingerprints(docs)
+
+
+def upsert_fingerprints(fp: DataFrame, path: str, *, batch: int) -> str:
+    """Reduce a fingerprinted frame to per-fingerprint first holder
+    (map-side combinable — no keep-list broadcast) and upsert it as the
+    store's ``batch=<n>`` slice."""
+    rows = (
+        fp.groupBy("band", "fingerprint")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .withColumn("batch", F.lit(int(batch)))
+    )
+    upsert_partitions(rows, path, partition_by=["band", "batch"])
+    # dynamic partition overwrite emits no root _SUCCESS; the explicit
+    # marker is the store completeness check (see annindex.py — without
+    # it every session silently pays a full rebuild)
+    with open(os.path.join(path, "_BUILT"), "w") as f:
+        f.write(f"format={_STORE_FORMAT}\n")
+    return path
+
+
+def upsert_dedup_batch(
+    spark: SparkSession, sf_dir: str, path: str, *, batch: int, batch_pred
+) -> str:
+    """Fingerprint one ingest batch of the documents table and upsert it."""
+    return upsert_fingerprints(
+        _fingerprints(spark, sf_dir, batch_pred), path, batch=batch
+    )
+
+
+def flag_fingerprints_against_store(
+    fp: DataFrame, path: str, *, max_batch: int | None = None
+) -> DataFrame:
+    """Per-doc dedup decision for a fingerprinted batch frame vs the
+    accumulated store (optionally batches ``<= max_batch``) and the
+    batch itself.  Both join sides are document/fingerprint grain and
+    deliberately un-hinted (shuffle join; see the negative broadcast
+    guardrail)."""
+    store = fp.sparkSession.read.parquet(path)
+    if max_batch is not None:
+        store = store.filter(F.col("batch") <= max_batch)
+    store = (
+        store.select(F.col("band").cast("int").alias("band"), "fingerprint")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    flagged = fp.join(store, ["band", "fingerprint"], "left")
+    first_in_batch = F.min("doc_id").over(W.partitionBy("fingerprint"))
+    return flagged.select(
+        "doc_id",
+        F.coalesce(F.col("hit"), F.lit(False)).alias("dup_prior"),
+        (first_in_batch < F.col("doc_id")).alias("dup_in_batch"),
+    ).withColumn("keep", ~(F.col("dup_prior") | F.col("dup_in_batch")))
+
+
+def flag_batch_against_store(
+    spark: SparkSession, sf_dir: str, path: str, *, batch_pred, max_batch: int
+) -> DataFrame:
+    """Documents-table form of :func:`flag_fingerprints_against_store`."""
+    return flag_fingerprints_against_store(
+        _fingerprints(spark, sf_dir, batch_pred), path, max_batch=max_batch
+    )
+
+
+def _history_cutoff(spark: SparkSession, sf_dir: str) -> int:
+    n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
+    return 3 * n // 5
+
+
+def _ensure_history_store(spark: SparkSession, sf_dir: str, h: int) -> str:
+    path = dedup_store_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        upsert_dedup_batch(
+            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h
+        )
+    return path
+
+
+@query(
+    "dedup_incremental_store",
+    oracle="""
+    WITH n AS (SELECT 3 * count(*) // 5 AS h FROM documents),
+    fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
+        FROM documents
+    ),
+    hist AS (
+        SELECT DISTINCT fingerprint FROM fp, n WHERE doc_id < h
+    ),
+    batch AS (SELECT doc_id, fingerprint FROM fp, n WHERE doc_id >= h),
+    flagged AS (
+        SELECT b.doc_id,
+               h.fingerprint IS NOT NULL AS dup_prior,
+               min(b.doc_id) OVER (PARTITION BY b.fingerprint) < b.doc_id AS dup_in_batch
+        FROM batch b LEFT JOIN hist h USING (fingerprint)
+    )
+    SELECT doc_id, dup_prior, dup_in_batch,
+           NOT (dup_prior OR dup_in_batch) AS keep
+    FROM flagged
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: flag the arriving batch (last 40% of
+    doc_ids) against the PERSISTED history fingerprint store (first 60%,
+    built once, content-addressed, reused across sessions)."""
+    h = _history_cutoff(spark, sf_dir)
+    path = _ensure_history_store(spark, sf_dir, h)
+    return flag_batch_against_store(
+        spark, sf_dir, path, batch_pred=F.col("doc_id") >= h, max_batch=0
+    ).orderBy("doc_id")

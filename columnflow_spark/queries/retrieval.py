@@ -1,0 +1,178 @@
+"""Text retrieval over the corpus: BM25 ranked search and the posting
+statistics it reads.
+
+Retrieval is the other half of a training-data platform: after the
+corpus is curated, decontamination audits, eval-leak forensics and
+data-attribution ("which training docs match this probe?") are all
+ranked keyword search over the same documents table.  The reference
+engine has no retrieval surface (it is an event-analysis engine, see
+SURVEY.md §2); this module is part of the beyond-parity LLM-data family
+alongside queries/mmdata.py.
+
+Scale notes (the 100 TB story):
+
+- The whole pipeline is *query-driven*: the corpus word explosion is
+  immediately semi-joined to the (tiny, broadcast) query-term table, so
+  only posting lists for searched terms ever enter a shuffle — work
+  scales with posting volume, not corpus size.
+- Document frequencies are derived FROM the retained postings
+  (``count over (partition by term)``), not from a vocabulary-sized df
+  table: no second corpus pass, nothing vocabulary-sized moves.
+- Document lengths are a corpus-grain side table joined on ``doc_id``;
+  it is never broadcast (see tests/test_plan_quality.py negative
+  guardrail) — at scale it is a narrow (id, int) relation that AQE can
+  shuffle-join or reuse from a materialized stats store.
+- Scores are quantized to an integer grid per TERM before the per-doc
+  sum, so cross-engine summation order cannot flip a rank (same
+  treatment as the PQ/ADC and cosine paths in mmdata.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from columnflow_spark.queries import query
+from columnflow_spark.sources import load_table
+
+# fixed search workload: deterministic multi-term keyword queries over the
+# synthetic corpus vocabulary (TESTDATA.md documents.text)
+_BM25_QUERIES = (
+    (1, "table scan fast"),
+    (2, "window agg join"),
+    (3, "customer query value slow"),
+)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+#: per-term score quantization grid (1e-6): BM25 term scores are O(0.1-10),
+#: so the grid keeps 6-7 significant digits while making the per-doc sum
+#: an exact BIGINT addition in both engines.
+_BM25_SCALE = 1_000_000
+
+
+def _queries_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{text}')" for qid, text in _BM25_QUERIES)
+    return f"(VALUES {rows}) AS q(query_id, qtext)"
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH qterms AS (
+        SELECT query_id, unnest(string_split(qtext, ' ')) AS w
+        FROM {_queries_values_sql()}
+    ),
+    toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl
+        FROM toks
+    ),
+    words AS (
+        SELECT doc_id, len(ts) AS dl, unnest(ts) AS w FROM toks
+    ),
+    tf AS (
+        SELECT w.doc_id, w.w, count(*) AS tf, max(w.dl) AS dl
+        FROM words w JOIN (SELECT DISTINCT w FROM qterms) q USING (w)
+        GROUP BY w.doc_id, w.w
+    ),
+    posting AS (
+        SELECT doc_id, w, tf, dl,
+               count(*) OVER (PARTITION BY w) AS df
+        FROM tf
+    ),
+    scored AS (
+        SELECT q.query_id, p.doc_id,
+               CAST(round(
+                   ln(1 + (s.n_docs - p.df + 0.5) / (p.df + 0.5))
+                   * (p.tf * ({_BM25_K1} + 1))
+                   / (p.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * p.dl / s.avgdl))
+                   * {_BM25_SCALE}) AS BIGINT) AS si
+        FROM posting p
+        JOIN qterms q USING (w)
+        CROSS JOIN stats s
+    ),
+    totals AS (
+        SELECT query_id, doc_id, CAST(sum(si) AS BIGINT) AS score_q
+        FROM scored GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score_q, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score_q DESC, doc_id
+        ) AS rk
+        FROM totals
+    )
+    WHERE rk <= {_BM25_TOPK}
+    ORDER BY query_id, rk
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones; the Lucene ``ln(1 + (N-df+.5)/(df+.5))``
+    idf form) top-k documents per keyword query.
+
+    Plan shape: one corpus word explosion feeds (a) the doc-length
+    aggregate and (b) the posting build; postings are restricted to query
+    terms via a broadcast of the literal query-term table *before* the
+    term-frequency aggregation, so the groupBy shuffles posting-volume
+    rows only.  df comes from a window over the retained postings (one
+    partial-agg pass, no vocabulary table).  Per-term scores are
+    quantized to the ``1e-6`` integer grid before the per-doc sum — the
+    exact-sum trick that keeps the DuckDB twin hash-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
+    )
+
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, text in _BM25_QUERIES for w in text.split(" ")],
+        "query_id INT, w STRING",
+    )
+
+    # global collection stats: one narrow projection + scalar aggregate
+    # (at 100 TB these are catalog statistics refreshed with the corpus,
+    # not a per-query pass)
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum(F.size("ts")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    # ONE corpus explosion serves term frequencies AND document length:
+    # dl rides along each word row, so no corpus-grain dl join later
+    words = toks.select("doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("w"))
+    tf = (
+        words.join(F.broadcast(qterms.select("w").distinct()), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    posting = tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("w")))
+
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    term_score = (
+        F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        posting.join(F.broadcast(qterms), "w")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(term_score * _BM25_SCALE, 0).cast("long").alias("si"),
+        )
+    )
+    totals = scored.groupBy("query_id", "doc_id").agg(F.sum("si").alias("score_q"))
+    win = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        totals.withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "score_q", "rk")
+        .orderBy("query_id", "rk")
+    )

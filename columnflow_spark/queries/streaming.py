@@ -21,6 +21,7 @@ import uuid
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -1001,3 +1002,84 @@ def streaming_learned_quality_gate(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_checksum")
     )
     return _run_to_memory(kept, spark, mode="complete").orderBy("source")
+
+
+# --- streaming incremental dedup against the persisted fingerprint
+# store (the ingest deployment of queries/dedupstore.py): each
+# micro-batch is fingerprinted, flagged against the store accumulated
+# from ALL earlier batches (plus intra-batch firsts), its decisions land
+# in a flags store, and its OWN distinct fingerprints are upserted as
+# the store's next batch slice — the full production crawl-ingest loop.
+# At rest the decisions must equal the batch-global keep-first dedup
+# (min(doc_id) per fingerprint), because the replay source delivers docs
+# in doc_id order; batch boundaries affect state timing, never the
+# at-rest output.  State is the on-disk store (fingerprint grain), not
+# executor memory — restarts resume from it, unbounded feeds stay
+# bounded by distinct content. ---
+@query(
+    "streaming_dedup_store_ingest",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
+        FROM documents
+    )
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY fingerprint) < doc_id AS is_dup
+    FROM fp
+    ORDER BY doc_id
+    """,
+)
+def streaming_dedup_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from columnflow_spark.sources.pydatasource import register
+
+    register(spark)
+    store = tempfile.mkdtemp(prefix="cf_dedup_store_")
+    flags = tempfile.mkdtemp(prefix="cf_dedup_flags_")
+
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("order_col", "doc_id")
+        .option("batch_rows", "200")
+        .load()
+        .select("doc_id", "text")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from columnflow_spark.queries.dedupstore import (
+            doc_fingerprints,
+            flag_fingerprints_against_store,
+            upsert_fingerprints,
+        )
+
+        fp = doc_fingerprints(batch_df)
+        # flag FIRST (the batch must not see itself in the store), then
+        # upsert this batch's distinct fingerprints for the next batch
+        if os.path.exists(os.path.join(store, "_BUILT")):
+            decided = flag_fingerprints_against_store(fp, store)
+        else:
+            first_in_batch = F.min("doc_id").over(W.partitionBy("fingerprint"))
+            decided = fp.select(
+                "doc_id",
+                F.lit(False).alias("dup_prior"),
+                (first_in_batch < F.col("doc_id")).alias("dup_in_batch"),
+            )
+        out = decided.select(
+            "doc_id",
+            (F.col("dup_prior") | F.col("dup_in_batch")).alias("is_dup"),
+            F.lit(int(batch_id)).alias("batch"),
+        )
+        upsert_partitions(out, flags, partition_by=["batch"])
+        upsert_fingerprints(fp, store, batch=int(batch_id))
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(flags).select("doc_id", "is_dup").orderBy("doc_id")

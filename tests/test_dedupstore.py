@@ -1,0 +1,129 @@
+"""Materialized dedup fingerprint store: incremental ≡ full, idempotent
+upsert, staleness tag, layout, and the no-broadcast plan contract."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from columnflow_spark.queries.dedupstore import (
+    _history_cutoff,
+    dedup_store_path,
+    flag_batch_against_store,
+    upsert_dedup_batch,
+)
+
+
+def _rows(df):
+    return sorted(
+        (r.doc_id, r.dup_prior, r.dup_in_batch, r.keep) for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def thirds(spark, sf_dir):
+    """Three ingest batches by doc_id range (roughly equal thirds)."""
+    from columnflow_spark.sources import load_table
+
+    n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
+    return n // 3, 2 * n // 3
+
+
+def test_incremental_batches_equal_full_build(spark, sf_dir, tmp_path, thirds):
+    # upserting history as two batches, then flagging batch 3, must be
+    # bit-identical to flagging batch 3 against a single-batch store over
+    # the same history prefix
+    a, b = thirds
+    inc = str(tmp_path / "inc")
+    upsert_dedup_batch(spark, sf_dir, inc, batch=0, batch_pred=F.col("doc_id") < a)
+    upsert_dedup_batch(
+        spark, sf_dir, inc, batch=1,
+        batch_pred=(F.col("doc_id") >= a) & (F.col("doc_id") < b),
+    )
+    full = str(tmp_path / "full")
+    upsert_dedup_batch(spark, sf_dir, full, batch=0, batch_pred=F.col("doc_id") < b)
+
+    pred = F.col("doc_id") >= b
+    got = _rows(flag_batch_against_store(spark, sf_dir, inc, batch_pred=pred, max_batch=1))
+    want = _rows(flag_batch_against_store(spark, sf_dir, full, batch_pred=pred, max_batch=0))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_upsert_is_idempotent(spark, sf_dir, tmp_path, thirds):
+    a, _ = thirds
+    path = str(tmp_path / "store")
+    upsert_dedup_batch(spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < a)
+    n0 = spark.read.parquet(path).count()
+    upsert_dedup_batch(spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < a)
+    assert spark.read.parquet(path).count() == n0
+
+
+def test_store_is_fingerprint_grain(spark, sf_dir, tmp_path, thirds):
+    # one row per distinct (batch, fingerprint): the store grows with
+    # distinct content, not documents
+    a, _ = thirds
+    path = str(tmp_path / "store")
+    upsert_dedup_batch(spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < a)
+    store = spark.read.parquet(path)
+    assert store.count() == store.select("batch", "fingerprint").distinct().count()
+    # layout: band=<b>/batch=<n>/
+    bands = [d for d in os.listdir(path) if d.startswith("band=")]
+    assert bands
+    assert any(d.startswith("batch=") for d in os.listdir(os.path.join(path, bands[0])))
+
+
+def test_changed_source_invalidates_store_tag(tmp_path, sf_dir, monkeypatch):
+    import shutil
+
+    from columnflow_spark.queries import dedupstore as ds
+    from columnflow_spark.sources.tables import table_path
+
+    fake_sf = tmp_path / "sf"
+    fake_sf.mkdir()
+    shutil.copy(table_path(sf_dir, "documents"), fake_sf / "documents.parquet")
+    tag0 = dedup_store_path(str(fake_sf))
+
+    with open(fake_sf / "documents.parquet", "ab") as f:
+        f.write(b"\x00")
+    os.utime(fake_sf / "documents.parquet")
+    tag1 = dedup_store_path(str(fake_sf))
+    assert tag1 != tag0
+
+    monkeypatch.setattr(ds, "_STORE_FORMAT", ds._STORE_FORMAT + 1)
+    assert dedup_store_path(str(fake_sf)) not in (tag0, tag1)
+
+
+def test_flag_plan_never_broadcasts_doc_grain(spark, sf_dir, tmp_path, thirds):
+    # both join sides are document/fingerprint grain: with size-based
+    # broadcasting disabled, the flagging plan must contain NO
+    # hint-driven BroadcastExchange (at 100x either side OOMs a build)
+    a, _ = thirds
+    path = str(tmp_path / "store")
+    upsert_dedup_batch(spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < a)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = flag_batch_against_store(
+            spark, sf_dir, path, batch_pred=F.col("doc_id") >= a, max_batch=0
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "BroadcastExchange" not in buf.getvalue().split("\n\n")[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_history_cutoff_matches_oracle_expression(spark, sf_dir):
+    # the Spark-side cutoff must equal the oracle's 3 * count(*) // 5
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert _history_cutoff(spark, sf_dir) == 3 * n // 5

@@ -365,6 +365,9 @@ _CORPUS_HINT_QUERIES = (
     "unigram_logprob_score",
     "tfidf_top_terms",
     "dsir_importance_weights",
+    "bm25_topk",
+    "dedup_incremental_store",
+    "pagerank_trade_graph",
 )
 
 _DOC_GRAIN_KEY = __import__("re").compile(r"\b(doc_id|dg|fp)#")
