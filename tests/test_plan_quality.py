@@ -468,6 +468,15 @@ _PLAN_BUDGETS = {
     "corpus_curation_pipeline": (3, 1),
     "dedup_connected_components": (0, 1),
     "bpe_encode_corpus": (2, 1),
+    # query-driven postings: the corpus moves once into the tf aggregate,
+    # df/rank/topk shuffles are posting-volume
+    "bm25_topk": (7, 2),
+    # batch fp scan + store scan, shuffle join + window + final sort
+    "dedup_incremental_store": (3, 2),
+    # per-round state is checkpointed: the visible (final) plan segment
+    # is the top-20 window over the last checkpoint — no residual
+    # exchanges or rescans may leak past a checkpoint boundary
+    "pagerank_trade_graph": (0, 0),
 }
 
 
