@@ -65,6 +65,7 @@ _MODULES = (
     "columnflow_spark.queries.retrieval",
     "columnflow_spark.queries.dedupstore",
     "columnflow_spark.queries.graph",
+    "columnflow_spark.queries.formats",
     "columnflow_spark.queries.streaming",
     "columnflow_spark.queries.analysis_demo",
 )

@@ -33,8 +33,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from columnflow_spark.functions.similarity import cosine
 from columnflow_spark.queries import query
-from columnflow_spark.sources import load_table
+from columnflow_spark.sources import load_table, spread
 
 # fixed search workload: deterministic multi-term keyword queries over the
 # synthetic corpus vocabulary (TESTDATA.md documents.text)
@@ -57,10 +58,9 @@ def _queries_values_sql() -> str:
     return f"(VALUES {rows}) AS q(query_id, qtext)"
 
 
-@query(
-    "bm25_topk",
-    oracle=f"""
-    WITH qterms AS (
+# shared oracle CTE chain ending at ``totals(query_id, doc_id, score_q)``:
+# bm25_topk ranks it directly, hybrid_search_rrf fuses it with dense ranks
+_BM25_TOTALS_CTES = f"""qterms AS (
         SELECT query_id, unnest(string_split(qtext, ' ')) AS w
         FROM {_queries_values_sql()}
     ),
@@ -100,7 +100,13 @@ def _queries_values_sql() -> str:
     totals AS (
         SELECT query_id, doc_id, CAST(sum(si) AS BIGINT) AS score_q
         FROM scored GROUP BY query_id, doc_id
-    )
+    )"""
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH {_BM25_TOTALS_CTES}
     SELECT query_id, doc_id, score_q, CAST(rk AS INT) AS rk
     FROM (
         SELECT *, row_number() OVER (
@@ -125,6 +131,20 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized to the ``1e-6`` integer grid before the per-doc sum — the
     exact-sum trick that keeps the DuckDB twin hash-identical.
     """
+    totals = _bm25_totals(spark, sf_dir)
+    win = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        totals.withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "score_q", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+def _bm25_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-grid BM25 totals ``(query_id, doc_id, score_q)`` for the
+    fixed query workload — the shared scoring pipeline behind
+    :func:`bm25_topk` and the lexical arm of :func:`hybrid_search_rrf`."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     toks = docs.select(
         "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
@@ -168,11 +188,139 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(term_score * _BM25_SCALE, 0).cast("long").alias("si"),
         )
     )
-    totals = scored.groupBy("query_id", "doc_id").agg(F.sum("si").alias("score_q"))
-    win = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return scored.groupBy("query_id", "doc_id").agg(F.sum("si").alias("score_q"))
+
+
+# --- hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical arm and a
+# dense cosine arm (Cormack/Clarke/Buettcher RRF; the standard fusion in
+# RAG/retrieval stacks).  The synthetic fixture links the two modalities by
+# id: document ``doc_id`` has embedding ``vec_id == doc_id``, and each query
+# probes with the embedding of ``vec_id == query_id``.
+_RRF_K = 60
+_RRF_POOL = 20
+_RRF_TOPK = 10
+#: fused scores are exact integers: floor(SCALE / (K + rank)) per arm, so the
+#: two-arm sum is BIGINT addition with identical semantics in both engines —
+#: no float 1/(k+r) summation-order knife edge.
+_RRF_SCALE = 1_000_000_000
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH {_BM25_TOTALS_CTES},
+    lex AS (
+        SELECT query_id, doc_id, CAST(rk AS INT) AS lex_rk
+        FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY score_q DESC, doc_id
+            ) AS rk
+            FROM totals
+        )
+        WHERE rk <= {_RRF_POOL}
+    ),
+    dsims AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        FROM {_queries_values_sql()}
+        JOIN embeddings p ON p.vec_id = q.query_id
+        JOIN embeddings c ON TRUE
+    ),
+    dense AS (
+        SELECT query_id, doc_id, CAST(rk AS INT) AS dense_rk
+        FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, doc_id
+            ) AS rk
+            FROM dsims
+        )
+        WHERE rk <= {_RRF_POOL}
+    ),
+    fused AS (
+        SELECT coalesce(l.query_id, d.query_id) AS query_id,
+               coalesce(l.doc_id, d.doc_id) AS doc_id,
+               CAST(coalesce({_RRF_SCALE} // ({_RRF_K} + l.lex_rk), 0)
+                    + coalesce({_RRF_SCALE} // ({_RRF_K} + d.dense_rk), 0)
+                    AS BIGINT) AS rrf_q,
+               CAST(coalesce(l.lex_rk, 0) AS INT) AS lex_rk,
+               CAST(coalesce(d.dense_rk, 0) AS INT) AS dense_rk
+        FROM lex l
+        FULL OUTER JOIN dense d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf_q, lex_rk, dense_rk, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_q DESC, doc_id
+        ) AS rk
+        FROM fused
+    )
+    WHERE rk <= {_RRF_TOPK}
+    ORDER BY query_id, rk
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse BM25 lexical ranks with brute-force dense cosine
+    ranks via integer Reciprocal Rank Fusion, top-k per query.
+
+    Scale notes: the lexical arm inherits :func:`bm25_topk`'s query-driven
+    posting plan (work ∝ posting volume).  The dense arm here is the exact
+    brute-force baseline (probes broadcast over the corpus — the corpus
+    itself never shuffles; only the per-query rank window moves
+    |queries| × N narrow rows); at 100 TB the drop-in replacement is the
+    probe-pruned materialized IVF+PQ index (queries/annindex.py), which
+    returns the same ``(query_id, doc_id, rank)`` shape from only the probed
+    cells.  Fusion is rank arithmetic on two candidate lists bounded by
+    |queries| × pool — driver-trivial at any corpus size.  Fused scores are
+    ``SCALE div (K + rank)`` integer sums, exact in both engines.
+    """
+    # lexical arm: shared integer-grid BM25 totals, ranked per query
+    lwin = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    lex = (
+        _bm25_totals(spark, sf_dir)
+        .withColumn("lex_rk", F.row_number().over(lwin).cast("int"))
+        .filter(F.col("lex_rk") <= _RRF_POOL)
+        .select("query_id", "doc_id", "lex_rk")
+    )
+
+    # dense arm: probe embeddings broadcast over the corpus, exact cosine
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    probe_ids = [qid for qid, _ in _BM25_QUERIES]
+    probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    dwin = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc_id"))
+    dense = (
+        emb.crossJoin(F.broadcast(probes))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("q"), F.col("embedding")).alias("sim"),
+        )
+        .withColumn("dense_rk", F.row_number().over(dwin).cast("int"))
+        .filter(F.col("dense_rk") <= _RRF_POOL)
+        .select("query_id", "doc_id", "dense_rk")
+    )
+
+    def _arm(rk_col: str):
+        return F.when(
+            F.col(rk_col).isNull(), F.lit(0).cast("long")
+        ).otherwise(F.expr(f"CAST({_RRF_SCALE} div ({_RRF_K} + {rk_col}) AS LONG)"))
+
+    fused = (
+        lex.join(dense, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (_arm("lex_rk") + _arm("dense_rk")).cast("long").alias("rrf_q"),
+            F.coalesce("lex_rk", F.lit(0)).cast("int").alias("lex_rk"),
+            F.coalesce("dense_rk", F.lit(0)).cast("int").alias("dense_rk"),
+        )
+    )
+    fwin = W.partitionBy("query_id").orderBy(F.desc("rrf_q"), F.asc("doc_id"))
     return (
-        totals.withColumn("rk", F.row_number().over(win).cast("int"))
-        .filter(F.col("rk") <= _BM25_TOPK)
-        .select("query_id", "doc_id", "score_q", "rk")
+        fused.withColumn("rk", F.row_number().over(fwin).cast("int"))
+        .filter(F.col("rk") <= _RRF_TOPK)
+        .select("query_id", "doc_id", "rrf_q", "lex_rk", "dense_rk", "rk")
         .orderBy("query_id", "rk")
     )

@@ -28,3 +28,43 @@ def test_pagerank_structure_and_determinism(spark, sf_dir):
     assert all(r[1] > base for r in rows), (rows[0], base)
     # exact integer arithmetic end-to-end => bit-identical reruns
     assert _rows(spark, sf_dir) == rows
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(sorted(pairs), "x LONG, y LONG")
+
+
+def test_triangle_counts_known_graphs(spark):
+    from columnflow_spark.queries.graph import triangle_counts
+
+    # K4: every node sits in C(3,2) = 3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {r.node: r.n_tri for r in triangle_counts(_edges_df(spark, k4)).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # path + star are triangle-free
+    path = [(0, 1), (1, 2), (2, 3)]
+    star = [(0, i) for i in range(1, 5)]
+    assert triangle_counts(_edges_df(spark, path)).count() == 0
+    assert triangle_counts(_edges_df(spark, star)).count() == 0
+
+    # two triangles sharing node 2: the shared node counts both
+    bowtie = [(0, 1), (0, 2), (1, 2), (2, 3), (2, 4), (3, 4)]
+    got = {r.node: r.n_tri for r in triangle_counts(_edges_df(spark, bowtie)).collect()}
+    assert got == {0: 1, 1: 1, 2: 2, 3: 1, 4: 1}
+
+
+def test_label_propagation_two_cliques(spark):
+    from columnflow_spark.queries.graph import label_propagation
+    from pyspark.sql import functions as F
+
+    # two disjoint triangles: min-tie-break LPA converges to the min id of
+    # each component; one round suffices for a clique (all neighbour labels
+    # tie at count 1 → smallest label wins)
+    edges = [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12)]
+    und = _edges_df(spark, edges)
+    dir_edges = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    got = {r.node: r.lab for r in label_propagation(dir_edges, 2).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}

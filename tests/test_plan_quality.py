@@ -368,6 +368,9 @@ _CORPUS_HINT_QUERIES = (
     "bm25_topk",
     "dedup_incremental_store",
     "pagerank_trade_graph",
+    "hybrid_search_rrf",
+    "graph_triangle_count",
+    "graph_label_propagation",
 )
 
 _DOC_GRAIN_KEY = __import__("re").compile(r"\b(doc_id|dg|fp)#")
@@ -477,6 +480,19 @@ _PLAN_BUDGETS = {
     # is the top-20 window over the last checkpoint — no residual
     # exchanges or rescans may leak past a checkpoint boundary
     "pagerank_trade_graph": (0, 0),
+    # lexical arm = bm25 totals (7/2) + its rank window; dense arm = probe
+    # broadcast + corpus rank window over 2 embeddings scans; fusion join +
+    # final window/sort make up the rest
+    "hybrid_search_rrf": (13, 4),
+    # degree join x2, three oriented-edge join legs, per-node agg, top-20
+    # window — all over the checkpointed edge list (0 parquet rescans)
+    "graph_triangle_count": (13, 0),
+    # label state is checkpointed per round: only the community-size agg +
+    # top-20 window remain visible
+    "graph_label_propagation": (1, 0),
+    # interchange re-reads are Scan csv/json (not parquet): agg + sort only
+    "csv_roundtrip_orders": (2, 0),
+    "json_roundtrip_events": (2, 0),
 }
 
 

@@ -61,3 +61,37 @@ def test_bm25_plan_is_query_driven(spark, sf_dir):
     # the first plan node above the explosion on its branch is the
     # broadcast join with the query terms, then the partial aggregate
     assert any("BroadcastHashJoin" in ln for ln in above), tree
+
+
+def test_hybrid_rrf_fusion_invariants(spark, sf_dir):
+    """Fused score must equal the integer RRF recomputed from the reported
+    arm ranks (0 = absent from that arm's pool), and each query's list must
+    follow the (rrf desc, doc_id) total order with contiguous ranks."""
+    from columnflow_spark.queries.retrieval import _RRF_K, _RRF_POOL, _RRF_SCALE, _RRF_TOPK
+
+    rows = all_queries()["hybrid_search_rrf"](spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {qid for qid, _ in _BM25_QUERIES}
+    for rows_q in by_q.values():
+        assert len(rows_q) <= _RRF_TOPK
+        assert [r.rk for r in rows_q] == list(range(1, len(rows_q) + 1))
+        key = [(-r.rrf_q, r.doc_id) for r in rows_q]
+        assert key == sorted(key)
+        for r in rows_q:
+            assert 0 <= r.lex_rk <= _RRF_POOL and 0 <= r.dense_rk <= _RRF_POOL
+            assert r.lex_rk or r.dense_rk  # at least one arm proposed it
+            want = sum(
+                _RRF_SCALE // (_RRF_K + rk) for rk in (r.lex_rk, r.dense_rk) if rk
+            )
+            assert r.rrf_q == want, r
+
+
+def test_hybrid_rrf_dense_arm_hits_probe(spark, sf_dir):
+    """The dense probe for query q is embedding vec_id == q itself, so the
+    probe doc's dense rank must be 1 (cosine(self, self) maximal)."""
+    rows = all_queries()["hybrid_search_rrf"](spark, sf_dir).collect()
+    self_rows = [r for r in rows if r.doc_id == r.query_id]
+    assert {r.query_id for r in self_rows} == {qid for qid, _ in _BM25_QUERIES}
+    assert all(r.dense_rk == 1 for r in self_rows), self_rows
