@@ -81,6 +81,14 @@ BENCH_QUERIES = [
     # round-5 additions: cluster-bounded semantic dedup + mixture optimizer
     "semdedup_clusters",
     "doremi_domain_weights",
+    # hybrid lexical+dense fusion and iterative graph analytics.
+    # graph_triangle_count is deliberately NOT a headline line: its cost is
+    # the honest O(m^1.5) wedge-join volume (~21 s at sf0.1, 392M wedges at
+    # sf1 — see SCALE_VALIDATION.md), which would dominate the total with
+    # inherent work rather than regression signal; it stays gated by the
+    # oracle sweeps.
+    "hybrid_search_rrf",
+    "graph_label_propagation",
     # single-pass distributed model fit + index build
     "ml_train_linreg",
     "ml_ridge_model_selection",

@@ -66,6 +66,7 @@ _MODULES = (
     "columnflow_spark.queries.dedupstore",
     "columnflow_spark.queries.graph",
     "columnflow_spark.queries.formats",
+    "columnflow_spark.queries.layout",
     "columnflow_spark.queries.streaming",
     "columnflow_spark.queries.analysis_demo",
 )

@@ -172,3 +172,48 @@ def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "orc_roundtrip_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem (projected) to ORC, re-read, and aggregate — ORC is
+    the second columnar store format (built-in, binary-typed: no text
+    formatting layer, so fidelity covers BIGINT/DOUBLE/VARCHAR and
+    TIMESTAMP_NTZ natively); the oracle aggregates the original Parquet."""
+    li = load_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"],
+    )
+    out = _roundtrip_dir(sf_dir, "lineitem", "orc")
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.schema(li.schema).orc(out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("qty_c"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("price_c"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -490,9 +490,12 @@ _PLAN_BUDGETS = {
     # label state is checkpointed per round: only the community-size agg +
     # top-20 window remain visible
     "graph_label_propagation": (1, 0),
-    # interchange re-reads are Scan csv/json (not parquet): agg + sort only
+    # interchange re-reads are Scan csv/json/orc (not parquet): agg + sort
     "csv_roundtrip_orders": (2, 0),
     "json_roundtrip_events": (2, 0),
+    "orc_roundtrip_lineitem": (2, 0),
+    # in-row bit arithmetic + single-row bounds broadcast + one bucket agg
+    "zorder_bucket_stats": (3, 2),
 }
 
 
