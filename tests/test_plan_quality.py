@@ -496,6 +496,10 @@ _PLAN_BUDGETS = {
     "orc_roundtrip_lineitem": (2, 0),
     # in-row bit arithmetic + single-row bounds broadcast + one bucket agg
     "zorder_bucket_stats": (3, 2),
+    # deletion-neighborhood equi-join + distinct + verify: never a cross join
+    "fuzzy_join_names": (2, 2),
+    # one dimension-key shuffle serves version/balance/validity windows
+    "scd2_customer_history": (3, 2),
 }
 
 
