@@ -68,6 +68,7 @@ _MODULES = (
     "columnflow_spark.queries.formats",
     "columnflow_spark.queries.layout",
     "columnflow_spark.queries.warehouse",
+    "columnflow_spark.queries.governance",
     "columnflow_spark.queries.streaming",
     "columnflow_spark.queries.analysis_demo",
 )

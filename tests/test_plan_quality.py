@@ -500,6 +500,10 @@ _PLAN_BUDGETS = {
     "fuzzy_join_names": (2, 2),
     # one dimension-key shuffle serves version/balance/validity windows
     "scd2_customer_history": (3, 2),
+    # one conditional-sum agg pass + one RI anti-join + the stack/sort
+    "data_quality_checks": (3, 3),
+    # one map-side-combinable quasi-identifier agg + final sort
+    "k_anonymity_audit": (2, 1),
 }
 
 
