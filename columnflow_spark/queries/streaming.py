@@ -1083,3 +1083,103 @@ def streaming_dedup_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(flags).select("doc_id", "is_dup").orderBy("doc_id")
+
+
+@query(
+    "streaming_scd2_apply",
+    oracle="""
+    WITH agg AS MATERIALIZED (
+        SELECT o_custkey AS c_custkey,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS delta_c,
+               max(o_orderdate) AS mx
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey,
+           CAST(coalesce(a.n, 0) AS INT) AS version,
+           CAST(CAST(round(c.c_acctbal * 100) AS BIGINT)
+                + coalesce(a.delta_c, 0) AS BIGINT) AS bal_c,
+           coalesce(a.mx, TIMESTAMP '1990-01-01') AS valid_from
+    FROM customer c LEFT JOIN agg a ON a.c_custkey = c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC apply of the order stream onto the SCD2 dimension's
+    CURRENT state: each micro-batch folds (count, exact-cent delta, max
+    order date) per customer into the persisted state table, so at rest
+    the state equals the one-shot collapse of the full history (the
+    oracle), and the current row of scd2_customer_history
+    (tests/test_warehouse.py ties the two).
+
+    Per-batch cost is O(batch agg + customer-grain state join) — never a
+    history rescan; both join sides are data-grain and shuffle (no
+    broadcast).  State here is rewritten per batch (trivial at test
+    scale); the 100 TB form upserts only the key partitions a batch
+    touches, exactly like the dedup fingerprint store.
+    """
+    import os
+    import tempfile
+
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.pydatasource import register
+
+    register(spark)
+    state_root = tempfile.mkdtemp(prefix="cf_scd2_state_")
+
+    seed = (
+        load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+        .select(
+            "c_custkey",
+            F.lit(0).cast("int").alias("version"),
+            F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_c"),
+            F.lit("1990-01-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+        )
+        .localCheckpoint()
+    )
+    latest = {"path": None}
+
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/orders.parquet")
+        .option("order_col", "o_orderkey")
+        .option("batch_rows", "5000")
+        .load()
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_agg = (
+            batch_df.groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("dn"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .cast("long")
+                .alias("dbal"),
+                F.max("o_orderdate").alias("dmx"),
+            )
+        )
+        state = seed if latest["path"] is None else spark.read.parquet(latest["path"])
+        new_state = (
+            state.join(batch_agg, "c_custkey", "left")
+            .select(
+                "c_custkey",
+                (F.col("version") + F.coalesce("dn", F.lit(0))).cast("int").alias("version"),
+                (F.col("bal_c") + F.coalesce("dbal", F.lit(0))).cast("long").alias("bal_c"),
+                F.greatest("valid_from", F.coalesce("dmx", F.col("valid_from"))).alias(
+                    "valid_from"
+                ),
+            )
+        )
+        out = os.path.join(state_root, f"b{int(batch_id)}")
+        new_state.write.parquet(out)
+        latest["path"] = out
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = seed if latest["path"] is None else spark.read.parquet(latest["path"])
+    return final.select("c_custkey", "version", "bal_c", "valid_from").orderBy("c_custkey")

@@ -31,6 +31,59 @@ def test_fuzzy_pairs_edge_cases(spark):
     assert got == want, got
 
 
+def test_fuzzy_pairs_equals_bruteforce_random(spark):
+    """Seeded random corpus vs a pure-python Levenshtein brute force: the
+    neighborhood join must return EXACTLY the lev<=1 pairs."""
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+    strings = list(
+        {
+            "".join(rng.choice("abc") for _ in range(rng.randint(0, 5)))
+            for _ in range(80)
+        }
+    )
+    rows = list(enumerate(sorted(strings)))
+
+    def lev(s, t):
+        if len(s) < len(t):
+            s, t = t, s
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 1
+    }
+    names = spark.createDataFrame(rows, "k LONG, n STRING")
+    got = {(r.k1, r.k2) for r in fuzzy_pairs_ed1(names, "k", "n").collect()}
+    assert got == want
+
+
+def test_streaming_scd2_matches_batch_current(spark, sf_dir):
+    """The incremental CDC fold's at-rest state must equal the is_current
+    rows of the one-shot SCD2 build — the same batch≡stream equality
+    contract as the dedup store ingest."""
+    batch_cur = sorted(
+        (r.c_custkey, r.version, r.bal_c, r.valid_from)
+        for r in all_queries()["scd2_customer_history"](spark, sf_dir)
+        .filter("is_current")
+        .collect()
+    )
+    stream_cur = sorted(
+        (r.c_custkey, r.version, r.bal_c, r.valid_from)
+        for r in all_queries()["streaming_scd2_apply"](spark, sf_dir).collect()
+    )
+    assert stream_cur == batch_cur
+
+
 def test_scd2_chaining_invariants(spark, sf_dir):
     df = all_queries()["scd2_customer_history"](spark, sf_dir)
     # exactly one current row per customer
