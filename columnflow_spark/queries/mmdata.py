@@ -3103,9 +3103,35 @@ _CMS_D = 4
 _CMS_W = 1024
 
 
-@query(
-    "cms_heavy_hitters",
-    oracle=f"""
+def cms_cell_idx(tok, j: int):
+    """Deterministic md5-family CMS bucket for hash row ``j`` — shared by
+    the batch builder, the streaming ingest, and (re-derived literally)
+    the SQL oracles."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", tok, F.lit(str(j)))), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(_CMS_W))
+
+
+def cms_cells(toks: DataFrame) -> DataFrame:
+    """``(j, idx, c)`` sketch cells for a ``tok`` column — ≤ d·w rows
+    regardless of input size; cells from disjoint inputs MERGE by adding
+    ``c`` (the commutative-monoid property the streaming ingest relies on)."""
+    return (
+        toks.select(
+            F.posexplode(
+                F.array(*[cms_cell_idx(F.col("tok"), j) for j in range(_CMS_D)])
+            ).alias("j", "idx")
+        )
+        .groupBy("j", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+#: shared by cms_heavy_hitters and streaming_cms_ingest: the sketch is a
+#: commutative monoid, so the stream-accumulated cells equal the batch
+#: cells and both at-rest results replay from this one SQL twin
+CMS_ORACLE = f"""
     WITH toks AS (
         SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
         FROM documents
@@ -3131,31 +3157,26 @@ _CMS_W = 1024
     )
     WHERE rk <= 15
     ORDER BY rk
-    """,
-)
+    """
+
+
+@query("cms_heavy_hitters", oracle=CMS_ORACLE)
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents", columns=["text"]))
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return cms_topk_from_cells(toks, cms_cells(toks))
 
-    def cms_idx(tok, j):
-        h = F.conv(
-            F.substring(F.md5(F.concat_ws("|", tok, F.lit(str(j)))), 1, 15), 16, 10
-        ).cast("long")
-        return F.pmod(h, F.lit(_CMS_W))
 
-    cells = (
-        toks.select(
-            F.posexplode(F.array(*[cms_idx(F.col("tok"), j) for j in range(_CMS_D)])).alias(
-                "j", "idx"
-            )
-        )
-        .groupBy("j", "idx")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+def cms_topk_from_cells(toks: DataFrame, cells: DataFrame) -> DataFrame:
+    """Heavy-hitter estimates for a candidate ``tok`` column against a
+    (possibly stream-accumulated) sketch-cell table: min over the d
+    addressed counters, top-15 ranked."""
     vocab = toks.distinct()
     vcells = vocab.select(
         "tok",
-        F.posexplode(F.array(*[cms_idx(F.col("tok"), j) for j in range(_CMS_D)])).alias("j", "idx"),
+        F.posexplode(
+            F.array(*[cms_cell_idx(F.col("tok"), j) for j in range(_CMS_D)])
+        ).alias("j", "idx"),
     )
     est = (
         vcells.join(F.broadcast(cells), ["j", "idx"])

@@ -1183,3 +1183,70 @@ def streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     final = seed if latest["path"] is None else spark.read.parquet(latest["path"])
     return final.select("c_custkey", "version", "bal_c", "valid_from").orderBy("c_custkey")
+
+
+def _cms_oracle() -> str:
+    from columnflow_spark.queries.mmdata import CMS_ORACLE
+
+    return CMS_ORACLE
+
+
+@query("streaming_cms_ingest", oracle=_cms_oracle())
+def streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch built INCREMENTALLY over the replayed document
+    stream: each micro-batch's cells merge into the persisted sketch by
+    cell addition (CMS is a commutative monoid — exactly how partial
+    sketches from 1000 executors merge), so the at-rest sketch is
+    bit-identical to the batch build and shares cms_heavy_hitters'
+    oracle.  State is ≤ d·w rows regardless of stream length; per-batch
+    cost is one bounded groupBy + a d·w-row merge, never a history rescan.
+    The heavy-hitter scoring at rest reads the static vocabulary (an
+    offline read) against the stream-accumulated cells.
+    """
+    import os
+    import tempfile
+
+    from columnflow_spark.functions.text import tokens
+    from columnflow_spark.queries.mmdata import cms_cells, cms_topk_from_cells
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.pydatasource import register
+
+    register(spark)
+    state_root = tempfile.mkdtemp(prefix="cf_cms_state_")
+    latest = {"path": None}
+
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("order_col", "doc_id")
+        .option("batch_rows", "500")
+        .load()
+        .select("text")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        btoks = batch_df.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        bcells = cms_cells(btoks)
+        if latest["path"] is not None:
+            prev = spark.read.parquet(latest["path"])
+            bcells = (
+                prev.unionByName(bcells)
+                .groupBy("j", "idx")
+                .agg(F.sum("c").alias("c"))
+            )
+        out = os.path.join(state_root, f"b{int(batch_id)}")
+        bcells.write.parquet(out)
+        latest["path"] = out
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cells = spark.read.parquet(latest["path"]).select(
+        "j", "idx", F.col("c").cast("long").alias("c")
+    )
+    docs = load_table(spark, sf_dir, "documents", columns=["text"])
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return cms_topk_from_cells(toks, cells)
