@@ -30,6 +30,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -39,6 +40,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 DEFAULT_CHUNK_SIZE = 100_000  # reference law.cfg:66
@@ -48,6 +50,17 @@ DEFAULT_CHUNK_SIZE = 100_000  # reference law.cfg:66
 class RowGroupChunk(InputPartition):
     path: str
     row_groups: tuple[int, ...]
+
+
+def source_files(path: str) -> list[str]:
+    """A single parquet file, or the sorted ``part-*.parquet`` members of a
+    directory written by :class:`ChunkedParquetWriter`."""
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    return [path]
 
 
 class ChunkedParquetReader(DataSourceReader):
@@ -92,23 +105,24 @@ class ChunkedParquetReader(DataSourceReader):
     def partitions(self) -> Sequence[RowGroupChunk]:
         import pyarrow.parquet as pq  # noqa: PLC0415
 
-        pf = pq.ParquetFile(self.path)
-        meta = pf.metadata
-        # statistics pruning happens HERE, at planning time (pushFilters
-        # runs before partitions), so fully-excluded chunks never become
-        # Spark tasks at all — metadata-only, one footer read
-        surviving = self._prune_row_groups(pf, list(range(meta.num_row_groups)))
         chunks: list[RowGroupChunk] = []
-        current: list[int] = []
-        rows = 0
-        for rg in surviving:
-            current.append(rg)
-            rows += meta.row_group(rg).num_rows
-            if rows >= self.chunk_size:
-                chunks.append(RowGroupChunk(self.path, tuple(current)))
-                current, rows = [], 0
-        if current:
-            chunks.append(RowGroupChunk(self.path, tuple(current)))
+        for path in source_files(self.path):
+            pf = pq.ParquetFile(path)
+            meta = pf.metadata
+            # statistics pruning happens HERE, at planning time (pushFilters
+            # runs before partitions), so fully-excluded chunks never become
+            # Spark tasks at all — metadata-only, one footer read
+            surviving = self._prune_row_groups(pf, list(range(meta.num_row_groups)))
+            current: list[int] = []
+            rows = 0
+            for rg in surviving:
+                current.append(rg)
+                rows += meta.row_group(rg).num_rows
+                if rows >= self.chunk_size:
+                    chunks.append(RowGroupChunk(path, tuple(current)))
+                    current, rows = [], 0
+            if current:
+                chunks.append(RowGroupChunk(path, tuple(current)))
         return chunks or [RowGroupChunk(self.path, ())]
 
     def _prune_row_groups(self, pf, row_groups: list[int]) -> list[int]:
@@ -160,8 +174,72 @@ class ChunkedParquetReader(DataSourceReader):
         yield from table.to_batches()
 
 
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class ChunkedParquetWriter(DataSourceArrowWriter):
+    """Two-phase-commit parquet writer (the other half of the custom
+    connector): every task writes its Arrow batches to a uniquely-named
+    file in a staging directory and returns a commit message; only the
+    driver's ``commit`` publishes the staged files (plus a ``_SUCCESS``
+    marker), and ``abort`` discards the staging area — a failed or
+    speculative task can never leave partial data visible.  This is the
+    same task-commit protocol Hadoop/Spark committers use, expressed in
+    the Python DataSource API; row groups are sized by the same
+    ``chunk_size`` the reader plans by, so a roundtrip preserves the
+    chunking contract.
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options["path"]
+        self.chunk_size = int(options.get("chunk_size", DEFAULT_CHUNK_SIZE))
+        self.overwrite = overwrite
+        self.staging = f"{self.path.rstrip('/')}__staging"
+
+    def write(self, iterator):  # executor-side, once per task
+        import os  # noqa: PLC0415
+        import uuid  # noqa: PLC0415
+
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        batches = list(iterator)
+        if not batches:
+            return _StagedFile("", 0)
+        os.makedirs(self.staging, exist_ok=True)
+        fname = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
+        table = pa.Table.from_batches(batches)
+        pq.write_table(table, fname, row_group_size=self.chunk_size)
+        return _StagedFile(fname, table.num_rows)
+
+    def commit(self, messages) -> None:  # driver-side, all tasks succeeded
+        import glob  # noqa: PLC0415
+        import os  # noqa: PLC0415
+        import shutil  # noqa: PLC0415
+
+        os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            for f in glob.glob(os.path.join(self.path, "part-*.parquet")):
+                os.remove(f)
+        for m in messages:
+            if m is not None and m.path:
+                shutil.move(m.path, os.path.join(self.path, os.path.basename(m.path)))
+        shutil.rmtree(self.staging, ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:  # driver-side, some task failed
+        import shutil  # noqa: PLC0415
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class ChunkedParquetDataSource(DataSource):
-    """``spark.read.format("chunked_parquet").option("path", …)``."""
+    """``spark.read.format("chunked_parquet").option("path", …)`` and
+    ``df.write.format("chunked_parquet").option("path", …)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -171,7 +249,7 @@ class ChunkedParquetDataSource(DataSource):
         import pyarrow.parquet as pq  # noqa: PLC0415
         from pyspark.sql.pandas.types import from_arrow_schema  # noqa: PLC0415
 
-        arrow_schema = pq.ParquetFile(self.options["path"]).schema_arrow
+        arrow_schema = pq.ParquetFile(source_files(self.options["path"])[0]).schema_arrow
         cols = self.options.get("columns")
         if cols:
             names = [c.strip() for c in cols.split(",")]
@@ -182,6 +260,9 @@ class ChunkedParquetDataSource(DataSource):
 
     def reader(self, schema) -> ChunkedParquetReader:
         return ChunkedParquetReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool) -> ChunkedParquetWriter:
+        return ChunkedParquetWriter(dict(self.options), overwrite)
 
 
 def register(spark) -> None:

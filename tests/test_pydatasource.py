@@ -103,3 +103,60 @@ def test_row_group_stats_pruning(tmp_path):
     rows = [row for p in parts for row in r.read(p)]
     total = sum(b.num_rows for b in rows)
     assert total == 149  # v in (250, 399]
+
+
+def test_writer_roundtrip_and_overwrite(spark, sf_dir, tmp_path):
+    """Custom Arrow writer: two-phase commit publishes part files + a
+    _SUCCESS marker; re-reads match through BOTH the native parquet
+    reader and the chunked reader's directory mode; overwrite replaces."""
+    import os
+
+    register(spark)
+    out = str(tmp_path / "cpw")
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    src.write.format("chunked_parquet").option("path", out).mode("append").save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(out + "__staging")
+
+    native = spark.read.parquet(out)
+    assert native.count() == src.count()
+    chunked = (
+        spark.read.format("chunked_parquet").option("path", out).load()
+    )
+    assert chunked.count() == src.count()
+    assert sorted(chunked.columns) == sorted(src.columns)
+    # value-level spot check: total exact cents match the source
+    from pyspark.sql import functions as F
+
+    cents = lambda df: df.select(  # noqa: E731
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+    ).collect()[0][0]
+    assert cents(chunked) == cents(src)
+
+    # overwrite with a filtered subset: old files must not survive
+    sub = src.filter(F.col("o_orderstatus") == "F")
+    sub.write.format("chunked_parquet").option("path", out).mode("overwrite").save()
+    assert spark.read.parquet(out).count() == sub.count()
+
+
+def test_writer_row_group_sizing(spark, sf_dir, tmp_path):
+    """row groups in written files respect the chunk_size the reader
+    plans by — the roundtrip preserves the chunking contract."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    register(spark)
+    out = str(tmp_path / "cpw_rg")
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").coalesce(1)
+    src.write.format("chunked_parquet").option("path", out).option(
+        "chunk_size", "40"
+    ).mode("append").save()
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert files
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        assert all(
+            meta.row_group(i).num_rows <= 40 for i in range(meta.num_row_groups)
+        )
