@@ -71,18 +71,23 @@ def scratch_root() -> str:
 _INDEX_FORMAT = 2
 
 
-def ivfpq_index_path(sf_dir: str) -> str:
-    """Content-addressed index location: the tag hashes the embeddings
-    file identity (path + size + mtime) plus the index format version, so
-    a rebuilt corpus or a changed encoder gets a fresh index and an
-    unchanged one is reused across sessions."""
-    src = table_path(sf_dir, "embeddings")
+def content_tag(src: str, prefix: str) -> str:
+    """Shared content-addressing scheme for every scratch artifact store
+    (IVF+PQ index, dedup fingerprint store, format roundtrips): hash the
+    source file identity (abspath + size + mtime) plus a caller prefix
+    (format/version), so a rebuilt source or a bumped format gets a fresh
+    tag and an unchanged one is reused across sessions."""
     try:
         st = os.stat(src)
-        ident = f"v{_INDEX_FORMAT}|{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+        ident = f"{prefix}|{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
     except OSError:
-        ident = f"v{_INDEX_FORMAT}|{os.path.abspath(src)}"
-    tag = hashlib.sha1(ident.encode()).hexdigest()[:12]
+        ident = f"{prefix}|{os.path.abspath(src)}"
+    return hashlib.sha1(ident.encode()).hexdigest()[:12]
+
+
+def ivfpq_index_path(sf_dir: str) -> str:
+    """Content-addressed index location (see :func:`content_tag`)."""
+    tag = content_tag(table_path(sf_dir, "embeddings"), f"v{_INDEX_FORMAT}")
     return os.path.join(scratch_root(), "ivfpq_index", tag)
 
 

@@ -36,7 +36,6 @@ replays both sides from the raw table.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,7 +44,7 @@ from pyspark.sql import functions as F
 
 from columnflow_spark.functions.text import fingerprint
 from columnflow_spark.queries import query
-from columnflow_spark.queries.annindex import scratch_root
+from columnflow_spark.queries.annindex import content_tag, scratch_root
 from columnflow_spark.sources import load_table
 from columnflow_spark.sources.sinks import upsert_partitions
 from columnflow_spark.sources.tables import table_path
@@ -57,17 +56,10 @@ _N_BANDS = 16
 
 
 def dedup_store_path(sf_dir: str) -> str:
-    """Content-addressed store location (same scheme as
-    annindex.ivfpq_index_path): the tag hashes the documents file
-    identity + format version, so a rebuilt corpus or a changed
-    fingerprint definition gets a fresh store."""
-    src = table_path(sf_dir, "documents")
-    try:
-        st = os.stat(src)
-        ident = f"v{_STORE_FORMAT}|{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
-    except OSError:
-        ident = f"v{_STORE_FORMAT}|{os.path.abspath(src)}"
-    tag = hashlib.sha1(ident.encode()).hexdigest()[:12]
+    """Content-addressed store location (shared annindex.content_tag
+    scheme): a rebuilt corpus or a changed fingerprint definition gets a
+    fresh store."""
+    tag = content_tag(table_path(sf_dir, "documents"), f"v{_STORE_FORMAT}")
     return os.path.join(scratch_root(), "dedup_store", tag)
 
 

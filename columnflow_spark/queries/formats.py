@@ -25,7 +25,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from columnflow_spark.queries import query
-from columnflow_spark.queries.annindex import scratch_root
+from columnflow_spark.queries.annindex import content_tag, scratch_root
 from columnflow_spark.sources import load_table
 from columnflow_spark.sources.tables import table_path
 
@@ -43,16 +42,27 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
 def _roundtrip_dir(sf_dir: str, table: str, fmt: str) -> str:
-    """Content-addressed scratch location: a rebuilt source file gets a
-    fresh directory, concurrent sessions on the same data share one."""
-    src = table_path(sf_dir, table)
-    try:
-        st = os.stat(src)
-        ident = f"{fmt}|{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
-    except OSError:
-        ident = f"{fmt}|{os.path.abspath(src)}"
-    tag = hashlib.sha1(ident.encode()).hexdigest()[:12]
+    """Content-addressed scratch location (shared annindex.content_tag
+    scheme): a rebuilt source file gets a fresh directory."""
+    tag = content_tag(table_path(sf_dir, table), fmt)
     return os.path.join(scratch_root(), "formats", f"{table}_{fmt}_{tag}")
+
+
+def _write_once(df: DataFrame, out: str, fmt: str, **options) -> None:
+    """Write the roundtrip copy only if this content-addressed directory
+    was not already completed (``_BUILT`` marker, same reuse contract as
+    the IVF+PQ index and dedup stores): repeated runs — including a
+    concurrent session's later run — read the existing files instead of
+    overwriting them out from under an in-flight scan."""
+    marker = os.path.join(out, "_BUILT")
+    if os.path.exists(marker):
+        return
+    writer = df.write.mode("overwrite")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    getattr(writer, fmt)(out)
+    with open(marker, "w"):
+        pass
 
 
 @query(
@@ -85,9 +95,7 @@ def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the separate timestampNTZFormat option (timestampFormat only applies
     # to zoned timestamps and would be silently ignored here)
     out = _roundtrip_dir(sf_dir, "orders", "csv")
-    orders.write.mode("overwrite").option("header", True).option(
-        "timestampNTZFormat", _TS_FMT
-    ).csv(out)
+    _write_once(orders, out, "csv", header=True, timestampNTZFormat=_TS_FMT)
 
     schema = T.StructType(
         [
@@ -148,7 +156,7 @@ def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = _roundtrip_dir(sf_dir, "events", "json")
-    events.write.mode("overwrite").option("timestampFormat", _TS_FMT).json(out)
+    _write_once(events, out, "json", timestampFormat=_TS_FMT)
 
     schema = T.StructType(
         [
@@ -200,7 +208,7 @@ def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"],
     )
     out = _roundtrip_dir(sf_dir, "lineitem", "orc")
-    li.write.mode("overwrite").orc(out)
+    _write_once(li, out, "orc")
     back = spark.read.schema(li.schema).orc(out)
     return (
         back.groupBy("l_returnflag")

@@ -126,7 +126,7 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equivalence-class sizes over the (nation, market-segment)
-    quasi-identifier tuple, flagging classes below k={_K_ANON} — rows in a
+    quasi-identifier tuple, flagging classes below ``_K_ANON`` — rows in a
     flagged class are re-identifiable and need suppression or
     generalization before release.  One map-side-combinable aggregation."""
     cust = load_table(spark, sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"])

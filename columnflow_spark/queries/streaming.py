@@ -1244,9 +1244,12 @@ def streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    cells = spark.read.parquet(latest["path"]).select(
-        "j", "idx", F.col("c").cast("long").alias("c")
-    )
+    if latest["path"] is None:  # zero micro-batches: an empty sketch
+        cells = spark.createDataFrame([], "j INT, idx BIGINT, c BIGINT")
+    else:
+        cells = spark.read.parquet(latest["path"]).select(
+            "j", "idx", F.col("c").cast("long").alias("c")
+        )
     docs = load_table(spark, sf_dir, "documents", columns=["text"])
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
     return cms_topk_from_cells(toks, cells)

@@ -54,12 +54,25 @@ class RowGroupChunk(InputPartition):
 
 def source_files(path: str) -> list[str]:
     """A single parquet file, or the sorted ``part-*.parquet`` members of a
-    directory written by :class:`ChunkedParquetWriter`."""
+    directory written by :class:`ChunkedParquetWriter`.  Directory reads
+    require the writer's ``_SUCCESS`` marker — a directory from a commit
+    that never finished must fail loudly, not return a partial subset."""
     import glob  # noqa: PLC0415
     import os  # noqa: PLC0415
 
     if os.path.isdir(path):
-        return sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise ValueError(
+                f"chunked_parquet directory {path!r} has no _SUCCESS marker: "
+                "the write that produced it did not commit"
+            )
+        files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+        if not files:
+            raise ValueError(
+                f"chunked_parquet directory {path!r} committed no part files "
+                "(empty write); there is no schema to infer"
+            )
+        return files
     return [path]
 
 
@@ -182,22 +195,29 @@ class _StagedFile(WriterCommitMessage):
 
 class ChunkedParquetWriter(DataSourceArrowWriter):
     """Two-phase-commit parquet writer (the other half of the custom
-    connector): every task writes its Arrow batches to a uniquely-named
-    file in a staging directory and returns a commit message; only the
-    driver's ``commit`` publishes the staged files (plus a ``_SUCCESS``
-    marker), and ``abort`` discards the staging area — a failed or
-    speculative task can never leave partial data visible.  This is the
-    same task-commit protocol Hadoop/Spark committers use, expressed in
-    the Python DataSource API; row groups are sized by the same
-    ``chunk_size`` the reader plans by, so a roundtrip preserves the
-    chunking contract.
+    connector): every task streams its Arrow batches to a uniquely-named
+    file in a per-job staging directory and returns a commit message;
+    only the driver's ``commit`` publishes the staged files and then
+    writes the ``_SUCCESS`` marker, and ``abort`` discards the staging
+    area — failed or speculative TASKS can never surface partial data.
+    This is the Hadoop v1 committer protocol expressed in the Python
+    DataSource API, with the same residual window (a driver crash mid-
+    publish); the chunked reader closes that window by refusing any
+    directory without ``_SUCCESS`` (see :func:`source_files`).  Row
+    groups are sized by the same ``chunk_size`` the reader plans by, so
+    a roundtrip preserves the chunking contract.
     """
 
     def __init__(self, options: dict, overwrite: bool) -> None:
+        import uuid  # noqa: PLC0415
+
         self.path = options["path"]
         self.chunk_size = int(options.get("chunk_size", DEFAULT_CHUNK_SIZE))
         self.overwrite = overwrite
-        self.staging = f"{self.path.rstrip('/')}__staging"
+        # per-JOB unique staging dir (the writer instance is built once on
+        # the driver and pickled to every task): concurrent writes to the
+        # same destination can never clobber each other's staged files
+        self.staging = f"{self.path.rstrip('/')}__staging_{uuid.uuid4().hex}"
 
     def write(self, iterator):  # executor-side, once per task
         import os  # noqa: PLC0415
@@ -206,14 +226,33 @@ class ChunkedParquetWriter(DataSourceArrowWriter):
         import pyarrow as pa  # noqa: PLC0415
         import pyarrow.parquet as pq  # noqa: PLC0415
 
-        batches = list(iterator)
-        if not batches:
-            return _StagedFile("", 0)
-        os.makedirs(self.staging, exist_ok=True)
+        # stream batches through a bounded buffer (~chunk_size rows per
+        # row group): task memory does not grow with partition size
+        writer, rows, buf, buf_rows = None, 0, [], 0
         fname = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
-        table = pa.Table.from_batches(batches)
-        pq.write_table(table, fname, row_group_size=self.chunk_size)
-        return _StagedFile(fname, table.num_rows)
+
+        def flush():
+            nonlocal writer, buf, buf_rows
+            if not buf:
+                return
+            table = pa.Table.from_batches(buf)
+            if writer is None:
+                os.makedirs(self.staging, exist_ok=True)
+                writer = pq.ParquetWriter(fname, table.schema)
+            writer.write_table(table, row_group_size=self.chunk_size)
+            buf, buf_rows = [], 0
+
+        for batch in iterator:
+            buf.append(batch)
+            buf_rows += batch.num_rows
+            rows += batch.num_rows
+            if buf_rows >= self.chunk_size:
+                flush()
+        flush()
+        if writer is None:
+            return _StagedFile("", 0)
+        writer.close()
+        return _StagedFile(fname, rows)
 
     def commit(self, messages) -> None:  # driver-side, all tasks succeeded
         import glob  # noqa: PLC0415
@@ -221,6 +260,12 @@ class ChunkedParquetWriter(DataSourceArrowWriter):
         import shutil  # noqa: PLC0415
 
         os.makedirs(self.path, exist_ok=True)
+        # invalidate BEFORE touching data: a crash mid-publish leaves a
+        # marker-less directory the chunked reader refuses, never a
+        # readable partial mix of old and new files
+        marker = os.path.join(self.path, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
         if self.overwrite:
             for f in glob.glob(os.path.join(self.path, "part-*.parquet")):
                 os.remove(f)

@@ -117,7 +117,9 @@ def test_writer_roundtrip_and_overwrite(spark, sf_dir, tmp_path):
 
     src.write.format("chunked_parquet").option("path", out).mode("append").save()
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
-    assert not os.path.exists(out + "__staging")
+    import glob
+
+    assert not glob.glob(out + "__staging*")
 
     native = spark.read.parquet(out)
     assert native.count() == src.count()
