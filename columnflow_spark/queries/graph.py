@@ -405,3 +405,102 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("community", "sz", "rk")
         .orderBy("rk")
     )
+
+
+# --- multi-source BFS distances: hop distance from a deterministic seed
+# set (the 3 lowest node ids) to every node of the co-order graph.  This
+# is the nearest-seed assignment used for graph-partitioned corpus
+# sharding (assign every doc of a near-dup graph to its closest curated
+# seed) and the building block of landmark/seed-distance features.
+# All-integer by construction — no float anywhere, so the K-round DuckDB
+# replay is bit-identical.
+_BFS_ROUNDS = 3
+_BFS_N_SOURCES = 3
+
+
+def _bfs_iter_cte(i: int) -> str:
+    """One BFS round: expand only the previous FRONTIER (nodes settled at
+    exactly dist i-1 — unit weights mean settled distances never improve),
+    then fold new candidates into the dist map with a min-aggregate."""
+    prev = f"d{i - 1}"
+    return f"""
+    d{i} AS MATERIALIZED (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, p.dist + 1 AS dist
+            FROM dir_edges e JOIN {prev} p
+              ON p.node = e.src AND p.dist = {i - 1}
+        ) GROUP BY node
+    )
+    """
+
+
+@query(
+    "graph_bfs_distances",
+    oracle=f"""
+    WITH {_COORDER_EDGES_CTE.strip()},
+    dir_edges AS MATERIALIZED (
+        SELECT x AS src, y AS dst FROM edges UNION ALL SELECT y, x FROM edges
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM dir_edges),
+    d0 AS MATERIALIZED (
+        SELECT node, 0 AS dist FROM nodes ORDER BY node LIMIT {_BFS_N_SOURCES}
+    ),
+    {",".join(_bfs_iter_cte(i) for i in range(1, _BFS_ROUNDS + 1))}
+    SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS id_checksum
+    FROM (
+        SELECT n.node, CAST(coalesce(d.dist, -1) AS INT) AS dist
+        FROM nodes n LEFT JOIN d{_BFS_ROUNDS} d USING (node)
+    )
+    GROUP BY dist ORDER BY dist
+    """,
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance histogram (with node-id checksums) of a 3-round
+    multi-source BFS from the 3 lowest-id nodes of the co-order graph;
+    unreached nodes report ``dist = -1``.
+
+    Scale notes: each round joins the edge list against the FRONTIER only
+    (nodes settled at exactly the previous distance), not the whole dist
+    map — with unit weights a settled distance never improves, so the
+    join volume per round is bounded by the frontier's out-edge count,
+    the Pregel/GraphX BFS shape.  The dist map is node-grain, merged by
+    an exact integer min-aggregate (map-side combinable), and
+    checkpointed per round like the PageRank loop above.  Nothing
+    data-sized is broadcast; the seed set is |3| by construction.
+    """
+    edges = _coorder_edges(spark, sf_dir)
+    dir_edges = edges.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        edges.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    ).localCheckpoint()
+    nodes = dir_edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    dist = (
+        nodes.orderBy("node")
+        .limit(_BFS_N_SOURCES)
+        .select("node", F.lit(0).cast("int").alias("dist"))
+    )
+    for i in range(1, _BFS_ROUNDS + 1):
+        frontier = dist.filter(F.col("dist") == i - 1).select(
+            F.col("node").alias("src"), "dist"
+        )
+        cand = dir_edges.join(frontier, "src").select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionAll(cand)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(dist, "node", "left")
+        .select("node", F.coalesce("dist", F.lit(-1)).cast("int").alias("dist"))
+        .groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("node").cast("long").alias("id_checksum"),
+        )
+        .orderBy("dist")
+    )

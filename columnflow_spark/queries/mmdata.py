@@ -1406,6 +1406,103 @@ def vocab_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- collocation mining: top adjacent-bigram collocations by exact
+# integer LIFT = P(w1 w2) / (P(w1) P(w2)).  Lift orders identically to
+# PMI (log is monotone) but needs no ln(), so the whole ranking is exact
+# integer arithmetic — no libm knife edge (the SCALE_VALIDATION.md #6
+# class).  Collocation/phrase mining is the vocabulary-induction step of
+# tokenizer pipelines (merge candidates for BPE/WordPiece seeding) and a
+# boilerplate-detection signal at corpus scale. ---
+_COLL_MINC = 5
+#: lift quantization: 1e6 grid via exact integer division in both engines
+_COLL_SCALE = 1_000_000
+
+
+@query(
+    "collocation_lift_topk",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    n_tot AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n FROM toks),
+    uni AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+    ),
+    bi AS (
+        SELECT ws[i + 1] AS w1, ws[i + 2] AS w2, CAST(count(*) AS BIGINT) AS cxy
+        FROM toks, unnest(range(len(ws) - 1)) AS t(i)
+        GROUP BY 1, 2
+        HAVING count(*) >= {_COLL_MINC}
+    )
+    SELECT w1, w2, cxy,
+           CAST((cxy * n * {_COLL_SCALE}) // (u1.c * u2.c) AS BIGINT) AS lift_q
+    FROM bi
+    JOIN uni u1 ON u1.w = bi.w1
+    JOIN uni u2 ON u2.w = bi.w2
+    CROSS JOIN n_tot
+    ORDER BY lift_q DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-word collocations by exact integer lift
+    ``(c_xy * N * SCALE) div (c_x * c_y)``.
+
+    Plan shape: one token projection feeds (a) the corpus token count
+    (scalar agg), (b) unigram counts, (c) in-row adjacent-pair expansion
+    → bigram counts.  All three aggregations partial-aggregate map-side;
+    the bigram table is vocabulary²-bounded (tiny vs corpus) AFTER its
+    groupBy, so the two unigram joins and the scalar cross join ride
+    broadcast exchanges of vocabulary-sized relations — nothing
+    corpus-sized is ever broadcast.  Ranking is integer division on
+    BIGINTs (``div`` / ``//``), bit-identical across engines; magnitudes
+    stay < 2^63 up to ~sf100 with this vocabulary (c_xy·N·SCALE ≈ 1e18
+    worst case there — drop SCALE to 1e4 beyond that).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+
+    n_tot = toks.agg(F.sum(F.size("ws")).cast("long").alias("n"))
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("ws"), i).alias("w1"),
+            F.element_at(F.col("ws"), i + 1).alias("w2"),
+        ),
+    )
+    bi = (
+        toks.filter(F.size("ws") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cxy"))
+        .filter(F.col("cxy") >= _COLL_MINC)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "w1",
+            "w2",
+            "cxy",
+            F.expr(f"CAST((cxy * n * {_COLL_SCALE}) div (c1 * c2) AS BIGINT)").alias(
+                "lift_q"
+            ),
+        )
+        .orderBy(F.desc("lift_q"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
 # --- the shingle-index build pass, exposed as its own operator: every
 # production dedup pipeline materializes the (doc -> shingle set) index
 # once and amortizes it over candidate generation, verification, and

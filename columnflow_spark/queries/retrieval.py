@@ -324,3 +324,114 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "rrf_q", "lex_rk", "dense_rk", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# --- late-interaction (ColBERT-style MaxSim) retrieval: treat each 64-dim
+# embedding as 8 token-vectors of 8 dims; a query-doc score is the sum over
+# query token-vectors of the best-matching doc token-vector.  MaxSim is the
+# standard multi-vector retrieval scorer (ColBERT; PLAID is its pruned
+# serving form) — the single-vector ANN family in queries/mmdata.py cannot
+# express it because the max sits INSIDE the per-query sum.
+_MAXSIM_SUBS = 8
+_MAXSIM_SUBDIM = 8
+_MAXSIM_TOPK = 10
+#: component quantization grid (1e3), the proven PQ/ADC pattern
+#: (mmdata.py _pq_quantized_subs): sub-vector dot products become exact
+#: BIGINT sums in both engines, and max/sum over exact integers cannot
+#: drift with engine summation order.
+_MAXSIM_CSCALE = 1_000
+
+
+@query(
+    "colbert_maxsim_topk",
+    oracle=f"""
+    WITH probes AS (
+        SELECT q.query_id,
+               list_transform(p.embedding::DOUBLE[],
+                              x -> CAST(round(x * {_MAXSIM_CSCALE}) AS BIGINT)) AS qq
+        FROM {_queries_values_sql()}
+        JOIN embeddings p ON p.vec_id = q.query_id
+    ),
+    docs AS (
+        SELECT vec_id AS doc_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * {_MAXSIM_CSCALE}) AS BIGINT)) AS qe
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT p.query_id, d.doc_id,
+               CAST(list_aggregate(list_transform(range({_MAXSIM_SUBS}), i ->
+                   list_max(list_transform(range({_MAXSIM_SUBS}), j ->
+                       list_aggregate(list_transform(range({_MAXSIM_SUBDIM}), k ->
+                           qq[i * {_MAXSIM_SUBDIM} + k + 1]
+                           * qe[j * {_MAXSIM_SUBDIM} + k + 1]), 'sum')
+                   ))), 'sum') AS BIGINT) AS maxsim_q
+        FROM probes p CROSS JOIN docs d
+    )
+    SELECT query_id, doc_id, maxsim_q, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY maxsim_q DESC, doc_id
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= {_MAXSIM_TOPK}
+    ORDER BY query_id, rk
+    """,
+)
+def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents per probe under the late-interaction MaxSim score:
+    ``sum_i max_j <q_i, d_j>`` over 8×8-dim sub-vectors, on the exact
+    integer component grid.
+
+    Plan shape: probes (|queries| rows) broadcast over the corpus; the
+    whole MaxSim — quantize, slice, 8×8 dot-product matrix, per-row max,
+    sum — is ONE in-row nested-HOF expression, so the corpus scan never
+    explodes and nothing but the per-query rank window shuffles
+    (|queries| × N narrow rows).  At 100 TB the serving form prunes
+    candidates first (IVF/PLAID-style: route on the first sub-vector via
+    the materialized index in queries/annindex.py, then exact-MaxSim only
+    the survivors) — the scorer below is the exact re-rank kernel of that
+    pipeline, unchanged.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+
+    def _qgrid(col):
+        return F.transform(
+            col, lambda x: F.round(x.cast("double") * _MAXSIM_CSCALE, 0).cast("long")
+        )
+
+    probe_ids = [qid for qid, _ in _BM25_QUERIES]
+    probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("query_id"), _qgrid(F.col("embedding")).alias("qq")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), _qgrid(F.col("embedding")).alias("qe"))
+
+    maxsim = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_MAXSIM_SUBS - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_MAXSIM_SUBS - 1)),
+                lambda j: F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("qq"), i * _MAXSIM_SUBDIM + 1, _MAXSIM_SUBDIM),
+                        F.slice(F.col("qe"), j * _MAXSIM_SUBDIM + 1, _MAXSIM_SUBDIM),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda s, v: s + v,
+                ),
+            )
+        ),
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("maxsim_q"), F.asc("doc_id"))
+    return (
+        docs.crossJoin(F.broadcast(probes))
+        .select("query_id", "doc_id", maxsim.cast("long").alias("maxsim_q"))
+        .withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= _MAXSIM_TOPK)
+        .select("query_id", "doc_id", "maxsim_q", "rk")
+        .orderBy("query_id", "rk")
+    )

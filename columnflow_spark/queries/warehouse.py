@@ -174,3 +174,84 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "version")
     )
+
+
+# --- incremental materialized-aggregate maintenance: the append-only
+# warehouse pattern where a per-key aggregate table is maintained by
+# MERGING the standing partial state with a delta batch's partials
+# instead of recomputing over all history.  Correct exactly when every
+# measure is a commutative monoid (count/sum/min/max here; avg derived
+# after the merge, never merged itself).  The engine computes
+# merge(partial(base), partial(delta)); the ORACLE is the full recompute
+# over the union — hash equality IS the maintenance-correctness proof.
+_INC_SPLIT_DATE = "1997-06-01"
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT o_custkey AS c_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_c,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order,
+           CAST(CAST(sum(round(o_totalprice * 100)) AS BIGINT) // count(*) AS BIGINT)
+               AS avg_c
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order aggregates maintained incrementally: monoid
+    partials over the BASE slice (orders before the split date — the
+    standing materialized state) merged with partials over the DELTA
+    slice (the new batch), then derived measures (integer-cent average)
+    computed from the merged monoid state.
+
+    Scale notes: this is the shape that makes a 100 TB aggregate table
+    maintainable — the base partials are a persisted key-grain table read
+    back (narrow rows, never re-scanning history), and each ingest batch
+    contributes its own partial aggregation (map-side combined) before a
+    key-grain merge shuffle bounded by |keys touched|, not |history|.
+    Min/max/count/sum all merge associatively; the average is derived
+    AFTER the merge with exact integer division, so maintenance can never
+    drift from the recompute (the oracle proves it: full recompute over
+    the union, hash-equal).  Both slices here prune on the split
+    predicate at the parquet scan (date filter pushdown).
+    """
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    split = F.lit(_INC_SPLIT_DATE).cast("timestamp_ntz")
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("total_c"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    base = _partial(orders.filter(F.col("o_orderdate") < split))
+    delta = _partial(orders.filter(F.col("o_orderdate") >= split))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("c_custkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("total_c").cast("long").alias("total_c"),
+            F.min("first_order").alias("first_order"),
+            F.max("last_order").alias("last_order"),
+        )
+    )
+    return merged.select(
+        "c_custkey",
+        "n_orders",
+        "total_c",
+        "first_order",
+        "last_order",
+        F.expr("CAST(total_c div n_orders AS BIGINT)").alias("avg_c"),
+    ).orderBy("c_custkey")

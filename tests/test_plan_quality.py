@@ -371,6 +371,8 @@ _CORPUS_HINT_QUERIES = (
     "hybrid_search_rrf",
     "graph_triangle_count",
     "graph_label_propagation",
+    "collocation_lift_topk",
+    "colbert_maxsim_topk",
 )
 
 _DOC_GRAIN_KEY = __import__("re").compile(r"\b(doc_id|dg|fp)#")
