@@ -1459,7 +1459,11 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized is ever broadcast.  Ranking is integer division on
     BIGINTs (``div`` / ``//``), bit-identical across engines; magnitudes
     stay < 2^63 up to ~sf100 with this vocabulary (c_xy·N·SCALE ≈ 1e18
-    worst case there — drop SCALE to 1e4 beyond that).
+    worst case there — drop SCALE to 1e4 beyond that).  That bound is
+    ENFORCED, not just documented: DuckDB raises on BIGINT overflow while
+    Spark (ANSI off) wraps silently, so the numerator carries an in-plan
+    ``raise_error`` guard — past the bound both engines now fail loudly
+    instead of silently diverging.
     """
     docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
     toks = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
@@ -1494,9 +1498,17 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "cxy",
-            F.expr(f"CAST((cxy * n * {_COLL_SCALE}) div (c1 * c2) AS BIGINT)").alias(
-                "lift_q"
-            ),
+            # overflow guard (matches DuckDB's raise-on-overflow): the
+            # numerator cxy*n*SCALE must fit BIGINT; n*SCALE is checked
+            # first so the division deriving the cxy bound is itself safe
+            F.expr(
+                f"CASE WHEN n <= 9223372036854775807 div {_COLL_SCALE}"
+                f" AND cxy <= 9223372036854775807 div (n * {_COLL_SCALE})"
+                f" THEN CAST((cxy * n * {_COLL_SCALE}) div (c1 * c2) AS BIGINT)"
+                f" ELSE CAST(raise_error('collocation_lift_topk: cxy*n*SCALE"
+                f" overflows BIGINT — lower _COLL_SCALE for this corpus size')"
+                f" AS BIGINT) END"
+            ).alias("lift_q"),
         )
         .orderBy(F.desc("lift_q"), F.asc("w1"), F.asc("w2"))
         .limit(20)

@@ -192,11 +192,11 @@ _INC_SPLIT_DATE = "1997-06-01"
     oracle="""
     SELECT o_custkey AS c_custkey,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_c,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c,
            min(o_orderdate) AS first_order,
            max(o_orderdate) AS last_order,
-           CAST(CAST(sum(round(o_totalprice * 100)) AS BIGINT) // count(*) AS BIGINT)
-               AS avg_c
+           CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                // count(*) AS BIGINT) AS avg_c
     FROM orders
     GROUP BY o_custkey
     ORDER BY c_custkey
