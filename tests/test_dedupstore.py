@@ -127,3 +127,65 @@ def test_history_cutoff_matches_oracle_expression(spark, sf_dir):
         f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
     ).fetchone()[0]
     assert _history_cutoff(spark, sf_dir) == 3 * n // 5
+
+
+def test_compaction_preserves_flagging(spark, sf_dir, tmp_path, thirds):
+    # VERDICT r5 next #5: folding the batch history into one batch=0
+    # slice per band must be invisible to flagging — identical decisions,
+    # single batch directory per band, marker preserved
+    from columnflow_spark.queries.dedupstore import compact_dedup_store
+
+    a, b = thirds
+    path = str(tmp_path / "store")
+    upsert_dedup_batch(spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < a)
+    upsert_dedup_batch(
+        spark, sf_dir, path, batch=1,
+        batch_pred=(F.col("doc_id") >= a) & (F.col("doc_id") < b),
+    )
+    before = _rows(
+        flag_batch_against_store(
+            spark, sf_dir, path, batch_pred=F.col("doc_id") >= b, max_batch=None
+        )
+    )
+    compact_dedup_store(spark, path)
+    after = _rows(
+        flag_batch_against_store(
+            spark, sf_dir, path, batch_pred=F.col("doc_id") >= b, max_batch=None
+        )
+    )
+    assert after == before and len(after) > 0
+    # layout: exactly one batch= dir per band, marker intact, no tmp/old
+    assert os.path.exists(os.path.join(path, "_BUILT"))
+    bands = [d for d in os.listdir(path) if d.startswith("band=")]
+    assert bands
+    for band in bands:
+        assert os.listdir(os.path.join(path, band)) == ["batch=0"]
+    assert not os.path.exists(path + ".compact-tmp")
+    assert not os.path.exists(path + ".compact-old")
+
+
+def test_compaction_then_upsert_keeps_incremental_contract(spark, sf_dir, tmp_path, thirds):
+    # a store that was compacted mid-history must keep accepting upserts:
+    # compact(batch 0) + upsert(batch 1) ≡ from-scratch two-batch store
+    from columnflow_spark.queries.dedupstore import compact_dedup_store
+
+    a, b = thirds
+    compacted = str(tmp_path / "compacted")
+    upsert_dedup_batch(spark, sf_dir, compacted, batch=0, batch_pred=F.col("doc_id") < a)
+    compact_dedup_store(spark, compacted)
+    upsert_dedup_batch(
+        spark, sf_dir, compacted, batch=1,
+        batch_pred=(F.col("doc_id") >= a) & (F.col("doc_id") < b),
+    )
+    plain = str(tmp_path / "plain")
+    upsert_dedup_batch(spark, sf_dir, plain, batch=0, batch_pred=F.col("doc_id") < a)
+    upsert_dedup_batch(
+        spark, sf_dir, plain, batch=1,
+        batch_pred=(F.col("doc_id") >= a) & (F.col("doc_id") < b),
+    )
+    flag = lambda p: _rows(
+        flag_batch_against_store(
+            spark, sf_dir, p, batch_pred=F.col("doc_id") >= b, max_batch=None
+        )
+    )
+    assert flag(compacted) == flag(plain)

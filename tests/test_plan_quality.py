@@ -333,6 +333,31 @@ def test_quality_classifier_scoring_is_in_row(spark, sf_dir):
     assert read_schemas and all("label" not in l for l in read_schemas)
 
 
+def test_brute_force_dense_rank_is_salted(spark, sf_dir):
+    # VERDICT r5 next #3: the exact brute-force rankers score |queries| x
+    # corpus rows, so a plain Window.partitionBy(query_id) funnels the
+    # WHOLE corpus through |queries| sort tasks — a single-task straggler
+    # at 100x.  The rank must be the two-phase salted top-k
+    # (functions/skew.py): phase 1 partitions by (query_id, _salt).
+    for qname in ("ann_cosine_topk", "colbert_maxsim_topk", "hybrid_search_rrf"):
+        plan = _plan(spark, sf_dir, qname)
+        assert "_salt" in plan, f"{qname}: per-query rank window is not salted"
+
+
+def test_hybrid_indexed_dense_arm_prunes_partitions(spark, sf_dir):
+    # VERDICT r5 next #1: the index-served hybrid's dense arm must read
+    # only the probed cid= partitions of the materialized IVF+PQ index —
+    # the cell IN-list lands in PartitionFilters at planning time, so the
+    # scan never enumerates the full index even before execution
+    plan = _plan(spark, sf_dir, "hybrid_search_rrf_indexed")
+    pf = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "cid" in l and "IN (" in l
+    ]
+    assert pf, "dense arm's index scan carries no cid IN-list PartitionFilter"
+
+
 def test_hard_negative_anchor_side_broadcasts(spark, sf_dir):
     # the anchor mini-batch must be the broadcast side of the non-equi
     # join (bounded by _HNM_BATCH_CAP); the corpus must never sort-merge
@@ -483,9 +508,14 @@ _PLAN_BUDGETS = {
     # exchanges or rescans may leak past a checkpoint boundary
     "pagerank_trade_graph": (0, 0),
     # lexical arm = bm25 totals (7/2) + its rank window; dense arm = probe
-    # broadcast + corpus rank window over 2 embeddings scans; fusion join +
-    # final window/sort make up the rest
-    "hybrid_search_rrf": (13, 4),
+    # broadcast + TWO-PHASE salted rank windows (the +1 exchange buys the
+    # no-single-task-sort guarantee) over 2 embeddings scans; fusion join
+    # + final window/sort make up the rest
+    "hybrid_search_rrf": (14, 4),
+    # lexical arm as above; dense arm = ONE probe-pruned index scan
+    # (PartitionFilters) + embeddings scans for the LUT, ADC agg + fusion
+    # join + final window/sort — one fewer exchange than the brute twin
+    "hybrid_search_rrf_indexed": (13, 4),
     # degree join x2, three oriented-edge join legs, per-node agg, top-20
     # window — all over the checkpointed edge list (0 parquet rescans)
     "graph_triangle_count": (13, 0),

@@ -95,3 +95,51 @@ def test_hybrid_rrf_dense_arm_hits_probe(spark, sf_dir):
     self_rows = [r for r in rows if r.doc_id == r.query_id]
     assert {r.query_id for r in self_rows} == {qid for qid, _ in _BM25_QUERIES}
     assert all(r.dense_rk == 1 for r in self_rows), self_rows
+
+
+def test_hybrid_indexed_fusion_invariants(spark, sf_dir):
+    """The index-served hybrid obeys the same fusion arithmetic: fused
+    score recomputable from the reported arm ranks, total order, bounded
+    contiguous ranks."""
+    from columnflow_spark.queries.retrieval import _RRF_K, _RRF_POOL, _RRF_SCALE, _RRF_TOPK
+
+    rows = all_queries()["hybrid_search_rrf_indexed"](spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {qid for qid, _ in _BM25_QUERIES}
+    for rows_q in by_q.values():
+        assert len(rows_q) <= _RRF_TOPK
+        assert [r.rk for r in rows_q] == list(range(1, len(rows_q) + 1))
+        key = [(-r.rrf_q, r.doc_id) for r in rows_q]
+        assert key == sorted(key)
+        for r in rows_q:
+            assert 0 <= r.lex_rk <= _RRF_POOL and 0 <= r.dense_rk <= _RRF_POOL
+            assert r.lex_rk or r.dense_rk
+            want = sum(
+                _RRF_SCALE // (_RRF_K + rk) for rk in (r.lex_rk, r.dense_rk) if rk
+            )
+            assert r.rrf_q == want, r
+
+
+def test_hybrid_indexed_recall_vs_brute_force(spark, sf_dir):
+    """Pin the IVF+PQ approximation inside the fused result: the
+    index-served top-k must overlap the brute-force hybrid top-k well
+    above the random floor, and the LEXICAL contribution must be
+    identical between the two (only the dense arm is approximate)."""
+    brute = all_queries()["hybrid_search_rrf"](spark, sf_dir).collect()
+    idx = all_queries()["hybrid_search_rrf_indexed"](spark, sf_dir).collect()
+    b_set = {(r.query_id, r.doc_id) for r in brute}
+    i_set = {(r.query_id, r.doc_id) for r in idx}
+    assert b_set and i_set
+    # lexical arm parity: every doc ranked by BM25 carries the SAME
+    # lex_rk in both variants
+    b_lex = {(r.query_id, r.doc_id): r.lex_rk for r in brute if r.lex_rk}
+    i_lex = {(r.query_id, r.doc_id): r.lex_rk for r in idx if r.lex_rk}
+    shared = b_lex.keys() & i_lex.keys()
+    assert shared and all(b_lex[k] == i_lex[k] for k in shared)
+    # fused-list overlap: BM25-anchored docs dominate the fusion, so the
+    # floor is well above the IVF probed-volume floor; measured ~0.8+ at
+    # test SFs
+    overlap = len(b_set & i_set) / len(b_set)
+    assert overlap >= 0.5, f"index-served hybrid diverged from brute force: {overlap}"
