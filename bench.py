@@ -88,8 +88,11 @@ BENCH_QUERIES = [
     # inherent work rather than regression signal; it stays gated by the
     # oracle sweeps.
     "hybrid_search_rrf",
-    # the index-served hybrid: the 100x form, benched against its brute twin
+    # the index-served forms: the 100x paths, benched against their brute twins
     "hybrid_search_rrf_indexed",
+    "colbert_maxsim_routed_topk",
+    # store-backed incremental dedup, exact and semantic
+    "semdedup_incremental_store",
     "graph_label_propagation",
     # single-pass distributed model fit + index build
     "ml_train_linreg",

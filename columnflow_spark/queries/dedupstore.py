@@ -324,13 +324,12 @@ def _sem_centroids(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "_centroids"))
 
 
-def upsert_semdedup_batch(
-    spark: SparkSession, sf_dir: str, path: str, *, batch: int, batch_pred
-) -> str:
-    """Assign one ingest batch to the frozen centroids (map-side numpy
-    argmax — zero shuffle) and upsert its vectors under ``cid=/batch=``."""
+def upsert_semdedup_frame(vecs: DataFrame, path: str, *, batch: int) -> str:
+    """Assign a ``(vec_id, embedding)`` frame to the frozen centroids
+    (map-side numpy argmax — zero shuffle) and upsert its vectors under
+    ``cid=/batch=``."""
     rows = nearest_centroid_assign(
-        _sem_vectors(spark, sf_dir, batch_pred), _sem_centroids(spark, path)
+        vecs, _sem_centroids(vecs.sparkSession, path)
     ).select("vec_id", "embedding", "cid", F.lit(int(batch)).alias("batch"))
     upsert_partitions(rows, path, partition_by=["cid", "batch"])
     with open(os.path.join(path, "_BUILT"), "w") as f:
@@ -338,11 +337,19 @@ def upsert_semdedup_batch(
     return path
 
 
-def flag_semdedup_batch(
-    spark: SparkSession, sf_dir: str, path: str, *, batch_pred
-) -> DataFrame:
-    """Per-vector semantic dedup decision for an arriving batch vs the
-    accumulated store: ``(vec_id, cid, dup_prior, dup_in_batch, keep)``.
+def upsert_semdedup_batch(
+    spark: SparkSession, sf_dir: str, path: str, *, batch: int, batch_pred
+) -> str:
+    """Embeddings-table form of :func:`upsert_semdedup_frame`."""
+    return upsert_semdedup_frame(
+        _sem_vectors(spark, sf_dir, batch_pred), path, batch=batch
+    )
+
+
+def flag_semdedup_frame(vecs: DataFrame, path: str) -> DataFrame:
+    """Per-vector semantic dedup decision for a ``(vec_id, embedding)``
+    frame vs the accumulated store:
+    ``(vec_id, cid, dup_prior, dup_in_batch, keep)``.
 
     Plan shape: batch assignment is a pure projection (frozen centroids);
     the history check is ONE salted equi-join on cid (store side is
@@ -350,12 +357,33 @@ def flag_semdedup_batch(
     degenerate giant cluster over ``_SEM_SALT`` reducers) with the exact
     in-row cosine as the verify; the within-batch check is the
     chunk-capped exact self-pair join (cap² per-task bound, no pair
-    dropped)."""
+    dropped).  An empty store (centroids only, no ``_BUILT``) yields
+    ``dup_prior = false`` everywhere — the first-ingest case."""
     from columnflow_spark.functions.skew import salted_join
 
-    batch = nearest_centroid_assign(
-        _sem_vectors(spark, sf_dir, batch_pred), _sem_centroids(spark, path)
-    ).select("cid", "vec_id", "embedding")
+    spark = vecs.sparkSession
+    batch = nearest_centroid_assign(vecs, _sem_centroids(spark, path)).select(
+        "cid", "vec_id", "embedding"
+    )
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        inb = (
+            chunked_self_pairs(batch, "cid", "vec_id", cap=256)
+            .filter(cosine(F.col("embedding"), F.col("embedding_b")) >= F.lit(_SEM_TAU))
+            .select(F.col("vec_id_b").alias("vec_id"))
+            .distinct()
+            .withColumn("dup_in_batch", F.lit(True))
+        )
+        return (
+            batch.select("vec_id", "cid")
+            .join(inb, "vec_id", "left")
+            .select(
+                "vec_id",
+                "cid",
+                F.lit(False).alias("dup_prior"),
+                F.coalesce("dup_in_batch", F.lit(False)).alias("dup_in_batch"),
+            )
+            .withColumn("keep", ~F.col("dup_in_batch"))
+        )
     store = spark.read.parquet(path).select(
         F.col("cid").cast("long").alias("cid"),
         F.col("vec_id").alias("hist_id"),
@@ -393,6 +421,13 @@ def flag_semdedup_batch(
         )
         .withColumn("keep", ~(F.col("dup_prior") | F.col("dup_in_batch")))
     )
+
+
+def flag_semdedup_batch(
+    spark: SparkSession, sf_dir: str, path: str, *, batch_pred
+) -> DataFrame:
+    """Embeddings-table form of :func:`flag_semdedup_frame`."""
+    return flag_semdedup_frame(_sem_vectors(spark, sf_dir, batch_pred), path)
 
 
 def _sem_history_cutoff(spark: SparkSession, sf_dir: str) -> int:

@@ -5358,3 +5358,228 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "source string, n_tokens long, loss_q long, weight_q long"
     ).orderBy("source")
+
+
+# --- repetition-based quality signals (the Gopher/MassiveText repetition
+# rules): excessive n-gram repetition is the strongest cheap predictor of
+# boilerplate/SEO-spam documents.  Two exact integer-grid signals per
+# doc: the token fraction covered by the single most frequent bigram
+# (ties to the lexicographically smallest bigram — deterministic), and
+# the fraction of trigram slots occupied by trigrams appearing more than
+# once.  Plan shape: one token projection feeds two in-row adjacent
+# n-gram expansions; both counts partial-aggregate map-side at
+# (doc, gram) grain, then fold to doc grain — the dedup-family shuffle
+# pattern, linear in corpus token count. ---
+_REP_SCALE = 1_000_000
+#: flag thresholds (Gopher's table A1 ballpark, scaled to this grid)
+_REP_TOP2_MAX = 200_000   # top bigram covers > 20% of tokens
+_REP_DUP3_MAX = 300_000   # > 30% of trigram slots are repeats
+
+
+@query(
+    "repetition_quality_flags",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    base AS (SELECT doc_id, len(ws) AS n_tokens FROM toks),
+    bi AS (
+        SELECT doc_id, ws[i + 1] || ' ' || ws[i + 2] AS g, CAST(count(*) AS BIGINT) AS c
+        FROM toks, unnest(range(len(ws) - 1)) AS t(i)
+        GROUP BY 1, 2
+    ),
+    top2 AS (
+        SELECT doc_id, c AS top_c FROM (
+            SELECT doc_id, c, row_number() OVER (
+                PARTITION BY doc_id ORDER BY c DESC, g
+            ) AS rn FROM bi
+        ) WHERE rn = 1
+    ),
+    tri AS (
+        SELECT doc_id, ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS g,
+               CAST(count(*) AS BIGINT) AS c
+        FROM toks, unnest(range(len(ws) - 2)) AS t(i)
+        GROUP BY 1, 2
+    ),
+    tri3 AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tri,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_tri
+        FROM tri GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(t2.top_c * 2 * {_REP_SCALE} // b.n_tokens, 0) AS BIGINT) AS top2_q,
+           CAST(coalesce(t3.dup_tri * {_REP_SCALE} // t3.n_tri, 0) AS BIGINT) AS dup3_q,
+           (coalesce(t2.top_c * 2 * {_REP_SCALE} // b.n_tokens, 0) > {_REP_TOP2_MAX}
+            OR coalesce(t3.dup_tri * {_REP_SCALE} // t3.n_tri, 0) > {_REP_DUP3_MAX})
+               AS flagged
+    FROM base b
+    LEFT JOIN top2 t2 USING (doc_id)
+    LEFT JOIN tri3 t3 USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals on the exact 1e-6 integer grid: token
+    share of the most frequent bigram (x2 tokens per occurrence), share
+    of trigram slots in repeated trigrams, and the Gopher-style flag."""
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+    base = toks.select("doc_id", F.size("ws").cast("long").alias("n_tokens"))
+
+    def _grams(n: int):
+        parts = F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("ws"), i + k) for k in range(n)]
+            ),
+        )
+        return (
+            toks.filter(F.size("ws") >= n)
+            .select("doc_id", F.explode(parts).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    top2 = (
+        _grams(2)
+        .groupBy("doc_id")
+        .agg(F.min_by("c", F.struct(-F.col("c"), F.col("g"))).alias("top_c"))
+    )
+    tri3 = (
+        _grams(3)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tri"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("dup_tri"),
+        )
+    )
+    top2_q = F.coalesce(
+        F.expr(f"top_c * 2 * {_REP_SCALE} div n_tokens"), F.lit(0)
+    ).cast("long")
+    dup3_q = F.coalesce(
+        F.expr(f"dup_tri * {_REP_SCALE} div n_tri"), F.lit(0)
+    ).cast("long")
+    return (
+        base.join(top2, "doc_id", "left")
+        .join(tri3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            top2_q.alias("top2_q"),
+            dup3_q.alias("dup3_q"),
+            (
+                (top2_q > _REP_TOP2_MAX) | (dup3_q > _REP_DUP3_MAX)
+            ).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- temperature-scaled mixture sampling (the XLM-R / mT5 alpha-sampling
+# rule): draw from source s with probability proportional to n_s^alpha
+# (alpha < 1 upsamples small sources) while keeping the total draw
+# target-sized.  Per-doc keep decisions reuse the engine's deterministic
+# sha256-uniform (the stratified_sample contract) with per-source rates
+# derived IN-PLAN from the source counts on an exact integer grid — the
+# corpus moves once for the counts (a |sources|-row aggregate) and once
+# for the filter; nothing corpus-sized is broadcast or collected. ---
+_MIX_ALPHA = 0.7
+_MIX_TARGET_FRAC = 0.5  # sample half the corpus, alpha-reweighted
+_MIX_Q = 1_000_000
+
+
+@query(
+    "mixture_temperature_sample",
+    oracle=f"""
+    WITH counts AS MATERIALIZED (
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(floor((n ** {_MIX_ALPHA}) * {_MIX_Q} + 0.5) AS BIGINT) AS nq
+        FROM documents GROUP BY source
+    ),
+    z AS (
+        SELECT CAST(sum(nq) AS BIGINT) AS zq, CAST(sum(n) AS BIGINT) AS total
+        FROM counts
+    ),
+    rates AS MATERIALIZED (
+        SELECT source, n,
+               floor(least(1.0,
+                   {_MIX_TARGET_FRAC} * z.total * nq / (CAST(z.zq AS DOUBLE) * n)
+               ) * {_MIX_Q} + 0.5) / {_MIX_Q} AS rate
+        FROM counts, z
+    ),
+    keep AS (
+        SELECT d.doc_id, d.source,
+               ('0x' || substr(sha256('mix|' || d.doc_id), 1, 15))::BIGINT
+                   / 1152921504606846976.0 AS u,
+               r.rate
+        FROM documents d JOIN rates r USING (source)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM keep WHERE u < rate
+    GROUP BY source ORDER BY source
+    """,
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampled counts (+ id checksum) under alpha-temperature
+    mixture sampling: rate_s = min(1, TARGET_FRAC · total · n_s^α /
+    (Z · n_s)), quantized to the 1e-6 grid so both engines compare the
+    identical rate literal against the identical sha256-uniform."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    # n^alpha is quantized to the grid per source BEFORE the normalizer
+    # sum, so Z is an exact integer and engine summation order cannot
+    # shift a rate literal (SCALE_VALIDATION #5 pattern)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        "source",
+        "n",
+        F.floor(F.pow(F.col("n").cast("double"), F.lit(_MIX_ALPHA)) * _MIX_Q + 0.5)
+        .cast("long")
+        .alias("nq"),
+    )
+    z = counts.agg(
+        F.sum("nq").cast("long").alias("zq"),
+        F.sum("n").cast("long").alias("total"),
+    )
+    rate = (
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(_MIX_TARGET_FRAC)
+                * F.col("total")
+                * F.col("nq")
+                / (F.col("zq").cast("double") * F.col("n")),
+            )
+            * _MIX_Q
+            + F.lit(0.5)
+        )
+        / F.lit(_MIX_Q)
+    )
+    rates = counts.crossJoin(F.broadcast(z)).select("source", rate.alias("rate"))
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")), 256),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(16.0 ** 15)
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -473,6 +473,39 @@ _MAXSIM_TOPK = 10
 _MAXSIM_CSCALE = 1_000
 
 
+def _maxsim_qgrid(col):
+    """Quantize a vector to the exact integer component grid."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * _MAXSIM_CSCALE, 0).cast("long")
+    )
+
+
+def _maxsim_expr():
+    """The in-row MaxSim kernel over columns ``qq`` (query) and ``qe``
+    (doc): ``sum_i max_j <q_i, d_j>`` on the exact integer grid — shared
+    by the brute scorer and the routed re-ranker, so the re-rank stage is
+    bit-identical to the exhaustive one on any candidate set."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(_MAXSIM_SUBS - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_MAXSIM_SUBS - 1)),
+                lambda j: F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("qq"), i * _MAXSIM_SUBDIM + 1, _MAXSIM_SUBDIM),
+                        F.slice(F.col("qe"), j * _MAXSIM_SUBDIM + 1, _MAXSIM_SUBDIM),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda s, v: s + v,
+                ),
+            )
+        ),
+    )
+
+
 @query(
     "colbert_maxsim_topk",
     oracle=f"""
@@ -527,42 +560,162 @@ def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline, unchanged.
     """
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
-
-    def _qgrid(col):
-        return F.transform(
-            col, lambda x: F.round(x.cast("double") * _MAXSIM_CSCALE, 0).cast("long")
-        )
-
     probe_ids = [qid for qid, _ in _BM25_QUERIES]
     probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
-        F.col("vec_id").alias("query_id"), _qgrid(F.col("embedding")).alias("qq")
+        F.col("vec_id").alias("query_id"), _maxsim_qgrid(F.col("embedding")).alias("qq")
     )
-    docs = emb.select(F.col("vec_id").alias("doc_id"), _qgrid(F.col("embedding")).alias("qe"))
-
-    maxsim = F.aggregate(
-        F.sequence(F.lit(0), F.lit(_MAXSIM_SUBS - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.array_max(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_MAXSIM_SUBS - 1)),
-                lambda j: F.aggregate(
-                    F.zip_with(
-                        F.slice(F.col("qq"), i * _MAXSIM_SUBDIM + 1, _MAXSIM_SUBDIM),
-                        F.slice(F.col("qe"), j * _MAXSIM_SUBDIM + 1, _MAXSIM_SUBDIM),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda s, v: s + v,
-                ),
-            )
-        ),
+    docs = emb.select(
+        F.col("vec_id").alias("doc_id"), _maxsim_qgrid(F.col("embedding")).alias("qe")
     )
     scored = docs.crossJoin(F.broadcast(probes)).select(
-        "query_id", "doc_id", maxsim.cast("long").alias("maxsim_q")
+        "query_id", "doc_id", _maxsim_expr().cast("long").alias("maxsim_q")
     )
     # two-phase salted top-k: the per-query rank never funnels the whole
     # corpus through one sort task (identical results, reduction-safe)
+    top = salted_topk(
+        scored,
+        ["query_id"],
+        [F.desc("maxsim_q"), F.asc("doc_id")],
+        _MAXSIM_TOPK,
+        salt_src=F.col("doc_id"),
+    )
+    return (
+        top.select("query_id", "doc_id", "maxsim_q", F.col("rk").cast("int").alias("rk"))
+        .orderBy("query_id", "rk")
+    )
+
+
+# --- routed late-interaction serving (closes the r5 "route then re-rank"
+# gap): PLAID-style two-stage MaxSim — route each probe to its n_probe
+# nearest IVF cells via the MATERIALIZED index (planning-time
+# PartitionFilters, exactly like search_ivfpq_index), then exact-MaxSim
+# ONLY the probed cells' members with the same in-row kernel the brute
+# scorer uses.  Candidate volume is (|queries| x probed cells' mass), not
+# the corpus; the re-rank is bit-identical to the exhaustive scorer on
+# that candidate set, so the routed/brute top-k overlap measures the
+# routing recall alone (pinned in tests/test_retrieval.py).
+_MAXSIM_ROUTED_NPROBE = 2
+
+
+def _maxsim_sql(qq: str, qe: str) -> str:
+    """DuckDB twin of :func:`_maxsim_expr` over the named list columns."""
+    return f"""CAST(list_aggregate(list_transform(range({_MAXSIM_SUBS}), i ->
+                   list_max(list_transform(range({_MAXSIM_SUBS}), j ->
+                       list_aggregate(list_transform(range({_MAXSIM_SUBDIM}), k ->
+                           {qq}[i * {_MAXSIM_SUBDIM} + k + 1]
+                           * {qe}[j * {_MAXSIM_SUBDIM} + k + 1]), 'sum')
+                   ))), 'sum') AS BIGINT)"""
+
+
+@query(
+    "colbert_maxsim_routed_topk",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id % 64 = 0
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce) DESC, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    routes AS (
+        SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.ce) DESC, c.cid
+                   ) AS rn
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id IN ({", ".join(str(i) for i in _HYBRID_IDX_QUERY_IDS)})
+        ) WHERE rn <= {_MAXSIM_ROUTED_NPROBE}
+    ),
+    probesq AS (
+        SELECT q.query_id,
+               list_transform(p.embedding::DOUBLE[],
+                              x -> CAST(round(x * {_MAXSIM_CSCALE}) AS BIGINT)) AS qq
+        FROM {_queries_values_sql()}
+        JOIN embeddings p ON p.vec_id = q.query_id
+    ),
+    cand AS (
+        SELECT r.query_id, a.vec_id AS doc_id,
+               list_transform(e.embedding::DOUBLE[],
+                              x -> CAST(round(x * {_MAXSIM_CSCALE}) AS BIGINT)) AS qe
+        FROM routes r JOIN assign a ON a.cid = r.cid
+        JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    scored AS (
+        SELECT p.query_id, c.doc_id, {_maxsim_sql("p.qq", "c.qe")} AS maxsim_q
+        FROM probesq p JOIN cand c ON c.query_id = p.query_id
+    )
+    SELECT query_id, doc_id, maxsim_q, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY maxsim_q DESC, doc_id
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= {_MAXSIM_TOPK}
+    ORDER BY query_id, rk
+    """,
+)
+def colbert_maxsim_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage late-interaction search: route each probe to its
+    ``n_probe`` nearest IVF cells through the persisted index (the
+    candidate read is partition-pruned — PartitionFilters carry the cell
+    IN-list), then exact integer-grid MaxSim re-rank of the probed cells'
+    members only.
+
+    Scale notes: the routing decision is |queries| x n_probe rows
+    (driver-bounded, like every probe plan); candidate IO is the probed
+    ``cid=`` partitions of the index; vectors for the re-rank come from a
+    narrow vec_id equi-join against the embedding store (at 100 TB the
+    index rows carry the token vectors themselves and even that join
+    disappears).  The re-rank kernel is byte-identical to
+    ``colbert_maxsim_topk``'s, so routed-vs-brute top-k overlap measures
+    routing recall alone."""
+    from columnflow_spark.queries.annindex import _ensure_index
+    from columnflow_spark.queries.mmdata import _ivf_cents, _ivf_probes
+
+    path = _ensure_index(spark, sf_dir)
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    cents = _ivf_cents(emb)
+    probe_rows = (
+        _ivf_probes(
+            emb,
+            cents,
+            n_probe=_MAXSIM_ROUTED_NPROBE,
+            query_pred=F.col("vec_id").isin(list(_HYBRID_IDX_QUERY_IDS)),
+        )
+        .select("query_id", "cid")
+        .collect()
+    )
+    probe_cids = sorted({int(r.cid) for r in probe_rows})
+    routes = spark.createDataFrame(
+        [(int(r.query_id), int(r.cid)) for r in probe_rows], "query_id long, cid long"
+    )
+    cand_ids = (
+        spark.read.parquet(path)
+        .filter(F.col("cid").isin(probe_cids))
+        .select("vec_id", F.col("cid").cast("long").alias("cid"))
+        .join(F.broadcast(routes), "cid")
+        .select("query_id", F.col("vec_id").alias("doc_id"))
+    )
+    docs = emb.select(
+        F.col("vec_id").alias("doc_id"), _maxsim_qgrid(F.col("embedding")).alias("qe")
+    )
+    probes_q = emb.filter(F.col("vec_id").isin(list(_HYBRID_IDX_QUERY_IDS))).select(
+        F.col("vec_id").alias("query_id"), _maxsim_qgrid(F.col("embedding")).alias("qq")
+    )
+    scored = (
+        cand_ids.join(docs, "doc_id")
+        .join(F.broadcast(probes_q), "query_id")
+        .select("query_id", "doc_id", _maxsim_expr().cast("long").alias("maxsim_q"))
+    )
     top = salted_topk(
         scored,
         ["query_id"],

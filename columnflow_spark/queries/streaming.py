@@ -1253,3 +1253,99 @@ def streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["text"])
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
     return cms_topk_from_cells(toks, cells)
+
+
+# --- streaming semantic dedup against the persisted SemDeDup store (the
+# ingest deployment of the semantic half of queries/dedupstore.py,
+# mirroring streaming_dedup_store_ingest's exact twin): each micro-batch
+# of vectors is assigned to the FROZEN offline-trained centroids, flagged
+# against the store accumulated from all earlier batches (plus the
+# chunk-capped intra-batch pair check), its decisions land in a flags
+# store, and its own vectors are upserted as the store's next batch
+# slice.  At rest the decisions must equal the batch-global SemDeDup rule
+# (dup iff >= tau-similar to ANY lower-id vector of the same cluster)
+# because the replay source delivers vectors in vec_id order — batch
+# boundaries affect state timing, never the at-rest output.  State is the
+# on-disk cid=/batch= store, not executor memory. ---
+@query(
+    "streaming_semdedup_ingest",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 64 = 0
+    ),
+    a AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN c
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT DISTINCT y.vec_id
+        FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        JOIN embeddings e1 ON e1.vec_id = x.vec_id
+        JOIN embeddings e2 ON e2.vec_id = y.vec_id
+        WHERE list_aggregate(list_transform(range(1, 65),
+                   j -> e1.embedding[j]::DOUBLE * e2.embedding[j]::DOUBLE), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, 65),
+                      j -> e1.embedding[j]::DOUBLE * e1.embedding[j]::DOUBLE), 'sum'))
+                  * sqrt(list_aggregate(list_transform(range(1, 65),
+                      j -> e2.embedding[j]::DOUBLE * e2.embedding[j]::DOUBLE), 'sum')))
+              >= 0.4
+    )
+    SELECT a.vec_id, d.vec_id IS NOT NULL AS is_dup
+    FROM a LEFT JOIN dups d ON d.vec_id = a.vec_id
+    ORDER BY a.vec_id
+    """,
+)
+def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from columnflow_spark.sources.pydatasource import register
+
+    register(spark)
+    store = tempfile.mkdtemp(prefix="cf_semdedup_store_")
+    flags = tempfile.mkdtemp(prefix="cf_semdedup_flags_")
+
+    # the frozen coarse quantizer is provisioned BEFORE ingest starts
+    # (offline-trained, the IVF contract) — the stream only assigns
+    from columnflow_spark.queries.dedupstore import init_semdedup_store
+
+    init_semdedup_store(spark, sf_dir, store, seed_pred=F.col("vec_id") % 64 == 0)
+
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/embeddings.parquet")
+        .option("order_col", "vec_id")
+        .option("batch_rows", "100")
+        .load()
+        .select("vec_id", "embedding")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from columnflow_spark.queries.dedupstore import (
+            flag_semdedup_frame,
+            upsert_semdedup_frame,
+        )
+        from columnflow_spark.sources.sinks import upsert_partitions
+
+        # flag FIRST (the batch must not see itself in the store), then
+        # upsert this batch's vectors for the next batch
+        decided = flag_semdedup_frame(batch_df, store)
+        out = decided.select(
+            "vec_id",
+            (F.col("dup_prior") | F.col("dup_in_batch")).alias("is_dup"),
+            F.lit(int(batch_id)).alias("batch"),
+        )
+        upsert_partitions(out, flags, partition_by=["batch"])
+        upsert_semdedup_frame(batch_df, store, batch=int(batch_id))
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(flags).select("vec_id", "is_dup").orderBy("vec_id")

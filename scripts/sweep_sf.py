@@ -39,6 +39,12 @@ def main() -> None:
     if os.path.exists(out_path):
         with open(out_path) as fh:
             done = {json.loads(line)["name"] for line in fh if line.strip()}
+    # optional subset: comma-separated names (targeted re-validation of a
+    # round's new/changed queries without the full 50-minute sweep)
+    subset = os.environ.get("SWEEP_QUERIES")
+    if subset:
+        keep = {s for s in subset.split(",") if s}
+        queries = {k: v for k, v in queries.items() if k in keep}
     with open(out_path, "a") as out:
         for name, fn in sorted(queries.items()):
             if name in done:

@@ -349,13 +349,14 @@ def test_hybrid_indexed_dense_arm_prunes_partitions(spark, sf_dir):
     # only the probed cid= partitions of the materialized IVF+PQ index —
     # the cell IN-list lands in PartitionFilters at planning time, so the
     # scan never enumerates the full index even before execution
-    plan = _plan(spark, sf_dir, "hybrid_search_rrf_indexed")
-    pf = [
-        l
-        for l in plan.splitlines()
-        if "PartitionFilters" in l and "cid" in l and "IN (" in l
-    ]
-    assert pf, "dense arm's index scan carries no cid IN-list PartitionFilter"
+    for qname in ("hybrid_search_rrf_indexed", "colbert_maxsim_routed_topk"):
+        plan = _plan(spark, sf_dir, qname)
+        pf = [
+            l
+            for l in plan.splitlines()
+            if "PartitionFilters" in l and "cid" in l and "IN (" in l
+        ]
+        assert pf, f"{qname}: index scan carries no cid IN-list PartitionFilter"
 
 
 def test_hard_negative_anchor_side_broadcasts(spark, sf_dir):

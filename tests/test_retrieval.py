@@ -143,3 +143,20 @@ def test_hybrid_indexed_recall_vs_brute_force(spark, sf_dir):
     # test SFs
     overlap = len(b_set & i_set) / len(b_set)
     assert overlap >= 0.5, f"index-served hybrid diverged from brute force: {overlap}"
+
+
+def test_maxsim_routed_recall_vs_brute(spark, sf_dir):
+    """Routing recall: the routed top-k must overlap the exhaustive
+    MaxSim top-k well above the probed-volume floor, and every routed
+    score must equal the brute score for the same (query, doc) — the
+    re-rank kernel is shared, only the candidate set shrinks."""
+    brute = all_queries()["colbert_maxsim_topk"](spark, sf_dir).collect()
+    routed = all_queries()["colbert_maxsim_routed_topk"](spark, sf_dir).collect()
+    b_scores = {(r.query_id, r.doc_id): r.maxsim_q for r in brute}
+    r_scores = {(r.query_id, r.doc_id): r.maxsim_q for r in routed}
+    assert b_scores and r_scores
+    shared = b_scores.keys() & r_scores.keys()
+    assert shared and all(b_scores[k] == r_scores[k] for k in shared)
+    recall = len(shared) / len(b_scores)
+    # 2-of-8 cell probing on near-uniform synthetic vectors: floor ~25%
+    assert recall >= 0.25, f"routing recall collapsed: {recall}"
