@@ -362,8 +362,14 @@ def flag_semdedup_frame(vecs: DataFrame, path: str) -> DataFrame:
     from columnflow_spark.functions.skew import salted_join
 
     spark = vecs.sparkSession
-    batch = nearest_centroid_assign(vecs, _sem_centroids(spark, path)).select(
-        "cid", "vec_id", "embedding"
+    # the assigned batch is referenced by BOTH prune joins (and twice
+    # inside the chunk-pair self-join): materialize the batch-sized
+    # assignment once so the embeddings scan + Arrow assign UDF run once,
+    # not five times (the pagerank edges/outdeg pattern)
+    batch = (
+        nearest_centroid_assign(vecs, _sem_centroids(spark, path))
+        .select("cid", "vec_id", "embedding")
+        .localCheckpoint()
     )
     if not os.path.exists(os.path.join(path, "_BUILT")):
         inb = (

@@ -1316,11 +1316,18 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     init_semdedup_store(spark, sf_dir, store, seed_pred=F.col("vec_id") % 64 == 0)
 
+    # batch size scales with the corpus (>= 5 boundaries at any sf): the
+    # at-rest output is batch-boundary-INVARIANT by contract, so more
+    # boundaries only multiply fixed per-micro-batch job overhead — the
+    # sf1 sweep measured 200 fixed-size batches at ~8 s of overhead each
+    from columnflow_spark.sources import load_table
+
+    n = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).count()
     stream = (
         spark.readStream.format("events_replay")
         .option("path", f"{sf_dir}/embeddings.parquet")
         .option("order_col", "vec_id")
-        .option("batch_rows", "100")
+        .option("batch_rows", str(max(100, n // 5)))
         .load()
         .select("vec_id", "embedding")
     )

@@ -5,5 +5,5 @@
 cd "$(dirname "$0")/.." || exit 1
 SPARK_GRAFT_SF_DIR=scratch/sf1 \
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
-SPARK_GRAFT_BENCH_QUERIES=training_corpus_pipeline,ancestor_chain_walk,dedup_minhash_lsh,ann_ivfpq_materialized_topk,decontaminate_eval_overlap,dedup_connected_components,q1_pricing_summary,nested_ht_per_event,hybrid_search_rrf,graph_label_propagation,scd2_customer_history \
+SPARK_GRAFT_BENCH_QUERIES=training_corpus_pipeline,ancestor_chain_walk,dedup_minhash_lsh,ann_ivfpq_materialized_topk,decontaminate_eval_overlap,dedup_connected_components,q1_pricing_summary,nested_ht_per_event,hybrid_search_rrf,hybrid_search_rrf_indexed,colbert_maxsim_routed_topk,semdedup_incremental_store,graph_label_propagation,scd2_customer_history \
 exec python bench.py

@@ -517,6 +517,15 @@ _PLAN_BUDGETS = {
     # (PartitionFilters) + embeddings scans for the LUT, ADC agg + fusion
     # join + final window/sort — one fewer exchange than the brute twin
     "hybrid_search_rrf_indexed": (13, 4),
+    # probe-pruned candidate read + vector equi-join + salted two-phase rank
+    "colbert_maxsim_routed_topk": (5, 3),
+    # batch assignment checkpointed once: only the store scan remains —
+    # salted cid-join + chunk-pair join + two decision joins + final sort
+    "semdedup_incremental_store": (6, 1),
+    # two doc-grain gram aggregates + doc-grain folds + decision joins
+    "repetition_quality_flags": (8, 3),
+    # flag path over the compacted store: same shape as the plain store
+    "dedup_store_compacted": (3, 2),
     # degree join x2, three oriented-edge join legs, per-node agg, top-20
     # window — all over the checkpointed edge list (0 parquet rescans)
     "graph_triangle_count": (13, 0),
