@@ -727,3 +727,156 @@ def colbert_maxsim_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.select("query_id", "doc_id", "maxsim_q", F.col("rk").cast("int").alias("rk"))
         .orderBy("query_id", "rk")
     )
+
+
+# --- incremental BM25 postings store: the lexical member of the
+# engine's index-maintenance family (exact dedup store, SemDeDup vector
+# store, IVF+PQ index — queries/dedupstore.py, queries/annindex.py).  A
+# production search index is maintained per ingest batch, never rebuilt:
+# each batch contributes its postings slice ``w=<term>/batch=<n>`` rows
+# ``(doc_id, tf, dl)`` (query-driven: only the fixed query vocabulary's
+# terms are stored — work ∝ posting volume) plus a monoid collection-
+# stats slice ``_stats/batch=<n>`` rows ``(n_docs, sum_dl)``.  Serving
+# reads the accumulated store: df from a window over the stored
+# postings, avgdl from the exact integer stat sums — every scoring
+# input is bit-identical to the from-scratch pass, so this registers
+# under bm25_topk's SAME oracle (hash equality IS the maintenance-
+# correctness proof, the incremental_agg_merge pattern). ---
+_POSTINGS_FORMAT = 1
+
+
+def postings_store_path(sf_dir: str) -> str:
+    from columnflow_spark.queries.annindex import content_tag, scratch_root
+    from columnflow_spark.sources.tables import table_path
+    import os
+
+    tag = content_tag(table_path(sf_dir, "documents"), f"bm25-v{_POSTINGS_FORMAT}")
+    return os.path.join(scratch_root(), "bm25_postings", tag)
+
+
+def upsert_postings_batch(
+    spark: SparkSession, sf_dir: str, path: str, *, batch: int, batch_pred
+) -> str:
+    """Tokenize one ingest batch, keep postings for the query vocabulary
+    only, and upsert them (plus the batch's monoid collection stats)."""
+    import os
+
+    from columnflow_spark.sources.sinks import upsert_partitions
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        batch_pred
+    )
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
+    )
+    qterms = spark.createDataFrame(
+        sorted({(w,) for _, text in _BM25_QUERIES for w in text.split(" ")}),
+        "w STRING",
+    )
+    words = toks.select("doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("w"))
+    posting = (
+        words.join(F.broadcast(qterms), "w")
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn("batch", F.lit(int(batch)))
+    )
+    upsert_partitions(posting, path, partition_by=["w", "batch"])
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("ts")).cast("long").alias("sum_dl"),
+    ).withColumn("batch", F.lit(int(batch)))
+    upsert_partitions(stats, os.path.join(path, "_stats"), partition_by=["batch"])
+    with open(os.path.join(path, "_BUILT"), "w") as f:
+        f.write(f"format={_POSTINGS_FORMAT}\n")
+    return path
+
+
+def bm25_totals_from_store(spark: SparkSession, path: str) -> DataFrame:
+    """Integer-grid BM25 totals served from the postings store —
+    bit-identical inputs to :func:`_bm25_totals`: df is a window over the
+    accumulated postings (each doc posts from exactly one batch), n_docs
+    and avgdl derive from exact integer stat sums (the double division is
+    the identical single fp op the from-scratch pass performs)."""
+    import os
+
+    posting_rows = spark.read.parquet(path).select(
+        "doc_id", F.col("w").cast("string").alias("w"), "tf", "dl"
+    )
+    stat = (
+        spark.read.parquet(os.path.join(path, "_stats"))
+        .agg(
+            F.sum("n_docs").cast("long").alias("nd"),
+            F.sum("sum_dl").cast("long").alias("sd"),
+        )
+        .select(
+            F.col("nd").cast("double").alias("n_docs"),
+            (F.col("sd").cast("double") / F.col("nd").cast("double")).alias("avgdl"),
+        )
+    )
+    posting = posting_rows.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("w")))
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, text in _BM25_QUERIES for w in text.split(" ")],
+        "query_id INT, w STRING",
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    term_score = (
+        F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        posting.join(F.broadcast(qterms), "w")
+        .crossJoin(F.broadcast(stat))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(term_score * _BM25_SCALE, 0).cast("long").alias("si"),
+        )
+    )
+    return scored.groupBy("query_id", "doc_id").agg(F.sum("si").alias("score_q"))
+
+
+def _ensure_postings_store(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    path = postings_store_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
+        upsert_postings_batch(
+            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < n // 2
+        )
+        upsert_postings_batch(
+            spark, sf_dir, path, batch=1, batch_pred=F.col("doc_id") >= n // 2
+        )
+    return path
+
+
+@query(
+    "bm25_incremental_postings",
+    oracle=f"""
+    WITH {_BM25_TOTALS_CTES}
+    SELECT query_id, doc_id, score_q, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score_q DESC, doc_id
+        ) AS rk
+        FROM totals
+    )
+    WHERE rk <= {_BM25_TOPK}
+    ORDER BY query_id, rk
+    """,
+)
+def bm25_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k served from the PERSISTED postings store (corpus
+    ingested as two batches, content-addressed reuse across sessions) —
+    shares ``bm25_topk``'s oracle, so hash equality proves incremental
+    index maintenance loses nothing vs the from-scratch pass."""
+    path = _ensure_postings_store(spark, sf_dir)
+    totals = bm25_totals_from_store(spark, path)
+    win = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        totals.withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "score_q", "rk")
+        .orderBy("query_id", "rk")
+    )

@@ -160,3 +160,41 @@ def test_maxsim_routed_recall_vs_brute(spark, sf_dir):
     recall = len(shared) / len(b_scores)
     # 2-of-8 cell probing on near-uniform synthetic vectors: floor ~25%
     assert recall >= 0.25, f"routing recall collapsed: {recall}"
+
+
+def test_postings_store_incremental_equals_from_scratch(spark, sf_dir, tmp_path):
+    # the lexical index-maintenance contract: two upserted batches must
+    # serve the identical ranked result as one full-corpus batch — every
+    # scoring input (tf, dl, df, n_docs, avgdl) is reproduced exactly
+    import pyspark.sql.functions as F
+
+    from columnflow_spark.queries.retrieval import (
+        _BM25_TOPK,
+        bm25_totals_from_store,
+        upsert_postings_batch,
+    )
+    from columnflow_spark.sources import load_table
+
+    n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
+
+    def ranked(path):
+        from pyspark.sql import Window as W
+
+        totals = bm25_totals_from_store(spark, path)
+        win = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+        df = (
+            totals.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= _BM25_TOPK)
+        )
+        return sorted((r.query_id, r.doc_id, r.score_q, r.rk) for r in df.collect())
+
+    two = str(tmp_path / "two")
+    upsert_postings_batch(spark, sf_dir, two, batch=0, batch_pred=F.col("doc_id") < n // 3)
+    upsert_postings_batch(spark, sf_dir, two, batch=1, batch_pred=F.col("doc_id") >= n // 3)
+    one = str(tmp_path / "one")
+    upsert_postings_batch(spark, sf_dir, one, batch=0, batch_pred=F.lit(True))
+    r_two, r_one = ranked(two), ranked(one)
+    assert r_two == r_one and len(r_two) > 0
+    # idempotent re-upsert: re-running batch 1 must not duplicate postings
+    upsert_postings_batch(spark, sf_dir, two, batch=1, batch_pred=F.col("doc_id") >= n // 3)
+    assert ranked(two) == r_one
