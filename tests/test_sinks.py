@@ -135,7 +135,10 @@ def test_json_lines_sink_round_trip(spark, sf_dir, tmp_path):
     assert back.count() == orders.count()
     a = orders.agg(F.sum("o_totalprice").alias("s")).first().s
     b = back.agg(F.sum("o_totalprice").alias("s")).first().s
-    assert abs(a - b) < 1e-6
+    # each double round-trips JSON text exactly (shortest-repr write);
+    # only the SUM's partition order differs after re-read, so compare
+    # with a relative tolerance that scales with the corpus
+    assert abs(a - b) <= 1e-9 * abs(a)
 
 
 def test_side_output_round_trip(tmp_path):
