@@ -60,15 +60,20 @@ def _queries_values_sql() -> str:
 
 
 # shared oracle CTE chain ending at ``totals(query_id, doc_id, score_q)``:
-# bm25_topk ranks it directly, hybrid_search_rrf fuses it with dense ranks
-_BM25_TOTALS_CTES = f"""qterms AS (
+# bm25_topk ranks it directly, hybrid_search_rrf fuses it with dense ranks,
+# and the deletion-propagation oracle passes a corpus predicate
+def _bm25_totals_ctes(where: str = "") -> str:
+    return f"""qterms AS (
         SELECT query_id, unnest(string_split(qtext, ' ')) AS w
         FROM {_queries_values_sql()}
     ),
     toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
-        FROM documents
-    ),
+        FROM documents {where}
+    ),""" + _BM25_TOTALS_TAIL
+
+
+_BM25_TOTALS_TAIL = f"""
     stats AS (
         SELECT CAST(count(*) AS DOUBLE) AS n_docs,
                CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl
@@ -102,6 +107,8 @@ _BM25_TOTALS_CTES = f"""qterms AS (
         SELECT query_id, doc_id, CAST(sum(si) AS BIGINT) AS score_q
         FROM scored GROUP BY query_id, doc_id
     )"""
+
+_BM25_TOTALS_CTES = _bm25_totals_ctes()
 
 
 @query(
@@ -872,6 +879,105 @@ def bm25_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares ``bm25_topk``'s oracle, so hash equality proves incremental
     index maintenance loses nothing vs the from-scratch pass."""
     path = _ensure_postings_store(spark, sf_dir)
+    totals = bm25_totals_from_store(spark, path)
+    win = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        totals.withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "score_q", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+# --- deletion propagation through the maintained index (the
+# right-to-be-forgotten shape): removing documents from a corpus must
+# propagate into every derived store WITHOUT a full rebuild.  For the
+# postings store the delete is exact and cheap: postings are doc-grain
+# rows (drop the deleted ids — a rewrite bounded by query-vocabulary
+# posting volume, not the corpus), and the collection stats form a
+# monoid WITH INVERSES (exact integers), so the deletion lands as one
+# NEGATIVE stats slice computed from the deleted docs alone.  Serving
+# afterwards recomputes df over the surviving postings, so every scoring
+# input equals the from-scratch build over the reduced corpus — proven
+# by the oracle, which is plain BM25 over ``documents`` minus the
+# deleted ids. ---
+_DELETE_PRED_SQL = "doc_id % 7 = 3"
+
+
+def delete_docs_from_postings(
+    spark: SparkSession, sf_dir: str, path: str, *, delete_pred, batch: int
+) -> str:
+    """Propagate a document deletion into the postings store: drop the
+    ids from the posting slices (marker-preserving rewrite) and append
+    the deleted docs' NEGATED collection stats as slice ``batch=<n>``."""
+    import os
+
+    from columnflow_spark.sources.sinks import replace_store, upsert_partitions
+
+    kept = (
+        spark.read.parquet(path)
+        .filter(~delete_pred)
+        .select(F.col("w").cast("string").alias("w"), "doc_id", "tf", "dl")
+        .withColumn("batch", F.lit(0))
+    )
+    replace_store(
+        kept,
+        path,
+        partition_by=["w", "batch"],
+        marker_text=f"format={_POSTINGS_FORMAT}\n",
+    )
+    deleted = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        delete_pred
+    )
+    toks = deleted.select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
+    )
+    neg = toks.agg(
+        (-F.count(F.lit(1))).cast("long").alias("n_docs"),
+        (-F.sum(F.size("ts"))).cast("long").alias("sum_dl"),
+    ).withColumn("batch", F.lit(int(batch)))
+    upsert_partitions(neg, os.path.join(path, "_stats"), partition_by=["batch"])
+    return path
+
+
+def _ensure_deleted_postings_store(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from columnflow_spark.queries.annindex import content_tag, scratch_root
+    from columnflow_spark.sources.tables import table_path
+
+    tag = content_tag(table_path(sf_dir, "documents"), f"bm25-del-v{_POSTINGS_FORMAT}")
+    path = os.path.join(scratch_root(), "bm25_postings_del", tag)
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        upsert_postings_batch(spark, sf_dir, path, batch=0, batch_pred=F.lit(True))
+        delete_docs_from_postings(
+            spark, sf_dir, path, delete_pred=F.col("doc_id") % 7 == 3, batch=1
+        )
+    return path
+
+
+@query(
+    "bm25_postings_delete",
+    oracle=f"""
+    WITH {_bm25_totals_ctes(f"WHERE NOT ({_DELETE_PRED_SQL})")}
+    SELECT query_id, doc_id, score_q, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score_q DESC, doc_id
+        ) AS rk
+        FROM totals
+    )
+    WHERE rk <= {_BM25_TOPK}
+    ORDER BY query_id, rk
+    """,
+)
+def bm25_postings_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served AFTER deletion propagation: the full corpus ingested,
+    then ``doc_id % 7 == 3`` deleted through the store (posting rewrite +
+    one negative stats slice).  The oracle is the from-scratch BM25 over
+    the reduced corpus — hash equality proves the delete left exactly the
+    right index behind."""
+    path = _ensure_deleted_postings_store(spark, sf_dir)
     totals = bm25_totals_from_store(spark, path)
     win = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
     return (

@@ -140,6 +140,15 @@ def replace_store(
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     write_events(df, tmp, partition_by=partition_by, rows_per_file=rows_per_file)
+    # sidecar artifacts (underscore-prefixed: the semdedup store's
+    # _centroids, the postings store's _stats) live INSIDE the store dir
+    # but are not part of the rewritten data — carry them into the new
+    # layout before the swap, or the rewrite silently destroys them
+    # (found by bm25_postings_delete: the stats slices vanished and every
+    # score went NaN off a negative doc count)
+    for entry in os.listdir(path):
+        if entry.startswith("_") and entry != marker_name:
+            os.rename(os.path.join(path, entry), os.path.join(tmp, entry))
     with open(os.path.join(tmp, marker_name), "w") as f:
         f.write(marker_text)
     os.rename(path, old)

@@ -202,3 +202,45 @@ def test_postings_store_incremental_equals_from_scratch(spark, sf_dir, tmp_path)
     # idempotent re-upsert: re-running batch 1 must not duplicate postings
     upsert_postings_batch(spark, sf_dir, two, batch=1, batch_pred=F.col("doc_id") >= n // 3)
     assert ranked(two) == r_one
+
+
+def test_postings_delete_equals_reduced_rebuild(spark, sf_dir, tmp_path):
+    # right-to-be-forgotten propagation: full build + delete must serve
+    # the identical ranked result as a from-scratch build over the
+    # reduced corpus — and the rewrite must NOT destroy the _stats
+    # sidecar (the replace_store bug this test pinned: stats vanished and
+    # every score went NaN off a negative doc count)
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from columnflow_spark.queries.retrieval import (
+        _BM25_TOPK,
+        bm25_totals_from_store,
+        delete_docs_from_postings,
+        upsert_postings_batch,
+    )
+
+    def ranked(path):
+        totals = bm25_totals_from_store(spark, path)
+        win = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+        df = (
+            totals.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= _BM25_TOPK)
+        )
+        return sorted((r.query_id, r.doc_id, r.score_q, r.rk) for r in df.collect())
+
+    deleted_pred = F.col("doc_id") % 5 == 2
+    full = str(tmp_path / "full")
+    upsert_postings_batch(spark, sf_dir, full, batch=0, batch_pred=F.lit(True))
+    delete_docs_from_postings(spark, sf_dir, full, delete_pred=deleted_pred, batch=1)
+    reduced = str(tmp_path / "reduced")
+    upsert_postings_batch(spark, sf_dir, reduced, batch=0, batch_pred=~deleted_pred)
+    assert ranked(full) == ranked(reduced) and len(ranked(full)) > 0
+    # the stats sidecar survived the posting rewrite: original + negative
+    assert os.path.exists(os.path.join(full, "_stats"))
+    stats = spark.read.parquet(os.path.join(full, "_stats")).collect()
+    assert len(stats) == 2 and any(r.n_docs < 0 for r in stats)
+    # no deleted doc's postings remain
+    assert spark.read.parquet(full).filter(deleted_pred).count() == 0
