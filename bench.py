@@ -93,6 +93,10 @@ BENCH_QUERIES = [
     "colbert_maxsim_routed_topk",
     # store-backed incremental dedup, exact and semantic
     "semdedup_incremental_store",
+    # lexical index maintenance: serve from the postings store
+    "bm25_incremental_postings",
+    # Gopher-style repetition quality signals
+    "repetition_quality_flags",
     "graph_label_propagation",
     # single-pass distributed model fit + index build
     "ml_train_linreg",
