@@ -5583,3 +5583,99 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- fuzzy decontamination (MinHash): exact n-gram decontamination
+# (decontaminate_eval_overlap) catches verbatim leakage; PARAPHRASED eval
+# leakage needs near-duplicate matching between the train split and the
+# eval split.  Same machinery as dedup_minhash_lsh — session signature
+# table, band keys, exact-Jaccard verify — but the candidate join is
+# train x eval: the eval side is small by construction (the exact
+# decontamination contract), so its banded keys BROADCAST and the train
+# corpus streams past them once; candidate volume is collision volume,
+# never |train| x |eval|.  The same 16x2 band guarantee applies (P_miss
+# ~ 1e-27 at the planted j≈0.99), so the oracle is the exact cross-split
+# Jaccard. ---
+@query(
+    "decontaminate_fuzzy_minhash",
+    oracle=f"""
+    WITH {_GRAMS_CTE},
+    ex AS (
+        SELECT g.doc_id, d.source, ug AS gr
+        FROM grams g JOIN documents d USING (doc_id), unnest(g.gs) AS t(ug)
+    ),
+    sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        FROM ex a JOIN ex b ON a.gr = b.gr
+        WHERE a.source <> 'src2' AND b.source = 'src2'
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT d1, d2,
+               CAST(round(common * 10000.0 / (s1.sz + s2.sz - common)) AS BIGINT) AS jq
+        FROM pairs
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2
+        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= {JACCARD_THRESHOLD}
+    )
+    SELECT d1 AS doc_id,
+           CAST(max(jq) AS BIGINT) AS max_jq,
+           min_by(d2, -jq * 10000000000 + d2) AS best_eval_id,
+           CAST(count(*) AS BIGINT) AS n_eval_matches
+    FROM jac GROUP BY d1 ORDER BY doc_id
+    """,
+)
+def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train docs that are NEAR-duplicates of an eval doc (Jaccard >=
+    threshold on word trigrams): per flagged train doc, the best eval
+    match (max Jaccard on the 1e-4 integer grid, lowest eval id on ties)
+    and the match count."""
+    g = hashed_grams(spark, sf_dir)
+    sigs = minhash_sigs(spark, sf_dir).join(
+        g.select("doc_id", "source"), "doc_id"
+    )
+    banded = sigs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array(*lsh_band_keys(F.col("sig"), bands=16, rows=2))).alias("bk"),
+    )
+    beval = banded.filter(F.col("source") == "src2").select(
+        F.col("doc_id").alias("d2"), "bk"
+    )
+    btrain = banded.filter(F.col("source") != "src2").select(
+        F.col("doc_id").alias("d1"), "bk"
+    )
+    cand = (
+        btrain.join(F.broadcast(beval), "bk")
+        .select("d1", "d2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    gs1 = g.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"), F.col("sz").alias("sz1"))
+    gs2 = g.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"), F.col("sz").alias("sz2"))
+    pairs = cand.join(gs1, "d1").join(gs2, "d2")
+    common = F.size(F.array_intersect("hs1", "hs2")).cast("long")
+    denom = F.col("sz1").cast("long") + F.col("sz2") - common
+    verified = (
+        pairs.withColumn("common", common)
+        .withColumn("denom", denom)
+        .filter(F.col("common") * F.lit(1.0) / F.col("denom") >= F.lit(JACCARD_THRESHOLD))
+        .select(
+            "d1",
+            "d2",
+            F.round(F.col("common") * F.lit(10000.0) / F.col("denom"), 0)
+            .cast("long")
+            .alias("jq"),
+        )
+    )
+    return (
+        verified.groupBy(F.col("d1").alias("doc_id"))
+        .agg(
+            F.max("jq").cast("long").alias("max_jq"),
+            F.min_by("d2", -F.col("jq") * F.lit(10_000_000_000) + F.col("d2")).alias(
+                "best_eval_id"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_eval_matches"),
+        )
+        .orderBy("doc_id")
+    )

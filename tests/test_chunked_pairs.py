@@ -105,3 +105,23 @@ def test_deterministic_under_repartition(spark):
     p2 = chunked_self_pairs(df.repartition(13), "cid", "vec_id", cap=16)
     assert p1.exceptAll(p2).count() == 0
     assert p2.exceptAll(p1).count() == 0
+
+
+def test_randomized_equivalence_to_brute_force(spark):
+    # seeded randomized sweep: random key skew patterns x random caps
+    # must always reproduce the brute-force pair set exactly
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = rng.randint(50, 300)
+        n_keys = rng.choice([1, 3, 10])
+        rows = [
+            (rng.randrange(n_keys), i, rng.randrange(1000)) for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "cid long, vec_id long, payload long")
+        plain = _plain_pairs(df)
+        cap = rng.choice([2, 17, 64])
+        chunked = chunked_self_pairs(df, "cid", "vec_id", cap=cap).select(plain.columns)
+        assert chunked.exceptAll(plain).count() == 0, (trial, n, n_keys, cap)
+        assert plain.exceptAll(chunked).count() == 0, (trial, n, n_keys, cap)
