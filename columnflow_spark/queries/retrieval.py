@@ -110,10 +110,10 @@ _BM25_TOTALS_TAIL = f"""
 
 _BM25_TOTALS_CTES = _bm25_totals_ctes()
 
-
-@query(
-    "bm25_topk",
-    oracle=f"""
+#: the ranked-BM25 oracle, shared by every serving form that must equal
+#: the from-scratch pass: bm25_topk itself, the incremental postings
+#: store, and the streaming ingest twin (queries/streaming.py)
+BM25_TOPK_ORACLE = f"""
     WITH {_BM25_TOTALS_CTES}
     SELECT query_id, doc_id, score_q, CAST(rk AS INT) AS rk
     FROM (
@@ -124,8 +124,10 @@ _BM25_TOTALS_CTES = _bm25_totals_ctes()
     )
     WHERE rk <= {_BM25_TOPK}
     ORDER BY query_id, rk
-    """,
-)
+    """
+
+
+@query("bm25_topk", oracle=BM25_TOPK_ORACLE)
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (Robertson/Sparck Jones; the Lucene ``ln(1 + (N-df+.5)/(df+.5))``
     idf form) top-k documents per keyword query.
@@ -761,18 +763,15 @@ def postings_store_path(sf_dir: str) -> str:
     return os.path.join(scratch_root(), "bm25_postings", tag)
 
 
-def upsert_postings_batch(
-    spark: SparkSession, sf_dir: str, path: str, *, batch: int, batch_pred
-) -> str:
-    """Tokenize one ingest batch, keep postings for the query vocabulary
-    only, and upsert them (plus the batch's monoid collection stats)."""
+def upsert_postings_frame(docs: DataFrame, path: str, *, batch: int) -> str:
+    """Tokenize one ``(doc_id, text)`` ingest frame, keep postings for the
+    query vocabulary only, and upsert them (plus the batch's monoid
+    collection stats)."""
     import os
 
     from columnflow_spark.sources.sinks import upsert_partitions
 
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]).filter(
-        batch_pred
-    )
+    spark = docs.sparkSession
     toks = docs.select(
         "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
     )
@@ -796,6 +795,16 @@ def upsert_postings_batch(
     with open(os.path.join(path, "_BUILT"), "w") as f:
         f.write(f"format={_POSTINGS_FORMAT}\n")
     return path
+
+
+def upsert_postings_batch(
+    spark: SparkSession, sf_dir: str, path: str, *, batch: int, batch_pred
+) -> str:
+    """Documents-table form of :func:`upsert_postings_frame`."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        batch_pred
+    )
+    return upsert_postings_frame(docs, path, batch=batch)
 
 
 def bm25_totals_from_store(spark: SparkSession, path: str) -> DataFrame:
@@ -858,21 +867,7 @@ def _ensure_postings_store(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@query(
-    "bm25_incremental_postings",
-    oracle=f"""
-    WITH {_BM25_TOTALS_CTES}
-    SELECT query_id, doc_id, score_q, CAST(rk AS INT) AS rk
-    FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY score_q DESC, doc_id
-        ) AS rk
-        FROM totals
-    )
-    WHERE rk <= {_BM25_TOPK}
-    ORDER BY query_id, rk
-    """,
-)
+@query("bm25_incremental_postings", oracle=BM25_TOPK_ORACLE)
 def bm25_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k served from the PERSISTED postings store (corpus
     ingested as two batches, content-addressed reuse across sessions) —

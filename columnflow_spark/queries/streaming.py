@@ -1356,3 +1356,60 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(flags).select("vec_id", "is_dup").orderBy("vec_id")
+
+
+# --- streaming search-index maintenance (the ingest deployment of the
+# BM25 postings store, completing the streaming index-maintenance
+# quartet: exact dedup store, semantic dedup store, SCD2 state, and now
+# the lexical index): each micro-batch of documents contributes its
+# postings slice and monoid stats slice; serving at rest from the
+# accumulated store must equal the from-scratch BM25 pass — the postings
+# partition by batch trivially (each doc posts once) and the collection
+# stats merge by exact integer addition, so batch boundaries never show
+# in the served ranking (shared bm25_topk oracle). ---
+from columnflow_spark.queries.retrieval import BM25_TOPK_ORACLE as _BM25_ORACLE
+
+
+@query("streaming_postings_ingest", oracle=_BM25_ORACLE)
+def streaming_postings_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from columnflow_spark.queries.retrieval import (
+        _BM25_TOPK,
+        bm25_totals_from_store,
+        upsert_postings_frame,
+    )
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.pydatasource import register
+
+    register(spark)
+    store = tempfile.mkdtemp(prefix="cf_postings_store_")
+
+    n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("order_col", "doc_id")
+        .option("batch_rows", str(max(100, n // 5)))
+        .load()
+        .select("doc_id", "text")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_postings_frame(batch_df, store, batch=int(batch_id))
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    totals = bm25_totals_from_store(spark, store)
+    win = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        totals.withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "score_q", "rk")
+        .orderBy("query_id", "rk")
+    )
+
