@@ -91,6 +91,33 @@ def ivfpq_index_path(sf_dir: str) -> str:
     return os.path.join(scratch_root(), "ivfpq_index", tag)
 
 
+def upsert_index_frame(
+    spark: SparkSession, sf_dir: str, rows: DataFrame, path: str, *, batch: int
+) -> str:
+    """Encode a ``(vec_id, embedding)`` frame against the FROZEN coarse
+    quantizer + trained PQ codebook (both derive from the static corpus —
+    the IVF contract; incremental and streaming ingest reuse them) and
+    upsert it as the index's ``batch=<n>`` slice."""
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    cents = _ivf_cents(emb).select("cid", "ce")
+    encode = pq_encode_udf(spark, sf_dir)
+    idx = nearest_centroid_assign(rows, cents).select(
+        "vec_id",
+        encode("embedding").alias("codes"),
+        "cid",
+        F.lit(int(batch)).alias("batch"),
+    )
+    upsert_partitions(idx, path, partition_by=["cid", "batch"])
+    # completeness marker: dynamic partition overwrite does NOT emit a
+    # root _SUCCESS (it commits per partition), so without an explicit
+    # marker the reuse check can never pass and every session silently
+    # pays a full rebuild — the store-level equivalent of a task output
+    # existence check
+    with open(os.path.join(path, "_BUILT"), "w") as f:
+        f.write(f"format={_INDEX_FORMAT}\n")
+    return path
+
+
 def build_ivfpq_index(
     spark: SparkSession,
     sf_dir: str,
@@ -105,24 +132,8 @@ def build_ivfpq_index(
     selects which vectors this batch (re-)encodes."""
     path = path or ivfpq_index_path(sf_dir)
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
-    cents = _ivf_cents(emb).select("cid", "ce")
     rows = emb.filter(batch_pred) if batch_pred is not None else emb
-    encode = pq_encode_udf(spark, sf_dir)
-    idx = nearest_centroid_assign(rows, cents).select(
-        "vec_id",
-        encode("embedding").alias("codes"),
-        "cid",
-        F.lit(int(batch)).alias("batch"),
-    )
-    upsert_partitions(idx, path, partition_by=["cid", "batch"])
-    # completeness marker: dynamic partition overwrite does NOT emit a
-    # root _SUCCESS (it commits per partition), so without an explicit
-    # marker the reuse check below can never pass and every session
-    # silently pays a full rebuild — the store-level equivalent of a task
-    # output existence check
-    with open(os.path.join(path, "_BUILT"), "w") as f:
-        f.write(f"format={_INDEX_FORMAT}\n")
-    return path
+    return upsert_index_frame(spark, sf_dir, rows, path, batch=batch)
 
 
 def compact_ivfpq_index(spark: SparkSession, path: str) -> None:

@@ -1413,3 +1413,47 @@ def streaming_postings_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id", "rk")
     )
 
+
+
+# --- streaming ANN-index maintenance (the ingest deployment of the
+# materialized IVF+PQ index, queries/annindex.py): each micro-batch of
+# vectors is assigned to the FROZEN coarse quantizer and encoded with the
+# trained PQ codebook (both derive from the static corpus — the IVF
+# contract streaming ingest inherits), then upserted as its own
+# ``cid=/batch=`` slice.  Searching the store after the stream drains
+# must be bit-identical to the one-shot in-session ``ann_ivfpq_topk``
+# (shared oracle): the codes are a pure per-vector function, so batch
+# boundaries can never show in the ADC ranking. ---
+from columnflow_spark.queries.mmdata import IVFPQ_ORACLE as _IVFPQ_ORACLE
+
+
+@query("streaming_ann_index_ingest", oracle=_IVFPQ_ORACLE)
+def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from columnflow_spark.queries.annindex import search_ivfpq_index, upsert_index_frame
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.pydatasource import register
+
+    register(spark)
+    store = tempfile.mkdtemp(prefix="cf_ann_index_")
+
+    n = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).count()
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/embeddings.parquet")
+        .option("order_col", "vec_id")
+        .option("batch_rows", str(max(100, n // 5)))
+        .load()
+        .select("vec_id", "embedding")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_index_frame(spark, sf_dir, batch_df, store, batch=int(batch_id))
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return search_ivfpq_index(spark, sf_dir, store)
