@@ -260,18 +260,29 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "samples": samples,
-                "sf": sf_val,
-            }
-        )
+    # key order matters: the driver's capture keeps only the TAIL of this
+    # line, so the per-query timings dict goes LAST (scalar summary keys
+    # first) — a truncated capture loses the cheap prefix, not the data
+    # (BENCH_r06.json lost 58/63 timing lines the other way around)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "samples": samples,
+            "queries": timings,
+        }
     )
+    # the repo keeps its own bench history regardless of driver capture
+    try:
+        log_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCHLOG.jsonl")
+        with open(log_path, "a") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 if __name__ == "__main__":

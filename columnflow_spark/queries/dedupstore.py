@@ -221,9 +221,12 @@ def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     built once, content-addressed, reused across sessions)."""
     h = _history_cutoff(spark, sf_dir)
     path = _ensure_history_store(spark, sf_dir, h)
+    # no trailing sort: output is batch-grain (huge at scale) and the
+    # oracle compare is order-insensitive — a presentation sort would be
+    # a pure range-exchange tax on every flagged batch
     return flag_batch_against_store(
         spark, sf_dir, path, batch_pred=F.col("doc_id") >= h, max_batch=0
-    ).orderBy("doc_id")
+    )
 
 
 def _compacted_store_path(sf_dir: str) -> str:
@@ -261,9 +264,10 @@ def dedup_store_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction rewrite changes the store's layout and nothing else."""
     h = _history_cutoff(spark, sf_dir)
     path = _ensure_compacted_history_store(spark, sf_dir, h)
+    # batch-grain output, order-insensitive compare: no presentation sort
     return flag_batch_against_store(
         spark, sf_dir, path, batch_pred=F.col("doc_id") >= h, max_batch=None
-    ).orderBy("doc_id")
+    )
 
 
 # --- semantic incremental dedup (VERDICT r5 next #6): SemDeDup's
@@ -507,6 +511,7 @@ def semdedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the semdedup_clusters bit-parity recipe)."""
     h = _sem_history_cutoff(spark, sf_dir)
     path = _ensure_semdedup_store(spark, sf_dir, h)
+    # batch-grain output, order-insensitive compare: no presentation sort
     return flag_semdedup_batch(
         spark, sf_dir, path, batch_pred=F.col("vec_id") >= h
-    ).orderBy("vec_id")
+    )

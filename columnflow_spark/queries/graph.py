@@ -196,10 +196,13 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # becomes the next round's input (iterative-job checkpointing)
         ranks = pagerank_round(nodes, edges, outdeg, ranks, n_nodes, base).localCheckpoint()
 
+    # distributed top-k first (TakeOrderedAndProject — per-partition heads
+    # merged on the driver, never a node-grain single-partition sort); the
+    # rank window then runs over the 20 surviving rows only
+    top = ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
     win = F.row_number().over(W.orderBy(F.desc("rank"), F.asc("node")))
     return (
-        ranks.withColumn("rk", win.cast("int"))
-        .filter(F.col("rk") <= 20)
+        top.withColumn("rk", win.cast("int"))
         .select("node", F.col("rank").alias("rank_q"), "rk")
         .orderBy("rk")
     )
@@ -354,10 +357,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint).
     """
     per_node = triangle_counts(_coorder_edges(spark, sf_dir))
+    # distributed top-k first, rank window over the 20 survivors only
+    top = per_node.orderBy(F.desc("n_tri"), F.asc("node")).limit(20)
     win = F.row_number().over(W.orderBy(F.desc("n_tri"), F.asc("node")))
     return (
-        per_node.withColumn("rk", win.cast("int"))
-        .filter(F.col("rk") <= 20)
+        top.withColumn("rk", win.cast("int"))
         .select("node", "n_tri", "rk")
         .orderBy("rk")
     )
@@ -426,12 +430,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("y").alias("src"), F.col("x").alias("dst"))
     )
     labels = label_propagation(dir_edges, _LPA_ITERS)
+    sizes = labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    # distributed top-k first, rank window over the 20 survivors only
+    top = sizes.orderBy(F.desc("sz"), F.asc("community")).limit(20)
     cwin = F.row_number().over(W.orderBy(F.desc("sz"), F.asc("community")))
     return (
-        labels.groupBy(F.col("lab").alias("community"))
-        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
-        .withColumn("rk", cwin.cast("int"))
-        .filter(F.col("rk") <= 20)
+        top.withColumn("rk", cwin.cast("int"))
         .select("community", "sz", "rk")
         .orderBy("rk")
     )

@@ -549,6 +549,69 @@ _PLAN_BUDGETS = {
 }
 
 
+#: single-child pass-through nodes between a Window and the Exchange that
+#: feeds its Sort (names as printed by explain("formatted"), * stripped)
+_WINDOW_CHAIN = ("Sort", "Project", "InputAdapter", "ColumnarToRow", "Filter")
+
+#: nodes that bound an input to a constant/driver-merged row count
+_BOUNDING_NODES = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit")
+
+
+def _unbounded_window_violations(plan: str) -> list[str]:
+    """Flag every partitionBy-less Window fed by an ``Exchange
+    SinglePartition`` whose input is NOT row-bounded (no limit /
+    TakeOrderedAndProject / scalar aggregate below it).  That pattern
+    funnels an unbounded relation through one task at scale — the top-k
+    finalization anti-pattern (VERDICT r6 wrong #1); the sanctioned shape
+    is ``orderBy().limit(k)`` (distributed TakeOrderedAndProject) first,
+    then the rank window over the k survivors."""
+    import re
+
+    tree = plan.split("\n\n")[0]
+    nodes = []
+    for ln in tree.splitlines():
+        m = re.search(r"([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$", ln)
+        if m:
+            nodes.append((ln.index(m.group(1)), m.group(1).strip(), int(m.group(2))))
+    details = {
+        int(m.group(1)): m.group(0)
+        for m in re.finditer(r"^\((\d+)\) .*?(?=^\(\d+\) |\Z)", plan, re.M | re.S)
+    }
+    out = []
+    for i, (pos, name, nid) in enumerate(nodes):
+        if not name.startswith("Window"):
+            continue
+        # walk the single-child chain from the window to its exchange
+        j = i + 1
+        while j < len(nodes) and nodes[j][1].split()[0] in _WINDOW_CHAIN:
+            j += 1
+        if j >= len(nodes):
+            continue
+        jpos, jname, jid = nodes[j]
+        if not jname.startswith("Exchange") or "SinglePartition" not in details.get(jid, ""):
+            continue
+        # the exchange's subtree must bound its row count: a limit-type
+        # node, or a scalar (empty-key) partial aggregate
+        bounded = False
+        for pos2, name2, nid2 in nodes[j + 1 :]:
+            if pos2 <= jpos:
+                break
+            if name2.startswith(_BOUNDING_NODES):
+                bounded = True
+                break
+            if "Aggregate" in name2 and re.search(
+                r"Keys(?: \[\d+\])?: \[\]", details.get(nid2, "")
+            ):
+                bounded = True
+                break
+        if not bounded:
+            out.append(
+                f"single-partition Window ({nid}) over unbounded input "
+                f"(Exchange ({jid})) — use orderBy().limit(k) before the rank"
+            )
+    return out
+
+
 def test_expensive_query_plan_budgets(spark, sf_dir):
     over = []
     for qname, (max_ex, max_scan) in _PLAN_BUDGETS.items():
@@ -557,6 +620,7 @@ def test_expensive_query_plan_budgets(spark, sf_dir):
         ex, scan = tree.count("- Exchange"), tree.count("Scan parquet")
         if ex > max_ex or scan > max_scan:
             over.append(f"{qname}: exchanges {ex}>{max_ex} or scans {scan}>{max_scan}")
+        over.extend(f"{qname}: {msg}" for msg in _unbounded_window_violations(plan))
     assert not over, over
 
 
