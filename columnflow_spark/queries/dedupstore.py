@@ -239,7 +239,13 @@ def _ensure_compacted_history_store(spark: SparkSession, sf_dir: str, h: int) ->
     ``batch=0`` slice per band — the steady-state layout a long-running
     ingest pipeline periodically restores."""
     path = _compacted_store_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_BUILT")):
+    # sequence marker, not the per-upsert _BUILT: a crash between the
+    # upserts (or before the compaction) would otherwise leave a partial
+    # store that passes the reuse check forever (ADVICE r6).  The re-run
+    # is safe: both upserts idempotently overwrite their batch= slices
+    # and the compaction swap fails closed (replace_store).
+    done = os.path.join(path, "_SEQ_COMPLETE")
+    if not os.path.exists(done):
         upsert_dedup_batch(
             spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h // 2
         )
@@ -251,6 +257,8 @@ def _ensure_compacted_history_store(spark: SparkSession, sf_dir: str, h: int) ->
             batch_pred=(F.col("doc_id") >= h // 2) & (F.col("doc_id") < h),
         )
         compact_dedup_store(spark, path)
+        with open(done, "w") as f:
+            f.write("2-batch ingest + compaction complete\n")
     return path
 
 
@@ -350,9 +358,13 @@ def upsert_semdedup_batch(
     )
 
 
-def flag_semdedup_frame(vecs: DataFrame, path: str) -> DataFrame:
+def flag_semdedup_frame(
+    vecs: DataFrame, path: str, *, max_batch: int | None = None
+) -> DataFrame:
     """Per-vector semantic dedup decision for a ``(vec_id, embedding)``
-    frame vs the accumulated store:
+    frame vs the accumulated store (optionally batches ``<= max_batch`` —
+    a REPLAYED micro-batch passes its own id minus one so it never sees
+    the slice a failed attempt already upserted, ADVICE r6):
     ``(vec_id, cid, dup_prior, dup_in_batch, keep)``.
 
     Plan shape: batch assignment is a pure projection (frozen centroids);
@@ -394,7 +406,10 @@ def flag_semdedup_frame(vecs: DataFrame, path: str) -> DataFrame:
             )
             .withColumn("keep", ~F.col("dup_in_batch"))
         )
-    store = spark.read.parquet(path).select(
+    store = spark.read.parquet(path)
+    if max_batch is not None:
+        store = store.filter(F.col("batch") <= max_batch)
+    store = store.select(
         F.col("cid").cast("long").alias("cid"),
         F.col("vec_id").alias("hist_id"),
         F.col("embedding").alias("he"),

@@ -1518,16 +1518,19 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "cxy",
-            # overflow guard (matches DuckDB's raise-on-overflow): the
-            # numerator cxy*n*SCALE must fit BIGINT; n*SCALE is checked
-            # first so the division deriving the cxy bound is itself safe
+            # overflow guard (matches DuckDB's raise-on-overflow): BOTH
+            # the numerator cxy*n*SCALE AND the denominator c1*c2 must
+            # fit BIGINT (two words with ~5e9 occurrences each would
+            # overflow the product, ADVICE r6); n*SCALE is checked first
+            # so the division deriving the cxy bound is itself safe
             F.expr(
                 f"CASE WHEN n <= 9223372036854775807 div {_COLL_SCALE}"
                 f" AND cxy <= 9223372036854775807 div (n * {_COLL_SCALE})"
+                f" AND c1 <= 9223372036854775807 div c2"
                 f" THEN CAST((cxy * n * {_COLL_SCALE}) div (c1 * c2) AS BIGINT)"
                 f" ELSE CAST(raise_error('collocation_lift_topk: cxy*n*SCALE"
-                f" overflows BIGINT — lower _COLL_SCALE for this corpus size')"
-                f" AS BIGINT) END"
+                f" or c1*c2 overflows BIGINT — lower _COLL_SCALE for this"
+                f" corpus size') AS BIGINT) END"
             ).alias("lift_q"),
         )
         .orderBy(F.desc("lift_q"), F.asc("w1"), F.asc("w2"))
@@ -5534,13 +5537,30 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source"])
     # n^alpha is quantized to the grid per source BEFORE the normalizer
     # sum, so Z is an exact integer and engine summation order cannot
-    # shift a rate literal (SCALE_VALIDATION #5 pattern)
+    # shift a rate literal (SCALE_VALIDATION #5 pattern).  pow is the one
+    # fp op here that java.lang.Math and libm may disagree on by an ulp;
+    # if that ulp could flip the floor (y within a scale-aware guard band
+    # of an integer boundary) the plan RAISES instead of silently
+    # diverging from the oracle (ADVICE r6) — the band (|y|·1e-12, four
+    # orders above the ~2e-16 relative ulp error) also covers a DuckDB-
+    # side knife edge, since the two engines' y differ by far less than
+    # the band width.
+    y = F.pow(F.col("n").cast("double"), F.lit(_MIX_ALPHA)) * F.lit(float(_MIX_Q)) + F.lit(0.5)
+    on_knife_edge = F.abs(y - F.round(y, 0)) < F.greatest(
+        F.lit(1e-9), F.abs(y) * F.lit(1e-12)
+    )
+    nq = F.when(
+        on_knife_edge,
+        F.expr(
+            "CAST(raise_error('mixture_temperature_sample: n^alpha * Q + 0.5"
+            " lands within the cross-engine pow guard band of a rounding"
+            " boundary — pick a different _MIX_Q for this corpus') AS DOUBLE)"
+        ),
+    ).otherwise(F.floor(y))
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n")).select(
         "source",
         "n",
-        F.floor(F.pow(F.col("n").cast("double"), F.lit(_MIX_ALPHA)) * _MIX_Q + 0.5)
-        .cast("long")
-        .alias("nq"),
+        nq.cast("long").alias("nq"),
     )
     z = counts.agg(
         F.sum("nq").cast("long").alias("zq"),

@@ -807,6 +807,24 @@ def upsert_postings_batch(
     return upsert_postings_frame(docs, path, batch=batch)
 
 
+def _read_postings(spark: SparkSession, path: str) -> DataFrame:
+    """Read the ``w=<term>/batch=<n>`` postings store with partition-
+    column TYPE INFERENCE disabled for ``w``: the partition key is a raw
+    vocabulary term, and a term that happens to parse as a number or
+    date ("2021", "01") would otherwise round-trip through the inferred
+    type and come back reformatted ("01" -> 1 -> "1").  Inference is a
+    session conf, not a reader option; partition discovery happens
+    eagerly at read time, so toggling it around the read is sufficient
+    (ADVICE r6)."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        spark.conf.set(key, old)
+
+
 def bm25_totals_from_store(spark: SparkSession, path: str) -> DataFrame:
     """Integer-grid BM25 totals served from the postings store —
     bit-identical inputs to :func:`_bm25_totals`: df is a window over the
@@ -815,7 +833,7 @@ def bm25_totals_from_store(spark: SparkSession, path: str) -> DataFrame:
     the identical single fp op the from-scratch pass performs)."""
     import os
 
-    posting_rows = spark.read.parquet(path).select(
+    posting_rows = _read_postings(spark, path).select(
         "doc_id", F.col("w").cast("string").alias("w"), "tf", "dl"
     )
     stat = (
@@ -853,10 +871,17 @@ def bm25_totals_from_store(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _ensure_postings_store(spark: SparkSession, sf_dir: str) -> str:
+    """Two-batch fixture build.  Gated on a SEQUENCE marker written after
+    the LAST step, not the per-upsert ``_BUILT`` (which only proves "some
+    upsert committed"): a crash between the two upserts would otherwise
+    leave a content-addressed store holding half the corpus that every
+    later session trusts (ADVICE r6).  The re-run is safe because each
+    upsert idempotently overwrites its own ``batch=`` slices."""
     import os
 
     path = postings_store_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_BUILT")):
+    done = os.path.join(path, "_SEQ_COMPLETE")
+    if not os.path.exists(done):
         n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
         upsert_postings_batch(
             spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < n // 2
@@ -864,6 +889,8 @@ def _ensure_postings_store(spark: SparkSession, sf_dir: str) -> str:
         upsert_postings_batch(
             spark, sf_dir, path, batch=1, batch_pred=F.col("doc_id") >= n // 2
         )
+        with open(done, "w") as f:
+            f.write("2-batch ingest complete\n")
     return path
 
 
@@ -910,7 +937,7 @@ def delete_docs_from_postings(
     from columnflow_spark.sources.sinks import replace_store, upsert_partitions
 
     kept = (
-        spark.read.parquet(path)
+        _read_postings(spark, path)
         .filter(~delete_pred)
         .select(F.col("w").cast("string").alias("w"), "doc_id", "tf", "dl")
         .withColumn("batch", F.lit(0))
@@ -943,11 +970,19 @@ def _ensure_deleted_postings_store(spark: SparkSession, sf_dir: str) -> str:
 
     tag = content_tag(table_path(sf_dir, "documents"), f"bm25-del-v{_POSTINGS_FORMAT}")
     path = os.path.join(scratch_root(), "bm25_postings_del", tag)
-    if not os.path.exists(os.path.join(path, "_BUILT")):
+    # sequence marker, not the per-upsert _BUILT: a crash after the
+    # ingest but before the delete would otherwise leave a store with
+    # still-undeleted docs that passes the reuse check forever (ADVICE
+    # r6).  The re-run is safe: the ingest overwrites every batch=0
+    # slice (resetting any partial delete), then the delete re-applies.
+    done = os.path.join(path, "_SEQ_COMPLETE")
+    if not os.path.exists(done):
         upsert_postings_batch(spark, sf_dir, path, batch=0, batch_pred=F.lit(True))
         delete_docs_from_postings(
             spark, sf_dir, path, delete_pred=F.col("doc_id") % 7 == 3, batch=1
         )
+        with open(done, "w") as f:
+            f.write("ingest+delete complete\n")
     return path
 
 

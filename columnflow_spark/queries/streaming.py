@@ -1061,7 +1061,12 @@ def streaming_dedup_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # flag FIRST (the batch must not see itself in the store), then
         # upsert this batch's distinct fingerprints for the next batch
         if os.path.exists(os.path.join(store, "_BUILT")):
-            decided = flag_fingerprints_against_store(fp, store)
+            # max_batch fence: a REPLAYED micro-batch must not see the
+            # slice its failed attempt already upserted (its own
+            # fingerprints would flag the whole batch dup_prior)
+            decided = flag_fingerprints_against_store(
+                fp, store, max_batch=int(batch_id) - 1
+            )
         else:
             first_in_batch = F.min("doc_id").over(W.partitionBy("fingerprint"))
             decided = fp.select(
@@ -1340,8 +1345,12 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         from columnflow_spark.sources.sinks import upsert_partitions
 
         # flag FIRST (the batch must not see itself in the store), then
-        # upsert this batch's vectors for the next batch
-        decided = flag_semdedup_frame(batch_df, store)
+        # upsert this batch's vectors for the next batch; the max_batch
+        # fence makes the sink REPLAY-idempotent — a retried micro-batch
+        # filters out the slice its failed attempt already upserted
+        # (which would otherwise match every vector against itself,
+        # cosine = 1 >= tau, and mark the whole batch dup_prior)
+        decided = flag_semdedup_frame(batch_df, store, max_batch=int(batch_id) - 1)
         out = decided.select(
             "vec_id",
             (F.col("dup_prior") | F.col("dup_in_batch")).alias("is_dup"),
