@@ -3735,6 +3735,25 @@ def bpe_encode_expr(merges: list[tuple]) -> "F.Column":
     return enc
 
 
+def bpe_ntokens_expr(merges: list[tuple], text=None) -> "F.Column":
+    """Per-DOC BPE token count as ONE in-row expression: fold over the
+    whitespace words of ``text``, encoding each word with the merge chain
+    and summing symbol counts — no word-grain explode, so a funnel can
+    count tokens inside the same single corpus pass that evaluates its
+    stage flags.  Words that clean to empty contribute 0 (the
+    :func:`_bpe_words` drop rule)."""
+    text = F.col("text") if text is None else text
+
+    def enc_syms(w):
+        e = F.regexp_replace(_bpe_clean_word(w), "(.)", "<$1>")
+        for a, b, *_ in merges:
+            e = F.replace(e, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+        return F.size(_bpe_syms(e))
+
+    words = F.filter(F.split(text, " "), lambda x: x != "")
+    return F.aggregate(words, F.lit(0), lambda acc, w: acc + enc_syms(w))
+
+
 def _bpe_words(df: DataFrame) -> DataFrame:
     """Explode whitespace words, dropping words that clean to empty (the
     oracle's string_split('') would count them as one token)."""
@@ -4197,6 +4216,26 @@ def _tf_fit_ctes() -> str:
             SELECT min(doc_id) FROM s3 GROUP BY md5(text)
         )
     ),
+    s4g AS MATERIALIZED (
+        SELECT g.doc_id, g.gs FROM grams g JOIN s4 USING (doc_id)
+    ),
+    fex AS MATERIALIZED (SELECT doc_id, unnest(gs) AS g FROM s4g),
+    fpairs AS MATERIALIZED (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        FROM fex a JOIN fex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    flosers AS MATERIALIZED (
+        SELECT DISTINCT p.d2 AS doc_id
+        FROM fpairs p
+        JOIN s4g s1 ON s1.doc_id = p.d1
+        JOIN s4g s2 ON s2.doc_id = p.d2
+        WHERE p.common * 1.0 / (len(s1.gs) + len(s2.gs) - p.common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    s4f AS MATERIALIZED (
+        SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM flosers)
+    ),
     eval_g AS (
         SELECT DISTINCT ug AS gram
         FROM grams g JOIN documents d USING (doc_id), unnest(g.gs) AS t(ug)
@@ -4208,7 +4247,7 @@ def _tf_fit_ctes() -> str:
         WHERE ug IN (SELECT gram FROM eval_g)
     ),
     s5 AS (
-        SELECT * FROM s4
+        SELECT * FROM s4f
         WHERE source <> '{_TCP_EVAL_SRC}'
           AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     ),
@@ -4244,9 +4283,10 @@ def _tf_fit_ctes() -> str:
         UNION ALL SELECT 2, 'lang_filter', (SELECT count(*) FROM s2), 0, 0
         UNION ALL SELECT 3, 'quality_gate', (SELECT count(*) FROM s3), 0, 0
         UNION ALL SELECT 4, 'exact_dedup', (SELECT count(*) FROM s4), 0, 0
-        UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM s5), 0, 0
-        UNION ALL SELECT 6, 'classifier_filter', (SELECT count(*) FROM s6), 0, 0
-        UNION ALL SELECT 7, 'tokenized', (SELECT n_docs FROM s7),
+        UNION ALL SELECT 5, 'fuzzy_dedup', (SELECT count(*) FROM s4f), 0, 0
+        UNION ALL SELECT 6, 'decontaminated', (SELECT count(*) FROM s5), 0, 0
+        UNION ALL SELECT 7, 'classifier_filter', (SELECT count(*) FROM s6), 0, 0
+        UNION ALL SELECT 8, 'tokenized', (SELECT n_docs FROM s7),
                           (SELECT n_tokens FROM s7),
                           CAST(ceil((SELECT n_tokens FROM s7) / {_TCP_SEQ_LEN}.0) AS BIGINT)
     )
@@ -4254,94 +4294,163 @@ def _tf_fit_ctes() -> str:
     """,
 )
 def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight-stage pretraining funnel counted in a SINGLE corpus pass.
+
+    Every stage membership is a per-doc boolean FLAG evaluated in one
+    chain over ``documents`` — lang/length/gate are projections, exact
+    dedup is one window over the content hash, fuzzy dedup and
+    decontamination are doc-keyed joins against bounded/derived id sets,
+    and BPE token counting folds in-row over the words array — so the
+    whole funnel is one featurization + one single-row aggregate, not a
+    per-stage re-derivation (the r6 shape recomputed the dedup shuffle
+    once per downstream stage; real 100 TB funnels compute per-doc
+    decisions in one pass and count them for free)."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
-    s2 = docs.filter(F.col("lang") == "en")
-    s3 = s2.filter(
-        F.size(F.filter(F.split("text", " "), lambda t: t != "")) >= _TCP_MIN_TOKENS
+    ntok_ws = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    in_s2 = F.col("lang") == "en"
+    in_s3 = in_s2 & (ntok_ws >= _TCP_MIN_TOKENS)
+
+    # fuzzy near-dedup loser set (VERDICT r6 next #3): MinHash-banded
+    # candidate pairs among the exact-dedup SURVIVORS (the session
+    # signature table semi-joined down — near-dup work scales with
+    # survivors, not raw corpus), exact-Jaccard verified against the
+    # shared shingle table, then the HIGHER doc_id of every verified
+    # pair is dropped (deterministic, SQL-replayable; the oracle replays
+    # the exact pair set — the LSH banding's P_miss at j >= 0.8 is
+    # < 1.2e-6, the dedup_minhash_lsh equivalence argument).  The loser
+    # id set is bounded by near-dup volume and checkpointed once.
+    g = hashed_grams(spark, sf_dir)
+    s4ids = (
+        docs.filter(in_s3)
+        .groupBy(F.md5("text").alias("dg"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
-    # exact dedup as ONE aggregation: min_by on the content hash keeps the
-    # lowest-doc_id row per distinct text with a map-side partial agg —
-    # the doc rows shuffle once on the fingerprint and there is no keep-set
-    # join at all (the previous broadcast of a per-distinct-doc keep list
-    # was a build-side OOM at corpus scale)
-    s4 = (
-        s3.groupBy(F.md5("text").alias("dg"))
-        .agg(F.min_by(F.struct(*s3.columns), F.col("doc_id")).alias("k"))
-        .select("k.*")
+    banded4 = (
+        minhash_sigs(spark, sf_dir)
+        .join(s4ids, "doc_id", "leftsemi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*lsh_band_keys(F.col("sig"), bands=16, rows=2))
+            ).alias("bk"),
+        )
     )
-    # decontamination: docs sharing any shingle with the eval source are
-    # dropped — the eval gram SET is the bounded side and broadcasts; the
-    # corpus-sized contaminated set joins un-hinted (AQE broadcasts it at
-    # small scale, falls back to a doc_id-keyed shuffle join at corpus
-    # scale instead of OOMing the build side).  hashed_grams carries the
-    # source tag, so no doc->source map is materialized here.
-    grams = hashed_grams(spark, sf_dir)
+    cand4 = bucketed_candidate_pairs(banded4, ["bk"], cap=LSH_BUCKET_CAP)
+    losers = (
+        _verify_pairs_exact(g, cand4, JACCARD_THRESHOLD)
+        .select(F.col("d2").alias("doc_id"), F.lit(True).alias("is_loser"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # decontamination id set: docs sharing any shingle with the eval
+    # source — the eval gram SET is the bounded side and broadcasts; the
+    # corpus-sized contaminated set joins un-hinted below (AQE broadcasts
+    # it at small scale, falls back to a doc_id-keyed shuffle join at
+    # corpus scale instead of OOMing the build side)
     eval_set = (
-        grams.filter(F.col("source") == _TCP_EVAL_SRC)
+        g.filter(F.col("source") == _TCP_EVAL_SRC)
         .select(F.explode("hs").alias("h"))
         .distinct()
     )
     contaminated = (
-        grams.select("doc_id", F.explode("hs").alias("h"))
+        g.select("doc_id", F.explode("hs").alias("h"))
         .join(F.broadcast(eval_set), "h", "leftsemi")
         .select("doc_id")
         .distinct()
-    )
-    s5 = (
-        s4.filter(F.col("source") != _TCP_EVAL_SRC)
-        .join(contaminated, "doc_id", "leftanti")
-    )
-    # learned quality gate: the hashing-TF logistic classifier trained on
-    # the corpus (weak 'dup'-marker supervision), scored IN-ROW with the
-    # weights as plan literals, keeping docs at or above the corpus score
-    # median (the CCNet-style keep-the-better-half curation rule) — the
-    # threshold is one tiny aggregate, scoring is projection + filter,
-    # zero shuffle
-    # the corpus-global median threshold (by design: CCNet keeps the
-    # better half of the WHOLE corpus, not of the funnel survivors) reads
-    # the checkpointed feature frame — with training, the whole
-    # learned-gate phase featurizes the corpus exactly once; only the
-    # final in-row filter over the s5 survivors re-evaluates the
-    # expression form.  tf_learned_gate is the shared artifact the
-    # streaming ingest gate consumes too.
-    w_tf, thr = tf_learned_gate(spark, sf_dir)
-    s6 = s5.filter(tf_gate_score_expr(w_tf) >= F.lit(thr))
-    # tokenization: the learned BPE rules as an in-row replace chain
-    merges = bpe_train(spark, sf_dir)
-    enc = bpe_encode_expr(merges)
-    tok = _bpe_words(s6.select("doc_id", "text")).select(
-        "doc_id", F.size(_bpe_syms(enc)).alias("nt")
-    )
-    s7 = tok.agg(
-        F.countDistinct("doc_id").alias("n_docs"), F.sum("nt").alias("n_tokens")
+        .withColumn("is_cont", F.lit(True))
     )
 
-    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
+    # the learned gate weights/threshold and BPE merges are session
+    # artifacts (featurize-once contracts of their own); both land in the
+    # flag chain as plan literals
+    w_tf, thr = tf_learned_gate(spark, sf_dir)
+    merges = bpe_train(spark, sf_dir)
+
+    # exact dedup as ONE window over the content hash: keep the lowest
+    # doc_id among the stage-3 survivors of each distinct text (map-side
+    # no, but a single fingerprint-keyed shuffle — and the ONLY corpus
+    # shuffle besides the contamination join; there is no keep-set join)
+    s4min = F.min(F.when(in_s3, F.col("doc_id"))).over(W.partitionBy(F.md5("text")))
+    flags = (
+        docs.withColumn("in_s2", in_s2)
+        .withColumn("in_s3", in_s3)
+        .withColumn("in_s4", F.col("in_s3") & (F.col("doc_id") == s4min))
+        .join(losers, "doc_id", "left")
+        .withColumn("in_s4f", F.col("in_s4") & F.col("is_loser").isNull())
+        .join(contaminated, "doc_id", "left")
+        .withColumn(
+            "in_s5",
+            F.col("in_s4f")
+            & (F.col("source") != _TCP_EVAL_SRC)
+            & F.col("is_cont").isNull(),
+        )
+        .withColumn(
+            "in_s6",
+            F.col("in_s5") & (tf_gate_score_expr(w_tf) >= F.lit(thr)),
+        )
+        .withColumn(
+            "nt",
+            F.when(F.col("in_s6"), bpe_ntokens_expr(merges)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "has_tok",
+            F.exists(
+                F.filter(F.split("text", " "), lambda x: x != ""),
+                lambda w: F.length(_bpe_clean_word(w)) > 0,
+            ),
+        )
+    )
+
+    def cnt(flag: str):
+        return F.sum(F.col(flag).cast("long"))
+
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n1"),
+        cnt("in_s2").alias("n2"),
+        cnt("in_s3").alias("n3"),
+        cnt("in_s4").alias("n4"),
+        cnt("in_s4f").alias("n5"),
+        cnt("in_s5").alias("n6"),
+        cnt("in_s6").alias("n7"),
+        F.sum((F.col("in_s6") & F.col("has_tok")).cast("long")).alias("n8"),
+        F.sum("nt").cast("long").alias("tok_sum"),
+    )
+    # tokenized totals are NULL when nothing survives (the word-grain
+    # aggregate's empty-sum semantics both engines share)
+    n_tokens8 = F.when(F.col("n8") > 0, F.col("tok_sum")).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def row(i: int, name: str, n_docs, n_tokens, n_seq):
+        return F.struct(
             F.lit(i).alias("stage"),
             F.lit(name).alias("name"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.lit(0).cast("long").alias("n_tokens"),
-            F.lit(0).cast("long").alias("n_sequences"),
+            n_docs.cast("long").alias("n_docs"),
+            n_tokens.cast("long").alias("n_tokens"),
+            n_seq.cast("long").alias("n_sequences"),
         )
 
-    final = s7.select(
-        F.lit(7).alias("stage"),
-        F.lit("tokenized").alias("name"),
-        F.col("n_docs"),
-        F.col("n_tokens"),
-        F.ceil(F.col("n_tokens") / float(_TCP_SEQ_LEN)).cast("long").alias("n_sequences"),
-    )
-    funnel = (
-        stage(1, "input", docs)
-        .unionByName(stage(2, "lang_filter", s2))
-        .unionByName(stage(3, "quality_gate", s3))
-        .unionByName(stage(4, "exact_dedup", s4))
-        .unionByName(stage(5, "decontaminated", s5))
-        .unionByName(stage(6, "classifier_filter", s6))
-        .unionByName(final)
-    )
-    return funnel.orderBy("stage")
+    return agg.select(
+        F.inline(
+            F.array(
+                row(1, "input", F.col("n1"), zero, zero),
+                row(2, "lang_filter", F.col("n2"), zero, zero),
+                row(3, "quality_gate", F.col("n3"), zero, zero),
+                row(4, "exact_dedup", F.col("n4"), zero, zero),
+                row(5, "fuzzy_dedup", F.col("n5"), zero, zero),
+                row(6, "decontaminated", F.col("n6"), zero, zero),
+                row(7, "classifier_filter", F.col("n7"), zero, zero),
+                row(
+                    8,
+                    "tokenized",
+                    F.col("n8"),
+                    n_tokens8,
+                    F.ceil(n_tokens8 / float(_TCP_SEQ_LEN)),
+                ),
+            )
+        )
+    ).orderBy("stage")
 
 
 # --- distributed PCA, phase 1: exact covariance of the embedding matrix.

@@ -64,14 +64,14 @@ def test_funnel_classifier_stage_counts_and_discrimination(spark, sf_dir):
 
     rows = {r.name: r for r in all_queries()["training_corpus_pipeline"](spark, sf_dir).collect()}
     assert [rows[n].stage for n in (
-        "input", "lang_filter", "quality_gate", "exact_dedup",
+        "input", "lang_filter", "quality_gate", "exact_dedup", "fuzzy_dedup",
         "decontaminated", "classifier_filter", "tokenized",
-    )] == [1, 2, 3, 4, 5, 6, 7]
+    )] == [1, 2, 3, 4, 5, 6, 7, 8]
     # counts are monotone non-increasing down the funnel
     counts = [
         rows[n].n_docs
         for n in (
-            "input", "lang_filter", "quality_gate", "exact_dedup",
+            "input", "lang_filter", "quality_gate", "exact_dedup", "fuzzy_dedup",
             "decontaminated", "classifier_filter", "tokenized",
         )
     ]

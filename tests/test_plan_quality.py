@@ -488,7 +488,9 @@ def test_no_corpus_sized_broadcast_hints(spark, sf_dir):
 
 _PLAN_BUDGETS = {
     # name: (max exchanges, max parquet scans)
-    "training_corpus_pipeline": (18, 7),
+    # single-pass flag-chain funnel (r7): md5 window + contamination join
+    # + loser broadcast + one single-row aggregate over ONE documents scan
+    "training_corpus_pipeline": (8, 2),
     "ann_ivfpq_materialized_topk": (4, 2),
     "ann_pq_adc_topk": (5, 2),
     "ann_ivfpq_topk": (10, 5),
