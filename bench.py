@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_refined_topk",
     "text_quality",
     "quality_gate_rules",
     "stratified_sample",

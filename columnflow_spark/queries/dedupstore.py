@@ -530,3 +530,162 @@ def semdedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_semdedup_batch(
         spark, sf_dir, path, batch_pred=F.col("vec_id") >= h
     )
+
+
+# --- quantizer-drift audit (VERDICT r6 next #5): the semantic store and
+# the ANN index FREEZE their centroids/codebooks at creation; under
+# streaming ingest forever, distribution drift grows cell skew and
+# quantization error without bound and nothing notices — the frozen
+# quantizer serves every batch equally badly.  The audit is ONE
+# aggregation over the store's existing ``cid=/batch=`` partitions
+# (per-cell occupancy + integer-quantized error per batch); the REBUILD
+# TRIGGER compares the newest batch's error/skew against the first
+# batch's and, when tripped, invalidates the store through the SAME
+# ``_BUILT``/sequence-marker contract every ensure helper already gates
+# on — the next ensure pays a fresh build with re-trained centroids. ---
+
+#: drift thresholds: rebuild when the newest batch's mean quantization
+#: error exceeds 1.5x the first batch's, or its largest-cell occupancy
+#: share exceeds 2x the first batch's (cell collapse)
+_DRIFT_ERR_RATIO = 1.5
+_DRIFT_SKEW_RATIO = 2.0
+
+
+def semdedup_drift_audit_frame(spark: SparkSession, path: str) -> DataFrame:
+    """Per-batch drift metrics over a semantic store: ``(batch, n_vecs,
+    n_cells, max_cell_n, mean_err_q)`` where ``mean_err_q`` is the mean
+    integer-quantized distance to the assigned frozen centroid
+    (``round((1 - cos) * 1e6)`` per vector — exact BIGINT arithmetic from
+    there on).  ONE two-level aggregation ((batch, cid) partials, then
+    batch), both levels map-side combinable; the centroid set broadcasts
+    (K rows by construction)."""
+    store = spark.read.parquet(path)
+    cents = _sem_centroids(spark, path)
+    eq = F.round(
+        (F.lit(1.0) - cosine(F.col("embedding"), F.col("ce"))) * F.lit(1e6), 0
+    ).cast("long")
+    rows = store.join(F.broadcast(cents), "cid").select(
+        F.col("batch").cast("int").alias("batch"), "cid", eq.alias("eq")
+    )
+    cell = rows.groupBy("batch", "cid").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("eq").alias("eq")
+    )
+    return (
+        cell.groupBy("batch")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.max("n").cast("long").alias("max_cell_n"),
+            F.expr("sum(eq) div sum(n)").cast("long").alias("mean_err_q"),
+        )
+        .orderBy("batch")
+    )
+
+
+def semdedup_store_needs_rebuild(
+    spark: SparkSession,
+    path: str,
+    *,
+    err_ratio: float = _DRIFT_ERR_RATIO,
+    skew_ratio: float = _DRIFT_SKEW_RATIO,
+) -> bool:
+    """Documented rebuild trigger: True when the NEWEST batch's mean
+    quantization error exceeds ``err_ratio`` x the FIRST batch's, or its
+    max-cell occupancy share exceeds ``skew_ratio`` x the first batch's.
+    Reads the bounded audit output (one row per ingest batch)."""
+    rows = semdedup_drift_audit_frame(spark, path).collect()
+    if len(rows) < 2:
+        return False
+    first, last = rows[0], rows[-1]
+    if first.mean_err_q > 0 and last.mean_err_q > err_ratio * first.mean_err_q:
+        return True
+    share0 = first.max_cell_n / first.n_vecs
+    share1 = last.max_cell_n / last.n_vecs
+    return share0 > 0 and share1 > skew_ratio * share0
+
+
+def invalidate_semdedup_store(path: str) -> None:
+    """Trip the store's reuse contract: removing the completeness markers
+    makes every ensure helper (and any ``_BUILT``-gated consumer) treat
+    the store as absent, so the next touch pays a fresh build with
+    re-trained centroids — the rebuild path drift feeds into."""
+    for marker in ("_BUILT", "_SEQ_COMPLETE"):
+        p = os.path.join(path, marker)
+        if os.path.exists(p):
+            os.remove(p)
+
+
+def _sem_trend_store_path(sf_dir: str) -> str:
+    tag = content_tag(
+        table_path(sf_dir, "embeddings"), f"semdedup-trend-v{_SEM_STORE_FORMAT}"
+    )
+    return os.path.join(scratch_root(), "semdedup_trend_store", tag)
+
+
+def _ensure_semdedup_trend_store(spark: SparkSession, sf_dir: str, h: int) -> str:
+    """Two-batch history store (first and second 30% of vec_ids) so the
+    audit has a per-batch trend to report; sequence-marker gated."""
+    path = _sem_trend_store_path(sf_dir)
+    done = os.path.join(path, "_SEQ_COMPLETE")
+    if not os.path.exists(done):
+        a = h // 2
+        init_semdedup_store(
+            spark, sf_dir, path,
+            seed_pred=(F.col("vec_id") % 64 == 0) & (F.col("vec_id") < h),
+        )
+        upsert_semdedup_batch(
+            spark, sf_dir, path, batch=0, batch_pred=F.col("vec_id") < a
+        )
+        upsert_semdedup_batch(
+            spark, sf_dir, path, batch=1,
+            batch_pred=(F.col("vec_id") >= a) & (F.col("vec_id") < h),
+        )
+        with open(done, "w") as f:
+            f.write("2-batch trend ingest complete\n")
+    return path
+
+
+@query(
+    "semdedup_store_drift_audit",
+    oracle="""
+    WITH n AS (SELECT 3 * count(*) // 5 AS h FROM embeddings),
+    cents AS MATERIALIZED (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings, n
+        WHERE vec_id % 64 = 0 AND vec_id < h
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, cid, sim,
+               CASE WHEN vec_id < h // 2 THEN 0 ELSE 1 END AS batch
+        FROM (
+            SELECT e.vec_id, c.cid, n.h,
+                   list_cosine_similarity(e.embedding::DOUBLE[], c.ce) AS sim,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce)
+                                DESC, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c CROSS JOIN n
+            WHERE e.vec_id < n.h
+        ) WHERE rn = 1
+    ),
+    cellstats AS (
+        SELECT batch, cid, count(*) AS cn,
+               CAST(sum(CAST(round((1 - sim) * 1000000) AS BIGINT)) AS BIGINT) AS eq
+        FROM assign GROUP BY batch, cid
+    )
+    SELECT CAST(batch AS INT) AS batch,
+           CAST(sum(cn) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(cn) AS BIGINT) AS max_cell_n,
+           CAST(sum(eq) // sum(cn) AS BIGINT) AS mean_err_q
+    FROM cellstats GROUP BY batch ORDER BY batch
+    """,
+)
+def semdedup_store_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift audit over a two-batch semantic store: per-batch occupancy
+    and frozen-quantizer error trend, replayed exactly by the oracle from
+    the raw embeddings (frozen centroids = the %64 seeds of the history
+    prefix; batches = first/second half of the prefix)."""
+    h = _sem_history_cutoff(spark, sf_dir)
+    path = _ensure_semdedup_trend_store(spark, sf_dir, h)
+    return semdedup_drift_audit_frame(spark, path)

@@ -3117,8 +3117,9 @@ IVFPQ_ORACLE = f"""
     """
 
 
-@query("ann_ivfpq_topk", oracle=IVFPQ_ORACLE)
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfpq_adc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared probed-ADC aggregate ``(query_id, neighbor_id, sum_d)``
+    behind ``ann_ivfpq_topk`` and its refined sibling."""
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     cents = _ivf_cents(emb)
     # index build: map-side cell assignment + PQ codes (both zero-shuffle
@@ -3133,12 +3134,17 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = assign.join(F.broadcast(probes), "cid").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    adc = (
+    return (
         cand.join(exploded, "vec_id")
         .join(F.broadcast(lut), ["query_id", "sub", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d").alias("sum_d"))
     )
+
+
+@query("ann_ivfpq_topk", oracle=IVFPQ_ORACLE)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adc = _ivfpq_adc_frame(spark, sf_dir)
     # integer-scaled distance: round(x*1e4) shares the fp multiply with
     # the oracle, so there is no BigDecimal-vs-float knife edge at any sf
     # (sf1 sweep caught round(x, 4) ties diverging)
@@ -3151,6 +3157,87 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rk", F.row_number().over(win))
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", adc_scaled.alias("adc_dist"), "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+# --- IVF+PQ + exact refine (VERDICT r6 next #4): the standard production
+# accuracy knob (FAISS IndexRefine).  ADC ranks a candidate POOL
+# (top-_REFINE_POOL per query, > the serving k), then ONLY those
+# |queries| x pool vectors are fetched by id and re-ranked with the exact
+# distance — the accuracy of exact search on the pool at the IO cost of
+# the code scan plus a bounded id-fetch, never a corpus rescan.  The
+# refine distance is squared L2 on the SAME integer grid the PQ codebook
+# trains on (round(x*1000) per component), so every distance is an exact
+# BIGINT on both engines — no fp knife edge anywhere in the re-rank. ---
+_REFINE_POOL = 20
+
+
+@query(
+    "ann_ivfpq_refined_topk",
+    oracle=f"""
+    WITH {{ctes}},
+    qg AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(range(1, {_PQ_M * _PQ_DIM + 1}),
+                   j -> CAST(round(embedding[j]::DOUBLE * {_PQ_GRID}) AS BIGINT)) AS g
+        FROM embeddings
+    ),
+    refined AS (
+        SELECT r.query_id, r.neighbor_id,
+               CAST(list_aggregate(list_transform(range(1, {_PQ_M * _PQ_DIM + 1}),
+                   j -> (q.g[j] - c.g[j]) * (q.g[j] - c.g[j])), 'sum') AS BIGINT)
+                   AS refined_dist
+        FROM ivf_rank r
+        JOIN qg q ON q.vec_id = r.query_id
+        JOIN qg c ON c.vec_id = r.neighbor_id
+    )
+    SELECT query_id, neighbor_id, refined_dist, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY refined_dist, neighbor_id) AS rk
+        FROM refined
+    )
+    WHERE rk <= 5
+    ORDER BY query_id, rk
+    """.replace("{ctes}", ivfpq_adc_ctes(topk=_REFINE_POOL)),
+)
+def ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adc = _ivfpq_adc_frame(spark, sf_dir)
+    adc_scaled = F.round(F.col("sum_d") / F.lit(100.0), 0).cast("long")
+    win = W.partitionBy("query_id").orderBy(adc_scaled, F.asc("neighbor_id"))
+    pool = (
+        adc.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= _REFINE_POOL)
+        .select("query_id", "neighbor_id")
+    )
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    # bounded fetch: the pool id-list (|queries| x _REFINE_POOL rows)
+    # broadcasts over the embeddings scan — only pool members survive the
+    # join, so the exact re-rank touches pool vectors, never the corpus
+    fetched = emb.join(
+        F.broadcast(pool), emb.vec_id == pool.neighbor_id
+    ).select("query_id", "neighbor_id", F.col("embedding").alias("ne"))
+    qvec = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qe"),
+            F.col("ne"),
+            lambda a, b: F.round(a * _PQ_GRID, 0) - F.round(b * _PQ_GRID, 0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    ).cast("long")
+    scored = fetched.join(F.broadcast(qvec), "query_id").select(
+        "query_id", "neighbor_id", d2.alias("refined_dist")
+    )
+    rwin = W.partitionBy("query_id").orderBy("refined_dist", F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(rwin))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "refined_dist", "rk")
         .orderBy("query_id", "rk")
     )
 

@@ -164,6 +164,45 @@ def test_ivfpq_is_consistent_with_parents(spark, sf_dir):
     assert all(sorted(x.rk for x in v) == list(range(1, len(v) + 1)) for v in per_query.values())
 
 
+def test_refined_recall_not_worse_than_adc(spark, sf_dir):
+    """Exact re-rank of the ADC candidate pool (FAISS refine) must not
+    lose recall@5 vs serving the raw ADC top-5 — against the exact
+    L2-on-grid brute baseline the refine metric targets.  The candidate
+    sets share the same probed cells, so refined >= unrefined holds
+    whenever the exact metric demotes an ADC-overrated candidate."""
+    import numpy as np
+
+    from columnflow_spark.queries.mmdata import _PQ_GRID
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).collect()
+    emb.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in emb])
+    Xg = np.round(np.array([list(r.embedding) for r in emb], dtype=np.float64) * _PQ_GRID)
+    qmask = ids % 100 == 7
+    exact5 = {}
+    for qi in np.nonzero(qmask)[0]:
+        d = ((Xg - Xg[qi]) ** 2).sum(1)
+        d[qi] = np.inf
+        order = np.lexsort((ids, d))[:5]
+        exact5[int(ids[qi])] = set(int(i) for i in ids[order])
+
+    qs = all_queries()
+
+    def recall(name):
+        hits = total = 0
+        rows = qs[name](spark, sf_dir).collect()
+        assert rows, f"{name} returned nothing"
+        for qid, truth in exact5.items():
+            got = {r.neighbor_id for r in rows if r.query_id == qid}
+            hits += len(got & truth)
+            total += 5
+        return hits / total
+
+    unrefined, refined = recall("ann_ivfpq_topk"), recall("ann_ivfpq_refined_topk")
+    assert refined >= unrefined - 1e-9, (refined, unrefined)
+    assert refined > 0, "refined result shares nothing with exact search"
+
+
 def test_trained_ivf_recall_not_worse_than_seeded(spark, sf_dir):
     """The Lloyd-trained cells must not lose recall vs the every-64th
     seeds on the same probe budget (trained cells track real cluster

@@ -269,3 +269,62 @@ def test_semdedup_store_never_broadcasts_history(spark, sf_dir):
                 ), f"store scan broadcast under exchange ({bid})"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_drift_audit_trigger(spark, sf_dir, tmp_path):
+    """A healthy two-batch store must not trip the rebuild trigger; a
+    planted drifted batch (vectors negated — maximally far from every
+    frozen centroid) must trip it, and tripping invalidates the store
+    through the _BUILT/sequence-marker reuse contract."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from columnflow_spark.queries.dedupstore import (
+        init_semdedup_store,
+        invalidate_semdedup_store,
+        semdedup_drift_audit_frame,
+        semdedup_store_needs_rebuild,
+        upsert_semdedup_batch,
+        upsert_semdedup_frame,
+    )
+    from columnflow_spark.sources import load_table
+
+    n = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).count()
+    h = 3 * n // 5
+    path = str(tmp_path / "drift_store")
+    init_semdedup_store(
+        spark, sf_dir, path,
+        seed_pred=(F.col("vec_id") % 64 == 0) & (F.col("vec_id") < h),
+    )
+    upsert_semdedup_batch(spark, sf_dir, path, batch=0, batch_pred=F.col("vec_id") < h // 2)
+    upsert_semdedup_batch(
+        spark, sf_dir, path, batch=1,
+        batch_pred=(F.col("vec_id") >= h // 2) & (F.col("vec_id") < h),
+    )
+    audit = semdedup_drift_audit_frame(spark, path).collect()
+    assert [r.batch for r in audit] == [0, 1]
+    assert all(r.n_vecs > 0 and r.mean_err_q >= 0 for r in audit)
+    assert not semdedup_store_needs_rebuild(spark, path)
+
+    # plant drift: a batch collapsed onto ONE frozen centroid's direction
+    # (every vector identical to centroid 0) — occupancy concentrates in a
+    # single cell, the cell-skew arm of the trigger
+    from columnflow_spark.queries.dedupstore import _sem_centroids
+
+    c0 = sorted(_sem_centroids(spark, path).collect(), key=lambda r: r.cid)[0]
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).filter(
+        F.col("vec_id") >= h
+    )
+    drifted = emb.select(
+        "vec_id",
+        F.array(*[F.lit(float(x)) for x in c0.ce]).cast("array<float>").alias("embedding"),
+    )
+    upsert_semdedup_frame(drifted, path, batch=2)
+    assert semdedup_store_needs_rebuild(spark, path)
+
+    # the trigger wires into the SAME completeness contract every ensure
+    # helper gates on: after invalidation the store reads as absent
+    assert os.path.exists(os.path.join(path, "_BUILT"))
+    invalidate_semdedup_store(path)
+    assert not os.path.exists(os.path.join(path, "_BUILT"))

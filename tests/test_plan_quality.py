@@ -494,6 +494,9 @@ _PLAN_BUDGETS = {
     "ann_ivfpq_materialized_topk": (4, 2),
     "ann_pq_adc_topk": (5, 2),
     "ann_ivfpq_topk": (10, 5),
+    # ADC pool rank + broadcast id-fetch + broadcast query join + re-rank:
+    # the two extra embeddings scans are the bounded refine fetch sides
+    "ann_ivfpq_refined_topk": (13, 7),
     "quality_classifier_filter": (2, 2),
     "dedup_shingle_index": (1, 0),
     "dedup_minhash_lsh": (3, 0),
