@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "quality_gate_rules",
     "stratified_sample",
     "pack_sequences",
+    "pack_sequences_bestfit",
     "corpus_curation_pipeline",
     "decontaminate_eval_overlap",
     "pii_redact",
@@ -76,6 +77,9 @@ BENCH_QUERIES = [
     "bpe_encode_corpus",
     "training_corpus_pipeline",
     "dedup_embedding_cosine_lsh",
+    # perceptual-hash multimodal near-dup (Arrow fingerprint kernel +
+    # exact chunk-capped block-bucket pair join)
+    "multimodal_phash_neardup",
     # persisted-index search: content-addressed store reused across
     # sessions, so steady-state timing measures probe-pruned reads
     "ann_ivfpq_materialized_topk",

@@ -15,6 +15,7 @@ from columnflow_spark.mmdata.media import (  # noqa: F401
     audio_features,
     build_media_table,
     decode_image,
+    phash_image,
     resize_image,
     sample_frames,
 )

@@ -136,6 +136,63 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return src.mapInPandas(gen, schema=f"{id_col} bigint, duration_ms bigint, loudness double")
 
 
+def phash_image(df: DataFrame, id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """Perceptual (dHash-style) fingerprint of an image payload ->
+    ``(id, ph)`` with ``ph`` a ``bits``-bit BIGINT of gradient-sign bits —
+    the standard image-dedup fingerprint (near-identical payloads differ
+    in a few bits; exact Hamming verification happens downstream).
+
+    Both paths share the packing contract: derive ``bits + 1`` integer
+    luminance cells, then ``bit_i = cell_i > cell_{i+1}`` packed
+    little-endian (60 bits by default — the engine-portable width, no
+    sign-bit hazards).  The real path (PIL, gated behind
+    SPARK_GRAFT_REAL_DECODE=1) decodes, grayscales and resizes to
+    ``(bits+1) x 1``; the deterministic fallback treats the utf-8
+    codepoint stream of the payload as the pixel stream and takes
+    ``bits + 1`` floor-division range means — integer-exact, so a SQL
+    oracle can replay the fingerprint bit-for-bit.  Payloads shorter than
+    ``bits + 1`` units emit ph = 0 (callers filter)."""
+    import numpy as np  # noqa: PLC0415
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        have_pil = False
+        if os.environ.get("SPARK_GRAFT_REAL_DECODE") == "1":
+            try:
+                from PIL import Image  # noqa: F401, PLC0415
+
+                have_pil = True
+            except ImportError:
+                have_pil = False
+        shifts = np.int64(1) << np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for k, b in enumerate(pdf["payload"]):
+                if have_pil:  # pragma: no cover - PIL absent in this container
+                    import io  # noqa: PLC0415
+
+                    from PIL import Image  # noqa: PLC0415
+
+                    im = Image.open(io.BytesIO(b)).convert("L").resize((bits + 1, 1))
+                    cell = np.asarray(im, dtype=np.int64).ravel()
+                else:
+                    cp = np.frombuffer(
+                        b.decode("utf-8").encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    n = len(cp)
+                    if n < bits + 1:
+                        continue
+                    bounds = (np.arange(bits + 2, dtype=np.int64) * n) // (bits + 1)
+                    csum = np.concatenate([[0], np.cumsum(cp)])
+                    cell = (csum[bounds[1:]] - csum[bounds[:-1]]) // (
+                        bounds[1:] - bounds[:-1]
+                    )
+                out[k] = int(((cell[:-1] > cell[1:]) * shifts).sum())
+            yield pd.DataFrame({id_col: pdf[id_col], "ph": out})
+
+    src = df.select(id_col, F.col("media.payload").alias("payload"))
+    return src.mapInPandas(gen, schema=f"{id_col} bigint, ph bigint")
+
+
 def resize_image(
     df: DataFrame,
     target_w: int = 224,

@@ -1235,6 +1235,85 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- boundary-preserving sequence packing (VERDICT r6 next #7):
+# concat-and-chunk (pack_sequences above) splits documents across
+# training sequences; real pretraining pipelines avoid cross-doc splits
+# with a bin-packing form.  True first-fit-decreasing is inherently
+# sequential, so this is the DISTRIBUTED closed-form relative real
+# pipelines use: harmonic size-class packing.  Docs fall into class
+# k = BUDGET div n_tok (exactly the k docs of class k fit one bin:
+# n_tok <= BUDGET/k by construction), and within a class the p-th doc
+# (doc_id order) lands in bin p div k — a pure rank computation with NO
+# sequential bin state, replayable in SQL, and with a provable
+# utilization floor: every full class-k bin holds > k·B/(k+1) >= B/2
+# tokens.  No document is ever split; oversized docs (n_tok > BUDGET,
+# class 0) each get their own bin.  The rank uses the same two-phase
+# group-prefix-sum as pack_sequences, so no window ever sees more than a
+# bounded (class, group) slice — the shuffle is (class, group)-keyed. ---
+@query(
+    "pack_sequences_bestfit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+        FROM documents
+    ),
+    cls AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN n_tok > {_PACK_BUDGET} THEN 0
+                    ELSE {_PACK_BUDGET} // n_tok END AS k
+        FROM toks WHERE n_tok > 0
+    ),
+    r AS (
+        SELECT doc_id, n_tok, k,
+               row_number() OVER (PARTITION BY k ORDER BY doc_id) - 1 AS p
+        FROM cls
+    )
+    SELECT doc_id, n_tok, CAST(k AS INT) AS size_class,
+           CAST(CASE WHEN k = 0 THEN -(p + 1)
+                     ELSE k * 1000000000 + p // k END AS BIGINT) AS bin_id
+    FROM r
+    """,
+)
+def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+    toks = (
+        docs.select("doc_id", n_tokens(F.col("text")).alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn(
+            "k",
+            F.when(F.col("n_tok") > _PACK_BUDGET, F.lit(0)).otherwise(
+                F.expr(f"{_PACK_BUDGET} div n_tok")
+            ).cast("long"),
+        )
+        .withColumn("grp", (F.col("doc_id") / _PACK_GROUP).cast("long"))
+    )
+    # two-phase within-class rank (the pack_sequences prefix-sum shape):
+    # per-(class, group) counts -> per-class running offsets over the
+    # tiny partials table -> in-group rank under a bounded window
+    partials = toks.groupBy("k", "grp").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = W.partitionBy("k").orderBy("grp").rowsBetween(W.unboundedPreceding, -1)
+    offsets = partials.select(
+        "k", "grp", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_in = W.partitionBy("k", "grp").orderBy("doc_id")
+    ranked = (
+        toks.join(F.broadcast(offsets), ["k", "grp"])
+        .withColumn("p", F.col("offset") + F.row_number().over(w_in) - 1)
+    )
+    bin_id = F.when(F.col("k") == 0, -(F.col("p") + 1)).otherwise(
+        F.col("k") * F.lit(1_000_000_000) + F.expr("p div k")
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tok",
+        F.col("k").cast("int").alias("size_class"),
+        bin_id.cast("long").alias("bin_id"),
+    )
+
+
 # --- corpus curation pipeline: the composed end-to-end filter chain a
 # training corpus actually goes through — language gate, quality gate
 # (token count + stopword ratio), exact-dup canonicalization (keep the
@@ -3734,6 +3813,101 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("bigint").alias("out_bytes"),
         F.md5("payload").alias("payload_md5"),
     ).orderBy("doc_id")
+
+
+# --- multimodal perceptual-hash near-dup (VERDICT r6 next #6): the
+# standard image-dedup step in multimodal corpus builds.  Each payload is
+# fingerprinted by the Arrow-batched dHash kernel (mmdata.media.
+# phash_image: real PIL path gated, deterministic codepoint-grid fallback
+# active here — the fallback is itself integer-exact, so DuckDB replays
+# the fingerprint bit-for-bit), then pairs are generated by the SimHash
+# block-bucket pattern: 6 blocks of 10 bits — by pigeonhole any pair
+# within Hamming distance 5 shares at least one block — with the EXACT
+# chunk-capped self-join (chunked_self_pairs: cap^2 per-task bound, NO
+# dropped pairs, so the exhaustive-oracle equality is structural, not
+# probabilistic), and verified by exact Hamming distance.  The oracle
+# does the full O(n^2) cross check (exhaustive at sf0.01), which also
+# proves the block candidate generation misses nothing. ---
+_PH_BITS = 60
+_PH_BLOCK_BITS = 10  # 6 blocks of 10 bits: pigeonhole covers hamming <= 5
+_PH_HAM_MAX = 5
+
+
+@query(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH cp AS MATERIALIZED (
+        SELECT doc_id,
+               list_transform(range(1, length(text) + 1),
+                   j -> CAST(ord(substr(text, j, 1)) AS BIGINT)) AS cs
+        FROM documents WHERE length(text) >= {_PH_BITS + 1}
+    ),
+    cells AS MATERIALIZED (
+        SELECT doc_id,
+               list_transform(range(0, {_PH_BITS + 1}), i ->
+                   CAST(list_aggregate(
+                       cs[(i * len(cs)) // {_PH_BITS + 1} + 1 :
+                          ((i + 1) * len(cs)) // {_PH_BITS + 1}], 'sum') AS BIGINT)
+                   // (((i + 1) * len(cs)) // {_PH_BITS + 1}
+                       - (i * len(cs)) // {_PH_BITS + 1})) AS c
+        FROM cp
+    ),
+    fp AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(list_aggregate(list_transform(range(0, {_PH_BITS}), i ->
+                   CASE WHEN c[i + 1] > c[i + 2]
+                        THEN CAST(1 AS BIGINT) << i ELSE 0 END), 'sum') AS BIGINT)
+                   AS ph
+        FROM cells
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= {_PH_HAM_MAX}
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.mmdata import build_media_table, phash_image
+
+    docs = (
+        spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+        .filter(F.length("text") >= _PH_BITS + 1)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    media = build_media_table(docs, payload="payload", mime="image/png")
+    # one Arrow pass computes the fingerprints; checkpoint so the bucket
+    # size-count and both candidate join sides read the narrow (id, ph)
+    # table instead of re-running the UDF per plan reference (the
+    # hashed_grams materialize-once contract)
+    ph = phash_image(media).localCheckpoint(eager=True)
+    return phash_neardup_pairs(ph)
+
+
+def phash_neardup_pairs(ph: DataFrame) -> DataFrame:
+    """Blocked + verified near-dup pairs ``(d1, d2, hamming)`` for a
+    ``(doc_id, ph)`` fingerprint table — shared by the registered query
+    and the planted-copy recall test."""
+    n_blocks = _PH_BITS // _PH_BLOCK_BITS
+    mask = (1 << _PH_BLOCK_BITS) - 1
+    blocks = F.array(
+        *[
+            F.shiftright(F.col("ph"), b * _PH_BLOCK_BITS).bitwiseAND(F.lit(mask))
+            + F.lit(b << _PH_BLOCK_BITS)
+            for b in range(n_blocks)
+        ]
+    )
+    banded = ph.select("doc_id", "ph", F.explode(blocks).alias("bk"))
+    pairs = chunked_self_pairs(banded, "bk", "doc_id", cap=LSH_BUCKET_CAP)
+    ham = hamming64(F.col("ph"), F.col("ph_b"))
+    return (
+        pairs.filter(ham <= _PH_HAM_MAX)
+        .select(
+            F.col("doc_id").alias("d1"),
+            F.col("doc_id_b").alias("d2"),
+            ham.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
 
 
 # --- BPE tokenizer: iterative merge training + corpus encoding.  The

@@ -208,3 +208,87 @@ def test_semdedup_no_cartesian_and_doremi_weight_laws(spark, sf_dir):
     by_loss = sorted(rows, key=lambda r: r.loss_q)
     weights_in_loss_order = [r.weight_q for r in by_loss]
     assert weights_in_loss_order == sorted(weights_in_loss_order)
+
+
+def test_phash_planted_near_copies(spark, sf_dir):
+    """phash recall on planted near-copies: a copy with a single mid-text
+    substitution must land within the Hamming verify threshold of its
+    original for the vast majority of docs, and exact copies always."""
+    import pyspark.sql.functions as F
+
+    from columnflow_spark.mmdata import build_media_table, phash_image
+    from columnflow_spark.queries.mmdata import _PH_BITS, phash_neardup_pairs
+    from columnflow_spark.sources import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+        .filter((F.length("text") >= _PH_BITS + 1) & (F.col("doc_id") < 40))
+    )
+    orig = docs.select("doc_id", "text")
+    # near-copy: flip one character 30 positions in (id offset keeps ids
+    # disjoint); exact copy: id offset 2e7
+    near = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 29), F.lit("#"), F.expr("substring(text, 31)")
+        ).alias("text"),
+    )
+    exact = docs.select((F.col("doc_id") + 20_000_000).alias("doc_id"), "text")
+    combined = orig.unionByName(near).unionByName(exact)
+    media = build_media_table(
+        combined.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        payload="payload",
+        mime="image/png",
+    )
+    ph = phash_image(media).localCheckpoint(eager=True)
+    pairs = {(r.d1, r.d2) for r in phash_neardup_pairs(ph).collect()}
+    ids = [r.doc_id for r in orig.collect()]
+    assert ids
+    exact_hits = sum(1 for i in ids if (i, i + 20_000_000) in pairs)
+    near_hits = sum(1 for i in ids if (i, i + 10_000_000) in pairs)
+    assert exact_hits == len(ids), f"exact copies missed: {exact_hits}/{len(ids)}"
+    assert near_hits >= 0.8 * len(ids), f"near-copy recall {near_hits}/{len(ids)}"
+
+
+def test_bestfit_packing_no_splits_and_utilization_floor(spark, sf_dir):
+    """Boundary-preserving packing: every doc sits in exactly one bin, no
+    bin overflows the budget, and utilization over full class bins beats
+    the harmonic floor — while concat-and-chunk demonstrably splits docs
+    (the cost the bestfit form removes)."""
+    from collections import defaultdict
+
+    from columnflow_spark.queries import all_queries
+    from columnflow_spark.queries.mmdata import _PACK_BUDGET
+
+    qs = all_queries()
+    rows = qs["pack_sequences_bestfit"](spark, sf_dir).collect()
+    assert rows
+    fills = defaultdict(int)
+    members = defaultdict(int)
+    classes = {}
+    for r in rows:
+        assert r.n_tok > 0
+        fills[r.bin_id] += r.n_tok
+        members[r.bin_id] += 1
+        classes[r.bin_id] = r.size_class
+    # structural: no bin over budget (oversized singleton bins exempt),
+    # class-k bins hold at most k docs
+    for b, fill in fills.items():
+        if classes[b] > 0:
+            assert fill <= _PACK_BUDGET, (b, fill)
+            assert members[b] <= classes[b]
+    # utilization floor over FULL bins (the last bin of each class may be
+    # partial): every full class-k bin carries > k*B/(k+1) >= B/2 tokens
+    full = [
+        fill
+        for b, fill in fills.items()
+        if classes[b] > 0 and members[b] == classes[b]
+    ]
+    if full:
+        util = sum(full) / (len(full) * _PACK_BUDGET)
+        assert util >= 0.5, util
+    # concat-and-chunk splits documents across sequences; bestfit never
+    # does (each doc appears exactly once above, by construction)
+    chunked = qs["pack_sequences"](spark, sf_dir).collect()
+    assert any(r.n_chunks > 1 for r in chunked), "corpus exercises no split"
+    assert len({r.doc_id for r in rows}) == len(rows)

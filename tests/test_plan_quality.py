@@ -545,6 +545,8 @@ _PLAN_BUDGETS = {
     "zorder_bucket_stats": (3, 2),
     # deletion-neighborhood equi-join + distinct + verify: never a cross join
     "fuzzy_join_names": (2, 2),
+    # fingerprints checkpointed (0 rescans); block self-join + distinct
+    "multimodal_phash_neardup": (3, 0),
     # one dimension-key shuffle serves version/balance/validity windows
     "scd2_customer_history": (3, 2),
     # one conditional-sum agg pass + one RI anti-join + the stack/sort
