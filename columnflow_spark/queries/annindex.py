@@ -241,3 +241,224 @@ def ann_ivfpq_materialized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     addressed, reused across sessions), then partition-pruned probe reads."""
     path = _ensure_index(spark, sf_dir)
     return search_ivfpq_index(spark, sf_dir, path)
+
+
+# --- index drift audit (VERDICT r6 next #5, the ANN-index arm): the
+# coarse quantizer and PQ codebook are FROZEN at index creation; under
+# continuous ingest, distribution drift inflates cell skew and PQ
+# reconstruction error unboundedly.  The audit reconstructs each stored
+# vector's exact PQ quantization error (grid sub-vector vs its assigned
+# codebook entry — integer-exact on both engines) per ingest batch, in
+# one doc-keyed join + a two-level aggregation over the store's existing
+# ``cid=/batch=`` partitions; the trigger compares newest-vs-first batch
+# and invalidates through the same marker contract the ensure helpers
+# gate on. ---
+_DRIFT_ERR_RATIO = 1.5
+_DRIFT_SKEW_RATIO = 2.0
+
+
+def drift_trips(rows, *, err_ratio: float, skew_ratio: float) -> bool:
+    """Shared trend predicate over audit rows ``(batch, n_vecs, n_cells,
+    max_cell_n, mean_err_q)`` sorted by batch: True when the newest
+    batch's mean quantization error exceeds ``err_ratio`` x the first
+    batch's, or its max-cell occupancy share exceeds ``skew_ratio`` x
+    the first batch's (cell collapse)."""
+    if len(rows) < 2:
+        return False
+    first, last = rows[0], rows[-1]
+    if first.mean_err_q > 0 and last.mean_err_q > err_ratio * first.mean_err_q:
+        return True
+    share0 = first.max_cell_n / first.n_vecs
+    share1 = last.max_cell_n / last.n_vecs
+    return share0 > 0 and share1 > skew_ratio * share0
+
+
+def index_drift_audit_frame(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """Per-batch drift metrics over a persisted IVF+PQ index: ``(batch,
+    n_vecs, n_cells, max_cell_n, mean_err_q)`` where ``mean_err_q`` is
+    the mean exact PQ reconstruction error (squared L2 between each
+    stored vector's grid sub-vectors and its assigned codebook entries —
+    exact integer arithmetic end-to-end).  One doc-keyed join against the
+    embeddings table fetches the true vectors; the codebook broadcasts
+    (K x M rows); both aggregation levels are map-side combinable."""
+    from columnflow_spark.queries.mmdata import _PQ_DIM, _PQ_GRID, pq_trained_codebook
+
+    idx = spark.read.parquet(path)
+    ex = idx.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cid"),
+        F.col("batch").cast("int").alias("batch"),
+        F.posexplode(F.split("codes", "-").cast("array<int>")).alias("sub", "code"),
+    )
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    cb = pq_trained_codebook(spark, sf_dir)
+    # quantize with the ENCODER's exact half-away form sign(y)*floor(|y|+.5)
+    # — F.round's BigDecimal HALF_UP diverges from it (and from DuckDB's
+    # round) at fp knife edges like y = 0.49999999999999994, where
+    # |y| + 0.5 rounds up in double but the decimal expansion is < .5
+    def _grid(x):
+        y = x.cast("double") * _PQ_GRID
+        return F.when(y >= 0, F.floor(y + 0.5)).otherwise(-F.floor(-y + 0.5)).cast(
+            "double"
+        )
+
+    tsub = F.transform(F.slice("embedding", F.col("sub") * _PQ_DIM + 1, _PQ_DIM), _grid)
+    suberr = F.aggregate(
+        F.zip_with(tsub, F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    # codebook entries are integer-sum/count rationals, so raw sub-errors
+    # are fractional doubles: quantize each (vec, sub) term to an integer
+    # FIRST (the ADC-LUT round(,0) pattern — one rounding op shared with
+    # the oracle), then every downstream sum is exact integer arithmetic
+    # in any order on any engine
+    per_vec = (
+        ex.join(emb, "vec_id")
+        .join(F.broadcast(cb), ["sub", "code"])
+        .select("batch", "cid", "vec_id", F.round(suberr, 0).cast("long").alias("e"))
+        .groupBy("batch", "cid", "vec_id")
+        .agg(F.sum("e").alias("err"))
+    )
+    cell = per_vec.groupBy("batch", "cid").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("err").alias("eq")
+    )
+    return (
+        cell.groupBy("batch")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.max("n").cast("long").alias("max_cell_n"),
+            F.expr("sum(eq) div sum(n)").cast("long").alias("mean_err_q"),
+        )
+        .orderBy("batch")
+    )
+
+
+def ann_index_needs_rebuild(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    *,
+    err_ratio: float = _DRIFT_ERR_RATIO,
+    skew_ratio: float = _DRIFT_SKEW_RATIO,
+) -> bool:
+    """Rebuild trigger for a persisted index (see :func:`drift_trips`)."""
+    rows = index_drift_audit_frame(spark, sf_dir, path).collect()
+    return drift_trips(rows, err_ratio=err_ratio, skew_ratio=skew_ratio)
+
+
+def invalidate_index(path: str) -> None:
+    """Trip the index's reuse contract (``_BUILT`` + sequence markers) so
+    the next ensure pays a fresh build with re-trained quantizers."""
+    for marker in ("_BUILT", "_SEQ_COMPLETE"):
+        p = os.path.join(path, marker)
+        if os.path.exists(p):
+            os.remove(p)
+
+
+def _trend_index_path(sf_dir: str) -> str:
+    tag = content_tag(table_path(sf_dir, "embeddings"), f"trend-v{_INDEX_FORMAT}")
+    return os.path.join(scratch_root(), "ivfpq_index_trend", tag)
+
+
+def _ensure_trend_index(spark: SparkSession, sf_dir: str) -> str:
+    """Two-batch index (first and second half of vec_ids) so the audit
+    has a per-batch trend to report; sequence-marker gated (a crash
+    between the two builds must not leave a half-index that passes the
+    reuse check)."""
+    path = _trend_index_path(sf_dir)
+    done = os.path.join(path, "_SEQ_COMPLETE")
+    if not os.path.exists(done):
+        n = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).count()
+        build_ivfpq_index(spark, sf_dir, path, batch=0, batch_pred=F.col("vec_id") < n // 2)
+        build_ivfpq_index(spark, sf_dir, path, batch=1, batch_pred=F.col("vec_id") >= n // 2)
+        with open(done, "w") as f:
+            f.write("2-batch trend build complete\n")
+    return path
+
+
+def _index_drift_oracle() -> str:
+    from columnflow_spark.queries.mmdata import (
+        _PQ_DIM,
+        _PQ_ITERS,
+        _PQ_GRID,
+        _PQ_M,
+        _pq_assign_sql,
+        _pq_train_ctes,
+    )
+
+    return f"""
+    WITH {_pq_train_ctes()},
+    best AS MATERIALIZED ({_pq_assign_sql('t', f'cb{_PQ_ITERS}')}
+    ),
+    nn AS (SELECT count(*) // 2 AS a FROM embeddings),
+    cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+        WHERE vec_id % 64 = 0
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce)
+                                DESC, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    t2 AS MATERIALIZED (
+        -- the ENCODER's exact grid sign(y)*floor(|y|+0.5): the train
+        -- CTE's round(y) differs at fp-carry knife edges (e.g.
+        -- 0.49999999999999994 + 0.5 == 1.0 in double while round() of
+        -- the same double is 0), which showed up as per-vector errors
+        -- off by exactly 1 — assignment is tie-stable under that ulp,
+        -- the raw integer error sum is not
+        SELECT vec_id, list_transform(range(1, {_PQ_M * _PQ_DIM + 1}), j ->
+                   CASE WHEN embedding[j] >= 0
+                        THEN floor(embedding[j]::DOUBLE * {_PQ_GRID} + 0.5)
+                        ELSE -floor(-(embedding[j]::DOUBLE) * 1000 + 0.5) END) AS q
+        FROM embeddings
+    ),
+    errs AS MATERIALIZED (
+        -- per-(vec, sub) error quantized to an integer FIRST (the ADC
+        -- LUT round pattern): codebook entries are fractional rationals,
+        -- so only the post-round sums are order-independent integers
+        SELECT b.vec_id,
+               CAST(sum(CAST(round(list_aggregate(list_transform(
+                   range(1, {_PQ_DIM + 1}),
+                   j -> (t2.q[b.sub * {_PQ_DIM} + j] - cb.c[j])
+                        * (t2.q[b.sub * {_PQ_DIM} + j] - cb.c[j])), 'sum'))
+                   AS BIGINT)) AS BIGINT) AS err
+        FROM best b
+        JOIN t2 ON t2.vec_id = b.vec_id
+        JOIN cb{_PQ_ITERS} cb ON cb.sub = b.sub AND cb.code = b.code
+        GROUP BY b.vec_id
+    ),
+    vecs AS (
+        SELECT a.vec_id, a.cid, e.err,
+               CASE WHEN a.vec_id < nn.a THEN 0 ELSE 1 END AS batch
+        FROM assign a JOIN errs e USING (vec_id) CROSS JOIN nn
+    ),
+    cellstats AS (
+        SELECT batch, cid, count(*) AS cn, CAST(sum(err) AS BIGINT) AS eq
+        FROM vecs GROUP BY batch, cid
+    )
+    SELECT CAST(batch AS INT) AS batch,
+           CAST(sum(cn) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(cn) AS BIGINT) AS max_cell_n,
+           CAST(sum(eq) // sum(cn) AS BIGINT) AS mean_err_q
+    FROM cellstats GROUP BY batch ORDER BY batch
+    """
+
+
+@query("ann_index_drift_audit", oracle=_index_drift_oracle())
+def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift audit over a two-batch persisted IVF+PQ index: per-batch
+    cell occupancy and exact PQ reconstruction-error trend, replayed by
+    the oracle from raw embeddings (frozen %64 coarse cells + the Lloyd
+    codebook chain; batches = first/second half of vec_ids)."""
+    path = _ensure_trend_index(spark, sf_dir)
+    return index_drift_audit_frame(spark, sf_dir, path)

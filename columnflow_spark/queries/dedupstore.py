@@ -593,15 +593,10 @@ def semdedup_store_needs_rebuild(
     quantization error exceeds ``err_ratio`` x the FIRST batch's, or its
     max-cell occupancy share exceeds ``skew_ratio`` x the first batch's.
     Reads the bounded audit output (one row per ingest batch)."""
+    from columnflow_spark.queries.annindex import drift_trips
+
     rows = semdedup_drift_audit_frame(spark, path).collect()
-    if len(rows) < 2:
-        return False
-    first, last = rows[0], rows[-1]
-    if first.mean_err_q > 0 and last.mean_err_q > err_ratio * first.mean_err_q:
-        return True
-    share0 = first.max_cell_n / first.n_vecs
-    share1 = last.max_cell_n / last.n_vecs
-    return share0 > 0 and share1 > skew_ratio * share0
+    return drift_trips(rows, err_ratio=err_ratio, skew_ratio=skew_ratio)
 
 
 def invalidate_semdedup_store(path: str) -> None:

@@ -159,3 +159,43 @@ def test_compaction_preserves_search(spark, sf_dir, tmp_path):
     assert cids
     for cid in cids:
         assert os.listdir(os.path.join(path, cid)) == ["batch=0"]
+
+
+def test_index_drift_audit_and_trigger(spark, sf_dir, tmp_path):
+    """A healthy two-batch index does not trip the rebuild trigger; a
+    planted batch collapsed onto one cell direction trips the skew arm,
+    and invalidation removes the reuse markers."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from columnflow_spark.queries.annindex import (
+        ann_index_needs_rebuild,
+        build_ivfpq_index,
+        index_drift_audit_frame,
+        invalidate_index,
+        upsert_index_frame,
+    )
+    from columnflow_spark.queries.mmdata import _ivf_cents
+    from columnflow_spark.sources import load_table, spread
+
+    n = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).count()
+    path = str(tmp_path / "drift_index")
+    build_ivfpq_index(spark, sf_dir, path, batch=0, batch_pred=F.col("vec_id") < n // 2)
+    build_ivfpq_index(spark, sf_dir, path, batch=1, batch_pred=F.col("vec_id") >= n // 2)
+    audit = index_drift_audit_frame(spark, sf_dir, path).collect()
+    assert [r.batch for r in audit] == [0, 1]
+    assert all(r.n_vecs > 0 and r.mean_err_q >= 0 for r in audit)
+    assert not ann_index_needs_rebuild(spark, sf_dir, path)
+
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    c0 = sorted(_ivf_cents(emb).select("cid", "ce").collect(), key=lambda r: r.cid)[0]
+    drifted = emb.select(
+        "vec_id",
+        F.array(*[F.lit(float(x)) for x in c0.ce]).cast("array<float>").alias("embedding"),
+    )
+    upsert_index_frame(spark, sf_dir, drifted, path, batch=2)
+    assert ann_index_needs_rebuild(spark, sf_dir, path)
+    assert os.path.exists(os.path.join(path, "_BUILT"))
+    invalidate_index(path)
+    assert not os.path.exists(os.path.join(path, "_BUILT"))
