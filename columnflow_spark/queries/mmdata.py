@@ -1314,6 +1314,59 @@ def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- the consumable form of the packing: one row per BIN with its
+# ordered member list, fill and headroom — what a sequence-building data
+# loader actually reads.  Same assignment as pack_sequences_bestfit
+# (shared semantics proven by both oracles), rolled up by one bin-keyed
+# aggregation; members are emitted as a comma-joined ordered id string
+# (deterministic on both engines). ---
+@query(
+    "pack_bins_emit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+        FROM documents
+    ),
+    cls AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN n_tok > {_PACK_BUDGET} THEN 0
+                    ELSE {_PACK_BUDGET} // n_tok END AS k
+        FROM toks WHERE n_tok > 0
+    ),
+    r AS (
+        SELECT doc_id, n_tok, k,
+               row_number() OVER (PARTITION BY k ORDER BY doc_id) - 1 AS p
+        FROM cls
+    ),
+    b AS (
+        SELECT doc_id, n_tok, k,
+               CASE WHEN k = 0 THEN -(p + 1)
+                    ELSE k * 1000000000 + p // k END AS bin_id
+        FROM r
+    )
+    SELECT CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(max(k) AS INT) AS size_class,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS fill,
+           CAST(greatest({_PACK_BUDGET} - sum(n_tok), 0) AS BIGINT) AS headroom,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+    FROM b GROUP BY bin_id
+    """,
+)
+def pack_bins_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = pack_sequences_bestfit.__wrapped__(spark, sf_dir)
+    return assign.groupBy("bin_id").agg(
+        F.max("size_class").cast("int").alias("size_class"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("fill"),
+        F.greatest(F.lit(_PACK_BUDGET) - F.sum("n_tok"), F.lit(0))
+        .cast("long")
+        .alias("headroom"),
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("doc_ids"),
+    )
+
+
 # --- corpus curation pipeline: the composed end-to-end filter chain a
 # training corpus actually goes through — language gate, quality gate
 # (token count + stopword ratio), exact-dup canonicalization (keep the

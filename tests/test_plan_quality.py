@@ -399,6 +399,14 @@ _CORPUS_HINT_QUERIES = (
     "graph_label_propagation",
     "collocation_lift_topk",
     "colbert_maxsim_topk",
+    # r7 additions carrying broadcast hints: the refine pool (rank-
+    # bounded), the phash oversized-bucket count (anomaly-sized), the
+    # drift audits' codebook/centroid sides (K rows)
+    "ann_ivfpq_refined_topk",
+    "multimodal_phash_neardup",
+    "semdedup_store_drift_audit",
+    "ann_index_drift_audit",
+    "pack_sequences_bestfit",
 )
 
 _DOC_GRAIN_KEY = __import__("re").compile(r"\b(doc_id|dg|fp)#")
@@ -654,3 +662,43 @@ def test_funnel_training_phase_reads_cached_features(spark, sf_dir):
         tree = buf.getvalue().split("\n\n")[0]
         assert "Scan parquet" not in tree, tree
         assert "ExistingRDD" in tree
+
+
+def test_unbounded_window_detector_self_check(spark):
+    """The single-partition-window rule must actually FIRE on the
+    anti-pattern (a global running sum — Catalyst cannot rewrite it) and
+    stay silent on the sanctioned shapes, else the budget rule is dead
+    code guarding nothing."""
+    import contextlib
+    import io
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("v", F.col("id") * 3 % 7)
+
+    def plan_of(d):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            d.explain("formatted")
+        return buf.getvalue()
+
+    bad = df.withColumn("cs", F.sum("v").over(W.orderBy("id")))
+    assert _unbounded_window_violations(plan_of(bad)), "detector missed the anti-pattern"
+
+    good = (
+        df.orderBy(F.desc("v"))
+        .limit(20)
+        .withColumn("rk", F.row_number().over(W.orderBy(F.desc("v"))))
+    )
+    assert not _unbounded_window_violations(plan_of(good))
+
+    scalar = df.agg(F.sum("v").alias("s")).withColumn(
+        "rk", F.row_number().over(W.orderBy("s"))
+    )
+    assert not _unbounded_window_violations(plan_of(scalar))
+
+    partitioned = df.withColumn(
+        "rk", F.row_number().over(W.partitionBy("v").orderBy("id"))
+    )
+    assert not _unbounded_window_violations(plan_of(partitioned))
