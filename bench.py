@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     # perceptual-hash multimodal near-dup (Arrow fingerprint kernel +
     # exact chunk-capped block-bucket pair join)
     "multimodal_phash_neardup",
+    "multimodal_phash_canonical",
     # persisted-index search: content-addressed store reused across
     # sessions, so steady-state timing measures probe-pruned reads
     "ann_ivfpq_materialized_topk",

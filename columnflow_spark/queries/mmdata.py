@@ -1044,13 +1044,25 @@ _CC_DRIVER_MAX_EDGES = 5_000_000  # ~80 MB of (long, long) — trivially driver-
     """,
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     all_docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
     # checkpoint the pair list BEFORE symmetrizing: a union of two
     # references to the same plan computes it twice, so materialize once
     # and build both edge directions from the materialized rows
     edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=True)
+    return components_from_edges(all_docs, edges)
+
+
+def components_from_edges(all_docs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Connected components ``(doc_id, component = min id reachable)``
+    over a CHECKPOINTED undirected pair list ``(d1, d2)``; ids absent
+    from the edge list come back as identity singletons.  Shared by
+    every near-dup family that ends in a cluster solve (n-gram Jaccard,
+    perceptual-hash): driver union-find below ``_CC_DRIVER_MAX_EDGES``
+    (the duplicate graph is sparse by construction), the distributed
+    min-label loop above it."""
+    import os
+
+    spark = all_docs.sparkSession
     force_loop = os.environ.get("SPARK_GRAFT_CC_DISTRIBUTED") == "1"
     if not force_loop and edges.count() <= _CC_DRIVER_MAX_EDGES:
         # driver union-find on the sparse duplicate graph
@@ -3885,11 +3897,11 @@ _PH_BITS = 60
 _PH_BLOCK_BITS = 10  # 6 blocks of 10 bits: pigeonhole covers hamming <= 5
 _PH_HAM_MAX = 5
 
-
-@query(
-    "multimodal_phash_neardup",
-    oracle=f"""
-    WITH cp AS MATERIALIZED (
+#: fingerprint replay CTEs (no leading WITH) shared by the pair and
+#: canonical oracles: codepoint stream -> 61 integer cell means ->
+#: 60-bit gradient-sign fingerprint
+_PHASH_FP_CTES = f"""
+    cp AS MATERIALIZED (
         SELECT doc_id,
                list_transform(range(1, length(text) + 1),
                    j -> CAST(ord(substr(text, j, 1)) AS BIGINT)) AS cs
@@ -3913,6 +3925,13 @@ _PH_HAM_MAX = 5
                    AS ph
         FROM cells
     )
+"""
+
+
+@query(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH {_PHASH_FP_CTES.strip()}
     SELECT a.doc_id AS d1, b.doc_id AS d2,
            CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -3960,6 +3979,58 @@ def phash_neardup_pairs(ph: DataFrame) -> DataFrame:
             ham.cast("int").alias("hamming"),
         )
         .dropDuplicates(["d1", "d2"])
+    )
+
+
+@query(
+    "multimodal_phash_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_PHASH_FP_CTES.strip()},
+    edges AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= {_PH_HAM_MAX}
+    ),
+    sym AS (
+        SELECT d1 AS s, d2 AS t FROM edges
+        UNION ALL
+        SELECT d2 AS s, d1 AS t FROM edges
+    ),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS node FROM documents
+        UNION
+        SELECT r.src, sym.t AS node FROM reach r JOIN sym ON sym.s = r.node
+    )
+    SELECT src AS doc_id, min(node) AS component,
+           src = min(node) AS keep
+    FROM reach GROUP BY src
+    """,
+)
+def multimodal_phash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal dedup DECISION, end to end: perceptual fingerprints
+    -> blocked+verified near-dup pairs -> connected components -> keep
+    exactly the lowest-id member of every visual duplicate cluster
+    (docs without a fingerprint, or with no near-dup, are identity
+    singletons and kept).  Composes :func:`phash_neardup_pairs` with the
+    shared cluster solve (:func:`components_from_edges`) — the same
+    fingerprint/pair/cluster/keep chain ``dedup_connected_components``
+    runs for text, applied to the media payload axis."""
+    from columnflow_spark.mmdata import build_media_table, phash_image
+
+    all_docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    docs = (
+        spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+        .filter(F.length("text") >= _PH_BITS + 1)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    media = build_media_table(docs, payload="payload", mime="image/png")
+    ph = phash_image(media).localCheckpoint(eager=True)
+    edges = phash_neardup_pairs(ph).select("d1", "d2").localCheckpoint(eager=True)
+    comp = components_from_edges(all_docs, edges)
+    return comp.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
     )
 
 
