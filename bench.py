@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     # incremental dedup against the persisted fingerprint store
     "dedup_incremental_store",
+    "phash_incremental_store",
     # node-grain iterative join/agg loop on the exact integer grid
     "pagerank_trade_graph",
     "bpe_encode_corpus",

@@ -684,3 +684,189 @@ def semdedup_store_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _sem_history_cutoff(spark, sf_dir)
     path = _ensure_semdedup_trend_store(spark, sf_dir, h)
     return semdedup_drift_audit_frame(spark, path)
+
+
+# --- incremental PERCEPTUAL dedup store (the multimodal ingest shape):
+# flag each arriving batch of media payloads against ALL of visual
+# history without rescanning history — the image-dedup sibling of the
+# exact store above.  Same store contract: layout ``bi=<block>/batch=<n>``
+# rows ``(bv, ph, doc_id)`` — every fingerprint posts one row per
+# 10-bit block (the SimHash block-bucket index, persisted), so flagging
+# a batch is a (block, value)-keyed equi-join against only the
+# colliding store slices plus an exact Hamming verify; by pigeonhole a
+# history fingerprint within Hamming 5 of a batch fingerprint MUST
+# share a block, so the join misses nothing (structural, not
+# probabilistic — the phash pair oracle's argument).  ``batch`` is the
+# idempotent upsert unit.  Within-batch firsts reuse the exact
+# chunk-capped pair join.  The oracle replays both sides exhaustively
+# from the raw table. ---
+from columnflow_spark.queries.mmdata import (  # noqa: E402
+    _PH_BITS,
+    _PH_BLOCK_BITS,
+    _PH_HAM_MAX,
+    _PHASH_FP_CTES,
+    phash_neardup_pairs,
+)
+
+_PH_STORE_FORMAT = 1
+
+
+def phash_store_path(sf_dir: str) -> str:
+    tag = content_tag(table_path(sf_dir, "documents"), f"phash-v{_PH_STORE_FORMAT}")
+    return os.path.join(scratch_root(), "phash_store", tag)
+
+
+def _phash_frame(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
+    """``(doc_id, ph)`` for the documents-as-media table (length-eligible
+    docs only — shorter payloads carry no fingerprint)."""
+    from columnflow_spark.mmdata import build_media_table, phash_image
+    from columnflow_spark.sources import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    ).filter(F.length("text") >= _PH_BITS + 1)
+    if pred is not None:
+        docs = docs.filter(pred)
+    media = build_media_table(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        payload="payload",
+        mime="image/png",
+    )
+    return phash_image(media)
+
+
+def _ph_blocks(ph_col):
+    """The 6 persisted block postings of a fingerprint: (bi, bv) pairs."""
+    n_blocks = _PH_BITS // _PH_BLOCK_BITS
+    mask = (1 << _PH_BLOCK_BITS) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bi"),
+                F.shiftright(ph_col, b * _PH_BLOCK_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+
+
+def upsert_phash_batch(
+    spark: SparkSession, sf_dir: str, path: str, *, batch: int, batch_pred
+) -> str:
+    """Fingerprint one ingest batch and upsert its block postings as the
+    store's ``batch=<n>`` slice (one row per (fingerprint, block))."""
+    ph = _phash_frame(spark, sf_dir, batch_pred)
+    rows = ph.select(
+        "doc_id", "ph", F.explode(_ph_blocks(F.col("ph"))).alias("blk")
+    ).select(
+        F.col("blk.bi").alias("bi"),
+        F.col("blk.bv").alias("bv"),
+        "ph",
+        "doc_id",
+        F.lit(int(batch)).alias("batch"),
+    )
+    upsert_partitions(rows, path, partition_by=["bi", "batch"])
+    with open(os.path.join(path, "_BUILT"), "w") as f:
+        f.write(f"format={_PH_STORE_FORMAT}\n")
+    return path
+
+
+def flag_phash_batch_against_store(
+    spark: SparkSession, sf_dir: str, path: str, *, batch_pred, max_batch: int | None = None
+) -> DataFrame:
+    """Per-doc visual dedup decision for an arriving batch vs the
+    accumulated store: ``(doc_id, dup_prior, dup_in_batch, keep)``.
+
+    Plan shape: the batch's block postings equi-join the store on
+    (bi, bv) — work proportional to block-collision volume, never
+    |batch| x |history| — with the exact Hamming check as the verify;
+    the within-batch check is the blocked exact pair join
+    (phash_neardup_pairs).  Both sides are fingerprint-grain and never
+    broadcast by hint."""
+    ph = _phash_frame(spark, sf_dir, batch_pred).localCheckpoint(eager=True)
+    store = spark.read.parquet(path)
+    if max_batch is not None:
+        store = store.filter(F.col("batch") <= max_batch)
+    store = store.select(
+        F.col("bi").cast("int").alias("bi"), "bv", F.col("ph").alias("ph_h")
+    )
+    bposts = ph.select(
+        "doc_id", "ph", F.explode(_ph_blocks(F.col("ph"))).alias("blk")
+    ).select("doc_id", "ph", F.col("blk.bi").alias("bi"), F.col("blk.bv").alias("bv"))
+    from columnflow_spark.functions.similarity import hamming64
+
+    prior = (
+        bposts.join(store, ["bi", "bv"])
+        .filter(hamming64(F.col("ph"), F.col("ph_h")) <= _PH_HAM_MAX)
+        .select("doc_id")
+        .distinct()
+        .withColumn("dup_prior", F.lit(True))
+    )
+    # within-batch: the HIGHER id of every near-dup pair is a duplicate
+    inb = (
+        phash_neardup_pairs(ph)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+        .withColumn("dup_in_batch", F.lit(True))
+    )
+    return (
+        ph.select("doc_id")
+        .join(prior, "doc_id", "left")
+        .join(inb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_prior", F.lit(False)).alias("dup_prior"),
+            F.coalesce("dup_in_batch", F.lit(False)).alias("dup_in_batch"),
+        )
+        .withColumn("keep", ~(F.col("dup_prior") | F.col("dup_in_batch")))
+    )
+
+
+def _ensure_phash_store(spark: SparkSession, sf_dir: str, h: int) -> str:
+    path = phash_store_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        upsert_phash_batch(
+            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h
+        )
+    return path
+
+
+@query(
+    "phash_incremental_store",
+    oracle=f"""
+    WITH {_PHASH_FP_CTES.strip()},
+    n AS (SELECT 3 * count(*) // 5 AS h FROM documents),
+    hist AS (SELECT f.doc_id, f.ph FROM fp f, n WHERE f.doc_id < n.h),
+    batch AS (SELECT f.doc_id, f.ph FROM fp f, n WHERE f.doc_id >= n.h)
+    SELECT b.doc_id,
+           EXISTS (SELECT 1 FROM hist h
+                   WHERE bit_count(xor(h.ph, b.ph)) <= {_PH_HAM_MAX})
+               AS dup_prior,
+           EXISTS (SELECT 1 FROM batch b2
+                   WHERE b2.doc_id < b.doc_id
+                     AND bit_count(xor(b2.ph, b.ph)) <= {_PH_HAM_MAX})
+               AS dup_in_batch,
+           NOT (EXISTS (SELECT 1 FROM hist h
+                        WHERE bit_count(xor(h.ph, b.ph)) <= {_PH_HAM_MAX})
+                OR EXISTS (SELECT 1 FROM batch b2
+                           WHERE b2.doc_id < b.doc_id
+                             AND bit_count(xor(b2.ph, b.ph)) <= {_PH_HAM_MAX}))
+               AS keep
+    FROM batch b
+    """,
+)
+def phash_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental visual dedup: flag the arriving batch (last 40% of
+    doc_ids) against the PERSISTED perceptual-fingerprint store (first
+    60%, block-posting layout, content-addressed, reused across
+    sessions).  The oracle replays both decisions exhaustively — its
+    equality also re-proves the block index misses nothing (pigeonhole:
+    Hamming <= {_PH_HAM_MAX} over 6 blocks forces a shared block)."""
+    h = _history_cutoff(spark, sf_dir)
+    path = _ensure_phash_store(spark, sf_dir, h)
+    # batch-grain output, order-insensitive compare: no presentation sort
+    return flag_phash_batch_against_store(
+        spark, sf_dir, path, batch_pred=F.col("doc_id") >= h, max_batch=0
+    )

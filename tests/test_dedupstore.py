@@ -328,3 +328,42 @@ def test_drift_audit_trigger(spark, sf_dir, tmp_path):
     assert os.path.exists(os.path.join(path, "_BUILT"))
     invalidate_semdedup_store(path)
     assert not os.path.exists(os.path.join(path, "_BUILT"))
+
+
+def test_phash_store_incremental_equals_from_scratch(spark, sf_dir, tmp_path):
+    """Visual-dedup store contract: history ingested as TWO batches then
+    flagging the arrival must be bit-identical to flagging against a
+    single-batch store over the same prefix, and the store must bite
+    (the corpus plants visual near-copies)."""
+    import pyspark.sql.functions as F
+
+    from columnflow_spark.queries.dedupstore import (
+        flag_phash_batch_against_store,
+        upsert_phash_batch,
+    )
+    from columnflow_spark.sources import load_table
+
+    n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
+    h = 3 * n // 5
+    a = h // 2
+
+    two = str(tmp_path / "two")
+    upsert_phash_batch(spark, sf_dir, two, batch=0, batch_pred=F.col("doc_id") < a)
+    upsert_phash_batch(
+        spark, sf_dir, two, batch=1,
+        batch_pred=(F.col("doc_id") >= a) & (F.col("doc_id") < h),
+    )
+    one = str(tmp_path / "one")
+    upsert_phash_batch(spark, sf_dir, one, batch=0, batch_pred=F.col("doc_id") < h)
+
+    def rows(p):
+        return sorted(
+            (r.doc_id, r.dup_prior, r.dup_in_batch, r.keep)
+            for r in flag_phash_batch_against_store(
+                spark, sf_dir, p, batch_pred=F.col("doc_id") >= h
+            ).collect()
+        )
+
+    r_two, r_one = rows(two), rows(one)
+    assert r_two == r_one and r_two
+    assert any(r[3] for r in r_two)  # some docs survive
