@@ -716,23 +716,29 @@ def phash_store_path(sf_dir: str) -> str:
     return os.path.join(scratch_root(), "phash_store", tag)
 
 
-def _phash_frame(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
-    """``(doc_id, ph)`` for the documents-as-media table (length-eligible
-    docs only — shorter payloads carry no fingerprint)."""
+def phash_fp_frame(docs: DataFrame) -> DataFrame:
+    """``(doc_id, ph)`` for a ``(doc_id, text, …)`` frame (length-eligible
+    docs only — shorter payloads carry no fingerprint); the frame form
+    the streaming ingest sink shares with the batch paths."""
     from columnflow_spark.mmdata import build_media_table, phash_image
-    from columnflow_spark.sources import spread
 
-    docs = spread(
-        load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    ).filter(F.length("text") >= _PH_BITS + 1)
-    if pred is not None:
-        docs = docs.filter(pred)
+    docs = docs.filter(F.length("text") >= _PH_BITS + 1)
     media = build_media_table(
         docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
         payload="payload",
         mime="image/png",
     )
     return phash_image(media)
+
+
+def _phash_frame(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
+    """Documents-table form of :func:`phash_fp_frame`."""
+    from columnflow_spark.sources import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+    if pred is not None:
+        docs = docs.filter(pred)
+    return phash_fp_frame(docs)
 
 
 def _ph_blocks(ph_col):
@@ -752,12 +758,9 @@ def _ph_blocks(ph_col):
     )
 
 
-def upsert_phash_batch(
-    spark: SparkSession, sf_dir: str, path: str, *, batch: int, batch_pred
-) -> str:
-    """Fingerprint one ingest batch and upsert its block postings as the
-    store's ``batch=<n>`` slice (one row per (fingerprint, block))."""
-    ph = _phash_frame(spark, sf_dir, batch_pred)
+def upsert_phash_fp(ph: DataFrame, path: str, *, batch: int) -> str:
+    """Upsert a ``(doc_id, ph)`` fingerprint frame's block postings as
+    the store's ``batch=<n>`` slice (one row per (fingerprint, block))."""
     rows = ph.select(
         "doc_id", "ph", F.explode(_ph_blocks(F.col("ph"))).alias("blk")
     ).select(
@@ -773,11 +776,20 @@ def upsert_phash_batch(
     return path
 
 
-def flag_phash_batch_against_store(
-    spark: SparkSession, sf_dir: str, path: str, *, batch_pred, max_batch: int | None = None
+def upsert_phash_batch(
+    spark: SparkSession, sf_dir: str, path: str, *, batch: int, batch_pred
+) -> str:
+    """Documents-table form of :func:`upsert_phash_fp`."""
+    return upsert_phash_fp(_phash_frame(spark, sf_dir, batch_pred), path, batch=batch)
+
+
+def flag_phash_fp(
+    ph: DataFrame, path: str, *, max_batch: int | None = None
 ) -> DataFrame:
-    """Per-doc visual dedup decision for an arriving batch vs the
-    accumulated store: ``(doc_id, dup_prior, dup_in_batch, keep)``.
+    """Per-doc visual dedup decision for a CHECKPOINTED ``(doc_id, ph)``
+    frame vs the accumulated store (optionally batches ``<= max_batch``
+    — the streaming replay fence): ``(doc_id, dup_prior, dup_in_batch,
+    keep)``.
 
     Plan shape: the batch's block postings equi-join the store on
     (bi, bv) — work proportional to block-collision volume, never
@@ -785,7 +797,7 @@ def flag_phash_batch_against_store(
     the within-batch check is the blocked exact pair join
     (phash_neardup_pairs).  Both sides are fingerprint-grain and never
     broadcast by hint."""
-    ph = _phash_frame(spark, sf_dir, batch_pred).localCheckpoint(eager=True)
+    spark = ph.sparkSession
     store = spark.read.parquet(path)
     if max_batch is not None:
         store = store.filter(F.col("batch") <= max_batch)
@@ -822,6 +834,14 @@ def flag_phash_batch_against_store(
         )
         .withColumn("keep", ~(F.col("dup_prior") | F.col("dup_in_batch")))
     )
+
+
+def flag_phash_batch_against_store(
+    spark: SparkSession, sf_dir: str, path: str, *, batch_pred, max_batch: int | None = None
+) -> DataFrame:
+    """Documents-table form of :func:`flag_phash_fp`."""
+    ph = _phash_frame(spark, sf_dir, batch_pred).localCheckpoint(eager=True)
+    return flag_phash_fp(ph, path, max_batch=max_batch)
 
 
 def _ensure_phash_store(spark: SparkSession, sf_dir: str, h: int) -> str:

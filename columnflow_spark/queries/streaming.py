@@ -1466,3 +1466,98 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return search_ivfpq_index(spark, sf_dir, store)
+
+
+# --- streaming PERCEPTUAL dedup ingest (the fifth member of the
+# streaming index-maintenance family: exact dedup, semantic dedup,
+# postings, ANN index — and now visual dedup): each micro-batch of
+# media payloads is fingerprinted, flagged against the block-posting
+# store accumulated from ALL earlier batches (plus intra-batch near-dup
+# firsts), and its own postings upserted as the next batch slice.  The
+# replay source delivers docs in doc_id order, so at rest the decisions
+# must equal the batch-global rule "is_dup iff ANY earlier fingerprint
+# within Hamming 5" — batch boundaries shift which arm (prior vs
+# in-batch) fires, never the union (pigeonhole makes the block index
+# exact, so the proof is structural).  State is the on-disk store,
+# bounded by fingerprint volume. ---
+from columnflow_spark.queries.mmdata import _PH_HAM_MAX as _PH_HAM  # noqa: E402
+from columnflow_spark.queries.mmdata import _PHASH_FP_CTES as _PH_CTES  # noqa: E402
+
+
+@query(
+    "streaming_phash_ingest",
+    oracle=f"""
+    WITH {_PH_CTES.strip()}
+    SELECT a.doc_id,
+           EXISTS (SELECT 1 FROM fp b WHERE b.doc_id < a.doc_id
+                   AND bit_count(xor(a.ph, b.ph)) <= {_PH_HAM}) AS is_dup
+    FROM fp a
+    ORDER BY a.doc_id
+    """,
+)
+def streaming_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from columnflow_spark.queries.dedupstore import (
+        flag_phash_fp,
+        phash_fp_frame,
+        upsert_phash_fp,
+    )
+    from columnflow_spark.queries.mmdata import phash_neardup_pairs
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.pydatasource import register
+
+    register(spark)
+    store = tempfile.mkdtemp(prefix="cf_phash_store_")
+    flags = tempfile.mkdtemp(prefix="cf_phash_flags_")
+
+    n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("order_col", "doc_id")
+        .option("batch_rows", str(max(100, n // 5)))
+        .load()
+        .select("doc_id", "text")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        # one Arrow fingerprint pass per micro-batch, shared by the flag
+        # joins and the upsert
+        ph = phash_fp_frame(batch_df).localCheckpoint(eager=True)
+        if os.path.exists(os.path.join(store, "_BUILT")):
+            # max_batch fence: a REPLAYED micro-batch must not see the
+            # slice its failed attempt already upserted
+            decided = flag_phash_fp(ph, store, max_batch=int(batch_id) - 1)
+        else:
+            inb = (
+                phash_neardup_pairs(ph)
+                .select(F.col("d2").alias("doc_id"))
+                .distinct()
+                .withColumn("dup_in_batch", F.lit(True))
+            )
+            decided = (
+                ph.select("doc_id")
+                .join(inb, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.lit(False).alias("dup_prior"),
+                    F.coalesce("dup_in_batch", F.lit(False)).alias("dup_in_batch"),
+                )
+            )
+        out = decided.select(
+            "doc_id",
+            (F.col("dup_prior") | F.col("dup_in_batch")).alias("is_dup"),
+            F.lit(int(batch_id)).alias("batch"),
+        )
+        upsert_partitions(out, flags, partition_by=["batch"])
+        upsert_phash_fp(ph, store, batch=int(batch_id))
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(flags).select("doc_id", "is_dup")
