@@ -555,6 +555,18 @@ _PLAN_BUDGETS = {
     "fuzzy_join_names": (2, 2),
     # fingerprints checkpointed (0 rescans); block self-join + distinct
     "multimodal_phash_neardup": (3, 0),
+    # edge list + components checkpointed: only the keep-set join remains
+    "multimodal_phash_canonical": (0, 1),
+    # batch fingerprint checkpointed; store block-join + pair join + flags
+    "phash_incremental_store": (5, 1),
+    # store scan + broadcast centroids + two-level aggregate
+    "semdedup_store_drift_audit": (3, 2),
+    # index scan + embeddings id-join + broadcast codebook + aggregates
+    "ann_index_drift_audit": (5, 2),
+    # two-phase class rank (partials scan + offsets + in-group rank)
+    "pack_sequences_bestfit": (5, 2),
+    # the rank above plus one bin-keyed rollup
+    "pack_bins_emit": (6, 2),
     # one dimension-key shuffle serves version/balance/validity windows
     "scd2_customer_history": (3, 2),
     # one conditional-sum agg pass + one RI anti-join + the stack/sort
