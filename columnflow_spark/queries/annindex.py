@@ -259,18 +259,26 @@ _DRIFT_SKEW_RATIO = 2.0
 
 def drift_trips(rows, *, err_ratio: float, skew_ratio: float) -> bool:
     """Shared trend predicate over audit rows ``(batch, n_vecs, n_cells,
-    max_cell_n, mean_err_q)`` sorted by batch: True when the newest
+    max_cell_n, mean_err_q)`` sorted by batch: True when any later
     batch's mean quantization error exceeds ``err_ratio`` x the first
-    batch's, or its max-cell occupancy share exceeds ``skew_ratio`` x
-    the first batch's (cell collapse)."""
+    batch's (or is nonzero at all when the seed batch quantized
+    perfectly — a ratio against 0 would be inert for ANY growth), or
+    when any later batch's max-cell occupancy share exceeds
+    ``skew_ratio`` x the first batch's (cell collapse).  Comparing the
+    worst later batch rather than only the newest catches a collapsed
+    intermediate batch that a subsequent healthy batch would mask."""
     if len(rows) < 2:
         return False
-    first, last = rows[0], rows[-1]
-    if first.mean_err_q > 0 and last.mean_err_q > err_ratio * first.mean_err_q:
+    first, later = rows[0], rows[1:]
+    worst_err = max(r.mean_err_q for r in later)
+    if first.mean_err_q > 0:
+        if worst_err > err_ratio * first.mean_err_q:
+            return True
+    elif worst_err > 0:
         return True
     share0 = first.max_cell_n / first.n_vecs
-    share1 = last.max_cell_n / last.n_vecs
-    return share0 > 0 and share1 > skew_ratio * share0
+    worst_share = max(r.max_cell_n / r.n_vecs for r in later)
+    return share0 > 0 and worst_share > skew_ratio * share0
 
 
 def index_drift_audit_frame(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
@@ -418,7 +426,7 @@ def _index_drift_oracle() -> str:
         SELECT vec_id, list_transform(range(1, {_PQ_M * _PQ_DIM + 1}), j ->
                    CASE WHEN embedding[j] >= 0
                         THEN floor(embedding[j]::DOUBLE * {_PQ_GRID} + 0.5)
-                        ELSE -floor(-(embedding[j]::DOUBLE) * 1000 + 0.5) END) AS q
+                        ELSE -floor(-(embedding[j]::DOUBLE) * {_PQ_GRID} + 0.5) END) AS q
         FROM embeddings
     ),
     errs AS MATERIALIZED (

@@ -1936,6 +1936,160 @@ def dedup_span_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact substring dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr family): find
+# repeated substrings of >= k TOKENS at ARBITRARY offsets, not just the
+# aligned 20-word spans of dedup_span_chunks.  Suffix-array semantics,
+# Spark-first plan: every position's hashed k-gram is built IN-ROW
+# (transform over positions — the suffix-construction analog), then ONE
+# gram-keyed shuffle finds grams occurring more than once (plus each
+# gram's first corpus occurrence, for keep-first removal); only the
+# DUPLICATED positions flow onward, so downstream work is bounded by
+# duplicated-gram volume, never a corpus self-join.  Consecutive
+# duplicated positions p, p+1, ... within a doc merge into MAXIMAL runs
+# via the islands trick (rid = p - row_number) in a single per-doc
+# window pass that also computes the keep-first variant (running count
+# of non-first positions) — a run [s, e] of gram positions covers
+# e - s + k tokens, exactly the maximal repeated substring.  At 100 TB
+# the gram shuffle moves (16-byte digest, doc_id, pos) per token — the
+# same O(corpus tokens) a distributed suffix sort pays — and the window
+# is per-doc (bounded by doc length, the standard in-row assumption). ---
+_SSTR_K = 8
+#: position-key stride for the first-occurrence key doc_id*stride + p:
+#: supports docs up to 1M tokens and doc_ids up to ~9.2e12 in BIGINT —
+#: both comfortable bounds for pretraining corpora (a 1M-token doc is
+#: ~4 MB of text; pipelines chunk far below that)
+_SSTR_POS_STRIDE = 1_000_000
+
+
+def substring_dup_runs_frame(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
+    """Per-document maximal duplicated-substring runs over ``docs``
+    (``doc_id``, ``text``): ``n_runs``, ``dup_tokens`` (tokens covered
+    by any >= k-token repeat), ``max_run_tokens``, and
+    ``removed_tokens`` (coverage of non-FIRST occurrences — what
+    keep-first ExactSubstr removal would delete)."""
+    ws = F.filter(F.split("text", " "), lambda t: t != "")
+    d = docs.select("doc_id", ws.alias("ws"))
+    npos = F.size("ws") - F.lit(k - 1)
+    poss = F.when(npos > 0, F.sequence(F.lit(0), npos - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gh = F.transform(
+        poss, lambda p: F.md5(F.concat_ws(" ", F.slice("ws", p + 1, F.lit(k))))
+    )
+    grams = d.select("doc_id", F.posexplode(gh).alias("p", "g")).withColumn(
+        "key", F.col("doc_id") * _SSTR_POS_STRIDE + F.col("p")
+    )
+    gstats = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("key").alias("first_key"))
+        .filter(F.col("c") > 1)
+    )
+    dup = grams.join(gstats, "g").select(
+        "doc_id", "p", (F.col("key") != F.col("first_key")).alias("nf")
+    )
+    # ONE per-doc window pass serves both run families: rid merges
+    # consecutive dup positions (all of them); the running non-first
+    # count gives the same islands over the non-first SUBSET without a
+    # second sort (both groupBys below are satisfied by the doc_id
+    # clustering — no further exchange)
+    win = W.partitionBy("doc_id").orderBy("p")
+    marked = (
+        dup.withColumn("rid", F.col("p") - F.row_number().over(win))
+        .withColumn("cnf", F.sum(F.when(F.col("nf"), 1).otherwise(0)).over(win))
+        .withColumn("rid_rm", F.when(F.col("nf"), F.col("p") - F.col("cnf")))
+    )
+    # three-level rollup in ONE pass (a branched agg_all/agg_rm plan
+    # recomputes the gram join + window per branch — 2x the corpus
+    # shuffle): sub-islands (doc, rid, rid_rm) -> maximal runs
+    # (doc, rid) -> per-doc stats.  rid_rm is NULL exactly on
+    # first-occurrence positions, so the sub-island level keeps removed
+    # sub-runs separate while the null group rides along; consecutive nf
+    # positions are always inside one all-run, so (rid, rid_rm) segments
+    # equal the nf-only islands.  Every level is satisfied by the
+    # window's doc_id clustering — zero additional exchanges.
+    sub = marked.groupBy("doc_id", "rid", "rid_rm").agg(
+        F.min("p").alias("mn"), F.max("p").alias("mx")
+    )
+    runs = sub.groupBy("doc_id", "rid").agg(
+        (F.max("mx") - F.min("mn") + k).cast("long").alias("run_tokens"),
+        F.sum(
+            F.when(F.col("rid_rm").isNotNull(), F.col("mx") - F.col("mn") + k).otherwise(0)
+        )
+        .cast("long")
+        .alias("rm_tokens"),
+    )
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("run_tokens").alias("dup_tokens"),
+            F.max("run_tokens").alias("max_run_tokens"),
+            F.sum("rm_tokens").alias("removed_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_substring_runs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS p, doc_id * {_SSTR_POS_STRIDE} + i AS key,
+               md5(array_to_string(ws[i+1:i+{_SSTR_K}], ' ')) AS g
+        FROM toks, unnest(range(len(ws) - {_SSTR_K - 1})) AS t(i)
+    ),
+    gstats AS MATERIALIZED (
+        SELECT g, min(key) AS first_key
+        FROM grams GROUP BY g HAVING count(*) > 1
+    ),
+    dup AS MATERIALIZED (
+        SELECT doc_id, p, (key <> first_key) AS nf
+        FROM grams JOIN gstats USING (g)
+    ),
+    runs AS (
+        SELECT doc_id, p, nf,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rid,
+               p - sum(CASE WHEN nf THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p) AS rid_rm
+        FROM dup
+    ),
+    agg_all AS (
+        SELECT doc_id, count(*) AS n_runs,
+               CAST(sum(run_tokens) AS BIGINT) AS dup_tokens,
+               CAST(max(run_tokens) AS BIGINT) AS max_run_tokens
+        FROM (
+            SELECT doc_id, rid, max(p) - min(p) + {_SSTR_K} AS run_tokens
+            FROM runs GROUP BY doc_id, rid
+        ) GROUP BY doc_id
+    ),
+    agg_rm AS (
+        SELECT doc_id, CAST(sum(mx - mn + {_SSTR_K}) AS BIGINT) AS removed_tokens
+        FROM (
+            SELECT doc_id, rid_rm, max(p) AS mx, min(p) AS mn
+            FROM runs WHERE nf GROUP BY doc_id, rid_rm
+        ) GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_runs, a.dup_tokens, a.max_run_tokens,
+           COALESCE(r.removed_tokens, 0) AS removed_tokens
+    FROM agg_all a LEFT JOIN agg_rm r USING (doc_id)
+    ORDER BY a.doc_id
+    """,
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup over ``documents``: maximal repeated
+    substrings of >= _SSTR_K tokens at arbitrary offsets, per-doc
+    coverage and keep-first removal stats (see the block comment)."""
+    docs = spread(
+        load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]), "doc_id"
+    )
+    return substring_dup_runs_frame(docs, _SSTR_K)
+
+
 # --- int8 embedding quantization (the storage/serving compression step):
 # per-vector symmetric scale = max|x| / 127, elementwise round(x/scale).
 # Everything is in-row HOF math over the (already double-cast) vector, so
@@ -4702,8 +4856,13 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared shingle table, then the HIGHER doc_id of every verified
     # pair is dropped (deterministic, SQL-replayable; the oracle replays
     # the exact pair set — the LSH banding's P_miss at j >= 0.8 is
-    # < 1.2e-6, the dedup_minhash_lsh equivalence argument).  The loser
-    # id set is bounded by near-dup volume and checkpointed once.
+    # < 1.2e-6, the dedup_minhash_lsh equivalence argument).  The band
+    # self-join goes through chunked_self_pairs (ADVICE r7): the cap
+    # SPLITS an oversized band bucket into chunk-pair tasks instead of
+    # dropping its cross-chunk pairs, so a skewed near-dup cluster over
+    # LSH_BUCKET_CAP cannot silently diverge from the oracle — the only
+    # residual miss is the banding P_miss itself.  The loser id set is
+    # bounded by near-dup volume and checkpointed once.
     g = hashed_grams(spark, sf_dir)
     s4ids = (
         docs.filter(in_s3)
@@ -4721,7 +4880,11 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bk"),
         )
     )
-    cand4 = bucketed_candidate_pairs(banded4, ["bk"], cap=LSH_BUCKET_CAP)
+    cand4 = (
+        chunked_self_pairs(banded4, "bk", "doc_id", cap=LSH_BUCKET_CAP)
+        .select(F.col("doc_id").alias("d1"), F.col("doc_id_b").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
     losers = (
         _verify_pairs_exact(g, cand4, JACCARD_THRESHOLD)
         .select(F.col("d2").alias("doc_id"), F.lit(True).alias("is_loser"))

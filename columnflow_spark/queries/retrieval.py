@@ -807,22 +807,23 @@ def upsert_postings_batch(
     return upsert_postings_frame(docs, path, batch=batch)
 
 
+# full store schema (data + partition columns) for _read_postings: an
+# explicit reader schema bypasses partition-column type inference
+# entirely, so it is reader-scoped instead of a session-conf toggle
+_POSTINGS_READ_SCHEMA = "doc_id BIGINT, tf BIGINT, dl INT, w STRING, batch INT"
+
+
 def _read_postings(spark: SparkSession, path: str) -> DataFrame:
-    """Read the ``w=<term>/batch=<n>`` postings store with partition-
-    column TYPE INFERENCE disabled for ``w``: the partition key is a raw
-    vocabulary term, and a term that happens to parse as a number or
-    date ("2021", "01") would otherwise round-trip through the inferred
-    type and come back reformatted ("01" -> 1 -> "1").  Inference is a
-    session conf, not a reader option; partition discovery happens
-    eagerly at read time, so toggling it around the read is sufficient
-    (ADVICE r6)."""
-    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    old = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try:
-        return spark.read.parquet(path)
-    finally:
-        spark.conf.set(key, old)
+    """Read the ``w=<term>/batch=<n>`` postings store with the partition
+    key ``w`` pinned to STRING: the key is a raw vocabulary term, and a
+    term that happens to parse as a number or date ("2021", "01") would
+    otherwise round-trip through the inferred partition type and come
+    back reformatted ("01" -> 1 -> "1").  Declaring the full schema on
+    the reader (data + partition columns) disables inference for THIS
+    read only — the previous session-conf toggle could leak the flipped
+    setting to concurrent reads on the same session, e.g. a streaming
+    foreachBatch job in flight (ADVICE r7)."""
+    return spark.read.schema(_POSTINGS_READ_SCHEMA).parquet(path)
 
 
 def bm25_totals_from_store(spark: SparkSession, path: str) -> DataFrame:

@@ -292,3 +292,35 @@ def test_bestfit_packing_no_splits_and_utilization_floor(spark, sf_dir):
     chunked = qs["pack_sequences"](spark, sf_dir).collect()
     assert any(r.n_chunks > 1 for r in chunked), "corpus exercises no split"
     assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_substring_dedup_planted_recall(spark):
+    """ExactSubstr semantics (Lee et al. 2022): a shared >= k-token
+    phrase is caught at ANY offset with its exact maximal-run length;
+    a (k-1)-token repeat is invisible; keep-first removal charges every
+    occurrence except the lowest (doc_id, pos) one."""
+    from columnflow_spark.queries.mmdata import _SSTR_K, substring_dup_runs_frame
+
+    k = _SSTR_K
+    phrase = " ".join(f"p{i}" for i in range(10))  # 10-token shared phrase
+    short = " ".join(f"s{i}" for i in range(k - 1))  # k-1 tokens: sub-threshold
+    docs = spark.createDataFrame(
+        [
+            (1, "a b " + phrase + " c d"),  # phrase at offset 2 (first occurrence)
+            (2, phrase + " x y z"),  # same phrase at offset 0
+            (3, "q r " + short + " t u " + short),  # k-1 repeat: below threshold
+            (4, "m0 m1 " + phrase + " mm " + phrase),  # twice within one doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in substring_dup_runs_frame(docs, k).collect()}
+    assert 3 not in out
+    # 10-token phrase -> 10-k+1 = 3 dup gram positions, ONE maximal run of 10 tokens
+    assert out[1]["n_runs"] == 1 and out[1]["max_run_tokens"] == 10
+    assert out[2]["max_run_tokens"] == 10 and out[2]["dup_tokens"] == 10
+    # doc 1 holds the first occurrence -> nothing removed there
+    assert out[1]["removed_tokens"] == 0
+    assert out[2]["removed_tokens"] == 10
+    # self-repeating doc: two separate maximal runs, both non-first
+    assert out[4]["n_runs"] == 2 and out[4]["dup_tokens"] == 20
+    assert out[4]["removed_tokens"] == 20
