@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     # node-grain iterative join/agg loop on the exact integer grid
     "pagerank_trade_graph",
     "bpe_encode_corpus",
+    "unigram_encode_corpus",
     "training_corpus_pipeline",
     "dedup_embedding_cosine_lsh",
     # perceptual-hash multimodal near-dup (Arrow fingerprint kernel +
@@ -190,6 +191,7 @@ def main() -> None:
         "dedup_minhash_lsh": [_mm._SIGS_CACHE],
         "ann_pq_adc_topk": [_mm._PQ_CB_CACHE],
         "bpe_encode_corpus": [_mm._BPE_MERGE_CACHE],
+        "unigram_encode_corpus": [_mm._ULM_CACHE],
         "quality_classifier_filter": [_mm._LOGREG_W_CACHE],
     }
     # materialized-index timing split (VERDICT r4 next #4): time the

@@ -5725,6 +5725,401 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- unigram-LM tokenizer (the SentencePiece unigram model, Kudo 2018
+# — the production complement to BPE; VERDICT r7 next #3).  Same
+# scalable skeleton as bpe_train: the corpus collapses ONCE to the
+# word-count table (vocabulary-sized), training rounds then touch only
+# vocab-sized tables with bounded driver artifacts.  Algorithm (the
+# hard-EM / Viterbi variant, deterministic end to end):
+#   1. SEED: every substring of length 1.._ULM_MAXLEN of every word,
+#      weighted by word count; vocab_0 = all single chars + the top
+#      _ULM_SEED multi-char pieces by (count desc, piece asc).
+#   2. SCORES: integer log-likelihood grid sc_q(p) =
+#      -floor(-ln(cnt/total)*GRID + 0.5) — ONE shared fp form computed
+#      in Spark expressions and replayed verbatim by the oracle, with
+#      the mixture-sampler knife-edge guard (raise in-plan if an ln ulp
+#      could flip the floor) so cross-engine divergence is loud.
+#   3. EM ROUND (x_ULM_ROUNDS): Viterbi-segment every word under the
+#      current integer scores (max total score, tie -> fewest pieces,
+#      tie -> lexicographically smallest space-joined sequence — the
+#      space separator sorts below every word char, which makes the
+#      DP's per-position prefix choice globally lexicographic-optimal);
+#      re-count piece usage weighted by word counts; multi-char pieces
+#      with zero use drop out, single chars floor at count 1 (coverage
+#      for encode-time OOV); re-score.
+#   4. PRUNE: keep all single chars + the top _ULM_VOCAB multi-char
+#      pieces by (count desc, piece asc); final scores over the pruned
+#      total.
+# The Viterbi step is an Arrow-batched mapInPandas over the word-count
+# table with the bounded score dict in the closure — integer-only math
+# inside Python (no fp, no rounding), so the banker's-rounding trap
+# cannot apply.  At 100 TB the corpus is touched once (word counts +
+# the encode pass); everything else is vocabulary-sized.  The oracle
+# replays the ENTIRE training chain in SQL: seeding, both EM rounds
+# (Viterbi via recursive-CTE path enumeration — words here are <= 8
+# chars, so paths are bounded), floors, prune, final scores. ---
+_ULM_MAXLEN = 4
+_ULM_SEED = 64
+_ULM_PRUNE = 32
+_ULM_ROUNDS = 2
+_ULM_GRID = 1_000_000
+_ULM_CACHE: dict = {}  # (id(spark), sf_dir) -> [(piece, cnt, score_q)]
+
+
+def _ulm_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["text"])
+    words = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w")
+    )
+    # vocabulary-sized: materialize so training rounds never rescan
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _ulm_scores(spark: SparkSession, vocab: dict[str, int]) -> dict[str, int]:
+    """Integer-grid scores for a bounded vocab: computed in Spark
+    expressions so the fp form (one division, one ln, one grid floor)
+    is the exact chain the oracle replays; raises in-plan on a rounding
+    knife edge (the mixture_temperature_sample pattern)."""
+    total = sum(vocab.values())
+    df = spark.createDataFrame(
+        sorted((p, int(c)) for p, c in vocab.items()), "piece string, cnt long"
+    )
+    z = (
+        -F.log(F.col("cnt").cast("double") / F.lit(float(total)))
+        * F.lit(float(_ULM_GRID))
+        + F.lit(0.5)
+    )
+    edge = F.abs(z - F.round(z, 0)) < F.greatest(F.lit(1e-9), F.abs(z) * F.lit(1e-12))
+    sc = F.when(
+        edge,
+        F.expr(
+            "CAST(raise_error('unigram_lm: -ln(cnt/total)*grid + 0.5 lands within"
+            " the cross-engine ln guard band of a rounding boundary — bump"
+            " _ULM_GRID for this corpus') AS DOUBLE)"
+        ),
+    ).otherwise(F.floor(z))
+    out = df.select("piece", (-sc).cast("long").alias("sc")).collect()
+    return {r["piece"]: int(r["sc"]) for r in out}
+
+
+def _ulm_viterbi_word(w: str, sc: dict[str, int], maxlen: int) -> list[str]:
+    """Integer Viterbi: maximize total score, tie -> fewest pieces,
+    tie -> lexicographically smallest space-joined sequence."""
+    best: list = [None] * (len(w) + 1)
+    best[0] = (0, 0, "")
+    for j in range(1, len(w) + 1):
+        bj = None
+        for i in range(max(0, j - maxlen), j):
+            bi = best[i]
+            if bi is None:
+                continue
+            s = sc.get(w[i:j])
+            if s is None:
+                continue
+            cand = (bi[0] + s, bi[1] + 1, (bi[2] + " " + w[i:j]) if bi[2] else w[i:j])
+            if (
+                bj is None
+                or cand[0] > bj[0]
+                or (cand[0] == bj[0] and cand[1] < bj[1])
+                or (cand[0] == bj[0] and cand[1] == bj[1] and cand[2] < bj[2])
+            ):
+                bj = cand
+        best[j] = bj
+    if best[-1] is None:  # unreachable: every corpus char is in the vocab
+        raise ValueError(f"unigram_lm: uncoverable word {w!r}")
+    return best[-1][2].split(" ")
+
+
+def _ulm_segment(wc: DataFrame, sc: dict[str, int]) -> DataFrame:
+    """Arrow-batched Viterbi over the word-count table -> (w, cnt,
+    pieces).  Integer-only Python; the score dict is vocab-bounded."""
+    scores = dict(sc)
+
+    def run(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "cnt": pdf["cnt"],
+                    "pieces": [
+                        _ulm_viterbi_word(w, scores, _ULM_MAXLEN) for w in pdf["w"]
+                    ],
+                }
+            )
+
+    return wc.mapInPandas(run, schema="w string, cnt long, pieces array<string>")
+
+
+def unigram_train_rows(
+    spark: SparkSession, wc: DataFrame
+) -> list[tuple[str, int, int]]:
+    """Run the full seeding + EM + prune chain over a word-count table;
+    returns the final vocab as [(piece, cnt, score_q)] sorted by piece."""
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.length("w") - 1),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(_ULM_MAXLEN)),
+                    lambda l: F.when(
+                        i + l <= F.length("w"), F.col("w").substr(i + 1, l)
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+    )
+    pieces = (
+        wc.select(F.explode(subs).alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    chars = {
+        r["piece"]: int(r["cnt"])
+        for r in pieces.filter(F.length("piece") == 1).collect()
+    }
+    multi = (
+        pieces.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(_ULM_SEED)
+        .collect()
+    )
+    vocab = dict(chars)
+    vocab.update({r["piece"]: int(r["cnt"]) for r in multi})
+    sc = _ulm_scores(spark, vocab)
+    for _ in range(_ULM_ROUNDS):
+        used = (
+            _ulm_segment(wc, sc)
+            .select(F.explode("pieces").alias("piece"), "cnt")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        uc = {r["piece"]: int(r["cnt"]) for r in used}
+        vocab = {p: c for p, c in uc.items() if len(p) >= 2}
+        for ch in chars:  # single chars always survive (OOV-coverage floor)
+            vocab[ch] = uc.get(ch, 1)
+        sc = _ulm_scores(spark, vocab)
+    kept_multi = sorted(
+        ((p, c) for p, c in vocab.items() if len(p) >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:_ULM_PRUNE]
+    final = {p: c for p, c in kept_multi}
+    final.update({ch: vocab[ch] for ch in chars})
+    sc = _ulm_scores(spark, final)
+    return sorted((p, c, sc[p]) for p, c in final.items())
+
+
+def _ulm_vocab(spark: SparkSession, sf_dir: str) -> list[tuple[str, int, int]]:
+    key = (id(spark), sf_dir)
+    cached = _ULM_CACHE.get(key)
+    if cached is None:
+        cached = unigram_train_rows(spark, _ulm_word_counts(spark, sf_dir))
+        _ULM_CACHE[key] = cached
+    return cached
+
+
+def _ulm_score_sql(cnt: str, total: str) -> str:
+    return (
+        f"CAST(-floor(-ln(CAST({cnt} AS DOUBLE) / CAST({total} AS DOUBLE))"
+        f" * {_ULM_GRID} + 0.5) AS BIGINT)"
+    )
+
+
+def _ulm_train_ctes() -> str:
+    """Shared training-replay CTE chain (no leading WITH; callers open
+    WITH RECURSIVE): wcnt -> seed -> v0/s0 -> EM rounds -> vf/sf."""
+
+    def viterbi(n: int, vocab: str, scores: str) -> str:
+        return f"""
+    paths{n} AS (
+        SELECT w, cnt, 0 AS pos, CAST(0 AS BIGINT) AS sc, 0 AS np, '' AS seq
+        FROM wcnt
+        UNION ALL
+        SELECT p.w, p.cnt, p.pos + len(v.piece), p.sc + s.sc, p.np + 1,
+               CASE WHEN p.seq = '' THEN v.piece
+                    ELSE p.seq || ' ' || v.piece END
+        FROM paths{n} p
+        JOIN {vocab} v ON substr(p.w, p.pos + 1, len(v.piece)) = v.piece
+        JOIN {scores} s ON s.piece = v.piece
+        WHERE p.pos < len(p.w)
+    ),
+    best{n} AS MATERIALIZED (
+        SELECT w, cnt, seq, np FROM (
+            SELECT w, cnt, seq, np,
+                   row_number() OVER (
+                       PARTITION BY w ORDER BY sc DESC, np ASC, seq ASC
+                   ) AS rn
+            FROM paths{n} WHERE pos = len(w)
+        ) WHERE rn = 1
+    )"""
+
+    parts = [
+        f"""
+    wcnt AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM documents
+        ) GROUP BY w
+    ),
+    seedp AS MATERIALIZED (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+            SELECT substr(w, i + 1, l) AS piece, cnt
+            FROM wcnt,
+                 unnest(range(len(w))) AS t(i),
+                 unnest(range(1, {_ULM_MAXLEN + 1})) AS u(l)
+            WHERE i + l <= len(w)
+        ) GROUP BY piece
+    ),
+    chars AS (SELECT piece, cnt FROM seedp WHERE len(piece) = 1),
+    v0 AS MATERIALIZED (
+        SELECT piece, cnt FROM chars
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+            FROM seedp WHERE len(piece) >= 2
+        ) WHERE rn <= {_ULM_SEED}
+    ),
+    s0 AS MATERIALIZED (
+        SELECT piece, {_ulm_score_sql('cnt', '(SELECT sum(cnt) FROM v0)')} AS sc
+        FROM v0
+    )"""
+    ]
+    for n in range(1, _ULM_ROUNDS + 1):
+        parts.append(viterbi(n, f"v{n - 1}", f"s{n - 1}"))
+        parts.append(
+            f"""
+    c{n} AS MATERIALIZED (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+            SELECT unnest(string_split(seq, ' ')) AS piece, cnt FROM best{n}
+        ) GROUP BY piece
+    ),
+    v{n} AS MATERIALIZED (
+        SELECT piece, cnt FROM c{n} WHERE len(piece) >= 2
+        UNION ALL
+        SELECT ch.piece, COALESCE(c.cnt, 1) AS cnt
+        FROM chars ch LEFT JOIN (SELECT piece, cnt FROM c{n} WHERE len(piece) = 1) c
+             ON c.piece = ch.piece
+    ),
+    s{n} AS MATERIALIZED (
+        SELECT piece, {_ulm_score_sql('cnt', f'(SELECT sum(cnt) FROM v{n})')} AS sc
+        FROM v{n}
+    )"""
+        )
+    parts.append(
+        f"""
+    vf AS MATERIALIZED (
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+            FROM v{_ULM_ROUNDS} WHERE len(piece) >= 2
+        ) WHERE rn <= {_ULM_PRUNE}
+        UNION ALL
+        SELECT piece, cnt FROM v{_ULM_ROUNDS} WHERE len(piece) = 1
+    ),
+    sf AS MATERIALIZED (
+        SELECT piece, {_ulm_score_sql('cnt', '(SELECT sum(cnt) FROM vf)')} AS sc
+        FROM vf
+    )"""
+    )
+    return ",".join(parts)
+
+
+@query(
+    "unigram_lm_train",
+    oracle=f"""
+    WITH RECURSIVE {_ulm_train_ctes()}
+    SELECT vf.piece, CAST(len(vf.piece) AS INT) AS piece_len, vf.cnt,
+           sf.sc AS score_q
+    FROM vf JOIN sf ON sf.piece = vf.piece
+    ORDER BY vf.piece
+    """,
+)
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training end to end (see the block comment):
+    the final vocab with counts and integer-grid scores, fully replayed
+    by the oracle's recursive-CTE training chain."""
+    rows = _ulm_vocab(spark, sf_dir)
+    return spark.createDataFrame(
+        [(p, len(p), c, s) for p, c, s in rows],
+        "piece string, piece_len int, cnt long, score_q long",
+    ).orderBy("piece")
+
+
+@query(
+    "unigram_encode_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_ulm_train_ctes()},
+    pathsE AS (
+        SELECT w, cnt, 0 AS pos, CAST(0 AS BIGINT) AS sc, 0 AS np, '' AS seq
+        FROM wcnt
+        UNION ALL
+        SELECT p.w, p.cnt, p.pos + len(v.piece), p.sc + s.sc, p.np + 1,
+               CASE WHEN p.seq = '' THEN v.piece ELSE p.seq || ' ' || v.piece END
+        FROM pathsE p
+        JOIN vf v ON substr(p.w, p.pos + 1, len(v.piece)) = v.piece
+        JOIN sf s ON s.piece = v.piece
+        WHERE p.pos < len(p.w)
+    ),
+    wtok AS MATERIALIZED (
+        SELECT w, np AS ntok FROM (
+            SELECT w, np,
+                   row_number() OVER (
+                       PARTITION BY w ORDER BY sc DESC, np ASC, seq ASC
+                   ) AS rn
+            FROM pathsE WHERE pos = len(w)
+        ) WHERE rn = 1
+    ),
+    corpus AS (
+        SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           CAST(sum(ntok) * 10000 // count(*) AS BIGINT) AS fert_q
+    FROM corpus JOIN wtok USING (w)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encode under the trained unigram vocab, reported as the
+    per-language fertility harness (the bpe_fertility_by_lang shape):
+    Viterbi runs once per DISTINCT word (vocabulary-sized mapInPandas),
+    the corpus-scale pass is explode + broadcast word->ntok join + one
+    lang-keyed aggregation; fertility is integer-scaled (x10000)."""
+    rows = _ulm_vocab(spark, sf_dir)
+    sc = {p: s for p, c, s in rows}
+    wtok = _ulm_segment(_ulm_word_counts(spark, sf_dir), sc).select(
+        "w", F.size("pieces").alias("ntok")
+    )
+    docs = load_table(spark, sf_dir, "documents", columns=["lang", "text"])
+    words = spread(docs).select(
+        "lang", F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w")
+    )
+    return (
+        words.join(F.broadcast(wtok), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("ntok").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("n_tokens * 10000 div n_words").alias("fert_q"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --- IVF-routed hard-negative mining: the production-scale form promised
 # by hard_negative_mining's header — candidate generation goes through
 # the IVF index (map-side cell assignment, broadcast probes: the exact

@@ -324,3 +324,34 @@ def test_substring_dedup_planted_recall(spark):
     # self-repeating doc: two separate maximal runs, both non-first
     assert out[4]["n_runs"] == 2 and out[4]["dup_tokens"] == 20
     assert out[4]["removed_tokens"] == 20
+
+
+def test_unigram_lm_viterbi_tiebreaks_and_training(spark):
+    """Viterbi: max integer score, tie -> fewest pieces, tie -> lexico-
+    graphically smallest space-joined sequence; training is determinis-
+    tic and keeps char coverage."""
+    from columnflow_spark.queries.mmdata import _ulm_viterbi_word, unigram_train_rows
+
+    # multi-char piece wins when its score beats the char-by-char sum
+    assert _ulm_viterbi_word("abab", {"a": -300, "b": -300, "ab": -250}, 4) == [
+        "ab",
+        "ab",
+    ]
+    # equal score -> fewer pieces
+    assert _ulm_viterbi_word("ab", {"a": -100, "b": -100, "ab": -200}, 4) == ["ab"]
+    # equal score AND count -> smaller joined sequence ("a bc" < "ab c")
+    assert _ulm_viterbi_word(
+        "abc", {"ab": -100, "c": -100, "a": -100, "bc": -100}, 4
+    ) == ["a", "bc"]
+
+    wc = spark.createDataFrame(
+        [("abab", 10), ("abac", 5), ("cc", 3)], "w string, cnt long"
+    )
+    rows1 = unigram_train_rows(spark, wc)
+    rows2 = unigram_train_rows(spark, wc)
+    assert rows1 == rows2  # deterministic end to end
+    vocab = {p: (c, s) for p, c, s in rows1}
+    for ch in "abc":  # char coverage floor survives training + prune
+        assert ch in vocab
+    assert all(s <= 0 for _, _, s in rows1)  # log-likelihood grid is <= 0
+    assert any(len(p) >= 2 for p in vocab), "no multi-char piece learned"

@@ -576,6 +576,10 @@ _PLAN_BUDGETS = {
     # gram shuffle (agg side + probe side) + doc window + final sort;
     # the three-level run rollup rides the window's doc_id clustering
     "dedup_substring_runs": (4, 2),
+    # ONE corpus scan: explode words + broadcast word->ntok join (the
+    # Viterbi ran over the checkpointed vocab-sized word table) + one
+    # lang agg + final sort
+    "unigram_encode_corpus": (3, 1),
 }
 
 
