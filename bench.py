@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     # exact chunk-capped block-bucket pair join)
     "multimodal_phash_neardup",
     "multimodal_phash_canonical",
+    "multimodal_canonical_full",
     # persisted-index search: content-addressed store reused across
     # sessions, so steady-state timing measures probe-pruned reads
     "ann_ivfpq_materialized_topk",

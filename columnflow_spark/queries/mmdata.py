@@ -4188,6 +4188,83 @@ def multimodal_phash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cross-modal canonical selection (VERDICT r7 next #7): a real
+# multimodal corpus build keeps ONE representative per cluster across
+# BOTH the text near-dup graph and the visual (perceptual-hash)
+# near-dup graph — two docs are duplicates if they are connected
+# through ANY chain of text-Jaccard or visual-Hamming edges.  Composes
+# the two existing exact pair generators (prefix-filtered n-gram
+# Jaccard, pigeonhole-blocked dHash) with the shared cluster solve over
+# the UNIONED edge set; each edge family's work stays bounded by its
+# own duplicate volume, and the union adds nothing corpus-sized. ---
+@query(
+    "multimodal_canonical_full",
+    oracle=f"""
+    WITH RECURSIVE {_GRAMS_CTE}, {_PHASH_FP_CTES},
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
+    tcand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    tedges AS (
+        SELECT d1, d2 FROM tcand
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2
+        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= {JACCARD_THRESHOLD}
+    ),
+    vedges AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= {_PH_HAM_MAX}
+    ),
+    alledges AS (
+        SELECT d1, d2 FROM tedges UNION SELECT d1, d2 FROM vedges
+    ),
+    sym AS (
+        SELECT d1 AS s, d2 AS t FROM alledges
+        UNION ALL
+        SELECT d2 AS s, d1 AS t FROM alledges
+    ),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS node FROM documents
+        UNION
+        SELECT r.src, sym.t AS node FROM reach r JOIN sym ON sym.s = r.node
+    )
+    SELECT src AS doc_id, min(node) AS component,
+           src = min(node) AS keep
+    FROM reach GROUP BY src
+    """,
+)
+def multimodal_canonical_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep set across BOTH modalities: text n-gram-Jaccard edges
+    unioned with visual perceptual-hash edges, one connected-components
+    solve, keep the lowest-id member of every cross-modal cluster."""
+    from columnflow_spark.mmdata import build_media_table, phash_image
+
+    all_docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    tedges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    docs = (
+        spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+        .filter(F.length("text") >= _PH_BITS + 1)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    media = build_media_table(docs, payload="payload", mime="image/png")
+    ph = phash_image(media).localCheckpoint(eager=True)
+    vedges = phash_neardup_pairs(ph).select("d1", "d2")
+    # checkpoint BEFORE the component solve (it references the edge list
+    # twice to symmetrize); dropDuplicates because a pair can be both a
+    # text AND a visual duplicate
+    edges = tedges.union(vedges).dropDuplicates(["d1", "d2"]).localCheckpoint(eager=True)
+    comp = components_from_edges(all_docs, edges)
+    return comp.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
 # --- BPE tokenizer: iterative merge training + corpus encoding.  The
 # trainer runs on the word-COUNT table (the classic scalable form: the
 # corpus collapses to distinct words x counts first, so each merge round

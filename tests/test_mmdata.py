@@ -355,3 +355,30 @@ def test_unigram_lm_viterbi_tiebreaks_and_training(spark):
         assert ch in vocab
     assert all(s <= 0 for _, _, s in rows1)  # log-likelihood grid is <= 0
     assert any(len(p) >= 2 for p in vocab), "no multi-char piece learned"
+
+
+def test_cross_modal_keep_set_refines_both_modalities(spark, sf_dir):
+    """Unioning edge families can only MERGE clusters: every doc kept by
+    the cross-modal solve is kept by each single-modality solve (min of
+    a union component is min of any sub-component containing it), and
+    the union never keeps more docs than either modality alone."""
+    from columnflow_spark.queries import all_queries
+
+    q = all_queries()
+    full = {
+        r["doc_id"] for r in q["multimodal_canonical_full"](spark, sf_dir).collect()
+        if r["keep"]
+    }
+    visual = {
+        r["doc_id"] for r in q["multimodal_phash_canonical"](spark, sf_dir).collect()
+        if r["keep"]
+    }
+    text = {
+        r["doc_id"]: r["component"]
+        for r in q["dedup_connected_components"](spark, sf_dir).collect()
+    }
+    text_keep = {d for d, c in text.items() if d == c}
+    assert full <= visual and full <= text_keep
+    assert len(full) < len(visual) or len(full) < len(text_keep) or (
+        full == visual == text_keep
+    )

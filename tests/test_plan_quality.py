@@ -557,6 +557,10 @@ _PLAN_BUDGETS = {
     "multimodal_phash_neardup": (3, 0),
     # edge list + components checkpointed: only the keep-set join remains
     "multimodal_phash_canonical": (0, 1),
+    # cross-modal keep set: final plan reads the checkpointed unioned
+    # edge list + broadcast component map (pair generation is paid in
+    # the checkpoints, same as the single-modality canonicals)
+    "multimodal_canonical_full": (0, 1),
     # batch fingerprint checkpointed; store block-join + pair join + flags
     "phash_incremental_store": (5, 1),
     # store scan + broadcast centroids + two-level aggregate
