@@ -48,7 +48,9 @@ from columnflow_spark.queries.mmdata import (
     _ivf_cents,
     _ivf_probes,
     _pq_query_lut,
+    ivf_probe_route,
     pq_encode_udf,
+    pq_query_lut_cached,
 )
 from columnflow_spark.functions.similarity import nearest_centroid_assign
 from columnflow_spark.sources import load_table
@@ -179,6 +181,7 @@ def search_ivfpq_index(
     path: str,
     query_pred=None,
     topk: int = 5,
+    route_key=None,
 ) -> DataFrame:
     """Probe-pruned ADC top-``topk`` over the persisted index
     (bit-identical to ``ann_ivfpq_topk`` for the default workload): only
@@ -186,22 +189,19 @@ def search_ivfpq_index(
     carry the ``IN`` list, so at scale the IO is (query batch x n_probe /
     n_cells) of the index, not the index.  ``query_pred`` selects the
     probe batch (default: the fixed ``vec_id % 100 == 7`` workload) —
-    composite consumers (``hybrid_search_rrf_indexed``) pass their own."""
+    composite consumers (``hybrid_search_rrf_indexed``) pass their own,
+    with ``route_key`` naming the batch so the routing collect is the
+    shared per-session artifact (mmdata.ivf_probe_route)."""
     if query_pred is None:
         query_pred = F.col("vec_id") % 100 == 7
-    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
-    cents = _ivf_cents(emb)
+        route_key = route_key or ("mod100", 7)
     # bounded collect: |query batch| x n_probe rows — the probe plan is
     # the driver-side artifact here, exactly like a broadcast hint list
-    probe_rows = (
-        _ivf_probes(emb, cents, query_pred=query_pred)
-        .select("query_id", "cid")
-        .collect()
+    probe_rows = ivf_probe_route(
+        spark, sf_dir, query_pred=query_pred, route_key=route_key
     )
-    probe_cids = sorted({int(r.cid) for r in probe_rows})
-    probes = spark.createDataFrame(
-        [(int(r.query_id), int(r.cid)) for r in probe_rows], "query_id long, cid long"
-    )
+    probe_cids = sorted({cid for _, cid in probe_rows})
+    probes = spark.createDataFrame(probe_rows, "query_id long, cid long")
     idx = (
         spark.read.parquet(path)
         .filter(F.col("cid").isin(probe_cids))
@@ -210,7 +210,14 @@ def search_ivfpq_index(
     exploded = idx.select(
         "vec_id", "cid", F.posexplode(F.split("codes", "-").cast("array<int>")).alias("sub", "code")
     )
-    lut = _pq_query_lut(spark, sf_dir, query_pred)
+    # the served path reuses the batch's precomputed LUT rows (bounded:
+    # |batch| x M x K quantized integers) — the in-session compute twins
+    # (ann_pq_adc_topk / ann_ivfpq_topk) keep the LUT in-plan
+    lut = (
+        pq_query_lut_cached(spark, sf_dir, query_pred, lut_key=route_key)
+        if route_key is not None
+        else _pq_query_lut(spark, sf_dir, query_pred)
+    )
     cand = exploded.join(F.broadcast(probes), "cid").filter(
         F.col("vec_id") != F.col("query_id")
     )

