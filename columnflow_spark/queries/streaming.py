@@ -46,6 +46,25 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+def _ingest_batch_rows(n: int, *, floor: int = 200, target_batches: int = 40) -> str:
+    """Replay micro-batch size for the store-ingest twins (VERDICT r7
+    next #6): env-overridable (``SPARK_GRAFT_STREAM_BATCH_ROWS``),
+    otherwise scaled so a full ingest is ~``target_batches``
+    micro-batches, with a floor that keeps the multi-batch state
+    machinery genuinely exercised at test scale (sf0.001's 500 docs
+    still replay as 3 batches).  The at-rest oracle equality is
+    batch-size-INVARIANT — batch boundaries affect state timing, never
+    the at-rest output (pinned by the crafted-boundary replay tests) —
+    so this knob moves wall time only: sf1's 50k docs drop from 250
+    micro-batches (~24 min of per-batch upsert overhead) to 40."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_BATCH_ROWS")
+    if env:
+        return env
+    return str(max(floor, n // target_batches))
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file stream source requires a directory: stream the sf dir with a
     # glob filter selecting just the events table
@@ -1039,11 +1058,14 @@ def streaming_dedup_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="cf_dedup_store_")
     flags = tempfile.mkdtemp(prefix="cf_dedup_flags_")
 
+    from columnflow_spark.sources import load_table
+
+    n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
     stream = (
         spark.readStream.format("events_replay")
         .option("path", f"{sf_dir}/documents.parquet")
         .option("order_col", "doc_id")
-        .option("batch_rows", "200")
+        .option("batch_rows", _ingest_batch_rows(n))
         .load()
         .select("doc_id", "text")
     )
@@ -1220,11 +1242,12 @@ def streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_root = tempfile.mkdtemp(prefix="cf_cms_state_")
     latest = {"path": None}
 
+    n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
     stream = (
         spark.readStream.format("events_replay")
         .option("path", f"{sf_dir}/documents.parquet")
         .option("order_col", "doc_id")
-        .option("batch_rows", "500")
+        .option("batch_rows", _ingest_batch_rows(n, floor=500))
         .load()
         .select("text")
     )
