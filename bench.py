@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "ann_ivfpq_refined_topk",
     "text_quality",
     "quality_gate_rules",
+    "bigram_lm_perplexity",
     "stratified_sample",
     "pack_sequences",
     "pack_sequences_bestfit",

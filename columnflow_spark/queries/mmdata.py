@@ -6256,6 +6256,120 @@ def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bigram-LM perplexity scoring (the CCNet/KenLM quality-filter
+# shape, one order above the existing unigram-LM scorer): documents are
+# scored by their average negative log-likelihood under a corpus-trained
+# Laplace-smoothed bigram model, P(b|a) = (c2(a,b)+1) / (c1(a)+V).
+# Training is two narrow aggregations (bigram counts; first-word totals
+# derive from them — no second corpus pass for the denominator) and the
+# model stays DISTRIBUTED: per-bigram integer-grid log-probs are
+# computed in-plan (one division, one ln, one grid floor — the shared
+# oracle form, with the knife-edge raise), never collected, and the
+# scoring join is bigram-keyed.  Scores are exact integer sums; the
+# average and the half-nat perplexity bucket use positive-side integer
+# division (nll >= 0), so Spark's truncating `div` and DuckDB's
+# flooring `//` agree.  Docs under 2 words have no bigrams and drop
+# out (the CCNet convention: too short to score). ---
+_BLM_GRID = 1_000_000
+_BLM_BUCKET = 500_000  # half-nat perplexity buckets
+
+
+@query(
+    "bigram_lm_perplexity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    ex AS MATERIALIZED (
+        SELECT doc_id, ws[i+1] AS a, ws[i+2] AS b
+        FROM toks, unnest(range(len(ws) - 1)) AS t(i)
+    ),
+    c2 AS MATERIALIZED (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS cnt2 FROM ex GROUP BY a, b
+    ),
+    c1 AS (SELECT a, CAST(sum(cnt2) AS BIGINT) AS cnt1 FROM c2 GROUP BY a),
+    vv AS (
+        SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        FROM (SELECT unnest(ws) AS w FROM toks)
+    ),
+    lp AS MATERIALIZED (
+        SELECT c2.a, c2.b,
+               CAST(-floor(-ln(CAST(cnt2 + 1 AS DOUBLE) / CAST(cnt1 + v AS DOUBLE))
+                           * {_BLM_GRID} + 0.5) AS BIGINT) AS lp_q
+        FROM c2 JOIN c1 USING (a) CROSS JOIN vv
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(-sum(lp_q) AS BIGINT) AS nll_q,
+           CAST((-sum(lp_q)) // count(*) AS BIGINT) AS nll_avg_q,
+           CAST(((-sum(lp_q)) // count(*)) // {_BLM_BUCKET} AS BIGINT) AS ppl_bucket
+    FROM ex JOIN lp USING (a, b)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM negative log-likelihood (integer grid), average
+    and half-nat perplexity bucket — see the block comment."""
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+    ws = F.filter(F.split("text", " "), lambda t: t != "")
+    d = docs.select("doc_id", ws.alias("ws"))
+    npairs = F.size("ws") - 1
+    bigs = F.when(
+        npairs > 0,
+        F.transform(
+            F.sequence(F.lit(0), npairs - 1),
+            lambda i: F.struct(
+                F.element_at("ws", i + 1).alias("a"),
+                F.element_at("ws", i + 2).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    ex = d.select("doc_id", F.explode(bigs).alias("bg")).select(
+        "doc_id", F.col("bg.a").alias("a"), F.col("bg.b").alias("b")
+    )
+    c2 = ex.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt2"))
+    # first-word totals as a window over the bigram table (NOT a second
+    # aggregation branch: a self-referencing c2 would compute the whole
+    # bigram-count subtree twice — 4 scans instead of 3)
+    c2 = c2.withColumn("cnt1", F.sum("cnt2").over(W.partitionBy("a")))
+    vv = d.select(F.explode("ws").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    z = (
+        -F.log(
+            (F.col("cnt2") + 1).cast("double") / (F.col("cnt1") + F.col("v")).cast("double")
+        )
+        * F.lit(float(_BLM_GRID))
+        + F.lit(0.5)
+    )
+    edge = F.abs(z - F.round(z, 0)) < F.greatest(F.lit(1e-9), F.abs(z) * F.lit(1e-12))
+    lp_q = (
+        -F.when(
+            edge,
+            F.expr(
+                "CAST(raise_error('bigram_lm_perplexity: -ln(p)*grid + 0.5 lands"
+                " within the cross-engine ln guard band of a rounding boundary —"
+                " bump _BLM_GRID for this corpus') AS DOUBLE)"
+            ),
+        ).otherwise(F.floor(z))
+    ).cast("long")
+    lp = c2.crossJoin(F.broadcast(vv)).select("a", "b", lp_q.alias("lp_q"))
+    return (
+        ex.join(lp, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), (-F.sum("lp_q")).alias("nll_q"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll_q",
+            F.expr("nll_q div n_bigrams").alias("nll_avg_q"),
+            F.expr(f"(nll_q div n_bigrams) div {_BLM_BUCKET}").alias("ppl_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- IVF-routed hard-negative mining: the production-scale form promised
 # by hard_negative_mining's header — candidate generation goes through
 # the IVF index (map-side cell assignment, broadcast probes: the exact

@@ -584,6 +584,10 @@ _PLAN_BUDGETS = {
     # Viterbi ran over the checkpointed vocab-sized word table) + one
     # lang agg + final sort
     "unigram_encode_corpus": (3, 1),
+    # bigram counts (agg + first-word window, one subtree) + scoring
+    # join + doc agg + sort; scans = bigram branch, scoring branch,
+    # vocab count
+    "bigram_lm_perplexity": (9, 3),
 }
 
 
