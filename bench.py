@@ -301,12 +301,21 @@ def main() -> None:
 
 
 def _abbr_names(names: list[str]) -> tuple[dict[str, str], int]:
-    """Per-token truncation map, widening until abbreviations are unique."""
-    for width in range(4, 40):
-        m = {n: "_".join(t[:width] for t in n.split("_")) for n in names}
-        if len(set(m.values())) == len(names):
-            return m, width
-    return {n: n for n in names}, 0
+    """Per-token truncation map: width-3 baseline, widening ONLY the
+    colliding names (e.g. ann_ivf_topk vs ann_ivfpq_topk) until all
+    abbreviations are unique — keeps the average entry short enough for
+    ~90 query lines inside the driver's capture window."""
+    from collections import Counter
+
+    out = {n: "_".join(t[:3] for t in n.split("_")) for n in names}
+    w = 3
+    while len(set(out.values())) < len(names) and w < 40:
+        w += 1
+        counts = Counter(out.values())
+        for n in names:
+            if counts[out[n]] > 1:
+                out[n] = "_".join(t[:w] for t in n.split("_"))
+    return out, w
 
 
 def _driver_line(timings: dict[str, float], sf_val, budget: int) -> str:
@@ -322,10 +331,11 @@ def _driver_line(timings: dict[str, float], sf_val, budget: int) -> str:
     cand = json.dumps({**scalars, "names": "full", "queries": full3}, **compact)
     if len(cand) <= budget:
         return cand
-    amap, width = _abbr_names(list(timings))
+    amap, _w = _abbr_names(list(timings))
+    scalars.pop("n_queries")  # derivable from the queries dict; saves chars
     for digits in (3, 2):
         q = {amap[k]: round(v, digits) for k, v in timings.items()}
-        cand = json.dumps({**scalars, "names": f"abbr{width}", "queries": q}, **compact)
+        cand = json.dumps({**scalars, "names": "abbr3", "queries": q}, **compact)
         if len(cand) <= budget:
             return cand
     return cand  # best effort: abbr + 2-digit is the floor
