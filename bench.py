@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "dedup_shingle_index",
     "dedup_span_chunks",
     "dedup_substring_runs",
+    "dedup_substring_rewrite",
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "ann_cosine_topk",

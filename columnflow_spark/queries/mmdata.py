@@ -2021,14 +2021,16 @@ _SSTR_K = 8
 _SSTR_POS_STRIDE = 1_000_000
 
 
-def substring_dup_runs_frame(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
-    """Per-document maximal duplicated-substring runs over ``docs``
-    (``doc_id``, ``text``): ``n_runs``, ``dup_tokens`` (tokens covered
-    by any >= k-token repeat), ``max_run_tokens``, and
-    ``removed_tokens`` (coverage of non-FIRST occurrences — what
-    keep-first ExactSubstr removal would delete)."""
-    ws = F.filter(F.split("text", " "), lambda t: t != "")
-    d = docs.select("doc_id", ws.alias("ws"))
+def _sstr_words(k: int = _SSTR_K):
+    return F.filter(F.split("text", " "), lambda t: t != "")
+
+
+def _sstr_marked(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
+    """Shared ExactSubstr stage: duplicated gram positions with island
+    ids — ``(doc_id, p, nf, rid, rid_rm)`` where ``nf`` marks non-first
+    occurrences, ``rid`` the maximal-run island over ALL dup positions,
+    ``rid_rm`` the island over the non-first subset (NULL on firsts)."""
+    d = docs.select("doc_id", _sstr_words(k).alias("ws"))
     npos = F.size("ws") - F.lit(k - 1)
     poss = F.when(npos > 0, F.sequence(F.lit(0), npos - 1)).otherwise(
         F.array().cast("array<int>")
@@ -2050,14 +2052,23 @@ def substring_dup_runs_frame(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
     # ONE per-doc window pass serves both run families: rid merges
     # consecutive dup positions (all of them); the running non-first
     # count gives the same islands over the non-first SUBSET without a
-    # second sort (both groupBys below are satisfied by the doc_id
+    # second sort (downstream groupBys are satisfied by the doc_id
     # clustering — no further exchange)
     win = W.partitionBy("doc_id").orderBy("p")
-    marked = (
+    return (
         dup.withColumn("rid", F.col("p") - F.row_number().over(win))
         .withColumn("cnf", F.sum(F.when(F.col("nf"), 1).otherwise(0)).over(win))
         .withColumn("rid_rm", F.when(F.col("nf"), F.col("p") - F.col("cnf")))
     )
+
+
+def substring_dup_runs_frame(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
+    """Per-document maximal duplicated-substring runs over ``docs``
+    (``doc_id``, ``text``): ``n_runs``, ``dup_tokens`` (tokens covered
+    by any >= k-token repeat), ``max_run_tokens``, and
+    ``removed_tokens`` (coverage of non-FIRST occurrences — what
+    keep-first ExactSubstr removal would delete)."""
+    marked = _sstr_marked(docs, k)
     # three-level rollup in ONE pass (a branched agg_all/agg_rm plan
     # recomputes the gram join + window per branch — 2x the corpus
     # shuffle): sub-islands (doc, rid, rid_rm) -> maximal runs
@@ -2090,10 +2101,11 @@ def substring_dup_runs_frame(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
     )
 
 
-@query(
-    "dedup_substring_runs",
-    oracle=f"""
-    WITH toks AS (
+#: shared ExactSubstr oracle CTE chain (no leading WITH): positional
+#: hashed k-grams -> duplicated positions -> island ids, the SQL twin
+#: of :func:`_sstr_marked`
+_SSTR_CTES = f"""
+    toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
         FROM documents
     ),
@@ -2116,7 +2128,13 @@ def substring_dup_runs_frame(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
                p - sum(CASE WHEN nf THEN 1 ELSE 0 END)
                        OVER (PARTITION BY doc_id ORDER BY p) AS rid_rm
         FROM dup
-    ),
+    )"""
+
+
+@query(
+    "dedup_substring_runs",
+    oracle=f"""
+    WITH {_SSTR_CTES},
     agg_all AS (
         SELECT doc_id, count(*) AS n_runs,
                CAST(sum(run_tokens) AS BIGINT) AS dup_tokens,
@@ -2147,6 +2165,86 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]), "doc_id"
     )
     return substring_dup_runs_frame(docs, _SSTR_K)
+
+
+def substring_rewrite_frame(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
+    """The ExactSubstr REWRITE (Lee et al.'s actual output): delete the
+    UNION of tokens covered by non-first maximal runs, keep everything
+    else in order, and emit the deduped text's token count + md5 for
+    every document.  The removal spans are a per-doc bounded artifact
+    (collect_list over the rm-run table — rows ∝ duplicated volume);
+    the cut itself is one in-row indexed filter, no token-grain
+    shuffle."""
+    marked = _sstr_marked(docs, k)
+    spans = (
+        marked.filter("nf")
+        .groupBy("doc_id", "rid_rm")
+        .agg(F.min("p").alias("s"), F.max("p").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("rs"))
+    )
+    d = docs.select("doc_id", _sstr_words(k).alias("ws"))
+    covered = lambda i: F.exists(  # noqa: E731 - in-row span-membership test
+        "rs", lambda r: (i >= r["s"]) & (i <= r["e"] + F.lit(k - 1))
+    )
+    kept = F.filter(
+        F.transform("ws", lambda w, i: F.struct(w.alias("w"), i.alias("i"))),
+        lambda x: F.col("rs").isNull() | ~covered(x["i"]),
+    )
+    return (
+        d.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(F.transform(kept, lambda x: x["w"])).cast("long").alias("n_tokens_kept"),
+            F.md5(F.concat_ws(" ", F.transform(kept, lambda x: x["w"]))).alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_substring_rewrite",
+    oracle=f"""
+    WITH {_SSTR_CTES},
+    rm AS MATERIALIZED (
+        SELECT doc_id, rid_rm, min(p) AS s, max(p) AS e
+        FROM runs WHERE nf GROUP BY doc_id, rid_rm
+    ),
+    tokpos AS (
+        SELECT doc_id, i - 1 AS i, w FROM (
+            SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+            FROM toks
+        )
+    ),
+    cov AS (
+        SELECT DISTINCT t.doc_id, t.i
+        FROM tokpos t JOIN rm r
+          ON r.doc_id = t.doc_id AND t.i BETWEEN r.s AND r.e + {_SSTR_K - 1}
+    ),
+    kept AS (
+        SELECT t.doc_id, t.i, t.w
+        FROM tokpos t ANTI JOIN cov c ON c.doc_id = t.doc_id AND c.i = t.i
+    ),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+               list(w ORDER BY i) AS lw
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens_kept,
+           md5(coalesce(array_to_string(a.lw, ' '), '')) AS text_md5
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal applied: the deduped corpus (kept-token count
+    + content digest per doc), keep-first semantics at arbitrary
+    offsets."""
+    docs = spread(
+        load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]), "doc_id"
+    )
+    return substring_rewrite_frame(docs, _SSTR_K)
 
 
 # --- int8 embedding quantization (the storage/serving compression step):

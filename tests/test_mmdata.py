@@ -382,3 +382,29 @@ def test_cross_modal_keep_set_refines_both_modalities(spark, sf_dir):
     assert len(full) < len(visual) or len(full) < len(text_keep) or (
         full == visual == text_keep
     )
+
+
+def test_substring_rewrite_planted_union_coverage(spark):
+    """The rewrite removes the UNION of tokens covered by non-first
+    runs (not the per-run sum): first occurrences survive verbatim,
+    later occurrences lose exactly their covered spans."""
+    from columnflow_spark.queries.mmdata import _SSTR_K, substring_rewrite_frame
+
+    k = _SSTR_K
+    phrase = " ".join(f"p{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, "a b " + phrase + " c d"),  # first occurrence: untouched
+            (2, phrase + " x y z"),  # loses tokens 0..9 -> "x y z"
+            (4, "m0 m1 " + phrase + " mm " + phrase),  # keeps m0 m1 mm
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in substring_rewrite_frame(docs, k).collect()}
+    assert out[1]["n_tokens_kept"] == 14  # 2 + 10 + 2, nothing removed
+    assert out[2]["n_tokens_kept"] == 3
+    assert out[4]["n_tokens_kept"] == 3
+    import hashlib
+
+    assert out[2]["text_md5"] == hashlib.md5(b"x y z").hexdigest()
+    assert out[4]["text_md5"] == hashlib.md5(b"m0 m1 mm").hexdigest()

@@ -580,6 +580,9 @@ _PLAN_BUDGETS = {
     # gram shuffle (agg side + probe side) + doc window + final sort;
     # the three-level run rollup rides the window's doc_id clustering
     "dedup_substring_runs": (4, 2),
+    # the runs chain + one doc-keyed span join back onto the token
+    # arrays (third scan) + final sort; the cut is in-row
+    "dedup_substring_rewrite": (5, 3),
     # ONE corpus scan: explode words + broadcast word->ntok join (the
     # Viterbi ran over the checkpointed vocab-sized word table) + one
     # lang agg + final sort
