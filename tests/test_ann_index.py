@@ -199,3 +199,31 @@ def test_index_drift_audit_and_trigger(spark, sf_dir, tmp_path):
     assert os.path.exists(os.path.join(path, "_BUILT"))
     invalidate_index(path)
     assert not os.path.exists(os.path.join(path, "_BUILT"))
+
+
+def test_drift_trips_intermediate_collapse_and_zero_error_seed():
+    """ADVICE r7: the trend predicate must catch a collapsed INTERMEDIATE
+    batch (a healthy newest batch used to mask it) and must not be inert
+    when the seed batch quantized perfectly (mean_err_q == 0)."""
+    from collections import namedtuple
+
+    from columnflow_spark.queries.annindex import drift_trips
+
+    R = namedtuple("R", "batch n_vecs n_cells max_cell_n mean_err_q")
+    kw = dict(err_ratio=1.5, skew_ratio=2.0)
+
+    healthy = [R(0, 100, 10, 15, 40), R(1, 100, 10, 16, 45), R(2, 100, 10, 14, 42)]
+    assert not drift_trips(healthy, **kw)
+
+    # error spike in the MIDDLE batch only
+    mid_spike = [R(0, 100, 10, 15, 40), R(1, 100, 10, 15, 400), R(2, 100, 10, 15, 41)]
+    assert drift_trips(mid_spike, **kw)
+
+    # cell collapse in the middle batch only (skew arm)
+    mid_collapse = [R(0, 100, 10, 15, 40), R(1, 100, 10, 90, 40), R(2, 100, 10, 15, 40)]
+    assert drift_trips(mid_collapse, **kw)
+
+    # perfectly quantized seed: any later nonzero error must trip
+    zero_seed = [R(0, 100, 10, 15, 0), R(1, 100, 10, 15, 3)]
+    assert drift_trips(zero_seed, **kw)
+    assert not drift_trips([R(0, 100, 10, 15, 0), R(1, 100, 10, 15, 0)], **kw)
