@@ -339,7 +339,15 @@ def _driver_line(timings: dict[str, float], sf_val, budget: int) -> str:
         cand = json.dumps({**scalars, "names": "abbr3", "queries": q}, **compact)
         if len(cand) <= budget:
             return cand
-    return cand  # best effort: abbr + 2-digit is the floor
+    # last resort: strip the separators too ("ann_ivf_top" -> "annivftop",
+    # ~2 chars per name) when that stays collision-free
+    nosep = {n: a.replace("_", "") for n, a in amap.items()}
+    if len(set(nosep.values())) == len(nosep):
+        q = {nosep[k]: round(v, 2) for k, v in timings.items()}
+        cand2 = json.dumps({**scalars, "names": "abbr3ns", "queries": q}, **compact)
+        if len(cand2) <= budget:
+            return cand2
+    return cand  # best effort floor
 
 
 if __name__ == "__main__":
