@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     # incremental dedup against the persisted fingerprint store
     "dedup_incremental_store",
     "phash_incremental_store",
+    "substring_incremental_store",
     # node-grain iterative join/agg loop on the exact integer grid
     "pagerank_trade_graph",
     "bpe_encode_corpus",

@@ -890,3 +890,179 @@ def phash_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_phash_batch_against_store(
         spark, sf_dir, path, batch_pred=F.col("doc_id") >= h, max_batch=0
     )
+
+
+# --- incremental EXACT-SUBSTRING store (the crawl-ingest deployment of
+# the ExactSubstr family — Lee et al. 2022 at ingest time): history
+# documents' positional k-gram digests persist as a ``gb=/batch=``
+# store; an arriving batch is flagged for repeated->=k-token spans
+# against BOTH the accumulated history and itself (keep-first at gram
+# grain), then its own gram slice upserts for the next batch.
+#
+# Scale shape: the flag pass never SHUFFLES the history side — the
+# store is scanned once under a broadcast semi-join on the batch's
+# distinct gram digests (production batches are small relative to
+# history; at petabyte history the broadcast set ships as a bloom with
+# this same join as the exact verify), and everything after the match
+# is batch-grain (one g-keyed batch shuffle for within-batch firsts +
+# the per-doc islands window).  Store rows keep the gram's first
+# (doc, pos) key so compaction can min-merge slices exactly like the
+# fingerprint store. ---
+from columnflow_spark.queries.mmdata import (  # noqa: E402
+    _SSTR_GRAM_CTES,
+    _SSTR_K,
+    _sstr_grams,
+)
+
+_SSTR_STORE_FORMAT = 1
+_SSTR_BANDS = 16
+
+
+def substring_store_path(sf_dir: str) -> str:
+    tag = content_tag(table_path(sf_dir, "documents"), f"sstr-v{_SSTR_STORE_FORMAT}")
+    return os.path.join(scratch_root(), "substring_store", tag)
+
+
+def upsert_substring_grams(grams: DataFrame, path: str, *, batch: int) -> str:
+    """Reduce a positional-gram frame to per-gram first holder (map-side
+    combinable) and upsert it as the store's ``batch=<n>`` slice."""
+    rows = (
+        grams.withColumn("gb", F.pmod(F.hash("g"), F.lit(_SSTR_BANDS)))
+        .groupBy("gb", "g")
+        .agg(F.min("key").alias("first_key"))
+        .withColumn("batch", F.lit(int(batch)))
+    )
+    upsert_partitions(rows, path, partition_by=["gb", "batch"])
+    with open(os.path.join(path, "_BUILT"), "w") as f:
+        f.write(f"format={_SSTR_STORE_FORMAT}\n")
+    return path
+
+
+def upsert_substring_batch(
+    spark: SparkSession, sf_dir: str, path: str, *, batch: int, batch_pred
+) -> str:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        batch_pred
+    )
+    return upsert_substring_grams(_sstr_grams(docs, _SSTR_K), path, batch=batch)
+
+
+def flag_substring_frame(
+    bg: DataFrame, path: str, *, max_batch: int | None = None, k: int = _SSTR_K
+) -> DataFrame:
+    """Per-doc repeated-substring decision for a batch gram frame vs the
+    accumulated store: maximal runs over positions whose gram is in
+    history (``prior``) or occurs earlier in the batch; reports
+    ``(doc_id, n_runs, dup_tokens, prior_tokens)`` for affected docs."""
+    spark = bg.sparkSession
+    store = spark.read.parquet(path)
+    if max_batch is not None:
+        store = store.filter(F.col("batch") <= max_batch)
+    # history side scanned ONCE, zero history shuffle: broadcast batch
+    # gram set -> map-side semi join; the hit set is bounded by the
+    # batch's gram volume
+    bset = bg.select("g").distinct()
+    hits = (
+        store.join(F.broadcast(bset), "g", "leftsemi")
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    wmin = F.min("key").over(W.partitionBy("g"))
+    marked = (
+        bg.join(hits, "g", "left")
+        .withColumn("pr", F.col("hit").isNotNull())
+        .withColumn("cov", F.col("hit").isNotNull() | (F.col("key") > wmin))
+    )
+    dup = marked.filter("cov").select("doc_id", "p", "pr")
+    win = W.partitionBy("doc_id").orderBy("p")
+    m = (
+        dup.withColumn("rid", F.col("p") - F.row_number().over(win))
+        .withColumn("cpr", F.sum(F.when(F.col("pr"), 1).otherwise(0)).over(win))
+        .withColumn("rid_pr", F.when(F.col("pr"), F.col("p") - F.col("cpr")))
+    )
+    sub = m.groupBy("doc_id", "rid", "rid_pr").agg(
+        F.min("p").alias("mn"), F.max("p").alias("mx")
+    )
+    runs = sub.groupBy("doc_id", "rid").agg(
+        (F.max("mx") - F.min("mn") + k).cast("long").alias("run_tokens"),
+        F.sum(
+            F.when(F.col("rid_pr").isNotNull(), F.col("mx") - F.col("mn") + k).otherwise(0)
+        )
+        .cast("long")
+        .alias("pr_tokens"),
+    )
+    # batch-grain output, order-insensitive compare: no presentation sort
+    return runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("run_tokens").alias("dup_tokens"),
+        F.sum("pr_tokens").alias("prior_tokens"),
+    )
+
+
+def _ensure_substring_store(spark: SparkSession, sf_dir: str, h: int) -> str:
+    path = substring_store_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        upsert_substring_batch(
+            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h
+        )
+    return path
+
+
+@query(
+    "substring_incremental_store",
+    oracle=f"""
+    WITH {_SSTR_GRAM_CTES},
+    n AS (SELECT 3 * count(*) // 5 AS h FROM documents),
+    hist AS MATERIALIZED (
+        SELECT DISTINCT g FROM grams, n WHERE doc_id < h
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, p, key, g FROM grams, n WHERE doc_id >= h
+    ),
+    marked AS (
+        SELECT b.doc_id, b.p,
+               (h.g IS NOT NULL) AS pr,
+               (h.g IS NOT NULL)
+                   OR (min(b.key) OVER (PARTITION BY b.g) < b.key) AS cov
+        FROM bg b LEFT JOIN hist h ON h.g = b.g
+    ),
+    dup AS (SELECT doc_id, p, pr FROM marked WHERE cov),
+    iruns AS (
+        SELECT doc_id, p, pr,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rid,
+               p - sum(CASE WHEN pr THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p) AS rid_pr
+        FROM dup
+    ),
+    sub AS (
+        SELECT doc_id, rid,
+               CASE WHEN pr THEN rid_pr END AS rpr,
+               min(p) AS mn, max(p) AS mx
+        FROM iruns GROUP BY doc_id, rid, CASE WHEN pr THEN rid_pr END
+    ),
+    r2 AS (
+        SELECT doc_id, rid,
+               max(mx) - min(mn) + {_SSTR_K} AS run_tokens,
+               sum(CASE WHEN rpr IS NOT NULL
+                        THEN mx - mn + {_SSTR_K} ELSE 0 END) AS pr_tokens
+        FROM sub GROUP BY doc_id, rid
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(sum(run_tokens) AS BIGINT) AS dup_tokens,
+           CAST(sum(pr_tokens) AS BIGINT) AS prior_tokens
+    FROM r2 GROUP BY doc_id
+    """,
+)
+def substring_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring dedup: flag the arriving batch (last
+    40% of doc_ids) for repeated >= k-token spans against the PERSISTED
+    history gram store (first 60%, built once, content-addressed) and
+    within itself — the decisions are a pure function of (history gram
+    SET, batch), so store layout never shows in the output."""
+    h = _history_cutoff(spark, sf_dir)
+    path = _ensure_substring_store(spark, sf_dir, h)
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        F.col("doc_id") >= h
+    )
+    return flag_substring_frame(_sstr_grams(docs, _SSTR_K), path, max_batch=0)

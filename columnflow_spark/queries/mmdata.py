@@ -2025,11 +2025,10 @@ def _sstr_words(k: int = _SSTR_K):
     return F.filter(F.split("text", " "), lambda t: t != "")
 
 
-def _sstr_marked(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
-    """Shared ExactSubstr stage: duplicated gram positions with island
-    ids — ``(doc_id, p, nf, rid, rid_rm)`` where ``nf`` marks non-first
-    occurrences, ``rid`` the maximal-run island over ALL dup positions,
-    ``rid_rm`` the island over the non-first subset (NULL on firsts)."""
+def _sstr_grams(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
+    """Positional hashed k-grams ``(doc_id, p, g, key)`` for a
+    ``(doc_id, text)`` frame — the shared suffix-construction analog of
+    every ExactSubstr surface (runs, rewrite, incremental store)."""
     d = docs.select("doc_id", _sstr_words(k).alias("ws"))
     npos = F.size("ws") - F.lit(k - 1)
     poss = F.when(npos > 0, F.sequence(F.lit(0), npos - 1)).otherwise(
@@ -2038,9 +2037,17 @@ def _sstr_marked(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
     gh = F.transform(
         poss, lambda p: F.md5(F.concat_ws(" ", F.slice("ws", p + 1, F.lit(k))))
     )
-    grams = d.select("doc_id", F.posexplode(gh).alias("p", "g")).withColumn(
+    return d.select("doc_id", F.posexplode(gh).alias("p", "g")).withColumn(
         "key", F.col("doc_id") * _SSTR_POS_STRIDE + F.col("p")
     )
+
+
+def _sstr_marked(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
+    """Shared ExactSubstr stage: duplicated gram positions with island
+    ids — ``(doc_id, p, nf, rid, rid_rm)`` where ``nf`` marks non-first
+    occurrences, ``rid`` the maximal-run island over ALL dup positions,
+    ``rid_rm`` the island over the non-first subset (NULL on firsts)."""
+    grams = _sstr_grams(docs, k)
     gstats = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"), F.min("key").alias("first_key"))
@@ -2101,10 +2108,10 @@ def substring_dup_runs_frame(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
     )
 
 
-#: shared ExactSubstr oracle CTE chain (no leading WITH): positional
-#: hashed k-grams -> duplicated positions -> island ids, the SQL twin
-#: of :func:`_sstr_marked`
-_SSTR_CTES = f"""
+#: gram-construction oracle CTEs (no leading WITH) — the SQL twin of
+#: :func:`_sstr_grams`, shared by every ExactSubstr oracle incl. the
+#: incremental store's
+_SSTR_GRAM_CTES = f"""
     toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
         FROM documents
@@ -2113,7 +2120,12 @@ _SSTR_CTES = f"""
         SELECT doc_id, i AS p, doc_id * {_SSTR_POS_STRIDE} + i AS key,
                md5(array_to_string(ws[i+1:i+{_SSTR_K}], ' ')) AS g
         FROM toks, unnest(range(len(ws) - {_SSTR_K - 1})) AS t(i)
-    ),
+    )"""
+
+#: shared ExactSubstr oracle CTE chain (no leading WITH): positional
+#: hashed k-grams -> duplicated positions -> island ids, the SQL twin
+#: of :func:`_sstr_marked`
+_SSTR_CTES = f"""{_SSTR_GRAM_CTES},
     gstats AS MATERIALIZED (
         SELECT g, min(key) AS first_key
         FROM grams GROUP BY g HAVING count(*) > 1

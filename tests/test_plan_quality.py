@@ -407,6 +407,10 @@ _CORPUS_HINT_QUERIES = (
     "semdedup_store_drift_audit",
     "ann_index_drift_audit",
     "pack_sequences_bestfit",
+    # r8: the substring store's flag pass broadcasts the BATCH gram set
+    # (filtered scan -> gram-keyed aggregate; the history side must stay
+    # un-shuffled under the semi join) and the bounded hit set
+    "substring_incremental_store",
 )
 
 _DOC_GRAIN_KEY = __import__("re").compile(r"\b(doc_id|dg|fp)#")
@@ -583,6 +587,10 @@ _PLAN_BUDGETS = {
     # the runs chain + one doc-keyed span join back onto the token
     # arrays (third scan) + final sort; the cut is in-row
     "dedup_substring_rewrite": (5, 3),
+    # store scan under broadcast semi join (NO history exchange) + batch
+    # gram-set agg + batch g-window + doc islands window; scans = store,
+    # batch grams, batch gram-set
+    "substring_incremental_store": (4, 3),
     # ONE corpus scan: explode words + broadcast word->ntok join (the
     # Viterbi ran over the checkpointed vocab-sized word table) + one
     # lang agg + final sort
