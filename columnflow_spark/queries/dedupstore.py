@@ -974,6 +974,22 @@ def flag_substring_frame(
         .withColumn("pr", F.col("hit").isNotNull())
         .withColumn("cov", F.col("hit").isNotNull() | (F.col("key") > wmin))
     )
+    return substring_cov_rollup(marked, k)
+
+
+def batch_only_substring_marked(bg: DataFrame) -> DataFrame:
+    """First-ingest-batch form (no store yet): coverage is within-batch
+    keep-first only."""
+    wmin = F.min("key").over(W.partitionBy("g"))
+    return bg.withColumn("pr", F.lit(False)).withColumn(
+        "cov", F.col("key") > wmin
+    )
+
+
+def substring_cov_rollup(marked: DataFrame, k: int = _SSTR_K) -> DataFrame:
+    """Maximal-run rollup over a covered-position frame ``(doc_id, p,
+    pr, cov)`` — the ExactSubstr islands pass shared by the batch flag
+    and the streaming ingest sink."""
     dup = marked.filter("cov").select("doc_id", "p", "pr")
     win = W.partitionBy("doc_id").orderBy("p")
     m = (

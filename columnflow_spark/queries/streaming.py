@@ -1584,3 +1584,92 @@ def streaming_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(flags).select("doc_id", "is_dup")
+
+
+# --- streaming exact-substring ingest (the SIXTH streaming
+# index-maintenance member, after exact, semantic, postings, ANN and
+# perceptual): each micro-batch's positional grams are flagged against
+# the gram store accumulated from ALL earlier batches (plus within-batch
+# firsts), the per-doc run stats land in a flags store, and the batch's
+# own gram slice upserts for the next batch.  The replay source delivers
+# docs in doc_id order, so "gram seen in an earlier batch or earlier in
+# this batch" is exactly "gram occurs at a smaller (doc, pos) key" —
+# the at-rest flags equal the batch-global keep-first ExactSubstr runs
+# regardless of batch boundaries.  Only the boundary-INVARIANT columns
+# (n_runs, dup_tokens over all covered positions) are emitted; the
+# prior/in-batch split depends on where boundaries fall and stays a
+# per-batch diagnostic.  Replay-fenced: a retried micro-batch flags
+# against batches <= batch_id - 1, never its own failed upsert. ---
+from columnflow_spark.queries.mmdata import _SSTR_GRAM_CTES as _SSG  # noqa: E402
+from columnflow_spark.queries.mmdata import _SSTR_K as _SSK  # noqa: E402
+
+
+@query(
+    "streaming_substring_ingest",
+    oracle=f"""
+    WITH {_SSG},
+    gmin AS MATERIALIZED (SELECT g, min(key) AS mk FROM grams GROUP BY g),
+    dup AS (
+        SELECT gr.doc_id, gr.p FROM grams gr JOIN gmin USING (g)
+        WHERE gr.key > gmin.mk
+    ),
+    iruns AS (
+        SELECT doc_id, p,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rid
+        FROM dup
+    ),
+    r2 AS (
+        SELECT doc_id, rid, max(p) - min(p) + {_SSK} AS run_tokens
+        FROM iruns GROUP BY doc_id, rid
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(sum(run_tokens) AS BIGINT) AS dup_tokens
+    FROM r2 GROUP BY doc_id
+    """,
+)
+def streaming_substring_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from columnflow_spark.queries.dedupstore import (
+        batch_only_substring_marked,
+        flag_substring_frame,
+        substring_cov_rollup,
+        upsert_substring_grams,
+    )
+    from columnflow_spark.queries.mmdata import _SSTR_K, _sstr_grams
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.pydatasource import register
+    from columnflow_spark.sources.sinks import upsert_partitions
+
+    register(spark)
+    store = tempfile.mkdtemp(prefix="cf_sstr_store_")
+    flags = tempfile.mkdtemp(prefix="cf_sstr_flags_")
+    n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("order_col", "doc_id")
+        .option("batch_rows", _ingest_batch_rows(n))
+        .load()
+        .select("doc_id", "text")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        bg = _sstr_grams(batch_df, _SSTR_K)
+        if os.path.exists(os.path.join(store, "_BUILT")):
+            decided = flag_substring_frame(bg, store, max_batch=int(batch_id) - 1)
+        else:
+            decided = substring_cov_rollup(batch_only_substring_marked(bg), _SSTR_K)
+        out = decided.select(
+            "doc_id", "n_runs", "dup_tokens", F.lit(int(batch_id)).alias("batch")
+        )
+        upsert_partitions(out, flags, partition_by=["batch"])
+        upsert_substring_grams(bg, store, batch=int(batch_id))
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(flags).select("doc_id", "n_runs", "dup_tokens")

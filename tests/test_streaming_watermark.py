@@ -316,3 +316,17 @@ def test_streaming_learned_gate_matches_batch_stage6_filter(spark, sf_dir):
         for r in all_queries()["streaming_learned_quality_gate"](spark, sf_dir).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_streaming_substring_ingest_boundary_invariance(spark, sf_dir, monkeypatch):
+    """The at-rest substring-ingest flags are a pure function of the
+    corpus (keep-first at gram key grain): replaying with a different
+    micro-batch size must produce the identical at-rest output."""
+    from columnflow_spark.queries import all_queries
+
+    q = all_queries()["streaming_substring_ingest"]
+    a = sorted(map(tuple, q(spark, sf_dir).collect()))
+    assert a, "no flagged docs at this sf -- the test proves nothing"
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_BATCH_ROWS", "73")
+    b = sorted(map(tuple, q(spark, sf_dir).collect()))
+    assert a == b
