@@ -1016,6 +1016,28 @@ def substring_cov_rollup(marked: DataFrame, k: int = _SSTR_K) -> DataFrame:
     )
 
 
+def compact_substring_store(spark: SparkSession, path: str) -> None:
+    """Fold the ``gb=/batch=`` gram store back into one ``batch=0``
+    slice per band — semantic like :func:`compact_dedup_store`: a gram
+    upserted by several batches collapses to ONE row keeping the
+    earliest (doc, pos) holder (``min(first_key)``, the per-batch
+    monoid), so flagging against the compacted store is bit-identical
+    to flagging against the full batch history.  Marker-preserving,
+    fails closed on a crash (replace_store)."""
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(F.col("gb").cast("int").alias("gb"), "g")
+        .agg(F.min("first_key").alias("first_key"))
+        .withColumn("batch", F.lit(0))
+    )
+    replace_store(
+        rows,
+        path,
+        partition_by=["gb", "batch"],
+        marker_text=f"format={_SSTR_STORE_FORMAT}\n",
+    )
+
+
 def _ensure_substring_store(spark: SparkSession, sf_dir: str, h: int) -> str:
     path = substring_store_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_BUILT")):

@@ -401,3 +401,16 @@ def test_substring_store_layout_invariance_and_idempotency(spark, sf_dir, tmp_pa
     upsert_substring_batch(spark, sf_dir, two, batch=1, batch_pred=mid)
     c = sorted(map(tuple, flag_substring_frame(bg, two).collect()))
     assert c == a
+    # compaction folds the batch history into one slice per band with
+    # the min-key monoid: flagging must stay bit-identical
+    from columnflow_spark.queries.dedupstore import compact_substring_store
+
+    compact_substring_store(spark, two)
+    import os
+
+    batches = {
+        d for d in os.listdir(two + "/gb=0") if d.startswith("batch=")
+    }
+    assert batches == {"batch=0"}
+    d = sorted(map(tuple, flag_substring_frame(bg, two).collect()))
+    assert d == a
