@@ -6299,9 +6299,10 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("piece")
 
 
-@query(
-    "unigram_encode_corpus",
-    oracle=f"""
+#: shared by the batch encode and its streaming-ingest twin — hash
+#: equality across the two IS the maintenance proof (the lang totals
+#: form a monoid over micro-batch partials)
+_ULM_ENCODE_ORACLE = f"""
     WITH RECURSIVE {_ulm_train_ctes()},
     pathsE AS (
         SELECT w, cnt, 0 AS pos, CAST(0 AS BIGINT) AS sc, 0 AS np, '' AS seq
@@ -6332,8 +6333,10 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(ntok) * 10000 // count(*) AS BIGINT) AS fert_q
     FROM corpus JOIN wtok USING (w)
     GROUP BY lang ORDER BY lang
-    """,
-)
+    """
+
+
+@query("unigram_encode_corpus", oracle=_ULM_ENCODE_ORACLE)
 def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus encode under the trained unigram vocab, reported as the
     per-language fertility harness (the bpe_fertility_by_lang shape):

@@ -1673,3 +1673,80 @@ def streaming_substring_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(flags).select("doc_id", "n_runs", "dup_tokens")
+
+
+# --- streaming unigram tokenization (the unigram twin of
+# streaming_bpe_tokenize): the OFFLINE-trained unigram vocab (the same
+# artifact contract as the quality gate's logreg weights and the PQ
+# codebook) encodes each micro-batch — per batch the DISTINCT words
+# segment once through the Arrow integer-Viterbi kernel, the corpus-
+# grain pass is explode + broadcast word->ntok join, and the per-lang
+# (n_words, n_tokens) partials land as a batch slice.  The lang totals
+# are a commutative monoid over the partials, so the at-rest rollup
+# shares unigram_encode_corpus's ORACLE — hash equality is the
+# streaming-maintenance proof; fertility is computed from the TOTALS at
+# read time (a per-batch fert would not be mergeable). ---
+from columnflow_spark.queries.mmdata import _ULM_ENCODE_ORACLE as _ULME  # noqa: E402
+
+
+@query("streaming_unigram_tokenize", oracle=_ULME)
+def streaming_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from columnflow_spark.queries.mmdata import _ulm_segment, _ulm_vocab
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.pydatasource import register
+    from columnflow_spark.sources.sinks import upsert_partitions
+
+    register(spark)
+    flags = tempfile.mkdtemp(prefix="cf_ulm_tok_")
+    sc = {p: s for p, c, s in _ulm_vocab(spark, sf_dir)}  # offline artifact
+    n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("order_col", "doc_id")
+        .option("batch_rows", _ingest_batch_rows(n))
+        .load()
+        .select("lang", "text")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        words = batch_df.select(
+            "lang",
+            F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w"),
+        )
+        wtok = _ulm_segment(
+            words.select("w").distinct().withColumn("cnt", F.lit(1)), sc
+        ).select("w", F.size("pieces").alias("ntok"))
+        out = (
+            words.join(F.broadcast(wtok), "w")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("ntok").alias("n_tokens"),
+            )
+            .withColumn("batch", F.lit(int(batch_id)))
+        )
+        upsert_partitions(out, flags, partition_by=["batch"])
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(flags)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("n_tokens * 10000 div n_words").alias("fert_q"),
+        )
+        .orderBy("lang")
+    )
