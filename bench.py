@@ -333,11 +333,14 @@ def _driver_line(timings: dict[str, float], sf_val, budget: int) -> str:
     cand = json.dumps({**scalars, "names": "full", "queries": full3}, **compact)
     if len(cand) <= budget:
         return cand
-    amap, _w = _abbr_names(list(timings))
+    amap, w = _abbr_names(list(timings))
     scalars.pop("n_queries")  # derivable from the queries dict; saves chars
+    # the flag records the ACTUAL max truncation width _abbr_names used
+    # (colliding names widen past 3), so "abbr<w>" always describes the
+    # scheme in the captured line (ADVICE r8)
     for digits in (3, 2):
         q = {amap[k]: round(v, digits) for k, v in timings.items()}
-        cand = json.dumps({**scalars, "names": "abbr3", "queries": q}, **compact)
+        cand = json.dumps({**scalars, "names": f"abbr{w}", "queries": q}, **compact)
         if len(cand) <= budget:
             return cand
     # last resort: strip the separators too ("ann_ivf_top" -> "annivftop",
@@ -345,7 +348,7 @@ def _driver_line(timings: dict[str, float], sf_val, budget: int) -> str:
     nosep = {n: a.replace("_", "") for n, a in amap.items()}
     if len(set(nosep.values())) == len(nosep):
         q = {nosep[k]: round(v, 2) for k, v in timings.items()}
-        cand2 = json.dumps({**scalars, "names": "abbr3ns", "queries": q}, **compact)
+        cand2 = json.dumps({**scalars, "names": f"abbr{w}ns", "queries": q}, **compact)
         if len(cand2) <= budget:
             return cand2
     return cand  # best effort floor

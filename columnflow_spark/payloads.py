@@ -33,6 +33,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from columnflow_spark.session import session_key
+
 
 @dataclass(frozen=True)
 class ExternalFile:
@@ -63,7 +65,7 @@ class PayloadBundle:
             os.environ.get("SPARK_GRAFT_CACHE", "/tmp"), "payload_bundle"
         )
         self._loaded: dict[str, Any] = {}
-        self._broadcasts: dict[tuple[int, str], Any] = {}
+        self._broadcasts: dict[tuple[str, str], Any] = {}
 
     @classmethod
     def from_config(cls, config, cache_dir: str | None = None) -> "PayloadBundle":  # noqa: UP037
@@ -121,7 +123,7 @@ class PayloadBundle:
     def broadcast(self, spark: SparkSession, name: str):
         """Spark broadcast variable of the parsed payload (for Python/Pandas
         UDF lookups); one broadcast per (session, payload)."""
-        key = (id(spark), name)
+        key = (session_key(spark), name)
         if key not in self._broadcasts:
             self._broadcasts[key] = spark.sparkContext.broadcast(self.load(name))
         return self._broadcasts[key]

@@ -38,6 +38,7 @@ from columnflow_spark.operators import (
 from columnflow_spark.operators.selection import apply_event_mask, rebuild_collection
 from columnflow_spark.plans.stage import StageChain
 from columnflow_spark.sources import load_table, spread
+from columnflow_spark.session import session_key
 
 PRICE_SCALE = 1.02
 QTY_CUT = 5.0
@@ -51,7 +52,7 @@ MIN_SELECTED = 2
 #: tasks.py writing stage parquet; the persist() here serves interactive /
 #: bench sessions where many queries share the same intermediate.  Disable
 #: with SPARK_GRAFT_CACHE_NESTED=0 (plan-inspection tests do).
-_NESTED_CACHE: dict[tuple[int, str], DataFrame] = {}
+_NESTED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def build_nested_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +64,7 @@ def build_nested_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     use_cache = os.environ.get("SPARK_GRAFT_CACHE_NESTED", "1") != "0"
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if use_cache and key in _NESTED_CACHE:
         return _NESTED_CACHE[key]
     events = _build_nested_events_uncached(spark, sf_dir)

@@ -14,6 +14,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def session_key(spark: SparkSession) -> str:
+    """Stable per-session cache key for the engine's driver-side caches.
+
+    ``id(spark)`` is NOT safe here: CPython recycles object ids after a
+    torn-down session is garbage-collected, so a long-lived process that
+    recreates sessions could be served another session's cached artifact
+    (stale probe routes, checkpointed frames bound to a dead context).
+    The application id embeds the context start time and is unique per
+    SparkContext on any deployment (``local-<startTime>`` locally,
+    ``app-...``/``application_...`` on a cluster)."""
+    return spark.sparkContext.applicationId
+
+
 def get_spark(app_name: str = "columnflow_spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Return (or create) the process-wide SparkSession.
 

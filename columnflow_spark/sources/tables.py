@@ -19,6 +19,8 @@ from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from columnflow_spark.session import session_key
+
 TABLES = (
     "region",
     "nation",
@@ -56,7 +58,7 @@ def load_table(
     name: str,
     columns: Iterable[str] | None = None,
 ) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    key = (session_key(spark), sf_dir, name)
     df = _BASE_CACHE.get(key)
     if df is None:
         if name == "events":
