@@ -54,7 +54,13 @@ from columnflow_spark.queries.mmdata import (
 )
 from columnflow_spark.functions.similarity import nearest_centroid_assign
 from columnflow_spark.sources import load_table
-from columnflow_spark.sources.sinks import replace_store, upsert_partitions
+from columnflow_spark.sources.sinks import (
+    anti_tombstones,
+    clear_tombstones,
+    replace_store,
+    upsert_partitions,
+    upsert_tombstones,
+)
 from columnflow_spark.sources.tables import table_path
 from columnflow_spark.sources import spread
 
@@ -146,9 +152,13 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
     store would shadow by upsert recency), so probe reads over the
     compacted store return exactly what the full batch history returns
     (tests/test_ann_index.py re-proves search equality after compaction).
-    Marker-preserving, fails closed on a crash
+    Also the VACUUM step of deletion propagation: tombstoned vectors
+    (``_deleted/`` slices written by :func:`delete_vectors_from_index`)
+    are dropped from the rewrite and the tombstones cleared — a crash
+    between swap and clear is harmless (surviving tombstones anti-join
+    already-purged rows).  Marker-preserving, fails closed on a crash
     (sources/sinks.py:replace_store)."""
-    rows = spark.read.parquet(path)
+    rows = anti_tombstones(spark.read.parquet(path), path, id_col="vec_id")
     win = W.partitionBy("vec_id").orderBy(F.desc("batch"))
     rows = (
         rows.withColumn("_rn", F.row_number().over(win))
@@ -166,6 +176,17 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
         partition_by=["cid", "batch"],
         marker_text=f"format={_INDEX_FORMAT}\n",
     )
+    clear_tombstones(path)
+
+
+def delete_vectors_from_index(
+    spark: SparkSession, ids: DataFrame, path: str, *, batch: int
+) -> str:
+    """Propagate a vector deletion into the persisted index: one bounded
+    ``_deleted/batch=<n>`` tombstone slice (idempotent per batch id);
+    probe reads anti-join it, compaction purges it physically."""
+    upsert_tombstones(ids, path, batch=batch, id_col="vec_id")
+    return path
 
 
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
@@ -202,11 +223,14 @@ def search_ivfpq_index(
     )
     probe_cids = sorted({cid for _, cid in probe_rows})
     probes = spark.createDataFrame(probe_rows, "query_id long, cid long")
-    idx = (
-        spark.read.parquet(path)
-        .filter(F.col("cid").isin(probe_cids))
-        .select("vec_id", "codes", F.col("cid").cast("long").alias("cid"))
-    )
+    # deletion propagation: tombstoned vectors drop out of the probed
+    # read (broadcast anti-join AFTER the partition prune, so the IO
+    # stays probe-bounded); physically purged at compaction
+    idx = anti_tombstones(
+        spark.read.parquet(path).filter(F.col("cid").isin(probe_cids)),
+        path,
+        id_col="vec_id",
+    ).select("vec_id", "codes", F.col("cid").cast("long").alias("cid"))
     exploded = idx.select(
         "vec_id", "cid", F.posexplode(F.split("codes", "-").cast("array<int>")).alias("sub", "code")
     )
@@ -477,3 +501,64 @@ def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook chain; batches = first/second half of vec_ids)."""
     path = _ensure_trend_index(spark, sf_dir)
     return index_drift_audit_frame(spark, sf_dir, path)
+
+
+# --- index deletion propagation (VERDICT r8 next #1, the ANN arm): a
+# forgotten document's codes must stop being served WITHOUT a full
+# index rebuild.  The delete is a bounded tombstone slice; the probed
+# search anti-joins it after the partition prune (IO stays
+# probe-bounded), and compaction purges it physically.  The oracle is
+# the full IVF+PQ replay with the deleted ids excluded from the
+# CANDIDATE side only — the query batch is external serve-time input
+# and keeps its fixed workload. ---
+def _deleted_index_path(sf_dir: str, *, vacuum: bool) -> str:
+    kind = "vacuumed" if vacuum else "deleted"
+    tag = content_tag(table_path(sf_dir, "embeddings"), f"{kind}-v{_INDEX_FORMAT}")
+    return os.path.join(scratch_root(), f"ivfpq_index_{kind}", tag)
+
+
+def _ensure_deleted_index(spark: SparkSession, sf_dir: str, *, vacuum: bool) -> str:
+    path = _deleted_index_path(sf_dir, vacuum=vacuum)
+    done = os.path.join(path, "_SEQ_COMPLETE")
+    if not os.path.exists(done):
+        build_ivfpq_index(spark, sf_dir, path)
+        deleted = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).filter(
+            F.col("vec_id") % 7 == 3
+        )
+        delete_vectors_from_index(spark, deleted, path, batch=0)
+        if vacuum:
+            compact_ivfpq_index(spark, path)
+        with open(done, "w") as f:
+            f.write("build + delete%s complete\n" % (" + vacuum" if vacuum else ""))
+    return path
+
+
+def _ivfpq_delete_oracle() -> str:
+    from columnflow_spark.queries.mmdata import ivfpq_adc_ctes
+
+    return f"""
+    WITH {ivfpq_adc_ctes(cand_filter_sql="AND NOT (a.vec_id % 7 = 3)")}
+    SELECT query_id, neighbor_id, adc_dist, rk
+    FROM ivf_rank
+    ORDER BY query_id, rk
+    """
+
+
+@query("ann_index_delete_topk", oracle=_ivfpq_delete_oracle())
+def ann_index_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ search AFTER deletion propagation: full corpus indexed,
+    ``vec_id % 7 == 3`` tombstoned, default workload served.  Oracle =
+    the full replay with deleted ids excluded from candidates — hash
+    equality proves forgotten vectors are never served and surviving
+    ranks shift exactly as a from-scratch reduced index would."""
+    path = _ensure_deleted_index(spark, sf_dir, vacuum=False)
+    return search_ivfpq_index(spark, sf_dir, path)
+
+
+@query("ann_index_delete_vacuum_topk", oracle=_ivfpq_delete_oracle())
+def ann_index_delete_vacuum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same deletion physically PURGED through compaction (rewrite
+    minus tombstones, max-batch encoding wins, tombstones cleared).
+    Shares ``ann_index_delete_topk``'s oracle — logical ≡ physical."""
+    path = _ensure_deleted_index(spark, sf_dir, vacuum=True)
+    return search_ivfpq_index(spark, sf_dir, path)

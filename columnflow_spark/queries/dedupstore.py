@@ -51,12 +51,19 @@ from columnflow_spark.functions.text import fingerprint
 from columnflow_spark.queries import query
 from columnflow_spark.queries.annindex import content_tag, scratch_root
 from columnflow_spark.sources import load_table
-from columnflow_spark.sources.sinks import replace_store, upsert_partitions
+from columnflow_spark.sources.sinks import (
+    anti_tombstones,
+    clear_tombstones,
+    replace_store,
+    upsert_partitions,
+    upsert_tombstones,
+)
 from columnflow_spark.sources.tables import table_path
 
-#: bump when the fingerprint definition changes: stored digests from an
-#: older normalizer must not be reused
-_STORE_FORMAT = 1
+#: bump when the fingerprint definition OR the row monoid changes:
+#: stored digests from an older normalizer / rows without the holder
+#: count must not be reused (v2: + ``cnt``, the deletion monoid)
+_STORE_FORMAT = 2
 _N_BANDS = 16
 
 
@@ -83,12 +90,20 @@ def _fingerprints(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
 
 
 def upsert_fingerprints(fp: DataFrame, path: str, *, batch: int) -> str:
-    """Reduce a fingerprinted frame to per-fingerprint first holder
-    (map-side combinable — no keep-list broadcast) and upsert it as the
-    store's ``batch=<n>`` slice."""
+    """Reduce a fingerprinted frame to per-fingerprint first holder +
+    holder count (both map-side combinable — no keep-list broadcast)
+    and upsert it as the store's ``batch=<n>`` slice.  ``cnt`` is the
+    deletion monoid: the store is content-grain (holder identities are
+    aggregated away), so right-to-be-forgotten deletes land as NEGATIVE
+    count slices (:func:`delete_docs_from_dedup_store`) and presence
+    becomes ``sum(cnt) > 0`` — exact integers, inverse-closed, order-
+    free (the bm25 collection-stats recipe)."""
     rows = (
         fp.groupBy("band", "fingerprint")
-        .agg(F.min("doc_id").alias("first_doc"))
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
         .withColumn("batch", F.lit(int(batch)))
     )
     upsert_partitions(rows, path, partition_by=["band", "batch"])
@@ -122,11 +137,21 @@ def compact_dedup_store(spark: SparkSession, path: str) -> None:
     against the full batch history (tests/test_dedupstore.py re-proves
     the incremental ≡ from-scratch equivalence over a compacted store).
     The swap is marker-preserving and fails closed on a crash
-    (sources/sinks.py:replace_store)."""
+    (sources/sinks.py:replace_store).
+
+    Compaction is also the VACUUM step of deletion propagation: a
+    fingerprint whose summed holder count reaches zero (every holder
+    deleted through :func:`delete_docs_from_dedup_store`) is physically
+    dropped here — the logical tombstone becomes a physical purge, the
+    same two-phase shape as Delta-style delete+vacuum.  ``first_doc``
+    min-merges over the surviving rows; it is the earliest RECORDED
+    holder (a later-deleted doc can still be named until its content
+    fully vacuums) — informational only, never a flagging input."""
     rows = (
         spark.read.parquet(path)
         .groupBy(F.col("band").cast("int").alias("band"), "fingerprint")
-        .agg(F.min("first_doc").alias("first_doc"))
+        .agg(F.min("first_doc").alias("first_doc"), F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") > 0)
         .withColumn("batch", F.lit(0))
     )
     replace_store(
@@ -148,9 +173,15 @@ def flag_fingerprints_against_store(
     store = fp.sparkSession.read.parquet(path)
     if max_batch is not None:
         store = store.filter(F.col("batch") <= max_batch)
+    # presence = summed holder count > 0 (not row existence): deletion
+    # slices carry negative counts, so a fully-forgotten fingerprint
+    # nets to zero and stops flagging — same agg shuffle shape as the
+    # previous DISTINCT
     store = (
-        store.select(F.col("band").cast("int").alias("band"), "fingerprint")
-        .distinct()
+        store.groupBy(F.col("band").cast("int").alias("band"), "fingerprint")
+        .agg(F.sum("cnt").alias("_c"))
+        .filter(F.col("_c") > 0)
+        .select("band", "fingerprint")
         .withColumn("hit", F.lit(True))
     )
     flagged = fp.join(store, ["band", "fingerprint"], "left")
@@ -187,10 +218,12 @@ def _ensure_history_store(spark: SparkSession, sf_dir: str, h: int) -> str:
 
 #: shared oracle for every store-backed exact-dedup variant: the flagging
 #: result is a pure function of (history fingerprint SET, batch), so the
-#: store's physical layout — one batch, many batches, compacted — must
-#: never show in it; hash equality across the variants IS the
-#: layout-invariance proof
-_INC_STORE_ORACLE = """
+#: store's physical layout — one batch, many batches, compacted, deleted
+#: logically vs vacuumed — must never show in it; hash equality across
+#: the variants IS the layout-invariance proof.  ``hist_filter`` narrows
+#: the history side (the deletion variants pass the delete predicate).
+def _inc_store_oracle(hist_filter: str = "") -> str:
+    return f"""
     WITH n AS (SELECT 3 * count(*) // 5 AS h FROM documents),
     fp AS (
         SELECT doc_id,
@@ -198,7 +231,7 @@ _INC_STORE_ORACLE = """
         FROM documents
     ),
     hist AS (
-        SELECT DISTINCT fingerprint FROM fp, n WHERE doc_id < h
+        SELECT DISTINCT fingerprint FROM fp, n WHERE doc_id < h {hist_filter}
     ),
     batch AS (SELECT doc_id, fingerprint FROM fp, n WHERE doc_id >= h),
     flagged AS (
@@ -212,6 +245,9 @@ _INC_STORE_ORACLE = """
     FROM flagged
     ORDER BY doc_id
     """
+
+
+_INC_STORE_ORACLE = _inc_store_oracle()
 
 
 @query("dedup_incremental_store", oracle=_INC_STORE_ORACLE)
@@ -273,6 +309,118 @@ def dedup_store_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _history_cutoff(spark, sf_dir)
     path = _ensure_compacted_history_store(spark, sf_dir, h)
     # batch-grain output, order-insensitive compare: no presentation sort
+    return flag_batch_against_store(
+        spark, sf_dir, path, batch_pred=F.col("doc_id") >= h, max_batch=None
+    )
+
+
+# --- deletion propagation (VERDICT r8 next #1 — the right-to-be-
+# forgotten path, generalized from bm25_postings_delete): removing
+# documents from the corpus must propagate into EVERY derived store
+# without a full rebuild, or deleted content keeps flagging future
+# near-dups against data that is contractually gone.  Two shapes cover
+# all five stores:
+#
+# - **content-grain stores** (this fingerprint store, the substring gram
+#   store): holder identities are aggregated away at ingest, so the
+#   delete lands as one NEGATIVE count slice computed from the deleted
+#   docs alone (cost ∝ |deleted|, zero store rewrite) — presence is
+#   ``sum(cnt) > 0``, an exact-integer monoid with inverses.  The next
+#   compaction physically purges net-zero rows (delete+vacuum).
+# - **doc-grain stores** (phash block postings, semantic vectors, the
+#   IVF+PQ index): rows carry their doc id, so the delete is a bounded
+#   tombstone slice under ``_deleted/`` anti-joined at serve time
+#   (tombstones are compliance-batch sized — broadcast); compaction
+#   rewrites the store minus tombstones and clears them.
+#
+# Every delete is idempotent per batch id (re-running a delete batch
+# overwrites exactly its own slice), and each variant registers under an
+# oracle that replays flagging over the REDUCED corpus — hash equality
+# proves the delete left exactly the right store behind. ---
+_DEL_PRED_SQL = "doc_id % 7 = 3"
+
+
+def _delete_pred():
+    return F.col("doc_id") % 7 == 3
+
+
+def delete_docs_from_dedup_store(
+    spark: SparkSession, sf_dir: str, path: str, *, delete_pred, batch: int
+) -> str:
+    """Propagate a document deletion into the fingerprint store: ONE
+    negative holder-count slice computed by fingerprinting the deleted
+    docs (the only inputs) — no history scan, no store rewrite."""
+    rows = (
+        _fingerprints(spark, sf_dir, delete_pred)
+        .groupBy("band", "fingerprint")
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            (-F.count(F.lit(1))).cast("long").alias("cnt"),
+        )
+        .withColumn("batch", F.lit(int(batch)))
+    )
+    upsert_partitions(rows, path, partition_by=["band", "batch"])
+    return path
+
+
+def _deleted_store_path(sf_dir: str, *, vacuum: bool) -> str:
+    kind = "vacuumed" if vacuum else "deleted"
+    tag = content_tag(table_path(sf_dir, "documents"), f"v{_STORE_FORMAT}-{kind}")
+    return os.path.join(scratch_root(), f"dedup_store_{kind}", tag)
+
+
+def _ensure_deleted_dedup_store(
+    spark: SparkSession, sf_dir: str, h: int, *, vacuum: bool
+) -> str:
+    """History store (first 60%) with ``doc_id % 7 == 3`` deleted through
+    it — as a live negative slice (``vacuum=False``) or additionally
+    compacted so the purge is physical (``vacuum=True``).  Sequence-
+    marker gated: a crash between ingest and delete must not leave a
+    store with undeleted docs that passes the reuse check; the re-run is
+    safe (each step idempotently overwrites its own slices, the
+    compaction swap fails closed)."""
+    path = _deleted_store_path(sf_dir, vacuum=vacuum)
+    done = os.path.join(path, "_SEQ_COMPLETE")
+    if not os.path.exists(done):
+        upsert_dedup_batch(
+            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h
+        )
+        delete_docs_from_dedup_store(
+            spark, sf_dir, path,
+            delete_pred=_delete_pred() & (F.col("doc_id") < h), batch=1,
+        )
+        if vacuum:
+            compact_dedup_store(spark, path)
+        with open(done, "w") as f:
+            f.write("ingest + delete%s complete\n" % (" + vacuum" if vacuum else ""))
+    return path
+
+
+@query("dedup_store_delete", oracle=_inc_store_oracle(f"AND NOT ({_DEL_PRED_SQL})"))
+def dedup_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup served AFTER deletion propagation: the history prefix
+    ingested, ``doc_id % 7 == 3`` deleted as one negative count slice,
+    then the arriving batch flagged.  The oracle is from-scratch flagging
+    against the REDUCED history — hash equality proves a fully-forgotten
+    fingerprint stops flagging while partially-held content (another
+    surviving doc with the same text) keeps flagging."""
+    h = _history_cutoff(spark, sf_dir)
+    path = _ensure_deleted_dedup_store(spark, sf_dir, h, vacuum=False)
+    return flag_batch_against_store(
+        spark, sf_dir, path, batch_pred=F.col("doc_id") >= h, max_batch=None
+    )
+
+
+@query(
+    "dedup_store_delete_vacuum",
+    oracle=_inc_store_oracle(f"AND NOT ({_DEL_PRED_SQL})"),
+)
+def dedup_store_delete_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same deletion COMPACTED: net-zero fingerprints physically
+    purged by the vacuum rewrite.  Shares ``dedup_store_delete``'s
+    oracle — hash equality proves logical delete ≡ physical purge."""
+    h = _history_cutoff(spark, sf_dir)
+    path = _ensure_deleted_dedup_store(spark, sf_dir, h, vacuum=True)
     return flag_batch_against_store(
         spark, sf_dir, path, batch_pred=F.col("doc_id") >= h, max_batch=None
     )
@@ -409,6 +557,13 @@ def flag_semdedup_frame(
     store = spark.read.parquet(path)
     if max_batch is not None:
         store = store.filter(F.col("batch") <= max_batch)
+    # deletion propagation: tombstoned vectors stop blocking near-copies
+    # at serve time (broadcast anti-join; purged at compaction).  The
+    # FROZEN centroids are untouched by deletes — they are quantizer
+    # geometry, not served content (the FAISS delete contract); a regime
+    # that also forbids retaining seed vectors re-trains via the drift/
+    # invalidate path.
+    store = anti_tombstones(store, path, id_col="vec_id")
     store = store.select(
         F.col("cid").cast("long").alias("cid"),
         F.col("vec_id").alias("hist_id"),
@@ -801,6 +956,9 @@ def flag_phash_fp(
     store = spark.read.parquet(path)
     if max_batch is not None:
         store = store.filter(F.col("batch") <= max_batch)
+    # deletion propagation: tombstoned docs' postings stop matching at
+    # serve time (broadcast anti-join; physically purged at compaction)
+    store = anti_tombstones(store, path)
     store = store.select(
         F.col("bi").cast("int").alias("bi"), "bv", F.col("ph").alias("ph_h")
     )
@@ -853,12 +1011,15 @@ def _ensure_phash_store(spark: SparkSession, sf_dir: str, h: int) -> str:
     return path
 
 
-@query(
-    "phash_incremental_store",
-    oracle=f"""
+def _phash_store_oracle(hist_filter: str = "") -> str:
+    """Oracle template for the perceptual-store variants; ``hist_filter``
+    narrows the history side (the deletion variant passes the delete
+    predicate)."""
+    return f"""
     WITH {_PHASH_FP_CTES.strip()},
     n AS (SELECT 3 * count(*) // 5 AS h FROM documents),
-    hist AS (SELECT f.doc_id, f.ph FROM fp f, n WHERE f.doc_id < n.h),
+    hist AS (SELECT f.doc_id, f.ph FROM fp f, n
+             WHERE f.doc_id < n.h {hist_filter}),
     batch AS (SELECT f.doc_id, f.ph FROM fp f, n WHERE f.doc_id >= n.h)
     SELECT b.doc_id,
            EXISTS (SELECT 1 FROM hist h
@@ -875,8 +1036,10 @@ def _ensure_phash_store(spark: SparkSession, sf_dir: str, h: int) -> str:
                              AND bit_count(xor(b2.ph, b.ph)) <= {_PH_HAM_MAX}))
                AS keep
     FROM batch b
-    """,
-)
+    """
+
+
+@query("phash_incremental_store", oracle=_phash_store_oracle())
 def phash_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental visual dedup: flag the arriving batch (last 40% of
     doc_ids) against the PERSISTED perceptual-fingerprint store (first
@@ -914,7 +1077,9 @@ from columnflow_spark.queries.mmdata import (  # noqa: E402
     _sstr_grams,
 )
 
-_SSTR_STORE_FORMAT = 1
+#: v2: + ``cnt`` (occurrence count — the deletion monoid, see the
+#: fingerprint store)
+_SSTR_STORE_FORMAT = 2
 _SSTR_BANDS = 16
 
 
@@ -924,12 +1089,18 @@ def substring_store_path(sf_dir: str) -> str:
 
 
 def upsert_substring_grams(grams: DataFrame, path: str, *, batch: int) -> str:
-    """Reduce a positional-gram frame to per-gram first holder (map-side
-    combinable) and upsert it as the store's ``batch=<n>`` slice."""
+    """Reduce a positional-gram frame to per-gram first holder +
+    occurrence count (both map-side combinable) and upsert it as the
+    store's ``batch=<n>`` slice.  ``cnt`` is the deletion monoid (see
+    the fingerprint store): deletes land as negative occurrence slices
+    and presence becomes ``sum(cnt) > 0``."""
     rows = (
         grams.withColumn("gb", F.pmod(F.hash("g"), F.lit(_SSTR_BANDS)))
         .groupBy("gb", "g")
-        .agg(F.min("key").alias("first_key"))
+        .agg(
+            F.min("key").alias("first_key"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
         .withColumn("batch", F.lit(int(batch)))
     )
     upsert_partitions(rows, path, partition_by=["gb", "batch"])
@@ -960,12 +1131,16 @@ def flag_substring_frame(
         store = store.filter(F.col("batch") <= max_batch)
     # history side scanned ONCE, zero history shuffle: broadcast batch
     # gram set -> map-side semi join; the hit set is bounded by the
-    # batch's gram volume
+    # batch's gram volume.  Presence = summed occurrence count > 0 (not
+    # row existence) so negative deletion slices net out — same
+    # post-semi-join agg shuffle shape as the previous DISTINCT
     bset = bg.select("g").distinct()
     hits = (
         store.join(F.broadcast(bset), "g", "leftsemi")
+        .groupBy("g")
+        .agg(F.sum("cnt").alias("_c"))
+        .filter(F.col("_c") > 0)
         .select("g")
-        .distinct()
         .withColumn("hit", F.lit(True))
     )
     wmin = F.min("key").over(W.partitionBy("g"))
@@ -989,7 +1164,14 @@ def batch_only_substring_marked(bg: DataFrame) -> DataFrame:
 def substring_cov_rollup(marked: DataFrame, k: int = _SSTR_K) -> DataFrame:
     """Maximal-run rollup over a covered-position frame ``(doc_id, p,
     pr, cov)`` — the ExactSubstr islands pass shared by the batch flag
-    and the streaming ingest sink."""
+    and the streaming ingest sink.  ``dup_tokens`` and ``prior_tokens``
+    are interval-UNION token coverages (clamped contributions over the
+    per-doc sorted sub-run intervals — the substring_dup_runs_frame
+    form): the r8 per-extent sums double-counted whenever neighboring
+    coverage intervals ``[mn, mx + k - 1]`` were closer than k
+    positions (ADVICE r9)."""
+    from columnflow_spark.queries.mmdata import _interval_union_contrib
+
     dup = marked.filter("cov").select("doc_id", "p", "pr")
     win = W.partitionBy("doc_id").orderBy("p")
     m = (
@@ -1000,18 +1182,31 @@ def substring_cov_rollup(marked: DataFrame, k: int = _SSTR_K) -> DataFrame:
     sub = m.groupBy("doc_id", "rid", "rid_pr").agg(
         F.min("p").alias("mn"), F.max("p").alias("mx")
     )
-    runs = sub.groupBy("doc_id", "rid").agg(
-        (F.max("mx") - F.min("mn") + k).cast("long").alias("run_tokens"),
-        F.sum(
-            F.when(F.col("rid_pr").isNotNull(), F.col("mx") - F.col("mn") + k).otherwise(0)
+    wc = W.partitionBy("doc_id").orderBy("mn").rowsBetween(W.unboundedPreceding, -1)
+    e = F.col("mx") + F.lit(k - 1)
+    prev_all = F.max("mx").over(wc) + F.lit(k - 1)
+    prev_pr = F.max(F.when(F.col("rid_pr").isNotNull(), F.col("mx"))).over(wc) + F.lit(
+        k - 1
+    )
+    cov = sub.select(
+        "doc_id",
+        "rid",
+        _interval_union_contrib(e, F.col("mn"), prev_all).alias("c_all"),
+        F.when(
+            F.col("rid_pr").isNotNull(),
+            _interval_union_contrib(e, F.col("mn"), prev_pr),
         )
-        .cast("long")
-        .alias("pr_tokens"),
+        .otherwise(F.lit(0))
+        .alias("c_pr"),
+    )
+    runs = cov.groupBy("doc_id", "rid").agg(
+        F.sum("c_all").cast("long").alias("cov_tokens"),
+        F.sum("c_pr").cast("long").alias("pr_tokens"),
     )
     # batch-grain output, order-insensitive compare: no presentation sort
     return runs.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_runs"),
-        F.sum("run_tokens").alias("dup_tokens"),
+        F.sum("cov_tokens").alias("dup_tokens"),
         F.sum("pr_tokens").alias("prior_tokens"),
     )
 
@@ -1022,12 +1217,15 @@ def compact_substring_store(spark: SparkSession, path: str) -> None:
     upserted by several batches collapses to ONE row keeping the
     earliest (doc, pos) holder (``min(first_key)``, the per-batch
     monoid), so flagging against the compacted store is bit-identical
-    to flagging against the full batch history.  Marker-preserving,
-    fails closed on a crash (replace_store)."""
+    to flagging against the full batch history.  Also the VACUUM step
+    of deletion propagation: grams whose summed occurrence count nets
+    to zero are physically purged here.  Marker-preserving, fails
+    closed on a crash (replace_store)."""
     rows = (
         spark.read.parquet(path)
         .groupBy(F.col("gb").cast("int").alias("gb"), "g")
-        .agg(F.min("first_key").alias("first_key"))
+        .agg(F.min("first_key").alias("first_key"), F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") > 0)
         .withColumn("batch", F.lit(0))
     )
     replace_store(
@@ -1047,13 +1245,15 @@ def _ensure_substring_store(spark: SparkSession, sf_dir: str, h: int) -> str:
     return path
 
 
-@query(
-    "substring_incremental_store",
-    oracle=f"""
+def _sstr_store_oracle(hist_filter: str = "") -> str:
+    """Oracle template for the gram-store variants: flagging is a pure
+    function of (history gram SET, batch); ``hist_filter`` narrows the
+    history side (the deletion variant passes the delete predicate)."""
+    return f"""
     WITH {_SSTR_GRAM_CTES},
     n AS (SELECT 3 * count(*) // 5 AS h FROM documents),
     hist AS MATERIALIZED (
-        SELECT DISTINCT g FROM grams, n WHERE doc_id < h
+        SELECT DISTINCT g FROM grams, n WHERE doc_id < h {hist_filter}
     ),
     bg AS MATERIALIZED (
         SELECT doc_id, p, key, g FROM grams, n WHERE doc_id >= h
@@ -1079,19 +1279,39 @@ def _ensure_substring_store(spark: SparkSession, sf_dir: str, h: int) -> str:
                min(p) AS mn, max(p) AS mx
         FROM iruns GROUP BY doc_id, rid, CASE WHEN pr THEN rid_pr END
     ),
-    r2 AS (
+    -- interval-UNION coverage (the substring_cov_rollup form): clamp
+    -- each sub-run's coverage [mn, mx + k - 1] past the running max end
+    -- of preceding intervals so overlaps count once (ADVICE r9)
+    covw AS (
+        SELECT doc_id, rid, rpr, mn, mx,
+               max(mx) OVER (PARTITION BY doc_id ORDER BY mn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pa,
+               max(CASE WHEN rpr IS NOT NULL THEN mx END)
+                   OVER (PARTITION BY doc_id ORDER BY mn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM sub
+    ),
+    contrib AS (
         SELECT doc_id, rid,
-               max(mx) - min(mn) + {_SSTR_K} AS run_tokens,
-               sum(CASE WHEN rpr IS NOT NULL
-                        THEN mx - mn + {_SSTR_K} ELSE 0 END) AS pr_tokens
-        FROM sub GROUP BY doc_id, rid
+               greatest(0, (mx + {_SSTR_K - 1})
+                   - greatest(mn, coalesce(pa + {_SSTR_K - 1}, -1) + 1) + 1) AS c_all,
+               CASE WHEN rpr IS NOT NULL THEN greatest(0, (mx + {_SSTR_K - 1})
+                   - greatest(mn, coalesce(pm + {_SSTR_K - 1}, -1) + 1) + 1)
+               ELSE 0 END AS c_pr
+        FROM covw
+    ),
+    r2 AS (
+        SELECT doc_id, rid, sum(c_all) AS cov_tokens, sum(c_pr) AS pr_tokens
+        FROM contrib GROUP BY doc_id, rid
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
-           CAST(sum(run_tokens) AS BIGINT) AS dup_tokens,
+           CAST(sum(cov_tokens) AS BIGINT) AS dup_tokens,
            CAST(sum(pr_tokens) AS BIGINT) AS prior_tokens
     FROM r2 GROUP BY doc_id
-    """,
-)
+    """
+
+
+@query("substring_incremental_store", oracle=_sstr_store_oracle())
 def substring_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact-substring dedup: flag the arriving batch (last
     40% of doc_ids) for repeated >= k-token spans against the PERSISTED
@@ -1104,3 +1324,255 @@ def substring_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") >= h
     )
     return flag_substring_frame(_sstr_grams(docs, _SSTR_K), path, max_batch=0)
+
+
+def delete_docs_from_substring_store(
+    spark: SparkSession, sf_dir: str, path: str, *, delete_pred, batch: int
+) -> str:
+    """Propagate a document deletion into the gram store: ONE negative
+    occurrence-count slice computed by gramming the deleted docs alone
+    — no history scan, no store rewrite (the fingerprint-store delete
+    shape at gram grain)."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        delete_pred
+    )
+    rows = (
+        _sstr_grams(docs, _SSTR_K)
+        .withColumn("gb", F.pmod(F.hash("g"), F.lit(_SSTR_BANDS)))
+        .groupBy("gb", "g")
+        .agg(
+            F.min("key").alias("first_key"),
+            (-F.count(F.lit(1))).cast("long").alias("cnt"),
+        )
+        .withColumn("batch", F.lit(int(batch)))
+    )
+    upsert_partitions(rows, path, partition_by=["gb", "batch"])
+    return path
+
+
+def _deleted_substring_store_path(sf_dir: str) -> str:
+    tag = content_tag(
+        table_path(sf_dir, "documents"), f"sstr-v{_SSTR_STORE_FORMAT}-deleted"
+    )
+    return os.path.join(scratch_root(), "substring_store_deleted", tag)
+
+
+def _ensure_deleted_substring_store(spark: SparkSession, sf_dir: str, h: int) -> str:
+    """History gram store (first 60%) with ``doc_id % 7 == 3`` deleted
+    through it as a negative occurrence slice; sequence-marker gated
+    (see :func:`_ensure_deleted_dedup_store`)."""
+    path = _deleted_substring_store_path(sf_dir)
+    done = os.path.join(path, "_SEQ_COMPLETE")
+    if not os.path.exists(done):
+        upsert_substring_batch(
+            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h
+        )
+        delete_docs_from_substring_store(
+            spark, sf_dir, path,
+            delete_pred=_delete_pred() & (F.col("doc_id") < h), batch=1,
+        )
+        with open(done, "w") as f:
+            f.write("ingest + delete complete\n")
+    return path
+
+
+@query(
+    "substring_store_delete",
+    oracle=_sstr_store_oracle(f"AND NOT ({_DEL_PRED_SQL})"),
+)
+def substring_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr flagging served AFTER deletion propagation: history
+    grams ingested, ``doc_id % 7 == 3`` deleted as one negative
+    occurrence slice, then the arriving batch flagged.  The oracle
+    replays flagging over the REDUCED history — a span repeated only
+    against forgotten content stops flagging, while grams still held by
+    surviving docs keep flagging (occurrence counts net out exactly)."""
+    h = _history_cutoff(spark, sf_dir)
+    path = _ensure_deleted_substring_store(spark, sf_dir, h)
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        F.col("doc_id") >= h
+    )
+    return flag_substring_frame(_sstr_grams(docs, _SSTR_K), path, max_batch=None)
+
+
+# --- doc-grain store deletes: perceptual and semantic (VERDICT r8
+# next #1).  Both reuse the tombstone helpers above; the queries prove
+# the served decision equals from-scratch flagging over the REDUCED
+# history. ---
+def purge_phash_store(spark: SparkSession, path: str) -> None:
+    """Physical purge: rewrite the block-posting store minus tombstones
+    (marker-preserving, fails closed — replace_store) and clear the
+    tombstone slices.  A crash between swap and clear is harmless: the
+    surviving tombstones anti-join against already-purged rows."""
+    rows = anti_tombstones(spark.read.parquet(path), path).select(
+        F.col("bi").cast("int").alias("bi"), "bv", "ph", "doc_id",
+        F.lit(0).alias("batch"),
+    )
+    replace_store(
+        rows, path, partition_by=["bi", "batch"],
+        marker_text=f"format={_PH_STORE_FORMAT}\n",
+    )
+    clear_tombstones(path)
+
+
+def _deleted_phash_store_path(sf_dir: str, *, vacuum: bool) -> str:
+    kind = "vacuumed" if vacuum else "deleted"
+    tag = content_tag(
+        table_path(sf_dir, "documents"), f"phash-v{_PH_STORE_FORMAT}-{kind}"
+    )
+    return os.path.join(scratch_root(), f"phash_store_{kind}", tag)
+
+
+def _ensure_deleted_phash_store(
+    spark: SparkSession, sf_dir: str, h: int, *, vacuum: bool
+) -> str:
+    path = _deleted_phash_store_path(sf_dir, vacuum=vacuum)
+    done = os.path.join(path, "_SEQ_COMPLETE")
+    if not os.path.exists(done):
+        upsert_phash_batch(
+            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h
+        )
+        deleted = load_table(spark, sf_dir, "documents", columns=["doc_id"]).filter(
+            _delete_pred() & (F.col("doc_id") < h)
+        )
+        upsert_tombstones(deleted, path, batch=0)
+        if vacuum:
+            purge_phash_store(spark, path)
+        with open(done, "w") as f:
+            f.write("ingest + delete%s complete\n" % (" + vacuum" if vacuum else ""))
+    return path
+
+
+@query(
+    "phash_store_delete",
+    oracle=_phash_store_oracle(f"AND NOT (f.{_DEL_PRED_SQL})"),
+)
+def phash_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual dedup served AFTER deletion propagation: history block
+    postings ingested, ``doc_id % 7 == 3`` tombstoned, the arriving
+    batch flagged against the reduced store.  Oracle = exhaustive
+    replay over the surviving history."""
+    h = _history_cutoff(spark, sf_dir)
+    path = _ensure_deleted_phash_store(spark, sf_dir, h, vacuum=False)
+    return flag_phash_batch_against_store(
+        spark, sf_dir, path, batch_pred=F.col("doc_id") >= h, max_batch=None
+    )
+
+
+@query(
+    "phash_store_delete_vacuum",
+    oracle=_phash_store_oracle(f"AND NOT (f.{_DEL_PRED_SQL})"),
+)
+def phash_store_delete_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same deletion physically PURGED (store rewritten minus
+    tombstones, tombstones cleared).  Shares ``phash_store_delete``'s
+    oracle — hash equality proves logical delete ≡ physical purge."""
+    h = _history_cutoff(spark, sf_dir)
+    path = _ensure_deleted_phash_store(spark, sf_dir, h, vacuum=True)
+    return flag_phash_batch_against_store(
+        spark, sf_dir, path, batch_pred=F.col("doc_id") >= h, max_batch=None
+    )
+
+
+def purge_semdedup_store(spark: SparkSession, path: str) -> None:
+    """Physical purge of the semantic store (see
+    :func:`purge_phash_store`); the ``_centroids`` sidecar rides through
+    the rewrite untouched (replace_store carries underscore entries)."""
+    rows = anti_tombstones(
+        spark.read.parquet(path), path, id_col="vec_id"
+    ).select(
+        "vec_id", "embedding",
+        F.col("cid").cast("long").alias("cid"), F.lit(0).alias("batch"),
+    )
+    replace_store(
+        rows, path, partition_by=["cid", "batch"],
+        marker_text=f"format={_SEM_STORE_FORMAT}\n",
+    )
+    clear_tombstones(path)
+
+
+def _deleted_sem_store_path(sf_dir: str) -> str:
+    tag = content_tag(
+        table_path(sf_dir, "embeddings"), f"semdedup-v{_SEM_STORE_FORMAT}-deleted"
+    )
+    return os.path.join(scratch_root(), "semdedup_store_deleted", tag)
+
+
+def _ensure_deleted_sem_store(spark: SparkSession, sf_dir: str, h: int) -> str:
+    path = _deleted_sem_store_path(sf_dir)
+    done = os.path.join(path, "_SEQ_COMPLETE")
+    if not os.path.exists(done):
+        init_semdedup_store(
+            spark, sf_dir, path,
+            seed_pred=(F.col("vec_id") % 64 == 0) & (F.col("vec_id") < h),
+        )
+        upsert_semdedup_batch(
+            spark, sf_dir, path, batch=0, batch_pred=F.col("vec_id") < h
+        )
+        deleted = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).filter(
+            (F.col("vec_id") % 7 == 3) & (F.col("vec_id") < h)
+        )
+        upsert_tombstones(deleted, path, batch=0, id_col="vec_id")
+        with open(done, "w") as f:
+            f.write("ingest + delete complete\n")
+    return path
+
+
+@query(
+    "semdedup_store_delete",
+    oracle=f"""
+    WITH nn AS (SELECT 3 * count(*) // 5 AS h FROM embeddings),
+    c AS MATERIALIZED (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings, nn
+        WHERE vec_id % 64 = 0 AND vec_id < h
+    ),
+    a AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN c
+        ) WHERE rn = 1
+    ),
+    hist AS (SELECT a.cid, a.vec_id FROM a, nn
+             WHERE vec_id < h AND NOT (vec_id % 7 = 3)),
+    batch AS MATERIALIZED (SELECT a.cid, a.vec_id FROM a, nn WHERE vec_id >= h),
+    prior AS (
+        SELECT DISTINCT y.vec_id
+        FROM hist x JOIN batch y ON x.cid = y.cid
+        JOIN embeddings e1 ON e1.vec_id = x.vec_id
+        JOIN embeddings e2 ON e2.vec_id = y.vec_id
+        WHERE {_SEM_COS_SQL} >= {_SEM_TAU}
+    ),
+    inb AS (
+        SELECT DISTINCT y.vec_id
+        FROM batch x JOIN batch y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        JOIN embeddings e1 ON e1.vec_id = x.vec_id
+        JOIN embeddings e2 ON e2.vec_id = y.vec_id
+        WHERE {_SEM_COS_SQL} >= {_SEM_TAU}
+    )
+    SELECT b.vec_id, b.cid,
+           p.vec_id IS NOT NULL AS dup_prior,
+           i.vec_id IS NOT NULL AS dup_in_batch,
+           NOT (p.vec_id IS NOT NULL OR i.vec_id IS NOT NULL) AS keep
+    FROM batch b
+    LEFT JOIN prior p ON p.vec_id = b.vec_id
+    LEFT JOIN inb i ON i.vec_id = b.vec_id
+    ORDER BY b.vec_id
+    """,
+)
+def semdedup_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup served AFTER deletion propagation: history vectors
+    ingested against the frozen centroids, ``vec_id % 7 == 3``
+    tombstoned, the arriving batch flagged — a deleted near-copy no
+    longer blocks new arrivals.  The frozen centroid set is quantizer
+    geometry and is deliberately NOT retrained by deletes (the FAISS
+    delete contract; the drift audit + invalidate path owns retraining),
+    which the oracle replays by seeding from the full history prefix."""
+    h = _sem_history_cutoff(spark, sf_dir)
+    path = _ensure_deleted_sem_store(spark, sf_dir, h)
+    return flag_semdedup_batch(
+        spark, sf_dir, path, batch_pred=F.col("vec_id") >= h
+    )

@@ -54,6 +54,7 @@ from columnflow_spark.functions.text import (
 )
 from columnflow_spark.queries import query
 from columnflow_spark.sources import load_table, spread
+from columnflow_spark.session import session_key
 
 JACCARD_THRESHOLD = 0.8
 
@@ -109,7 +110,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: full-corpus pass) and candidate generation / verification / clustering
 #: all reuse it.  localCheckpoint stands in for the persisted table on a
 #: long-lived session: doc_id + ~sz longs per doc, far smaller than text.
-_GRAMS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_GRAMS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def hashed_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,7 +131,7 @@ def hashed_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     collide: P ~ n²/2^65, irrelevant below ~10^8 distinct shingles; the
     exact-string form is the fallback above.)
     """
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     g = _GRAMS_CACHE.get(key)
     if g is None:
         docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
@@ -164,13 +165,13 @@ def hashed_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: join sides are all cheap projections over it; without materialization
 #: each reference re-runs the signature aggregation (the broadcast size
 #: count lives in a separate subtree, so ReuseExchange cannot collapse it).
-_SIGS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SIGS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(doc_id, sig)``: 32-permutation MinHash signatures, materialized
     once per session from the shared hashed-shingle table."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     s = _SIGS_CACHE.get(key)
     if s is None:
         g = hashed_grams(spark, sf_dir)
@@ -184,14 +185,14 @@ def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: same role for SimHash: one 64-bit fingerprint per doc, materialized so
 #: the md5-shingle vote pass (the expensive projection) runs once per
 #: session instead of once per plan reference.
-_SIMHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SIMHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(doc_id, sh)``: 60-bit md5-family SimHash fingerprints (the
     engine-portable hash family — see functions/hashing.py), materialized
     once per session."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     t = _SIMHASH_CACHE.get(key)
     if t is None:
         docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
@@ -868,6 +869,15 @@ def _ivf_cents(emb: DataFrame) -> DataFrame:
 _IVF_ROUTE_CACHE: dict = {}
 
 
+def _pred_fingerprint(pred) -> str:
+    """Canonical fingerprint of a batch-selecting Column predicate: the
+    JVM expression string (`str(Column)` renders the resolved-ish
+    expression tree, e.g. ``Column<'((vec_id % 100) = 7)'>``), which is
+    identical for structurally-equal predicates and differs whenever the
+    selected batch could."""
+    return "default" if pred is None else str(pred)
+
+
 def ivf_probe_route(
     spark: SparkSession,
     sf_dir: str,
@@ -878,9 +888,14 @@ def ivf_probe_route(
 ) -> list[tuple[int, int]]:
     """Collected ``(query_id, cid)`` probe route for a query batch — the
     bounded driver artifact every index-served search starts from;
-    cached when the caller names its batch via ``route_key`` (callers
-    MUST key on everything that selects the batch)."""
-    key = None if route_key is None else (id(spark), sf_dir, route_key, n_probe)
+    cached when the caller names its batch via ``route_key``.  The key
+    folds in the predicate's canonical expression string, so a caller
+    reusing an existing route_key with a DIFFERENT predicate misses the
+    cache instead of silently serving the wrong batch's route (ADVICE
+    r8 — the docstring contract alone was the only guard)."""
+    key = None if route_key is None else (
+        session_key(spark), sf_dir, route_key, n_probe, _pred_fingerprint(query_pred)
+    )
     if key is not None and key in _IVF_ROUTE_CACHE:
         return _IVF_ROUTE_CACHE[key]
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
@@ -906,7 +921,7 @@ _PQ_LUT_CACHE: dict = {}
 def pq_query_lut_cached(
     spark: SparkSession, sf_dir: str, query_pred, *, lut_key
 ) -> DataFrame:
-    key = (id(spark), sf_dir, lut_key)
+    key = (session_key(spark), sf_dir, lut_key, _pred_fingerprint(query_pred))
     hit = _PQ_LUT_CACHE.get(key)
     if hit is None:
         rows = [
@@ -2069,12 +2084,32 @@ def _sstr_marked(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
     )
 
 
+def _interval_union_contrib(e_col, mn_col, prev_max_e):
+    """Per-interval contribution to the UNION length of coverage
+    intervals ``[mn, e]`` sorted by ``mn`` within a doc: clamp each
+    interval's start past the running max end of every PRECEDING
+    interval, so overlapping coverage is counted once.  ``prev_max_e``
+    is a preceding-rows-exclusive window max of ``e`` (NULL on the
+    first row — positions are >= 0, so -1 is a safe sentinel)."""
+    start = F.greatest(mn_col, F.coalesce(prev_max_e, F.lit(-1)) + F.lit(1))
+    return F.greatest(F.lit(0), e_col - start + F.lit(1))
+
+
 def substring_dup_runs_frame(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
     """Per-document maximal duplicated-substring runs over ``docs``
-    (``doc_id``, ``text``): ``n_runs``, ``dup_tokens`` (tokens covered
-    by any >= k-token repeat), ``max_run_tokens``, and
-    ``removed_tokens`` (coverage of non-FIRST occurrences — what
-    keep-first ExactSubstr removal would delete)."""
+    (``doc_id``, ``text``): ``n_runs``, ``dup_tokens`` (UNION of tokens
+    covered by any >= k-token repeat), ``max_run_tokens`` (longest
+    single run's extent), and ``removed_tokens`` (UNION of tokens
+    covered by non-FIRST occurrences — EXACTLY what keep-first
+    ExactSubstr removal deletes, so per doc ``removed_tokens ==
+    n_tokens - n_tokens_kept`` of :func:`substring_rewrite_frame`; the
+    invariant is pinned in tests).  Both coverage columns are interval
+    UNIONS: a sub-run's coverage ``[mn, mx + k - 1]`` overlaps its
+    neighbor's whenever the position gap is < k (interleaved first /
+    non-first segments inside a run, or adjacent runs separated by < k
+    non-dup positions), and the r8 per-extent sums double-counted the
+    overlap — removed_tokens could exceed the document length (ADVICE
+    r9)."""
     marked = _sstr_marked(docs, k)
     # three-level rollup in ONE pass (a branched agg_all/agg_rm plan
     # recomputes the gram join + window per branch — 2x the corpus
@@ -2083,24 +2118,43 @@ def substring_dup_runs_frame(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
     # first-occurrence positions, so the sub-island level keeps removed
     # sub-runs separate while the null group rides along; consecutive nf
     # positions are always inside one all-run, so (rid, rid_rm) segments
-    # equal the nf-only islands.  Every level is satisfied by the
-    # window's doc_id clustering — zero additional exchanges.
+    # equal the nf-only islands.  Every level (including the coverage
+    # window below) is satisfied by the marked window's doc_id
+    # clustering — zero additional exchanges, one added in-partition
+    # sort.  Sub-runs partition each run's positions contiguously, so
+    # the union over sub-run coverages equals the union over runs.
     sub = marked.groupBy("doc_id", "rid", "rid_rm").agg(
         F.min("p").alias("mn"), F.max("p").alias("mx")
     )
-    runs = sub.groupBy("doc_id", "rid").agg(
-        (F.max("mx") - F.min("mn") + k).cast("long").alias("run_tokens"),
-        F.sum(
-            F.when(F.col("rid_rm").isNotNull(), F.col("mx") - F.col("mn") + k).otherwise(0)
+    wc = W.partitionBy("doc_id").orderBy("mn").rowsBetween(W.unboundedPreceding, -1)
+    e = F.col("mx") + F.lit(k - 1)
+    prev_all = F.max("mx").over(wc) + F.lit(k - 1)
+    prev_rm = F.max(F.when(F.col("rid_rm").isNotNull(), F.col("mx"))).over(wc) + F.lit(
+        k - 1
+    )
+    cov = sub.select(
+        "doc_id",
+        "rid",
+        "mn",
+        "mx",
+        _interval_union_contrib(e, F.col("mn"), prev_all).alias("c_all"),
+        F.when(
+            F.col("rid_rm").isNotNull(),
+            _interval_union_contrib(e, F.col("mn"), prev_rm),
         )
-        .cast("long")
-        .alias("rm_tokens"),
+        .otherwise(F.lit(0))
+        .alias("c_rm"),
+    )
+    runs = cov.groupBy("doc_id", "rid").agg(
+        (F.max("mx") - F.min("mn") + k).cast("long").alias("run_tokens"),
+        F.sum("c_all").cast("long").alias("cov_tokens"),
+        F.sum("c_rm").cast("long").alias("rm_tokens"),
     )
     return (
         runs.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_runs"),
-            F.sum("run_tokens").alias("dup_tokens"),
+            F.sum("cov_tokens").alias("dup_tokens"),
             F.max("run_tokens").alias("max_run_tokens"),
             F.sum("rm_tokens").alias("removed_tokens"),
         )
@@ -2147,26 +2201,43 @@ _SSTR_CTES = f"""{_SSTR_GRAM_CTES},
     "dedup_substring_runs",
     oracle=f"""
     WITH {_SSTR_CTES},
-    agg_all AS (
-        SELECT doc_id, count(*) AS n_runs,
-               CAST(sum(run_tokens) AS BIGINT) AS dup_tokens,
-               CAST(max(run_tokens) AS BIGINT) AS max_run_tokens
-        FROM (
-            SELECT doc_id, rid, max(p) - min(p) + {_SSTR_K} AS run_tokens
-            FROM runs GROUP BY doc_id, rid
-        ) GROUP BY doc_id
+    sub AS (
+        SELECT doc_id, rid, CASE WHEN nf THEN rid_rm END AS rm,
+               min(p) AS mn, max(p) AS mx
+        FROM runs GROUP BY doc_id, rid, CASE WHEN nf THEN rid_rm END
     ),
-    agg_rm AS (
-        SELECT doc_id, CAST(sum(mx - mn + {_SSTR_K}) AS BIGINT) AS removed_tokens
-        FROM (
-            SELECT doc_id, rid_rm, max(p) AS mx, min(p) AS mn
-            FROM runs WHERE nf GROUP BY doc_id, rid_rm
-        ) GROUP BY doc_id
+    -- interval-UNION coverage (the engine's clamped-contribution form):
+    -- each sub-run's coverage [mn, mx + k - 1] starts past the running
+    -- max end of every preceding interval, so overlaps count once
+    covw AS (
+        SELECT doc_id, rid, rm, mn, mx,
+               max(mx) OVER (PARTITION BY doc_id ORDER BY mn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pa,
+               max(CASE WHEN rm IS NOT NULL THEN mx END)
+                   OVER (PARTITION BY doc_id ORDER BY mn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM sub
+    ),
+    contrib AS (
+        SELECT doc_id, rid, mn, mx,
+               greatest(0, (mx + {_SSTR_K - 1})
+                   - greatest(mn, coalesce(pa + {_SSTR_K - 1}, -1) + 1) + 1) AS c_all,
+               CASE WHEN rm IS NOT NULL THEN greatest(0, (mx + {_SSTR_K - 1})
+                   - greatest(mn, coalesce(pm + {_SSTR_K - 1}, -1) + 1) + 1)
+               ELSE 0 END AS c_rm
+        FROM covw
+    ),
+    r2 AS (
+        SELECT doc_id, rid, max(mx) - min(mn) + {_SSTR_K} AS run_tokens,
+               sum(c_all) AS cov_tokens, sum(c_rm) AS rm_tokens
+        FROM contrib GROUP BY doc_id, rid
     )
-    SELECT a.doc_id, a.n_runs, a.dup_tokens, a.max_run_tokens,
-           COALESCE(r.removed_tokens, 0) AS removed_tokens
-    FROM agg_all a LEFT JOIN agg_rm r USING (doc_id)
-    ORDER BY a.doc_id
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(sum(cov_tokens) AS BIGINT) AS dup_tokens,
+           CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
+           CAST(sum(rm_tokens) AS BIGINT) AS removed_tokens
+    FROM r2 GROUP BY doc_id
+    ORDER BY doc_id
     """,
 )
 def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3191,7 +3262,7 @@ def _pq_train_np(spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS):
     float64), cached per (session, dir, iters)."""
     import numpy as np  # noqa: PLC0415
 
-    key = (id(spark), sf_dir, iters)
+    key = (session_key(spark), sf_dir, iters)
     cached = _PQ_CB_CACHE.get(key)
     if cached is not None:
         return cached
@@ -3509,14 +3580,20 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: persisted index must produce bit-identical search results, so both
 #: register the same SQL replay.
 def ivfpq_adc_ctes(
-    query_pred_sql: str = "vec_id %% 100 = 7", n_probe: int = 2, topk: int = 5
+    query_pred_sql: str = "vec_id %% 100 = 7",
+    n_probe: int = 2,
+    topk: int = 5,
+    cand_filter_sql: str = "",
 ) -> str:
     """SQL CTE chain (no leading ``WITH``) replaying the probed IVF+PQ
     ADC search, ending at ``ivf_rank(query_id, neighbor_id, adc_dist,
     rk)``.  ``query_pred_sql`` is a predicate template over the
     placeholder ``%s`` (substituted with the qualified vec_id column) so
     composite oracles (``hybrid_search_rrf_indexed``) can swap the probe
-    batch; defaults reproduce ``IVFPQ_ORACLE`` exactly."""
+    batch; ``cand_filter_sql`` narrows the CANDIDATE side (the index-
+    deletion oracle excludes tombstoned vectors, e.g. ``"AND NOT
+    (a.vec_id % 7 = 3)"``); defaults reproduce ``IVFPQ_ORACLE``
+    exactly."""
     q_pred = query_pred_sql.replace("%s", "q.vec_id").replace("%%", "%")
     t_pred = query_pred_sql.replace("%s", "t.vec_id").replace("%%", "%")
     return f"""{_pq_train_ctes()},
@@ -3554,7 +3631,7 @@ def ivfpq_adc_ctes(
     cand AS (
         SELECT p.query_id, a.vec_id
         FROM probes p JOIN assign a ON a.cid = p.cid
-        WHERE a.vec_id <> p.query_id
+        WHERE a.vec_id <> p.query_id {cand_filter_sql}
     ),
     adc AS (
         SELECT c.query_id, b.vec_id AS neighbor_id,
@@ -4453,7 +4530,7 @@ def multimodal_canonical_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over every doc in-row: one corpus scan, zero shuffle. ---
 _BPE_ROUNDS = 6
 _BPE_DRIVER_CAP = 100_000
-_BPE_MERGE_CACHE: dict[tuple[int, str], list[tuple[str, str, int]]] = {}
+_BPE_MERGE_CACHE: dict[tuple[str, str], list[tuple[str, str, int]]] = {}
 
 
 def _bpe_train_rows(rows: list[tuple[int, str]]) -> list[tuple[str, str, int]]:
@@ -4551,7 +4628,7 @@ def _bpe_words(df: DataFrame) -> DataFrame:
 
 def bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
     """Learn ``_BPE_ROUNDS`` merges; returns [(a, b, weighted_count)]."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     cached = _BPE_MERGE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -4872,7 +4949,7 @@ def _tf_feat_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (session, corpus) and checkpointed — every training round and the
     threshold pass read ~``_TF_D + 1`` doubles per doc instead of
     re-running the bucket-count scan over the text column."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     f = _TF_FEAT_CACHE.get(key)
     if f is None:
         docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
@@ -5355,7 +5432,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: per-(session, dir) principal axes (numpy d x k) — the PCA model is a
 #: bounded artifact (64 x 4 doubles) derived from the covariance table,
 #: like a trained codebook
-_PCA_MODEL_CACHE: dict[tuple[int, str], object] = {}
+_PCA_MODEL_CACHE: dict[tuple[str, str], object] = {}
 _PCA_K = 4
 
 
@@ -5365,7 +5442,7 @@ def pca_components(spark: SparkSession, sf_dir: str):
     fixed so each component's largest-|.|. entry is positive."""
     import numpy as np  # noqa: PLC0415
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     cached = _PCA_MODEL_CACHE.get(key)
     if cached is not None:
         return cached
@@ -5511,13 +5588,13 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: per-(session, dir) trained IVF centroid set — the Lloyd-trained
 #: counterpart of _ivf_cents' seeded cells, built once per session
-_IVF_TRAINED_CACHE: dict[tuple[int, str], list] = {}
+_IVF_TRAINED_CACHE: dict[tuple[str, str], list] = {}
 
 
 def _ivf_trained_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnflow_spark.functions.similarity import kmeans_fit
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     rows = _IVF_TRAINED_CACHE.get(key)
     if rows is None:
         emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -6009,7 +6086,7 @@ _ULM_SEED = 64
 _ULM_PRUNE = 32
 _ULM_ROUNDS = 2
 _ULM_GRID = 1_000_000
-_ULM_CACHE: dict = {}  # (id(spark), sf_dir) -> [(piece, cnt, score_q)]
+_ULM_CACHE: dict = {}  # (session_key(spark), sf_dir) -> [(piece, cnt, score_q)]
 
 
 def _ulm_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6163,7 +6240,7 @@ def unigram_train_rows(
 
 
 def _ulm_vocab(spark: SparkSession, sf_dir: str) -> list[tuple[str, int, int]]:
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     cached = _ULM_CACHE.get(key)
     if cached is None:
         cached = unigram_train_rows(spark, _ulm_word_counts(spark, sf_dir))

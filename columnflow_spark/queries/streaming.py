@@ -1618,13 +1618,25 @@ from columnflow_spark.queries.mmdata import _SSTR_K as _SSK  # noqa: E402
                p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rid
         FROM dup
     ),
-    r2 AS (
-        SELECT doc_id, rid, max(p) - min(p) + {_SSK} AS run_tokens
+    r1 AS (
+        SELECT doc_id, rid, min(p) AS mn, max(p) AS mx
         FROM iruns GROUP BY doc_id, rid
+    ),
+    -- interval-UNION coverage: adjacent runs closer than k positions
+    -- have overlapping coverage [mn, mx + k - 1]; clamp contributions
+    -- past the running max end so the overlap counts once (ADVICE r9,
+    -- the substring_cov_rollup form the sink computes)
+    contrib AS (
+        SELECT doc_id,
+               greatest(0, (mx + {_SSK - 1}) - greatest(mn, coalesce(
+                   max(mx) OVER (PARTITION BY doc_id ORDER BY mn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   + {_SSK - 1}, -1) + 1) + 1) AS c_all
+        FROM r1
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
-           CAST(sum(run_tokens) AS BIGINT) AS dup_tokens
-    FROM r2 GROUP BY doc_id
+           CAST(sum(c_all) AS BIGINT) AS dup_tokens
+    FROM contrib GROUP BY doc_id
     """,
 )
 def streaming_substring_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -156,6 +156,49 @@ def replace_store(
     shutil.rmtree(old)
 
 
+# --- tombstone primitives for DOC-GRAIN incremental stores (phash block
+# postings, semantic vectors, the IVF+PQ index — queries/dedupstore.py,
+# queries/annindex.py): rows carry their doc/vec id, so a deletion is a
+# bounded id slice under ``_deleted/batch=<n>`` (idempotent per batch id)
+# anti-joined at serve time.  Tombstone sets are compliance-batch sized —
+# broadcast by construction; the periodic compaction rewrites the store
+# minus tombstones and clears them (logical delete -> physical purge,
+# the vacuum).  Content-grain stores (exact fingerprints, substring
+# grams) use negative count slices instead — see queries/dedupstore.py. ---
+def upsert_tombstones(
+    ids: DataFrame, path: str, *, batch: int, id_col: str = "doc_id"
+) -> None:
+    """Record a deleted-id set as the store's ``_deleted/batch=<n>``
+    slice (distinct ids only — re-running a delete batch overwrites
+    exactly its own slice)."""
+    rows = ids.select(F.col(id_col)).distinct().withColumn("batch", F.lit(int(batch)))
+    upsert_partitions(rows, os.path.join(path, "_deleted"), partition_by=["batch"])
+
+
+def read_tombstones(
+    spark: SparkSession, path: str, *, id_col: str = "doc_id"
+) -> DataFrame | None:
+    p = os.path.join(path, "_deleted")
+    if not os.path.exists(p):
+        return None
+    return spark.read.parquet(p).select(id_col).distinct()
+
+
+def anti_tombstones(store: DataFrame, path: str, *, id_col: str = "doc_id") -> DataFrame:
+    """Serve-time delete mask: store rows minus the tombstoned ids (a
+    broadcast anti-join — the id list is compliance-batch sized, never
+    corpus-grain; unbounded tombstone growth is what the purging
+    compaction bounds)."""
+    t = read_tombstones(store.sparkSession, path, id_col=id_col)
+    if t is None:
+        return store
+    return store.join(F.broadcast(t), id_col, "left_anti")
+
+
+def clear_tombstones(path: str) -> None:
+    shutil.rmtree(os.path.join(path, "_deleted"), ignore_errors=True)
+
+
 def write_json_lines(
     df: DataFrame,
     path: str,

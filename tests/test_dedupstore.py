@@ -414,3 +414,165 @@ def test_substring_store_layout_invariance_and_idempotency(spark, sf_dir, tmp_pa
     assert batches == {"batch=0"}
     d = sorted(map(tuple, flag_substring_frame(bg, two).collect()))
     assert d == a
+
+
+# --- deletion propagation (round 9) ---
+def _mini_store(spark, tmp_path, name, texts):
+    """Build a fingerprint store from an in-memory (doc_id, text) list."""
+    from columnflow_spark.queries.dedupstore import (
+        doc_fingerprints,
+        upsert_fingerprints,
+    )
+
+    path = str(tmp_path / name)
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    upsert_fingerprints(doc_fingerprints(docs), path, batch=0)
+    return path, docs
+
+
+def _flag(docs, path):
+    from columnflow_spark.queries.dedupstore import (
+        doc_fingerprints,
+        flag_fingerprints_against_store,
+    )
+
+    return sorted(
+        (r.doc_id, r.dup_prior)
+        for r in flag_fingerprints_against_store(
+            doc_fingerprints(docs), path
+        ).collect()
+    )
+
+
+def test_delete_partial_holder_keeps_flagging(spark, tmp_path):
+    """Right-to-be-forgotten semantics at content grain: deleting ONE of
+    two holders of identical text must NOT stop the fingerprint from
+    flagging (the content legitimately survives via the other doc);
+    deleting both must."""
+    from columnflow_spark.queries.dedupstore import (
+        doc_fingerprints,
+        delete_docs_from_dedup_store,
+    )
+
+    path, _ = _mini_store(
+        spark, tmp_path, "s", [(1, "shared text"), (2, "shared text"), (3, "solo")]
+    )
+    probe = spark.createDataFrame(
+        [(100, "shared text"), (101, "solo")], "doc_id long, text string"
+    )
+
+    def _del(ids, batch):
+        docs = spark.createDataFrame(
+            [(i, "shared text" if i in (1, 2) else "solo") for i in ids],
+            "doc_id long, text string",
+        )
+        rows = (
+            doc_fingerprints(docs)
+            .groupBy("band", "fingerprint")
+            .agg(
+                F.min("doc_id").alias("first_doc"),
+                (-F.count(F.lit(1))).cast("long").alias("cnt"),
+            )
+            .withColumn("batch", F.lit(batch))
+        )
+        from columnflow_spark.sources.sinks import upsert_partitions
+
+        upsert_partitions(rows, path, partition_by=["band", "batch"])
+
+    assert _flag(probe, path) == [(100, True), (101, True)]
+    _del([1], 1)  # one holder gone, the other survives
+    assert _flag(probe, path) == [(100, True), (101, True)]
+    _del([2], 2)  # last holder gone -> fully forgotten
+    assert _flag(probe, path) == [(100, False), (101, True)]
+    assert delete_docs_from_dedup_store is not None  # API surface exists
+
+
+def test_delete_is_idempotent_per_batch_id(spark, sf_dir, tmp_path, thirds):
+    """Re-running a delete batch overwrites exactly its own slice: the
+    flagging decision after delete-twice(batch=1) equals delete-once."""
+    from columnflow_spark.queries.dedupstore import (
+        delete_docs_from_dedup_store,
+    )
+
+    a, _ = thirds
+    path = str(tmp_path / "store")
+    upsert_dedup_batch(spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < a)
+    pred = (F.col("doc_id") % 7 == 3) & (F.col("doc_id") < a)
+    delete_docs_from_dedup_store(spark, sf_dir, path, delete_pred=pred, batch=1)
+    once = _rows(
+        flag_batch_against_store(
+            spark, sf_dir, path, batch_pred=F.col("doc_id") >= a, max_batch=None
+        )
+    )
+    delete_docs_from_dedup_store(spark, sf_dir, path, delete_pred=pred, batch=1)
+    twice = _rows(
+        flag_batch_against_store(
+            spark, sf_dir, path, batch_pred=F.col("doc_id") >= a, max_batch=None
+        )
+    )
+    assert once == twice
+
+
+def test_vacuum_purges_net_zero_rows_physically(spark, tmp_path):
+    """Compaction after a full delete removes the fingerprint ROW, not
+    just its visibility — the compliance guarantee that forgotten
+    content's digest leaves the store."""
+    from columnflow_spark.queries.dedupstore import (
+        compact_dedup_store,
+        doc_fingerprints,
+    )
+    from columnflow_spark.sources.sinks import upsert_partitions
+
+    path, _ = _mini_store(spark, tmp_path, "s", [(1, "gone"), (2, "stays")])
+    ddocs = spark.createDataFrame([(1, "gone")], "doc_id long, text string")
+    neg = (
+        doc_fingerprints(ddocs)
+        .groupBy("band", "fingerprint")
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            (-F.count(F.lit(1))).cast("long").alias("cnt"),
+        )
+        .withColumn("batch", F.lit(1))
+    )
+    upsert_partitions(neg, path, partition_by=["band", "batch"])
+    compact_dedup_store(spark, path)
+    left = spark.read.parquet(path).select("fingerprint").collect()
+    assert len(left) == 1  # only "stays" survives physically
+
+
+def test_tombstone_vacuum_clears_and_stays_equal(spark, sf_dir, tmp_path):
+    """Doc-grain path: phash purge rewrites minus tombstones, clears the
+    tombstone slices, and flagging is unchanged."""
+    import os
+
+    from columnflow_spark.queries.dedupstore import (
+        _history_cutoff,
+        flag_phash_batch_against_store,
+        purge_phash_store,
+        upsert_phash_batch,
+    )
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.sinks import upsert_tombstones
+
+    h = _history_cutoff(spark, sf_dir)
+    path = str(tmp_path / "ph")
+    upsert_phash_batch(spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h)
+    deleted = load_table(spark, sf_dir, "documents", columns=["doc_id"]).filter(
+        (F.col("doc_id") % 7 == 3) & (F.col("doc_id") < h)
+    )
+    upsert_tombstones(deleted, path, batch=0)
+    before = sorted(
+        (r.doc_id, r.dup_prior)
+        for r in flag_phash_batch_against_store(
+            spark, sf_dir, path, batch_pred=F.col("doc_id") >= h
+        ).collect()
+    )
+    purge_phash_store(spark, path)
+    assert not os.path.exists(os.path.join(path, "_deleted"))
+    after = sorted(
+        (r.doc_id, r.dup_prior)
+        for r in flag_phash_batch_against_store(
+            spark, sf_dir, path, batch_pred=F.col("doc_id") >= h
+        ).collect()
+    )
+    assert before == after

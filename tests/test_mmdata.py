@@ -408,3 +408,126 @@ def test_substring_rewrite_planted_union_coverage(spark):
 
     assert out[2]["text_md5"] == hashlib.md5(b"x y z").hexdigest()
     assert out[4]["text_md5"] == hashlib.md5(b"m0 m1 mm").hexdigest()
+
+
+def test_probe_route_and_lut_cache_key_on_predicate(spark, sf_dir):
+    """Reusing an existing route_key/lut_key with a DIFFERENT predicate
+    must miss the cache and route the new batch, not serve the stale
+    artifact (ADVICE r8 — previously only a docstring contract)."""
+    from pyspark.sql import functions as F
+
+    from columnflow_spark.queries.mmdata import ivf_probe_route, pq_query_lut_cached
+
+    key = ("cache-key-regression", 0)
+    a = ivf_probe_route(
+        spark, sf_dir, query_pred=F.col("vec_id") % 100 == 7, route_key=key
+    )
+    b = ivf_probe_route(
+        spark, sf_dir, query_pred=F.col("vec_id") % 100 == 13, route_key=key
+    )
+    assert a and b
+    assert all(q % 100 == 7 for q, _ in a)
+    assert all(q % 100 == 13 for q, _ in b)
+    la = pq_query_lut_cached(
+        spark, sf_dir, F.col("vec_id") % 100 == 7, lut_key=key
+    )
+    lb = pq_query_lut_cached(
+        spark, sf_dir, F.col("vec_id") % 100 == 13, lut_key=key
+    )
+    qa = {r.query_id for r in la.select("query_id").distinct().collect()}
+    qb = {r.query_id for r in lb.select("query_id").distinct().collect()}
+    assert qa and all(q % 100 == 7 for q in qa)
+    assert qb and all(q % 100 == 13 for q in qb)
+
+
+def test_session_cache_key_is_application_scoped(spark):
+    """Driver-side caches key on the application id (unique per context,
+    embeds start time) — never id(spark), which CPython can recycle
+    after a torn-down session is collected (VERDICT r8)."""
+    from columnflow_spark.session import session_key
+
+    k = session_key(spark)
+    assert isinstance(k, str) and k == spark.sparkContext.applicationId
+
+
+def test_substring_runs_union_coverage_overlaps(spark):
+    """ADVICE r9 repro: interleaved nf/first/nf positions inside one
+    maximal run (and adjacent runs closer than k) have OVERLAPPING
+    coverage intervals — the per-extent sums double-counted them, so
+    removed_tokens could exceed the document length.  Both coverage
+    columns are interval unions now."""
+    from columnflow_spark.queries.mmdata import _SSTR_K, substring_dup_runs_frame
+
+    k = _SSTR_K
+    t = [f"t{i}" for i in range(10)]
+    g0, g1, g2 = " ".join(t[0:k]), " ".join(t[1:k + 1]), " ".join(t[2:k + 2])
+    docs = spark.createDataFrame(
+        [
+            # doc 1 holds g0 and g2 first, NOT g1 (the X breaks it)
+            (1, g0 + " X " + g2),
+            # doc 10: positions 0 (nf), 1 (first holder of g1), 2 (nf)
+            (10, " ".join(t)),
+            # doc 20: later holder of g1 -> makes g1 duplicated
+            (20, g1),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in substring_dup_runs_frame(docs, k).collect()}
+    # doc 10: ONE maximal run over positions 0..2; dup coverage is the
+    # union [0, 9] = 10 tokens; removal deletes [0,7] u [2,9] = all 10
+    # (the r8 per-extent sum reported 16 — more tokens than the doc has)
+    assert out[10]["n_runs"] == 1
+    assert out[10]["dup_tokens"] == 10
+    assert out[10]["removed_tokens"] == 10
+    # doc 20 is a pure later copy of g1 -> fully removed
+    assert out[20]["removed_tokens"] == k
+
+
+def test_substring_runs_cross_run_gap_union(spark):
+    """Two maximal runs separated by < k non-dup positions have
+    overlapping coverage; dup_tokens is their union, never more than
+    the document's token count."""
+    from columnflow_spark.queries.mmdata import _SSTR_K, substring_dup_runs_frame
+
+    k = _SSTR_K
+    t = [f"u{i}" for i in range(10)]
+    g0, g2 = " ".join(t[0:k]), " ".join(t[2:k + 2])
+    docs = spark.createDataFrame(
+        [
+            (1, g0 + " Y " + g2),  # first holder of g0 and g2
+            (10, " ".join(t)),  # positions 0 and 2 dup, 1 not (g1 unique)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in substring_dup_runs_frame(docs, k).collect()}
+    # two runs ({0} and {2}), coverages [0,7] and [2,9]: union = 10
+    assert out[10]["n_runs"] == 2
+    assert out[10]["dup_tokens"] == 10  # r8 reported 16
+    assert out[10]["removed_tokens"] == 10
+
+
+def test_substring_removed_equals_rewrite_delta(spark, sf_dir):
+    """The coverage-union contract: per doc, removed_tokens of the runs
+    frame == n_tokens - n_tokens_kept of the rewrite, corpus-wide."""
+    from pyspark.sql import functions as F
+
+    from columnflow_spark.queries.mmdata import (
+        _SSTR_K,
+        _sstr_words,
+        substring_dup_runs_frame,
+        substring_rewrite_frame,
+    )
+    from columnflow_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    runs = substring_dup_runs_frame(docs, _SSTR_K).select("doc_id", "removed_tokens")
+    rew = substring_rewrite_frame(docs, _SSTR_K).select("doc_id", "n_tokens_kept")
+    ntok = docs.select("doc_id", F.size(_sstr_words(_SSTR_K)).cast("long").alias("n"))
+    bad = (
+        ntok.join(rew, "doc_id")
+        .join(runs, "doc_id", "left")
+        .withColumn("rm", F.coalesce("removed_tokens", F.lit(0)))
+        .filter(F.col("n") - F.col("n_tokens_kept") != F.col("rm"))
+        .count()
+    )
+    assert bad == 0

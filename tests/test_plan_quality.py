@@ -411,6 +411,13 @@ _CORPUS_HINT_QUERIES = (
     # (filtered scan -> gram-keyed aggregate; the history side must stay
     # un-shuffled under the semi join) and the bounded hit set
     "substring_incremental_store",
+    # r9 deletion propagation: the delete variants add tombstone / batch-
+    # set broadcasts (compliance-batch sized by contract; the purging
+    # compaction bounds cumulative growth)
+    "substring_store_delete",
+    "phash_store_delete",
+    "semdedup_store_delete",
+    "ann_index_delete_topk",
 )
 
 _DOC_GRAIN_KEY = __import__("re").compile(r"\b(doc_id|dg|fp)#")
@@ -420,7 +427,13 @@ _DOC_GRAIN_KEY = __import__("re").compile(r"\b(doc_id|dg|fp)#")
 #: check cannot distinguish: tfidf_top_terms broadcasts per-(doc, word)
 #: term frequencies for the fixed doc_id < 500 slice only — the
 #: vocabulary-sized df table is the stream side, by design.
-_DOC_GRAIN_OK = {"tfidf_top_terms"}
+_DOC_GRAIN_OK = {
+    "tfidf_top_terms",
+    # the tombstone distinct is doc_id-keyed but bounded by the delete
+    # batch (compliance-grain, not corpus-grain); the purging compaction
+    # keeps cumulative tombstones bounded — sources/sinks.py
+    "phash_store_delete",
+}
 
 
 def _broadcast_subtrees(plan: str):
@@ -599,6 +612,18 @@ _PLAN_BUDGETS = {
     # join + doc agg + sort; scans = bigram branch, scoring branch,
     # vocab count
     "bigram_lm_perplexity": (9, 3),
+    # r9 deletion propagation: each delete variant's serve plan must
+    # stay within its non-delete sibling's shape plus at most the
+    # tombstone broadcast — a delete that re-shuffles history is a
+    # regression
+    "dedup_store_delete": (3, 2),
+    "dedup_store_delete_vacuum": (3, 2),
+    "substring_store_delete": (4, 3),
+    "phash_store_delete": (6, 2),
+    "phash_store_delete_vacuum": (5, 1),
+    "semdedup_store_delete": (7, 2),
+    "ann_index_delete_topk": (4, 2),
+    "ann_index_delete_vacuum_topk": (4, 2),
 }
 
 
