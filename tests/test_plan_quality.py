@@ -624,6 +624,13 @@ _PLAN_BUDGETS = {
     "semdedup_store_delete": (7, 2),
     "ann_index_delete_topk": (4, 2),
     "ann_index_delete_vacuum_topk": (4, 2),
+    # r9 URL-grain pipeline stage: dedup is ONE url_norm shuffle over
+    # one scan; the stats rollup pays the two exact DISTINCT counts
+    # (expand) + the keep window; the blocklist filter is anti-join +
+    # domain agg
+    "url_dedup_keep_first": (1, 1),
+    "domain_stats_rollup": (4, 1),
+    "domain_blocklist_filter": (2, 1),
 }
 
 
