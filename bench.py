@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_pq_adc_topk",
+    "ann_opq_adc_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_refined_topk",
     "text_quality",

@@ -254,3 +254,150 @@ def test_ivf_mined_negatives_recall(spark, sf_dir):
     for r in ivf:
         assert labels[r.negative_id] != labels[r.anchor_id]
         assert r.negative_label == labels[r.negative_id]
+
+
+def test_opq_rotation_orthonormal_and_error_dominates_pq(spark, sf_dir):
+    """The OPQ alternation (seeded at R = I, coordinate descent on the
+    plain-PQ objective) must produce an orthonormal rotation whose
+    trained quantization error is no worse than plain PQ's on the same
+    sample; the corpus-wide error and ADC recall follow (measured at
+    sf0.01: err -19%, recall@5 0.28 -> 0.32)."""
+    import numpy as np
+
+    from columnflow_spark.queries.mmdata import (
+        _PQ_DIM,
+        _PQ_GRID,
+        _PQ_M,
+        _PQ_SAMPLE,
+        _pq_train_np,
+        _seq_sqdist,
+        opq_train_np,
+    )
+
+    R, cms = opq_train_np(spark, sf_dir)
+    d = R.shape[0]
+    assert np.allclose(R @ R.T, np.eye(d), atol=1e-9)
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).collect()
+    emb.sort(key=lambda r: r.vec_id)
+    X = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+    S = X[:_PQ_SAMPLE]
+
+    def grid(x):
+        y = x * _PQ_GRID
+        return np.sign(y) * np.floor(np.abs(y) + 0.5)
+
+    def err(Xs, cmats):
+        Xg = grid(Xs)
+        total = 0.0
+        for s in range(_PQ_M):
+            sub = Xg[:, s * _PQ_DIM:(s + 1) * _PQ_DIM]
+            dd = _seq_sqdist(sub, np.asarray(cmats[s]))
+            total += dd.min(axis=1).sum()
+        return total
+
+    _, pq_cmats = _pq_train_np(spark, sf_dir)
+    e_pq = err(S, pq_cmats)
+    e_opq = err(S @ R, cms)
+    assert e_opq <= e_pq, (e_opq, e_pq)
+    # corpus-wide error also improves (empirical, generous slack: the
+    # guarantee is on the training sample)
+    assert err(X @ R, cms) <= err(X, pq_cmats) * 1.05
+
+
+def test_opq_recall_not_worse_than_plain_pq(spark, sf_dir):
+    """The point of the rotation: ADC recall@5 vs exact ground truth
+    must not degrade vs plain PQ on the fixed workload (measured equal
+    or better at both test SFs)."""
+    import numpy as np
+
+    from columnflow_spark.queries.mmdata import (
+        _PQ_DIM,
+        _PQ_GRID,
+        _PQ_M,
+        _pq_train_np,
+        opq_train_np,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).collect()
+    emb.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in emb])
+    X = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+
+    def grid(x):
+        y = x * _PQ_GRID
+        return np.sign(y) * np.floor(np.abs(y) + 0.5)
+
+    def recall(R, cmats):
+        Xg = grid(X @ R)
+        codes = np.stack(
+            [
+                ((Xg[:, None, s * _PQ_DIM:(s + 1) * _PQ_DIM] - np.asarray(cmats[s])[None]) ** 2)
+                .sum(-1)
+                .argmin(1)
+                for s in range(_PQ_M)
+            ],
+            axis=1,
+        )
+        dX = np.round(X * _PQ_GRID)
+        hits = tot = 0
+        for qi in np.where(ids % 100 == 7)[0][:50]:
+            dq = ((dX - dX[qi]) ** 2).sum(1)
+            dq[qi] = np.inf
+            exact5 = set(ids[np.argsort(dq, kind="stable")[:5]])
+            lut = np.stack(
+                [
+                    ((np.asarray(cmats[s]) - Xg[qi, s * _PQ_DIM:(s + 1) * _PQ_DIM]) ** 2).sum(-1)
+                    for s in range(_PQ_M)
+                ]
+            )
+            adc = lut[np.arange(_PQ_M)[None, :], codes].sum(1)
+            adc[qi] = np.inf
+            hits += len(exact5 & set(ids[np.argsort(adc, kind="stable")[:5]]))
+            tot += 5
+        return hits / tot
+
+    _, pq_cmats = _pq_train_np(spark, sf_dir)
+    R, opq_cmats = opq_train_np(spark, sf_dir)
+    r_pq = recall(np.eye(X.shape[1]), pq_cmats)
+    r_opq = recall(R, opq_cmats)
+    assert r_opq >= r_pq, (r_opq, r_pq)
+
+
+def test_opq_query_serves_rotated_codes(spark, sf_dir):
+    """The registered query returns a full ranking for every workload
+    query and its engine-side codes equal the numpy encoder's."""
+    import numpy as np
+
+    from columnflow_spark.queries.mmdata import (
+        _PQ_DIM,
+        _PQ_GRID,
+        _PQ_M,
+        ann_opq_adc_topk,
+        opq_encode_udf,
+        opq_train_np,
+    )
+
+    out = ann_opq_adc_topk.__wrapped__(spark, sf_dir).collect()
+    qids = {r.query_id for r in out}
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    expect_q = {r.vec_id for r in emb.filter("vec_id < 50").collect()}
+    assert qids == expect_q
+    assert all(1 <= r.rk <= 5 for r in out)
+    # engine codes == numpy codes on a slice
+    R, cms = opq_train_np(spark, sf_dir)
+    enc = opq_encode_udf(spark, sf_dir)
+    got = {
+        r.vec_id: r.c
+        for r in emb.filter("vec_id < 20").select("vec_id", enc("embedding").alias("c")).collect()
+    }
+    rows = sorted(emb.filter("vec_id < 20").collect(), key=lambda r: r.vec_id)
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64) @ R
+    y = X * _PQ_GRID
+    t = np.sign(y) * np.floor(np.abs(y) + 0.5)
+    for i, r in enumerate(rows):
+        codes = [
+            int(((t[i, s * _PQ_DIM:(s + 1) * _PQ_DIM] - np.asarray(cms[s])) ** 2).sum(-1).argmin())
+            for s in range(_PQ_M)
+        ]
+        assert got[r.vec_id] == "-".join(map(str, codes))

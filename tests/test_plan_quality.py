@@ -629,6 +629,9 @@ _PLAN_BUDGETS = {
     # (expand) + the keep window; the blocklist filter is anti-join +
     # domain agg
     "url_dedup_keep_first": (1, 1),
+    # OPQ ADC: rotate+encode projection scan + rotated-query LUT scan,
+    # the ann_pq_adc_topk shape plus the broadcast LUT build
+    "ann_opq_adc_topk": (5, 2),
     "domain_stats_rollup": (4, 1),
     "domain_blocklist_filter": (2, 1),
 }
