@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     # r9: deletion propagation through the maintained stores/index and
     # the URL-grain first-stage pipeline ops
     "dedup_store_delete",
+    "minhash_incremental_store",
     "substring_store_delete",
     "ann_index_delete_topk",
     "url_dedup_keep_first",

@@ -1576,3 +1576,345 @@ def semdedup_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_semdedup_batch(
         spark, sf_dir, path, batch_pred=F.col("vec_id") >= h
     )
+
+
+# --- incremental FUZZY (MinHash-LSH) dedup store (round 9): the last
+# dedup family without a store form.  History persists as TWO bounded
+# artifacts: band-key postings ``bi=<band>/batch=<n>`` rows
+# ``(bk, doc_id)`` (16 rows per doc — the LSH index), and the
+# hashed-shingle payloads ``_docs/batch=<n>`` rows ``(doc_id, hs, sz)``
+# (the exact-verify side; doc_id + ~sz longs, far smaller than text).
+# Flagging a batch is: band the batch signatures, ONE (bi, bk)-keyed
+# salted equi-join against the postings (work ∝ band-collision volume,
+# never |batch| x |history|; the salt spreads a degenerate boilerplate
+# band key), fetch ONLY the colliding history payloads by doc_id, exact
+# Jaccard verify; within-batch uses the capped bucket pair join.  The
+# oracle is the exhaustive exact-Jaccard flag over the reduced corpus —
+# equality also re-proves the 16x2 band config misses no >= tau pair on
+# this corpus (the dedup_minhash_lsh guarantee, now at the store
+# boundary).  Doc-grain rows carry their ids, so deletion is the
+# tombstone shape (both postings and payloads anti-join ``_deleted``). ---
+from columnflow_spark.queries.mmdata import (  # noqa: E402
+    JACCARD_THRESHOLD,
+    _GRAMS_CTE,
+    _verify_pairs_exact,
+    hashed_grams,
+    minhash_sigs,
+)
+from columnflow_spark.functions.similarity import (  # noqa: E402
+    bucketed_candidate_pairs,
+    lsh_band_keys,
+)
+
+_MH_STORE_FORMAT = 1
+_MH_BANDS, _MH_ROWS = 16, 2
+_MH_SALT = 16
+
+
+def minhash_store_path(sf_dir: str) -> str:
+    tag = content_tag(table_path(sf_dir, "documents"), f"minhash-v{_MH_STORE_FORMAT}")
+    return os.path.join(scratch_root(), "minhash_store", tag)
+
+
+def _mh_banded(sigs: DataFrame) -> DataFrame:
+    """``(doc_id, bi, bk)``: one row per (doc, band), band index exposed
+    as the store's partition axis."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*lsh_band_keys(F.col("sig"), bands=_MH_BANDS, rows=_MH_ROWS))
+        ).alias("bi", "bk"),
+    )
+
+
+def upsert_minhash_batch(
+    spark: SparkSession, sf_dir: str, path: str, *, batch: int, batch_pred
+) -> str:
+    """Persist one ingest batch's band postings + shingle payloads (both
+    map-side projections over the session signature/shingle tables)."""
+    sigs = minhash_sigs(spark, sf_dir).filter(batch_pred)
+    posts = _mh_banded(sigs).withColumn("batch", F.lit(int(batch)))
+    upsert_partitions(posts, path, partition_by=["bi", "batch"])
+    docs = (
+        hashed_grams(spark, sf_dir)
+        .filter(batch_pred)
+        .select("doc_id", "hs", "sz")
+        .withColumn("batch", F.lit(int(batch)))
+    )
+    upsert_partitions(docs, os.path.join(path, "_docs"), partition_by=["batch"])
+    with open(os.path.join(path, "_BUILT"), "w") as f:
+        f.write(f"format={_MH_STORE_FORMAT}\n")
+    return path
+
+
+def delete_docs_from_minhash_store(
+    spark: SparkSession, ids: DataFrame, path: str, *, batch: int
+) -> str:
+    """Tombstone a deleted-id set (shared slice for postings AND
+    payloads — both anti-join it at serve time; a purging compaction
+    would rewrite both minus tombstones)."""
+    upsert_tombstones(ids, path, batch=batch)
+    return path
+
+
+def flag_minhash_batch(
+    spark: SparkSession, sf_dir: str, path: str, *, batch_pred, max_batch: int | None = None
+) -> DataFrame:
+    """Per-doc fuzzy dedup decision for an arriving batch vs the
+    accumulated store: ``(doc_id, dup_prior, dup_in_batch, keep)`` under
+    exact-Jaccard >= tau semantics (LSH candidates, exact verify)."""
+    from columnflow_spark.functions.skew import salted_join
+
+    sigs = minhash_sigs(spark, sf_dir).filter(batch_pred)
+    gb = hashed_grams(spark, sf_dir).filter(batch_pred).select("doc_id", "hs", "sz")
+    banded_b = _mh_banded(sigs)
+    store = spark.read.parquet(path)
+    if max_batch is not None:
+        store = store.filter(F.col("batch") <= max_batch)
+    store = anti_tombstones(store, path)
+    posts = store.select(
+        F.col("bi").cast("int").alias("bi"), "bk", F.col("doc_id").alias("hist_id")
+    )
+    cand = (
+        salted_join(
+            posts,
+            banded_b.select("bi", "bk", "doc_id"),
+            ["bi", "bk"],
+            salt_src=F.col("hist_id"),
+            n_salt=_MH_SALT,
+        )
+        .select(F.col("hist_id").alias("d1"), F.col("doc_id").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+    hist_docs = anti_tombstones(
+        spark.read.parquet(os.path.join(path, "_docs")), path
+    ).select("doc_id", "hs", "sz")
+    prior = (
+        _verify_pairs_exact(hist_docs.unionByName(gb), cand, JACCARD_THRESHOLD)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+        .withColumn("dup_prior", F.lit(True))
+    )
+    inb_cand = bucketed_candidate_pairs(banded_b, ["bi", "bk"], cap=256)
+    inb = (
+        _verify_pairs_exact(gb, inb_cand, JACCARD_THRESHOLD)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+        .withColumn("dup_in_batch", F.lit(True))
+    )
+    return (
+        sigs.select("doc_id")
+        .join(prior, "doc_id", "left")
+        .join(inb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_prior", F.lit(False)).alias("dup_prior"),
+            F.coalesce("dup_in_batch", F.lit(False)).alias("dup_in_batch"),
+        )
+        .withColumn("keep", ~(F.col("dup_prior") | F.col("dup_in_batch")))
+    )
+
+
+def _mh_store_oracle(hist_filter: str = "") -> str:
+    """Exhaustive exact-Jaccard flagging of the arriving batch vs the
+    (optionally reduced) history and itself."""
+    return f"""
+    WITH {_GRAMS_CTE},
+    n AS (SELECT 3 * count(*) // 5 AS h FROM documents),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS MATERIALIZED (
+        SELECT d1, d2 FROM pairs
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2
+        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= {JACCARD_THRESHOLD}
+    ),
+    batch AS (SELECT g.doc_id FROM grams g, n WHERE g.doc_id >= n.h)
+    SELECT b.doc_id,
+           EXISTS (SELECT 1 FROM jac j, n
+                   WHERE j.d2 = b.doc_id AND j.d1 < n.h {hist_filter}) AS dup_prior,
+           EXISTS (SELECT 1 FROM jac j, n
+                   WHERE j.d2 = b.doc_id AND j.d1 >= n.h) AS dup_in_batch,
+           NOT (EXISTS (SELECT 1 FROM jac j, n
+                        WHERE j.d2 = b.doc_id AND j.d1 < n.h {hist_filter})
+                OR EXISTS (SELECT 1 FROM jac j, n
+                           WHERE j.d2 = b.doc_id AND j.d1 >= n.h)) AS keep
+    FROM batch b
+    """
+
+
+def _ensure_minhash_store(spark: SparkSession, sf_dir: str, h: int) -> str:
+    path = minhash_store_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        upsert_minhash_batch(
+            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h
+        )
+    return path
+
+
+@query("minhash_incremental_store", oracle=_mh_store_oracle())
+def minhash_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FUZZY dedup: flag the arriving batch (last 40% of
+    doc_ids) for near-duplicates (n-gram Jaccard >= tau) against the
+    PERSISTED MinHash store (first 60%) and within itself.  The oracle
+    replays both decisions exhaustively with exact Jaccard — equality
+    proves the banded index + exact verify lose no >= tau pair."""
+    h = _history_cutoff(spark, sf_dir)
+    path = _ensure_minhash_store(spark, sf_dir, h)
+    return flag_minhash_batch(
+        spark, sf_dir, path, batch_pred=F.col("doc_id") >= h, max_batch=0
+    )
+
+
+def _deleted_minhash_store_path(sf_dir: str) -> str:
+    tag = content_tag(
+        table_path(sf_dir, "documents"), f"minhash-v{_MH_STORE_FORMAT}-deleted"
+    )
+    return os.path.join(scratch_root(), "minhash_store_deleted", tag)
+
+
+def _ensure_deleted_minhash_store(spark: SparkSession, sf_dir: str, h: int) -> str:
+    path = _deleted_minhash_store_path(sf_dir)
+    done = os.path.join(path, "_SEQ_COMPLETE")
+    if not os.path.exists(done):
+        upsert_minhash_batch(
+            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h
+        )
+        deleted = load_table(spark, sf_dir, "documents", columns=["doc_id"]).filter(
+            _delete_pred() & (F.col("doc_id") < h)
+        )
+        delete_docs_from_minhash_store(spark, deleted, path, batch=0)
+        with open(done, "w") as f:
+            f.write("ingest + delete complete\n")
+    return path
+
+
+@query(
+    "minhash_store_delete",
+    oracle=_mh_store_oracle(f"AND NOT (j.{_DEL_PRED_SQL.replace('doc_id', 'd1')})"),
+)
+def minhash_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup served AFTER deletion propagation: a tombstoned
+    near-duplicate no longer blocks new arrivals (both the band postings
+    and the payload fetch anti-join the tombstones).  Oracle = exhaustive
+    exact-Jaccard flagging over the surviving history."""
+    h = _history_cutoff(spark, sf_dir)
+    path = _ensure_deleted_minhash_store(spark, sf_dir, h)
+    return flag_minhash_batch(
+        spark, sf_dir, path, batch_pred=F.col("doc_id") >= h, max_batch=None
+    )
+
+
+def substring_store_rewrite_frame(
+    spark: SparkSession, docs: DataFrame, path: str, *, max_batch: int | None = None,
+    k: int = _SSTR_K,
+) -> DataFrame:
+    """The ExactSubstr REWRITE at ingest time (Lee et al.'s output
+    deployed against the crawl store): delete from each arriving doc the
+    UNION of tokens covered by spans repeated against HISTORY or by an
+    earlier (doc, pos) in the batch, emit ``(doc_id, n_tokens_kept,
+    text_md5)``.  Same plan shape as the flag pass (one history scan
+    under the broadcast batch-gram semi-join, batch-grain everything
+    after) plus the in-row indexed cut shared with the batch rewrite."""
+    from columnflow_spark.queries.mmdata import _sstr_cut
+
+    bg = _sstr_grams(docs, k)
+    store = spark.read.parquet(path)
+    if max_batch is not None:
+        store = store.filter(F.col("batch") <= max_batch)
+    bset = bg.select("g").distinct()
+    hits = (
+        store.join(F.broadcast(bset), "g", "leftsemi")
+        .groupBy("g")
+        .agg(F.sum("cnt").alias("_c"))
+        .filter(F.col("_c") > 0)
+        .select("g")
+        .withColumn("hit", F.lit(True))
+    )
+    wmin = F.min("key").over(W.partitionBy("g"))
+    marked = bg.join(hits, "g", "left").withColumn(
+        "cov", F.col("hit").isNotNull() | (F.col("key") > wmin)
+    )
+    dup = marked.filter("cov").select("doc_id", "p")
+    win = W.partitionBy("doc_id").orderBy("p")
+    spans = (
+        dup.withColumn("rid", F.col("p") - F.row_number().over(win))
+        .groupBy("doc_id", "rid")
+        .agg(F.min("p").alias("s"), F.max("p").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("rs"))
+    )
+    return _sstr_cut(docs, spans, k)
+
+
+@query(
+    "substring_store_rewrite",
+    oracle=f"""
+    WITH {_SSTR_GRAM_CTES},
+    n AS (SELECT 3 * count(*) // 5 AS h FROM documents),
+    hist AS MATERIALIZED (
+        SELECT DISTINCT g FROM grams, n WHERE doc_id < h
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, p, key, g FROM grams, n WHERE doc_id >= h
+    ),
+    cov0 AS (
+        SELECT b.doc_id, b.p,
+               (h.g IS NOT NULL)
+                   OR (min(b.key) OVER (PARTITION BY b.g) < b.key) AS cov
+        FROM bg b LEFT JOIN hist h ON h.g = b.g
+    ),
+    rm AS MATERIALIZED (
+        SELECT doc_id, rid, min(p) AS s, max(p) AS e
+        FROM (
+            SELECT doc_id, p,
+                   p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rid
+            FROM cov0 WHERE cov
+        ) GROUP BY doc_id, rid
+    ),
+    tokpos AS (
+        SELECT doc_id, i - 1 AS i, w FROM (
+            SELECT t.doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+            FROM toks t, n WHERE t.doc_id >= n.h
+        )
+    ),
+    covp AS (
+        SELECT DISTINCT t.doc_id, t.i
+        FROM tokpos t JOIN rm r
+          ON r.doc_id = t.doc_id AND t.i BETWEEN r.s AND r.e + {_SSTR_K - 1}
+    ),
+    kept AS (
+        SELECT t.doc_id, t.i, t.w
+        FROM tokpos t ANTI JOIN covp c ON c.doc_id = t.doc_id AND c.i = t.i
+    ),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS nk,
+               list(w ORDER BY i) AS lw
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.nk, 0) AS BIGINT) AS n_tokens_kept,
+           md5(coalesce(array_to_string(a.lw, ' '), '')) AS text_md5
+    FROM documents d CROSS JOIN n LEFT JOIN agg a ON a.doc_id = d.doc_id
+    WHERE d.doc_id >= n.h
+    ORDER BY d.doc_id
+    """,
+)
+def substring_store_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arriving batch REWRITTEN against the persisted gram store
+    (history = first 60%): per-doc kept-token count + content digest
+    after deleting every span repeated against history or an earlier
+    (doc, pos) in the batch — the full Lee et al. crawl-ingest output."""
+    h = _history_cutoff(spark, sf_dir)
+    path = _ensure_substring_store(spark, sf_dir, h)
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        F.col("doc_id") >= h
+    )
+    return substring_store_rewrite_frame(spark, docs, path, max_batch=0).orderBy(
+        "doc_id"
+    )

@@ -2266,6 +2266,16 @@ def substring_rewrite_frame(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct("s", "e")).alias("rs"))
     )
+    return _sstr_cut(docs, spans, k).orderBy("doc_id")
+
+
+def _sstr_cut(docs: DataFrame, spans: DataFrame, k: int = _SSTR_K) -> DataFrame:
+    """Apply removal spans to documents in-row: delete every token whose
+    position falls in the coverage ``[s, e + k - 1]`` of any of the
+    doc's spans ``rs``, emit ``(doc_id, n_tokens_kept, text_md5)``.
+    Shared by the batch rewrite and the incremental-store rewrite
+    (queries/dedupstore.py) — one indexed filter over the token array,
+    no token-grain shuffle."""
     d = docs.select("doc_id", _sstr_words(k).alias("ws"))
     covered = lambda i: F.exists(  # noqa: E731 - in-row span-membership test
         "rs", lambda r: (i >= r["s"]) & (i <= r["e"] + F.lit(k - 1))
@@ -2274,14 +2284,10 @@ def substring_rewrite_frame(docs: DataFrame, k: int = _SSTR_K) -> DataFrame:
         F.transform("ws", lambda w, i: F.struct(w.alias("w"), i.alias("i"))),
         lambda x: F.col("rs").isNull() | ~covered(x["i"]),
     )
-    return (
-        d.join(spans, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size(F.transform(kept, lambda x: x["w"])).cast("long").alias("n_tokens_kept"),
-            F.md5(F.concat_ws(" ", F.transform(kept, lambda x: x["w"]))).alias("text_md5"),
-        )
-        .orderBy("doc_id")
+    return d.join(spans, "doc_id", "left").select(
+        "doc_id",
+        F.size(F.transform(kept, lambda x: x["w"])).cast("long").alias("n_tokens_kept"),
+        F.md5(F.concat_ws(" ", F.transform(kept, lambda x: x["w"]))).alias("text_md5"),
     )
 
 

@@ -1762,3 +1762,118 @@ def streaming_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- streaming ingest WITH deletion propagation (round 9 — the CDC
+# shape): production crawl ingest interleaves upserts with
+# right-to-be-forgotten requests, and both must flow through the SAME
+# maintained store without a rebuild.  Each micro-batch (1) flags its
+# docs against the store accumulated from all earlier batches — whose
+# deletes are already applied, the count monoid nets them out — plus the
+# batch's own SURVIVING lower-id members, (2) upserts its fingerprints
+# as slice 2b, (3) applies its delete requests (here: the batch's
+# ``doc_id % 7 == 3`` members — requests trail content) as NEGATIVE
+# slice 2b+1.  The decision rule "duplicate of a surviving lower-id
+# doc" is a pure function of (doc order, delete set) — batch boundaries
+# never show (an earlier near-copy that was deleted does NOT flag,
+# whether it arrived in this batch or ten batches ago), which is what
+# the oracle's surviving-prior window replays.  Replay-fenced at
+# ``max_batch = 2b - 1``. ---
+@query(
+    "streaming_dedup_cdc_ingest",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint,
+               (doc_id % 7 = 3) AS del
+        FROM documents
+    )
+    SELECT doc_id,
+           coalesce(min(CASE WHEN NOT del THEN doc_id END) OVER (
+               PARTITION BY fingerprint ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) < doc_id, FALSE) AS is_dup
+    FROM fp
+    ORDER BY doc_id
+    """,
+)
+def streaming_dedup_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from columnflow_spark.queries.dedupstore import (
+        doc_fingerprints,
+        flag_fingerprints_against_store,
+    )
+    from columnflow_spark.queries.dedupstore import upsert_fingerprints
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.pydatasource import register
+    from columnflow_spark.sources.sinks import upsert_partitions
+
+    register(spark)
+    store = tempfile.mkdtemp(prefix="cf_cdc_store_")
+    flags = tempfile.mkdtemp(prefix="cf_cdc_flags_")
+    n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("order_col", "doc_id")
+        .option("batch_rows", _ingest_batch_rows(n))
+        .load()
+        .select("doc_id", "text")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = int(batch_id)
+        fp = doc_fingerprints(batch_df).withColumn(
+            "del", F.col("doc_id") % 7 == 3
+        )
+        # within-batch rule: duplicate of a SURVIVING lower-id member
+        min_surv = F.min(F.when(~F.col("del"), F.col("doc_id"))).over(
+            W.partitionBy("fingerprint")
+        )
+        if os.path.exists(os.path.join(store, "_BUILT")):
+            prior = flag_fingerprints_against_store(
+                fp, store, max_batch=2 * b - 1
+            ).select("doc_id", "dup_prior")
+        else:
+            prior = fp.select("doc_id", F.lit(False).alias("dup_prior"))
+        # coalesce: a fingerprint with NO surviving batch member yields a
+        # NULL min, and NULL < doc_id must read as "no surviving earlier
+        # holder", not propagate into the flag
+        inb = fp.select(
+            "doc_id",
+            F.coalesce(min_surv < F.col("doc_id"), F.lit(False)).alias(
+                "dup_in_batch"
+            ),
+        )
+        out = (
+            prior.join(inb, "doc_id")
+            .select(
+                "doc_id",
+                (F.col("dup_prior") | F.col("dup_in_batch")).alias("is_dup"),
+                F.lit(b).alias("batch"),
+            )
+        )
+        upsert_partitions(out, flags, partition_by=["batch"])
+        # upsert slice 2b, then the batch's delete requests as negative
+        # slice 2b+1 — both idempotent per id, so a replayed batch
+        # overwrites exactly its own two slices
+        upsert_fingerprints(fp, store, batch=2 * b)
+        neg = (
+            fp.filter("del")
+            .groupBy("band", "fingerprint")
+            .agg(
+                F.min("doc_id").alias("first_doc"),
+                (-F.count(F.lit(1))).cast("long").alias("cnt"),
+            )
+            .withColumn("batch", F.lit(2 * b + 1))
+        )
+        upsert_partitions(neg, store, partition_by=["band", "batch"])
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(flags).select("doc_id", "is_dup").orderBy("doc_id")

@@ -576,3 +576,51 @@ def test_tombstone_vacuum_clears_and_stays_equal(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert before == after
+
+
+def test_minhash_store_delete_unblocks_neardups(spark, tmp_path):
+    """A tombstoned fuzzy near-duplicate must stop blocking arrivals;
+    surviving near-dups keep blocking.  Crafted corpus: doc 100 is a
+    near-copy of history doc 1 only; doc 101 of history doc 2 only."""
+    from pyspark.sql import functions as F
+
+    from columnflow_spark.queries.dedupstore import (
+        delete_docs_from_minhash_store,
+        flag_minhash_batch,
+        upsert_minhash_batch,
+    )
+    import columnflow_spark.queries.mmdata as mm
+
+    base = " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"v{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "s"),
+            (2, other, "s"),
+            (100, base + " tail1", "s"),  # near-dup of 1
+            (101, other + " tail2", "s"),  # near-dup of 2
+        ],
+        "doc_id long, text string, source string",
+    )
+    # monkey-route the session shingle/signature tables at this frame
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cf_mh_fixture_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    mm._GRAMS_CACHE.clear(); mm._SIGS_CACHE.clear()
+    path = str(tmp_path / "mh")
+    upsert_minhash_batch(spark, d, path, batch=0, batch_pred=F.col("doc_id") < 100)
+    flag = lambda: {  # noqa: E731
+        r.doc_id: r.dup_prior
+        for r in flag_minhash_batch(
+            spark, d, path, batch_pred=F.col("doc_id") >= 100
+        ).collect()
+    }
+    assert flag() == {100: True, 101: True}
+    deleted = spark.createDataFrame([(1,)], "doc_id long")
+    delete_docs_from_minhash_store(spark, deleted, path, batch=0)
+    assert flag() == {100: False, 101: True}
+    # idempotent per batch id
+    delete_docs_from_minhash_store(spark, deleted, path, batch=0)
+    assert flag() == {100: False, 101: True}
+    mm._GRAMS_CACHE.clear(); mm._SIGS_CACHE.clear()

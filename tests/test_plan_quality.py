@@ -418,6 +418,11 @@ _CORPUS_HINT_QUERIES = (
     "phash_store_delete",
     "semdedup_store_delete",
     "ann_index_delete_topk",
+    # r9 fuzzy store + ingest rewrite: oversized-bucket counts (guarded
+    # aggregates), batch gram-set semi-join broadcasts, tombstones
+    "minhash_incremental_store",
+    "minhash_store_delete",
+    "substring_store_rewrite",
 )
 
 _DOC_GRAIN_KEY = __import__("re").compile(r"\b(doc_id|dg|fp)#")
@@ -433,6 +438,7 @@ _DOC_GRAIN_OK = {
     # batch (compliance-grain, not corpus-grain); the purging compaction
     # keeps cumulative tombstones bounded — sources/sinks.py
     "phash_store_delete",
+    "minhash_store_delete",
 }
 
 
@@ -632,6 +638,14 @@ _PLAN_BUDGETS = {
     # OPQ ADC: rotate+encode projection scan + rotated-query LUT scan,
     # the ann_pq_adc_topk shape plus the broadcast LUT build
     "ann_opq_adc_topk": (5, 2),
+    # r9 fuzzy store: salted (bi,bk) postings join + colliding-payload
+    # fetch + capped in-batch pair join + exact verify; the delete
+    # variant adds the tombstone anti-joins on both store sides
+    "minhash_incremental_store": (7, 3),
+    "minhash_store_delete": (10, 6),
+    # ingest-time ExactSubstr rewrite: the flag pass' store semi-join +
+    # islands window + the in-row cut's doc-keyed span join
+    "substring_store_rewrite": (5, 4),
     "domain_stats_rollup": (4, 1),
     "domain_blocklist_filter": (2, 1),
 }
