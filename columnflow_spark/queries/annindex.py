@@ -562,3 +562,183 @@ def ann_index_delete_vacuum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares ``ann_index_delete_topk``'s oracle — logical ≡ physical."""
     path = _ensure_deleted_index(spark, sf_dir, vacuum=True)
     return search_ivfpq_index(spark, sf_dir, path)
+
+
+# --- materialized OPQ index (round 9): the learned-rotation PQ family
+# deployed as a persisted, probe-pruned store — the serving shape of
+# ann_opq_adc_topk.  The rotation + codebooks train once per corpus
+# (driver-side, bounded sample — queries/mmdata.py:opq_train_np) and
+# PERSIST as sidecars (``_rotation``, ``_codebook``) next to the
+# ``cid=/batch=`` OPQ-code partitions, so a fresh session serves from
+# the artifacts without retraining (the unigram-vocab contract); cells
+# come from the same frozen raw-space coarse quantizer the IVF+PQ index
+# uses, so probe routing is SHARED with every other index-served path
+# (ivf_probe_route's session cache).  Rows-only registration (the
+# rotation's SVD has no SQL twin); store ≡ in-session-math equality and
+# tombstone-delete behavior are pinned in tests/test_ann_index.py. ---
+_OPQ_INDEX_FORMAT = 1
+
+
+def opq_index_path(sf_dir: str) -> str:
+    tag = content_tag(table_path(sf_dir, "embeddings"), f"opq-v{_OPQ_INDEX_FORMAT}")
+    return os.path.join(scratch_root(), "opq_index", tag)
+
+
+def build_opq_index(
+    spark: SparkSession, sf_dir: str, path: str | None = None, *, batch: int = 0,
+    batch_pred=None,
+) -> str:
+    """Train (or reuse) the OPQ artifacts, persist them as sidecars, and
+    encode (a batch of) the corpus into ``cid=/batch=`` code partitions
+    — one rotate+encode projection per vector, zero shuffle beyond the
+    partitioned write."""
+    from columnflow_spark.queries.mmdata import (
+        _PQ_K,
+        _PQ_M,
+        opq_encode_udf,
+        opq_train_np,
+    )
+
+    path = path or opq_index_path(sf_dir)
+    R, cms = opq_train_np(spark, sf_dir)
+    spark.createDataFrame(
+        [(i, [float(x) for x in R[i]]) for i in range(R.shape[0])],
+        "i int, row array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "_rotation"))
+    spark.createDataFrame(
+        [
+            (s, ci, [float(x) for x in cms[s][ci]])
+            for s in range(_PQ_M)
+            for ci in range(_PQ_K)
+        ],
+        "sub int, code int, c array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "_codebook"))
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    rows = emb.filter(batch_pred) if batch_pred is not None else emb
+    cents = _ivf_cents(emb).select("cid", "ce")
+    encode = opq_encode_udf(spark, sf_dir)
+    idx = nearest_centroid_assign(rows, cents).select(
+        "vec_id",
+        encode("embedding").alias("codes"),
+        "cid",
+        F.lit(int(batch)).alias("batch"),
+    )
+    upsert_partitions(idx, path, partition_by=["cid", "batch"])
+    with open(os.path.join(path, "_BUILT"), "w") as f:
+        f.write(f"format={_OPQ_INDEX_FORMAT}\n")
+    return path
+
+
+def load_opq_artifacts(spark: SparkSession, path: str):
+    """``(R, cms)`` read back from the persisted sidecars — serving NEVER
+    retrains (a fresh session must produce bit-identical search results
+    from the store alone)."""
+    import numpy as np  # noqa: PLC0415
+
+    from columnflow_spark.queries.mmdata import _PQ_K, _PQ_M
+
+    rot = sorted(
+        spark.read.parquet(os.path.join(path, "_rotation")).collect(),
+        key=lambda r: r.i,
+    )
+    R = np.array([list(r.row) for r in rot], dtype=np.float64)
+    cb = spark.read.parquet(os.path.join(path, "_codebook")).collect()
+    cms = [np.zeros((_PQ_K, len(cb[0].c)), dtype=np.float64) for _ in range(_PQ_M)]
+    for r in cb:
+        cms[r.sub][r.code] = np.array(r.c, dtype=np.float64)
+    return R, cms
+
+
+def _ensure_opq_index(spark: SparkSession, sf_dir: str) -> str:
+    path = opq_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        build_opq_index(spark, sf_dir, path)
+    return path
+
+
+def search_opq_index(
+    spark: SparkSession, sf_dir: str, path: str, query_pred=None, topk: int = 5,
+    route_key=None,
+) -> DataFrame:
+    """Probe-pruned ADC top-k over the persisted OPQ index: probe routes
+    come from the SHARED raw-space coarse quantizer (so the routing
+    collect is reused across every index-served path); queries rotate +
+    grid-quantize through the PERSISTED artifacts and the per-query LUT
+    builds against the persisted codebook."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from columnflow_spark.queries.mmdata import _PQ_DIM, _PQ_GRID, _PQ_M, ivf_probe_route
+
+    if query_pred is None:
+        query_pred = F.col("vec_id") % 100 == 7
+        route_key = route_key or ("mod100", 7)
+    probe_rows = ivf_probe_route(
+        spark, sf_dir, query_pred=query_pred, route_key=route_key
+    )
+    probe_cids = sorted({cid for _, cid in probe_rows})
+    probes = spark.createDataFrame(probe_rows, "query_id long, cid long")
+    idx = anti_tombstones(
+        spark.read.parquet(path).filter(F.col("cid").isin(probe_cids)),
+        path,
+        id_col="vec_id",
+    ).select("vec_id", "codes", F.col("cid").cast("long").alias("cid"))
+    exploded = idx.select(
+        "vec_id", "cid",
+        F.posexplode(F.split("codes", "-").cast("array<int>")).alias("sub", "code"),
+    )
+    R, _ = load_opq_artifacts(spark, path)
+
+    @F.pandas_udf("array<long>")
+    def _rot(batch):
+        x = np.vstack(batch.to_numpy()).astype(np.float64) @ R
+        y = x * _PQ_GRID
+        return pd.Series(list((np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)))
+
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    qsubs = (
+        emb.filter(query_pred)
+        .select(F.col("vec_id").alias("query_id"), _rot("embedding").alias("tq"))
+        .select(
+            "query_id",
+            F.posexplode(
+                F.array(*[F.slice("tq", s * _PQ_DIM + 1, _PQ_DIM) for s in range(_PQ_M)])
+            ).alias("sub", "qs"),
+        )
+    )
+    cbdf = spark.read.parquet(os.path.join(path, "_codebook"))
+    subd = F.aggregate(
+        F.zip_with("qs", "c", lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = qsubs.join(F.broadcast(cbdf), "sub").select(
+        "query_id", "sub", "code", F.round(subd, 0).alias("d")
+    )
+    cand = exploded.join(F.broadcast(probes), "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = (
+        cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("sum_d"))
+    )
+    adc_scaled = F.round(F.col("sum_d") / F.lit(100.0), 0).cast("long")
+    win = W.partitionBy("query_id").orderBy(adc_scaled, F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", "neighbor_id", adc_scaled.alias("adc_dist"), "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+@query("ann_opq_materialized_topk")
+def ann_opq_materialized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ADC search over the PERSISTED OPQ index (build-once
+    rotation/codebook/code artifacts, partition-pruned probe reads) —
+    the serving deployment of the learned-rotation quantizer.  Rows-only
+    (no SQL twin for the rotation); store-serving ≡ in-session-math and
+    probe pruning are pinned in tests/test_ann_index.py."""
+    path = _ensure_opq_index(spark, sf_dir)
+    return search_opq_index(spark, sf_dir, path)

@@ -227,3 +227,81 @@ def test_drift_trips_intermediate_collapse_and_zero_error_seed():
     zero_seed = [R(0, 100, 10, 15, 0), R(1, 100, 10, 15, 3)]
     assert drift_trips(zero_seed, **kw)
     assert not drift_trips([R(0, 100, 10, 15, 0), R(1, 100, 10, 15, 0)], **kw)
+
+
+# --- materialized OPQ index (round 9) ---
+@pytest.fixture(scope="module")
+def fresh_opq_index(spark, sf_dir, tmp_path_factory):
+    from columnflow_spark.queries.annindex import build_opq_index
+
+    path = str(tmp_path_factory.mktemp("opq") / "index")
+    build_opq_index(spark, sf_dir, path)
+    return path
+
+
+def test_opq_artifacts_roundtrip_exactly(spark, sf_dir, fresh_opq_index):
+    """float64 -> parquet double -> float64 is exact: a fresh session
+    serving from the sidecars computes with bit-identical rotation and
+    codebooks."""
+    import numpy as np
+
+    from columnflow_spark.queries.annindex import load_opq_artifacts
+    from columnflow_spark.queries.mmdata import opq_train_np
+
+    R0, cms0 = opq_train_np(spark, sf_dir)
+    R1, cms1 = load_opq_artifacts(spark, fresh_opq_index)
+    assert np.array_equal(R0, R1)
+    for a, b in zip(cms0, cms1):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_opq_materialized_codes_match_encoder(spark, sf_dir, fresh_opq_index):
+    from columnflow_spark.queries.mmdata import opq_encode_udf
+    from columnflow_spark.sources import load_table
+
+    enc = opq_encode_udf(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    expect = {r.vec_id: r.c for r in emb.select("vec_id", enc("embedding").alias("c")).collect()}
+    stored = {r.vec_id: r.codes for r in spark.read.parquet(fresh_opq_index).collect()}
+    assert stored == expect
+
+
+def test_opq_materialized_search_shape_and_probe_pruning(spark, sf_dir, fresh_opq_index):
+    """Full ranking for every workload query; the probed scan carries
+    PartitionFilters (reads probe cells only, not the index)."""
+    import contextlib
+    import io
+
+    from columnflow_spark.queries.annindex import search_opq_index
+
+    df = search_opq_index(spark, sf_dir, fresh_opq_index)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan
+    assert "cid" in plan.split("PartitionFilters")[1].split("]")[0]
+    rows = df.collect()
+    from columnflow_spark.sources import load_table
+
+    qids = {r.vec_id for r in load_table(spark, sf_dir, "embeddings", columns=["vec_id"])
+            .filter("vec_id % 100 = 7").collect()}
+    assert {r.query_id for r in rows} == qids
+    assert all(1 <= r.rk <= 5 for r in rows)
+
+
+def test_opq_materialized_delete_drops_neighbors(spark, sf_dir, fresh_opq_index):
+    """Tombstoned vectors disappear from served neighbor lists."""
+    from columnflow_spark.queries.annindex import search_opq_index
+    from columnflow_spark.sources.sinks import clear_tombstones, upsert_tombstones
+
+    before = search_opq_index(spark, sf_dir, fresh_opq_index).collect()
+    victims = sorted({r.neighbor_id for r in before})[:3]
+    ids = spark.createDataFrame([(int(v),) for v in victims], "vec_id long")
+    upsert_tombstones(ids, fresh_opq_index, batch=0, id_col="vec_id")
+    try:
+        after = search_opq_index(spark, sf_dir, fresh_opq_index).collect()
+        assert not ({r.neighbor_id for r in after} & set(victims))
+        assert {r.query_id for r in after} == {r.query_id for r in before}
+    finally:
+        clear_tombstones(fresh_opq_index)

@@ -624,3 +624,82 @@ def test_minhash_store_delete_unblocks_neardups(spark, tmp_path):
     delete_docs_from_minhash_store(spark, deleted, path, batch=0)
     assert flag() == {100: False, 101: True}
     mm._GRAMS_CACHE.clear(); mm._SIGS_CACHE.clear()
+
+
+def test_semdedup_purge_clears_and_stays_equal(spark, sf_dir, tmp_path):
+    """Semantic store: physical purge (rewrite minus tombstones,
+    centroids sidecar intact, tombstones cleared) leaves flagging
+    unchanged."""
+    import os
+
+    from columnflow_spark.queries.dedupstore import (
+        _sem_history_cutoff,
+        flag_semdedup_batch,
+        init_semdedup_store,
+        purge_semdedup_store,
+        upsert_semdedup_batch,
+    )
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.sinks import upsert_tombstones
+
+    h = _sem_history_cutoff(spark, sf_dir)
+    path = str(tmp_path / "sem")
+    init_semdedup_store(
+        spark, sf_dir, path,
+        seed_pred=(F.col("vec_id") % 64 == 0) & (F.col("vec_id") < h),
+    )
+    upsert_semdedup_batch(spark, sf_dir, path, batch=0, batch_pred=F.col("vec_id") < h)
+    deleted = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).filter(
+        (F.col("vec_id") % 7 == 3) & (F.col("vec_id") < h)
+    )
+    upsert_tombstones(deleted, path, batch=0, id_col="vec_id")
+    rows = lambda: sorted(  # noqa: E731
+        (r.vec_id, r.dup_prior, r.keep)
+        for r in flag_semdedup_batch(
+            spark, sf_dir, path, batch_pred=F.col("vec_id") >= h
+        ).collect()
+    )
+    before = rows()
+    purge_semdedup_store(spark, path)
+    assert not os.path.exists(os.path.join(path, "_deleted"))
+    assert os.path.exists(os.path.join(path, "_centroids"))  # sidecar survives
+    assert rows() == before
+
+
+def test_substring_store_vacuum_purges_and_stays_equal(spark, sf_dir, tmp_path):
+    """Gram store: compaction after a delete physically purges net-zero
+    grams and leaves flagging (and the ingest rewrite) unchanged."""
+    from columnflow_spark.queries.dedupstore import (
+        _history_cutoff,
+        compact_substring_store,
+        delete_docs_from_substring_store,
+        flag_substring_frame,
+        substring_store_rewrite_frame,
+        upsert_substring_batch,
+    )
+    from columnflow_spark.queries.mmdata import _SSTR_K, _sstr_grams
+    from columnflow_spark.sources import load_table
+
+    h = _history_cutoff(spark, sf_dir)
+    path = str(tmp_path / "ss")
+    upsert_substring_batch(spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h)
+    delete_docs_from_substring_store(
+        spark, sf_dir, path,
+        delete_pred=(F.col("doc_id") % 7 == 3) & (F.col("doc_id") < h), batch=1,
+    )
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        F.col("doc_id") >= h
+    )
+    flag = lambda: sorted(  # noqa: E731
+        map(tuple, flag_substring_frame(_sstr_grams(docs, _SSTR_K), path).collect())
+    )
+    rew = lambda: sorted(  # noqa: E731
+        map(tuple, substring_store_rewrite_frame(spark, docs, path).collect())
+    )
+    f0, r0 = flag(), rew()
+    n_before = spark.read.parquet(path).count()
+    compact_substring_store(spark, path)
+    n_after = spark.read.parquet(path).count()
+    assert n_after < n_before  # net-zero grams physically gone
+    assert (spark.read.parquet(path).agg(F.min("cnt")).collect()[0][0] or 1) > 0
+    assert flag() == f0 and rew() == r0

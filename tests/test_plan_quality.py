@@ -646,6 +646,9 @@ _PLAN_BUDGETS = {
     # ingest-time ExactSubstr rewrite: the flag pass' store semi-join +
     # islands window + the in-row cut's doc-keyed span join
     "substring_store_rewrite": (5, 4),
+    # persisted OPQ serving: probed code read + rotated-query LUT from
+    # the persisted codebook sidecar + embeddings query scan
+    "ann_opq_materialized_topk": (4, 3),
     "domain_stats_rollup": (4, 1),
     "domain_blocklist_filter": (2, 1),
 }
