@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "substring_store_delete",
     "ann_index_delete_topk",
     "url_dedup_keep_first",
+    "url_incremental_store",
     "domain_stats_rollup",
     # lexical index maintenance: serve from the postings store
     "bm25_incremental_postings",

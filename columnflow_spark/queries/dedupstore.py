@@ -1918,3 +1918,113 @@ def substring_store_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_store_rewrite_frame(spark, docs, path, max_batch=0).orderBy(
         "doc_id"
     )
+
+
+# --- URL-grain incremental dedup store (round 9): the crawl frontier's
+# own store — every CC-derived pipeline dedups by normalized URL FIRST,
+# and at ingest that means flagging each arriving batch's URLs against
+# all previously-crawled URLs without a history rescan.  The normalized
+# URL plays the fingerprint role, so the store IS the exact-dedup store
+# contract verbatim (band=/batch= count-monoid rows, negative slices
+# for deletes — a site removal or robots retraction un-claims its
+# URLs, compaction purges).  With this, every dedup grain the engine
+# ships (exact text, fuzzy shingle, semantic, perceptual, substring,
+# URL) has the same store + delete + vacuum lifecycle. ---
+def _url_fingerprints(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
+    """``(doc_id, fingerprint, band)`` where fingerprint = normalized
+    synthetic URL (queries/mmdata.py's URL family)."""
+    from columnflow_spark.queries.mmdata import normalize_url, synthetic_urls
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    if pred is not None:
+        docs = docs.filter(pred)
+    return (
+        synthetic_urls(docs)
+        .select("doc_id", normalize_url(F.col("url")).alias("fingerprint"))
+        .withColumn("band", F.pmod(F.hash("fingerprint"), F.lit(_N_BANDS)))
+    )
+
+
+def _url_store_path(sf_dir: str, *, deleted: bool) -> str:
+    kind = "url-deleted" if deleted else "url"
+    tag = content_tag(table_path(sf_dir, "documents"), f"{kind}-v{_STORE_FORMAT}")
+    return os.path.join(scratch_root(), f"dedup_store_{kind}", tag)
+
+
+#: oracle template: URL-grain flagging over the (optionally reduced)
+#: history — the _inc_store_oracle shape with the URL CTE chain
+def _url_store_oracle(hist_filter: str = "") -> str:
+    from columnflow_spark.queries.mmdata import _URL_CTES
+
+    return f"""
+    WITH {_URL_CTES},
+    n AS (SELECT 3 * count(*) // 5 AS h FROM documents),
+    hist AS (
+        SELECT DISTINCT url_norm FROM nrm, n WHERE doc_id < h {hist_filter}
+    ),
+    batch AS (SELECT doc_id, url_norm FROM nrm, n WHERE doc_id >= h),
+    flagged AS (
+        SELECT b.doc_id,
+               h.url_norm IS NOT NULL AS dup_prior,
+               min(b.doc_id) OVER (PARTITION BY b.url_norm) < b.doc_id AS dup_in_batch
+        FROM batch b LEFT JOIN hist h USING (url_norm)
+    )
+    SELECT doc_id, dup_prior, dup_in_batch,
+           NOT (dup_prior OR dup_in_batch) AS keep
+    FROM flagged
+    ORDER BY doc_id
+    """
+
+
+def _ensure_url_store(spark: SparkSession, sf_dir: str, h: int, *, deleted: bool) -> str:
+    path = _url_store_path(sf_dir, deleted=deleted)
+    done = os.path.join(path, "_SEQ_COMPLETE")
+    if not os.path.exists(done):
+        upsert_fingerprints(
+            _url_fingerprints(spark, sf_dir, F.col("doc_id") < h), path, batch=0
+        )
+        if deleted:
+            rows = (
+                _url_fingerprints(
+                    spark, sf_dir, _delete_pred() & (F.col("doc_id") < h)
+                )
+                .groupBy("band", "fingerprint")
+                .agg(
+                    F.min("doc_id").alias("first_doc"),
+                    (-F.count(F.lit(1))).cast("long").alias("cnt"),
+                )
+                .withColumn("batch", F.lit(1))
+            )
+            upsert_partitions(rows, path, partition_by=["band", "batch"])
+        with open(done, "w") as f:
+            f.write("url ingest%s complete\n" % (" + delete" if deleted else ""))
+    return path
+
+
+@query("url_incremental_store", oracle=_url_store_oracle())
+def url_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental URL-grain dedup: flag the arriving batch's normalized
+    URLs against the persisted crawl-frontier store (first 60% of
+    doc_ids) and within itself — the fingerprint-store contract applied
+    at the URL grain."""
+    h = _history_cutoff(spark, sf_dir)
+    path = _ensure_url_store(spark, sf_dir, h, deleted=False)
+    return flag_fingerprints_against_store(
+        _url_fingerprints(spark, sf_dir, F.col("doc_id") >= h), path, max_batch=None
+    )
+
+
+@query(
+    "url_store_delete",
+    oracle=_url_store_oracle(f"AND NOT ({_DEL_PRED_SQL})"),
+)
+def url_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-grain dedup AFTER deletion propagation (a retracted site's
+    URLs un-claimed via one negative count slice): a URL whose every
+    holder was forgotten stops flagging re-crawls; URLs still held by
+    surviving docs keep flagging."""
+    h = _history_cutoff(spark, sf_dir)
+    path = _ensure_url_store(spark, sf_dir, h, deleted=True)
+    return flag_fingerprints_against_store(
+        _url_fingerprints(spark, sf_dir, F.col("doc_id") >= h), path, max_batch=None
+    )

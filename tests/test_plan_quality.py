@@ -649,6 +649,10 @@ _PLAN_BUDGETS = {
     # persisted OPQ serving: probed code read + rotated-query LUT from
     # the persisted codebook sidecar + embeddings query scan
     "ann_opq_materialized_topk": (4, 3),
+    # URL-grain store: the exact-store flag shape (ONE store agg + the
+    # batch join + within-batch window) at URL grain
+    "url_incremental_store": (2, 2),
+    "url_store_delete": (2, 2),
     "domain_stats_rollup": (4, 1),
     "domain_blocklist_filter": (2, 1),
 }
