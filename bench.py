@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     # node-grain iterative join/agg loop on the exact integer grid
     "pagerank_trade_graph",
     "bpe_encode_corpus",
+    "wordpiece_train_merges",
     "unigram_encode_corpus",
     "training_corpus_pipeline",
     "dedup_embedding_cosine_lsh",

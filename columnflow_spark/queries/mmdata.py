@@ -7655,3 +7655,196 @@ def ann_opq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", adc_scaled.alias("adc_dist"), "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# --- WordPiece tokenizer trainer (round 9 — the third member of the
+# standard tokenizer trio next to BPE and unigram-LM; Schuster &
+# Nakajima 2012 / BERT's trainer): per round, merge the adjacent symbol
+# pair maximizing the LIKELIHOOD score count(ab) / (count(a)*count(b))
+# instead of BPE's raw count(ab).  The score is quantized to the exact
+# integer grid ``floor(n * 1e12 / (ca * cb))`` (ties -> (a, b) asc) so
+# every selection decision is integer-exact on both engines — the same
+# determinism contract as the unigram trainer's log-likelihood grid.
+# The training set is the distinct-word count table (vocabulary-
+# bounded; BPE's argument), trained driver-side under the shared cap;
+# above it, the DISTRIBUTED loop runs the identical rounds — two
+# map-side-combinable aggregations (pair counts + symbol counts) and a
+# 1-row collect per round, with the score computed in DECIMAL(38,0)
+# ``div`` (exact integral division at any corpus magnitude — BIGINT
+# n*1e12 would overflow past n ~ 9.2e6).  The oracle replays every
+# round in SQL with HUGEINT arithmetic. ---
+_WP_ROUNDS = 6
+_WP_GRID = 10**12
+_WP_MERGE_CACHE: dict[tuple[str, str], list[tuple[str, str, int, int]]] = {}
+
+
+def _wp_train_rows(rows: list[tuple[int, str]]) -> list[tuple[str, str, int, int]]:
+    """Driver-side rounds over (count, wrapped-symbol-string) word rows;
+    returns [(a, b, pair_count, score_q)] — exact Python integers."""
+    import re
+    from collections import Counter
+
+    merges: list[tuple[str, str, int, int]] = []
+    states = list(rows)
+    for _ in range(_WP_ROUNDS):
+        pc: Counter = Counter()
+        sc: Counter = Counter()
+        for cnt, sep in states:
+            syms = [x for x in re.split("[<>]+", sep) if x]
+            for s in syms:
+                sc[s] += cnt
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += cnt
+        if not pc:
+            break
+        scored = {
+            (a, b): (n * _WP_GRID) // (sc[a] * sc[b]) for (a, b), n in pc.items()
+        }
+        (a, b) = min(scored, key=lambda k: (-scored[k], k))
+        merges.append((a, b, int(pc[(a, b)]), int(scored[(a, b)])))
+        states = [(c, s.replace(f"<{a}><{b}>", f"<{a}{b}>")) for c, s in states]
+    return merges
+
+
+def _wp_score_expr():
+    """Exact integer-grid WordPiece score over (n, ca, cb) columns:
+    DECIMAL(38,0) products + integral ``div`` — bit-equal to Python's
+    ``(n * 1e12) // (ca * cb)`` at any magnitude."""
+    return F.expr(
+        f"CAST(CAST(n AS DECIMAL(38,0)) * {_WP_GRID} div "
+        "(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))) AS BIGINT)"
+    )
+
+
+def _wp_train_distributed(state: DataFrame) -> list[tuple[str, str, int, int]]:
+    """The identical rounds as DataFrame jobs for above-cap vocabularies:
+    per round two aggregations + ONE 1-row collect; the word-state
+    column mutates via the same in-row replace and checkpoints per round
+    (bounded lineage, the graph-loop pattern)."""
+    merges: list[tuple[str, str, int, int]] = []
+    for _ in range(_WP_ROUNDS):
+        syms = _bpe_syms(F.col("s"))
+        scnt = (
+            state.select("cnt", F.explode(syms).alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        pairs = state.filter(F.size(syms) >= 2).select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(syms) - 2),
+                    lambda i: F.struct(
+                        F.element_at(syms, i + 1).alias("a"),
+                        F.element_at(syms, i + 2).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        pc = pairs.groupBy("p.a", "p.b").agg(F.sum("cnt").alias("n"))
+        scored = (
+            pc.join(scnt.select(F.col("sym").alias("a"), F.col("c").alias("ca")), "a")
+            .join(scnt.select(F.col("sym").alias("b"), F.col("c").alias("cb")), "b")
+            .select("a", "b", "n", _wp_score_expr().alias("score_q"))
+        )
+        top = scored.orderBy(F.desc("score_q"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top:
+            break
+        r = top[0]
+        merges.append((r.a, r.b, int(r.n), int(r.score_q)))
+        state = state.withColumn(
+            "s",
+            F.replace(F.col("s"), F.lit(f"<{r.a}><{r.b}>"), F.lit(f"<{r.a}{r.b}>")),
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def wordpiece_train(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int, int]]:
+    """Learn ``_WP_ROUNDS`` likelihood-scored merges; cached per
+    (session, corpus) like the BPE merge table."""
+    key = (session_key(spark), sf_dir)
+    cached = _WP_MERGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    state = _bpe_word_state(spark, sf_dir)
+    head = state.take(_BPE_DRIVER_CAP + 1)
+    if len(head) <= _BPE_DRIVER_CAP:
+        merges = _wp_train_rows([(r.cnt, r.s) for r in head])
+    else:
+        merges = _wp_train_distributed(state)
+    _WP_MERGE_CACHE[key] = merges
+    return merges
+
+
+def _wp_round_ctes() -> str:
+    """The DuckDB mirror: K materialized rounds with HUGEINT scoring."""
+    parts = [
+        """
+    wpstate0 AS MATERIALIZED (
+        SELECT w, cnt,
+               regexp_replace(replace(replace(w, '<', ''), '>', ''), '(.)', '<\\1>', 'g') AS s
+        FROM (
+            SELECT w, count(*) AS cnt
+            FROM (
+                SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+                FROM documents
+            )
+            GROUP BY w
+        )
+        WHERE length(replace(replace(w, '<', ''), '>', '')) > 0
+    )"""
+    ]
+    for r in range(1, _WP_ROUNDS + 1):
+        parts.append(f"""
+    wsyms{r} AS MATERIALIZED (
+        SELECT cnt, string_split(regexp_replace(s, '^<|>$', '', 'g'), '><') AS syms
+        FROM wpstate{r - 1}
+    ),
+    wscnt{r} AS MATERIALIZED (
+        SELECT sym, CAST(sum(cnt) AS BIGINT) AS c
+        FROM (SELECT cnt, unnest(syms) AS sym FROM wsyms{r})
+        GROUP BY sym
+    ),
+    wpairs{r} AS MATERIALIZED (
+        SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+        FROM wsyms{r}, unnest(range(1, len(syms))) AS t(i)
+        GROUP BY a, b
+    ),
+    wbest{r} AS MATERIALIZED (
+        SELECT p.a, p.b, p.n,
+               CAST(CAST(p.n AS HUGEINT) * {_WP_GRID}
+                    // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS score_q
+        FROM wpairs{r} p
+        JOIN wscnt{r} ca ON ca.sym = p.a
+        JOIN wscnt{r} cb ON cb.sym = p.b
+        ORDER BY score_q DESC, p.a, p.b LIMIT 1
+    ),
+    wpstate{r} AS MATERIALIZED (
+        SELECT w, cnt, replace(s, '<' || a || '><' || b || '>', '<' || a || b || '>') AS s
+        FROM wpstate{r - 1}, wbest{r}
+    )""")
+    return ",".join(parts)
+
+
+@query(
+    "wordpiece_train_merges",
+    oracle=f"""
+    WITH {_wp_round_ctes()}
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT {r} AS rank, a || '+' || b AS pair, n, score_q FROM wbest{r}"
+            for r in range(1, _WP_ROUNDS + 1)
+        )}
+    )
+    ORDER BY rank
+    """,
+)
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned WordPiece merge table (rank, pair, weighted pair
+    count, integer-grid likelihood score) — the full training chain
+    replayed by the oracle round for round."""
+    merges = wordpiece_train(spark, sf_dir)
+    return spark.createDataFrame(
+        [(r + 1, f"{a}+{b}", n, sq) for r, (a, b, n, sq) in enumerate(merges)],
+        "rank int, pair string, n long, score_q long",
+    ).orderBy("rank")

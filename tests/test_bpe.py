@@ -83,3 +83,37 @@ def test_distributed_fallback_batches_merges_identically(spark, sf_dir, monkeypa
     # on this corpus the 6 merges land in <= 3 rounds (measured 3);
     # anything below _BPE_ROUNDS proves multi-merge rounds happened
     assert M._BPE_LAST_FALLBACK_ROUNDS["rounds"] < M._BPE_ROUNDS
+
+
+# --- WordPiece (round 9) ---
+def test_wordpiece_prefers_likelihood_over_raw_count(spark):
+    """The WordPiece score picks a RARE-symbol pair over a higher-count
+    pair of ubiquitous symbols — the defining difference vs BPE."""
+    from columnflow_spark.queries.mmdata import _wp_train_rows
+
+    # 'xy' occurs 4x with x,y appearing ONLY together (score 1e12/16*4);
+    # 'ab' occurs 6x but a and b are everywhere (each count 20)
+    rows = [
+        (4, "<x><y>"),
+        (6, "<a><b>"),
+        (14, "<a>"),
+        (14, "<b>"),
+    ]
+    merges = _wp_train_rows(rows)
+    assert merges[0][0:2] == ("x", "y")
+    a, b, n, sq = merges[0]
+    assert n == 4 and sq == (4 * 10**12) // (4 * 4)
+
+
+def test_wordpiece_distributed_equals_driver(spark, sf_dir, monkeypatch):
+    """Above the driver cap the distributed rounds must learn the
+    identical merge table (the BPE cap-monkeypatch proof)."""
+    import columnflow_spark.queries.mmdata as M
+
+    M._WP_MERGE_CACHE.clear()
+    reference = M.wordpiece_train(spark, sf_dir)
+    M._WP_MERGE_CACHE.clear()
+    monkeypatch.setattr(M, "_BPE_DRIVER_CAP", 0)
+    distributed = M.wordpiece_train(spark, sf_dir)
+    M._WP_MERGE_CACHE.clear()
+    assert distributed == reference and len(reference) > 0
