@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "pagerank_trade_graph",
     "bpe_encode_corpus",
     "wordpiece_train_merges",
+    "wordpiece_encode_corpus",
     "unigram_encode_corpus",
     "training_corpus_pipeline",
     "dedup_embedding_cosine_lsh",

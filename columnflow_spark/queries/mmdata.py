@@ -7848,3 +7848,131 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r + 1, f"{a}+{b}", n, sq) for r, (a, b, n, sq) in enumerate(merges)],
         "rank int, pair string, n long, score_q long",
     ).orderBy("rank")
+
+
+# --- WordPiece greedy encode (the BERT inference algorithm): per word,
+# repeatedly take the LONGEST vocab piece matching at the cursor (vocab
+# = every seen single char + the trained merge results; no ##-prefix
+# distinction — the SentencePiece-style variant).  A piece built from k
+# merges has length <= k + 1 (induction over concatenations), so the
+# max piece length is statically _WP_ROUNDS + 1 and the oracle replays
+# the greedy scan as a linear recursion — one level per EMITTED token,
+# longest match chosen by a static coalesce ladder over per-length
+# vocab joins.  Engine side: the Arrow greedy kernel runs once per
+# DISTINCT word (vocabulary-sized), the corpus pass is explode +
+# broadcast word->ntok join (the unigram-encode shape). ---
+def _wp_vocab_set(spark: SparkSession, sf_dir: str) -> set[str]:
+    merges = wordpiece_train(spark, sf_dir)
+    state = _bpe_word_state(spark, sf_dir)
+    chars = {
+        r.ch
+        for r in state.select(
+            F.explode(F.split(_bpe_clean_word(F.col("w")), "")).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+        .distinct()
+        .collect()
+    }
+    return chars | {a + b for a, b, _, _ in merges}
+
+
+def _wp_greedy_ntok(w: str, vocab: set[str], maxlen: int) -> int:
+    pos, ntok = 0, 0
+    while pos < len(w):
+        for l in range(min(maxlen, len(w) - pos), 0, -1):
+            if w[pos:pos + l] in vocab:
+                pos += l
+                ntok += 1
+                break
+        else:  # unreachable: every corpus char is in the vocab
+            raise ValueError(f"wordpiece: uncoverable word {w!r}")
+    return ntok
+
+
+@query(
+    "wordpiece_encode_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_wp_round_ctes()},
+    wvocab AS MATERIALIZED (
+        SELECT DISTINCT piece FROM (
+            SELECT unnest(string_split(regexp_replace(s, '^<|>$', '', 'g'), '><')) AS piece
+            FROM wpstate0
+            UNION ALL
+            {" UNION ALL ".join(f"SELECT a || b FROM wbest{r}" for r in range(1, _WP_ROUNDS + 1))}
+        ) WHERE piece <> ''
+    ),
+    wpwords AS MATERIALIZED (
+        SELECT replace(replace(w, '<', ''), '>', '') AS cw, w
+        FROM wpstate0
+    ),
+    wpenc AS (
+        SELECT cw, w, 0 AS pos, 0 AS ntok FROM wpwords
+        UNION ALL
+        SELECT e.cw, e.w,
+               e.pos + coalesce({", ".join(f"len(v{l}.piece)" for l in range(_WP_ROUNDS + 1, 0, -1))}),
+               e.ntok + 1
+        FROM wpenc e
+        {chr(10).join(
+            f"        LEFT JOIN wvocab v{l} ON len(v{l}.piece) = {l}"
+            f" AND substr(e.cw, e.pos + 1, {l}) = v{l}.piece"
+            for l in range(_WP_ROUNDS + 1, 0, -1)
+        )}
+        WHERE e.pos < len(e.cw)
+    ),
+    wtok AS MATERIALIZED (
+        SELECT w, ntok FROM wpenc WHERE pos = len(cw)
+    ),
+    corpus AS (
+        SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           CAST(sum(ntok) * 10000 // count(*) AS BIGINT) AS fert_q
+    FROM corpus JOIN wtok USING (w)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encode under the trained WordPiece vocab, reported as the
+    per-language fertility harness (the unigram_encode_corpus shape):
+    greedy longest-match runs once per distinct word in an Arrow batch,
+    the corpus is touched once."""
+    import pandas as pd  # noqa: PLC0415
+
+    vocab = _wp_vocab_set(spark, sf_dir)
+    maxlen = _WP_ROUNDS + 1
+
+    def run(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "ntok": [
+                        _wp_greedy_ntok(w.replace("<", "").replace(">", ""), vocab, maxlen)
+                        for w in pdf["w"]
+                    ],
+                }
+            )
+
+    state = _bpe_word_state(spark, sf_dir)
+    wtok = state.select("w").mapInPandas(run, schema="w string, ntok int")
+    docs = load_table(spark, sf_dir, "documents", columns=["lang", "text"])
+    words = docs.select(
+        "lang", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w")
+    )
+    return (
+        words.join(F.broadcast(wtok), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("n_tokens * 10000 div n_words").cast("long").alias("fert_q"),
+        )
+        .orderBy("lang")
+    )

@@ -117,3 +117,14 @@ def test_wordpiece_distributed_equals_driver(spark, sf_dir, monkeypatch):
     distributed = M.wordpiece_train(spark, sf_dir)
     M._WP_MERGE_CACHE.clear()
     assert distributed == reference and len(reference) > 0
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    """Greedy longest-match-first semantics: with vocab {a, b, ab, abc},
+    'abcab' -> [abc, ab] (3-char match beats 2), 'abab' -> [ab, ab]."""
+    from columnflow_spark.queries.mmdata import _wp_greedy_ntok
+
+    vocab = {"a", "b", "c", "ab", "abc"}
+    assert _wp_greedy_ntok("abcab", vocab, 3) == 2
+    assert _wp_greedy_ntok("abab", vocab, 3) == 2
+    assert _wp_greedy_ntok("bca", vocab, 3) == 3  # no multi-char match at 0
