@@ -7889,9 +7889,10 @@ def _wp_greedy_ntok(w: str, vocab: set[str], maxlen: int) -> int:
     return ntok
 
 
-@query(
-    "wordpiece_encode_corpus",
-    oracle=f"""
+#: shared by the batch encode and its streaming-ingest twin (hash
+#: equality across the two IS the maintenance proof — the lang totals
+#: form a monoid over micro-batch partials, the unigram contract)
+_WP_ENCODE_ORACLE = f"""
     WITH RECURSIVE {_wp_round_ctes()},
     wvocab AS MATERIALIZED (
         SELECT DISTINCT piece FROM (
@@ -7931,8 +7932,10 @@ def _wp_greedy_ntok(w: str, vocab: set[str], maxlen: int) -> int:
            CAST(sum(ntok) * 10000 // count(*) AS BIGINT) AS fert_q
     FROM corpus JOIN wtok USING (w)
     GROUP BY lang ORDER BY lang
-    """,
-)
+    """
+
+
+@query("wordpiece_encode_corpus", oracle=_WP_ENCODE_ORACLE)
 def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus encode under the trained WordPiece vocab, reported as the
     per-language fertility harness (the unigram_encode_corpus shape):

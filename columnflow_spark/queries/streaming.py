@@ -1877,3 +1877,106 @@ def streaming_dedup_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(flags).select("doc_id", "is_dup").orderBy("doc_id")
+
+
+# --- streaming WordPiece tokenization (round 9 — the third member of
+# the streaming tokenizer-deployment family next to BPE and unigram):
+# the OFFLINE-trained WordPiece vocab encodes each micro-batch — per
+# batch the DISTINCT words segment once through the greedy
+# longest-match Arrow kernel, the corpus-grain pass is explode +
+# broadcast word->ntok join, and the per-lang (n_words, n_tokens)
+# partials land as a batch slice.  The lang totals are a commutative
+# monoid over the partials, so the at-rest rollup shares
+# wordpiece_encode_corpus's ORACLE — hash equality is the
+# streaming-maintenance proof. ---
+from columnflow_spark.queries.mmdata import _WP_ENCODE_ORACLE as _WPE  # noqa: E402
+
+
+@query("streaming_wordpiece_tokenize", oracle=_WPE)
+def streaming_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    import pandas as pd
+
+    from columnflow_spark.queries.mmdata import (
+        _WP_ROUNDS,
+        _wp_greedy_ntok,
+        _wp_vocab_set,
+    )
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.pydatasource import register
+    from columnflow_spark.sources.sinks import upsert_partitions
+
+    register(spark)
+    flags = tempfile.mkdtemp(prefix="cf_wp_tok_")
+    vocab = _wp_vocab_set(spark, sf_dir)  # offline artifact
+    maxlen = _WP_ROUNDS + 1
+    n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("order_col", "doc_id")
+        .option("batch_rows", _ingest_batch_rows(n))
+        .load()
+        .select("lang", "text")
+    )
+
+    def run(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "ntok": [
+                        _wp_greedy_ntok(
+                            w.replace("<", "").replace(">", ""), vocab, maxlen
+                        )
+                        for w in pdf["w"]
+                    ],
+                }
+            )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        words = batch_df.select(
+            "lang",
+            F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w"),
+        )
+        # drop words that clean to empty (the training-side rule) —
+        # they carry no tokens on either engine
+        words = words.filter(
+            F.length(F.replace(F.replace(F.col("w"), F.lit("<"), F.lit("")),
+                               F.lit(">"), F.lit(""))) > 0
+        )
+        wtok = (
+            words.select("w").distinct().mapInPandas(run, schema="w string, ntok int")
+        )
+        out = (
+            words.join(F.broadcast(wtok), "w")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("ntok").alias("n_tokens"),
+            )
+            .withColumn("batch", F.lit(int(batch_id)))
+        )
+        upsert_partitions(out, flags, partition_by=["batch"])
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(flags)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("n_tokens * 10000 div n_words").alias("fert_q"),
+        )
+        .orderBy("lang")
+    )
