@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "text_quality",
     "quality_gate_rules",
     "bigram_lm_perplexity",
+    "trigram_lm_perplexity",
     "stratified_sample",
     "pack_sequences",
     "pack_sequences_bestfit",

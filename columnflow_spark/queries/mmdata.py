@@ -7979,3 +7979,145 @@ def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- interpolated TRIGRAM-LM perplexity (round 9 — one order above the
+# bigram scorer; the Jelinek-Mercer interpolation KenLM-style pipelines
+# use when Kneser-Ney's discount bookkeeping isn't warranted):
+# P(c|a,b) = 0.6*c3(abc)/c2(ab) + 0.3*c2(bc)/c1(b) + 0.1*(c1(c)+1)/(T+V),
+# every marginal derived from the SAME trigram count table (the closed
+# convention: c2(ab) = sum_c c3, c2(bc) = sum_a c3, c1(b), c1(c), T —
+# one corpus shuffle builds c3, four map-side-combinable marginal
+# aggregations + joins stay at n-gram-type grain).  Every division's
+# inputs are exact integers cast to double, the three-term sum is
+# written in one fixed order on both engines, and the single ln rides
+# the shared integer grid with the in-plan knife-edge raise — so
+# per-trigram log-probs are bit-identical and doc sums are exact
+# integer arithmetic.  Docs under 3 words have no trigrams and drop out
+# (the scoring convention the bigram op documents). ---
+_TLM_GRID = 1_000_000
+_TLM_BUCKET = 500_000
+_TLM_L3, _TLM_L2, _TLM_L1 = 0.6, 0.3, 0.1
+
+
+@query(
+    "trigram_lm_perplexity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    ex AS MATERIALIZED (
+        SELECT doc_id, ws[i+1] AS a, ws[i+2] AS b, ws[i+3] AS c
+        FROM toks, unnest(range(len(ws) - 2)) AS t(i)
+    ),
+    c3 AS MATERIALIZED (
+        SELECT a, b, c, CAST(count(*) AS BIGINT) AS n3 FROM ex GROUP BY a, b, c
+    ),
+    m_ab AS (SELECT a, b, CAST(sum(n3) AS BIGINT) AS nab FROM c3 GROUP BY a, b),
+    m_bc AS (SELECT b, c, CAST(sum(n3) AS BIGINT) AS nbc FROM c3 GROUP BY b, c),
+    m_b AS (SELECT b, CAST(sum(n3) AS BIGINT) AS nb FROM c3 GROUP BY b),
+    m_c AS (SELECT c, CAST(sum(n3) AS BIGINT) AS nc FROM c3 GROUP BY c),
+    tot AS (
+        SELECT CAST(sum(n3) AS BIGINT) AS t,
+               CAST(count(DISTINCT c) AS BIGINT) AS v
+        FROM c3
+    ),
+    lp AS MATERIALIZED (
+        SELECT c3.a, c3.b, c3.c,
+               CAST(-floor(-ln(
+                   {_TLM_L3} * (CAST(n3 AS DOUBLE) / CAST(nab AS DOUBLE))
+                   + {_TLM_L2} * (CAST(nbc AS DOUBLE) / CAST(nb AS DOUBLE))
+                   + {_TLM_L1} * (CAST(nc + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))
+               ) * {_TLM_GRID} + 0.5) AS BIGINT) AS lp_q
+        FROM c3
+        JOIN m_ab USING (a, b)
+        JOIN m_bc USING (b, c)
+        JOIN m_b USING (b)
+        JOIN m_c USING (c)
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(-sum(lp_q) AS BIGINT) AS nll_q,
+           CAST((-sum(lp_q)) // count(*) AS BIGINT) AS nll_avg_q,
+           CAST(((-sum(lp_q)) // count(*)) // {_TLM_BUCKET} AS BIGINT) AS ppl_bucket
+    FROM ex JOIN lp USING (a, b, c)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def trigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc interpolated trigram-LM negative log-likelihood (integer
+    grid), average and half-nat perplexity bucket — see the block
+    comment."""
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+    ws = F.filter(F.split("text", " "), lambda t: t != "")
+    d = docs.select("doc_id", ws.alias("ws"))
+    ntri = F.size("ws") - 2
+    tris = F.when(
+        ntri > 0,
+        F.transform(
+            F.sequence(F.lit(0), ntri - 1),
+            lambda i: F.struct(
+                F.element_at("ws", i + 1).alias("a"),
+                F.element_at("ws", i + 2).alias("b"),
+                F.element_at("ws", i + 3).alias("c"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string,c:string>>"))
+    ex = d.select("doc_id", F.explode(tris).alias("tg")).select(
+        "doc_id",
+        F.col("tg.a").alias("a"),
+        F.col("tg.b").alias("b"),
+        F.col("tg.c").alias("c"),
+    )
+    # ONE corpus-grain shuffle; everything below is n-gram-type grain.
+    # checkpoint so the four marginal branches + the scoring join read
+    # the counted table, not four recomputations of the corpus explode
+    c3 = ex.groupBy("a", "b", "c").agg(F.count(F.lit(1)).alias("n3")).localCheckpoint()
+    m_ab = c3.groupBy("a", "b").agg(F.sum("n3").alias("nab"))
+    m_bc = c3.groupBy("b", "c").agg(F.sum("n3").alias("nbc"))
+    m_b = c3.groupBy("b").agg(F.sum("n3").alias("nb"))
+    m_c = c3.groupBy("c").agg(F.sum("n3").alias("nc"))
+    tot = c3.agg(
+        F.sum("n3").alias("t"), F.countDistinct("c").alias("v")
+    )
+    p = (
+        F.lit(_TLM_L3) * (F.col("n3").cast("double") / F.col("nab").cast("double"))
+        + F.lit(_TLM_L2) * (F.col("nbc").cast("double") / F.col("nb").cast("double"))
+        + F.lit(_TLM_L1)
+        * ((F.col("nc") + 1).cast("double") / (F.col("t") + F.col("v")).cast("double"))
+    )
+    z = -F.log(p) * F.lit(float(_TLM_GRID)) + F.lit(0.5)
+    edge = F.abs(z - F.round(z, 0)) < F.greatest(F.lit(1e-9), F.abs(z) * F.lit(1e-12))
+    lp_q = (
+        -F.when(
+            edge,
+            F.expr(
+                "CAST(raise_error('trigram_lm_perplexity: -ln(p)*grid + 0.5 lands"
+                " within the cross-engine ln guard band of a rounding boundary —"
+                " bump _TLM_GRID for this corpus') AS DOUBLE)"
+            ),
+        ).otherwise(F.floor(z))
+    ).cast("long")
+    lp = (
+        c3.join(m_ab, ["a", "b"])
+        .join(m_bc, ["b", "c"])
+        .join(m_b, "b")
+        .join(m_c, "c")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", "c", lp_q.alias("lp_q"))
+    )
+    return (
+        ex.join(lp, ["a", "b", "c"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_trigrams"), (-F.sum("lp_q")).alias("nll_q"))
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "nll_q",
+            F.expr("nll_q div n_trigrams").alias("nll_avg_q"),
+            F.expr(f"(nll_q div n_trigrams) div {_TLM_BUCKET}").alias("ppl_bucket"),
+        )
+        .orderBy("doc_id")
+    )

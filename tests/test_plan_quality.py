@@ -653,6 +653,10 @@ _PLAN_BUDGETS = {
     # batch join + within-batch window) at URL grain
     "url_incremental_store": (2, 2),
     "url_store_delete": (2, 2),
+    # interpolated trigram LM: ONE corpus scan/shuffle builds c3 (then
+    # checkpointed); the four marginal aggregations + joins and the
+    # scoring join all run at n-gram-type grain
+    "trigram_lm_perplexity": (9, 1),
     "domain_stats_rollup": (4, 1),
     "domain_blocklist_filter": (2, 1),
 }
