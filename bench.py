@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     # round-5 additions: cluster-bounded semantic dedup + mixture optimizer
     "semdedup_clusters",
     "doremi_domain_weights",
+    "unimax_mixture_allocation",
     # hybrid lexical+dense fusion and iterative graph analytics.
     # graph_triangle_count is deliberately NOT a headline line: its cost is
     # the honest O(m^1.5) wedge-join volume (~21 s at sf0.1, 392M wedges at

@@ -8121,3 +8121,105 @@ def trigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- UniMax mixture allocation (Chung et al. 2023 — the budget-
+# constrained uniform sampler that replaced temperature mixing for
+# mT5/umT5): allocate a total training budget UNIFORMLY across sources,
+# capped at E epochs of each source's corpus.  In (size asc, source
+# asc) order the capped set is provably a prefix (if cap_i*(L-i+1) >
+# B - prefix_caps then the same holds for every later i: caps are
+# monotone and the remainder only shrinks), so the classic iterative
+# waterfill collapses to per-row INTEGER comparisons over prefix sums —
+# one window pass over the per-source table (catalog-bounded rows, the
+# source_temperature_weights class) and exact BIGINT arithmetic end to
+# end.  Budget = 8*T/5 chars with E = 2 epochs: BELOW total capacity
+# (2T), so allocation genuinely binds — on the near-uniform test corpus
+# no source caps (pure uniform split; a budget above capacity degenerates
+# to all-capped), and the crafted skewed fixture in tests pins MIXED
+# binding where small sources cap and big ones share the remainder.
+# Uncapped sources split by integer division, the sub-|uncapped|
+# rounding remainder deliberately unallocated. ---
+_UNIMAX_EPOCHS = 2
+
+
+@query(
+    "unimax_mixture_allocation",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS l FROM per
+    ),
+    ordered AS (
+        SELECT source, n, {_UNIMAX_EPOCHS} * n AS cap,
+               row_number() OVER (ORDER BY n, source) AS i,
+               coalesce(sum({_UNIMAX_EPOCHS} * n) OVER (
+                   ORDER BY n, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pref
+        FROM per
+    ),
+    flagged AS (
+        SELECT o.source, o.n, o.cap, o.i,
+               (o.cap * (tot.l - o.i + 1) <= (tot.t * 8) // 5 - o.pref) AS capped,
+               (tot.t * 8) // 5 AS b, tot.l AS l
+        FROM ordered o CROSS JOIN tot
+    ),
+    pools AS (
+        SELECT CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0) AS BIGINT) AS capsum,
+               CAST(count(*) FILTER (WHERE NOT capped) AS BIGINT) AS nun
+        FROM flagged
+    )
+    SELECT f.source, f.n AS n_chars, f.capped,
+           CAST(CASE WHEN f.capped THEN f.cap
+                     ELSE (f.b - p.capsum) // p.nun END AS BIGINT) AS quota
+    FROM flagged f CROSS JOIN pools p
+    ORDER BY f.source
+    """,
+)
+def unimax_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source UniMax budget allocation: ``(source, n_chars, capped,
+    quota)`` — capped sources contribute E epochs of themselves, the
+    remainder splits uniformly over the rest.  Exact integers
+    throughout; the windows run over the catalog-bounded per-source
+    table."""
+    docs = load_table(spark, sf_dir, "documents", columns=["source", "n_chars"])
+    per = docs.groupBy("source").agg(F.sum("n_chars").cast("long").alias("n"))
+    wtot = W.partitionBy()
+    wo = W.orderBy("n", "source")
+    cap = F.lit(_UNIMAX_EPOCHS) * F.col("n")
+    flagged = per.select(
+        "source",
+        "n",
+        cap.alias("cap"),
+        F.row_number().over(wo).alias("i"),
+        F.coalesce(
+            F.sum(cap).over(wo.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("pref"),
+        F.sum("n").over(wtot).alias("t"),
+        F.count(F.lit(1)).over(wtot).alias("l"),
+    ).withColumn(
+        "b", F.expr("t * 8 div 5")
+    ).withColumn(
+        "capped", F.col("cap") * (F.col("l") - F.col("i") + 1) <= F.col("b") - F.col("pref")
+    )
+    pools = flagged.agg(
+        F.coalesce(F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)).alias(
+            "capsum"
+        ),
+        F.sum(F.when(~F.col("capped"), 1).otherwise(0)).alias("nun"),
+    )
+    return (
+        flagged.crossJoin(F.broadcast(pools))
+        .select(
+            "source",
+            F.col("n").alias("n_chars"),
+            "capped",
+            F.when(F.col("capped"), F.col("cap"))
+            .otherwise(F.expr("(b - capsum) div nun"))
+            .cast("long")
+            .alias("quota"),
+        )
+        .orderBy("source")
+    )

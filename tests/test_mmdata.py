@@ -638,3 +638,40 @@ def test_unigram_vocab_store_roundtrip(spark, sf_dir):
     assert served == trained
     _ULM_CACHE.clear()
     assert _ulm_vocab(spark, sf_dir) == trained  # pure store read
+
+
+def test_unimax_waterfill_mixed_binding(spark, tmp_path):
+    """Crafted skew: tiny sources cap at E epochs, big ones split the
+    remainder uniformly — the UniMax waterfill's defining behavior,
+    exact integers end to end."""
+    from columnflow_spark.queries import all_queries
+
+    rows = []
+    did = 0
+    sizes = {"tiny1": 10, "tiny2": 20, "big1": 400, "big2": 600}
+    for src, n in sizes.items():
+        rows.append((did, src, n))
+        did += 1
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(i, s, "x", "en", n) for (i, s, n) in rows],
+        "doc_id long, source string, text string, lang string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r.source: (r.capped, r.quota)
+        for r in all_queries()["unimax_mixture_allocation"](spark, d).collect()
+    }
+    # T = 1030, B = 8T/5 = 1648; sorted order tiny1, tiny2, big1, big2:
+    #  tiny1: cap 20*4=80 <= 1648 -> capped, quota 20
+    #  tiny2: cap 40*3=120 <= 1628 -> capped, quota 40
+    #  big1:  cap 800*2=1600 > 1588 -> uncapped
+    #  big2:  uncapped; remainder (1648-60)//2 = 794 each
+    assert out == {
+        "tiny1": (True, 20),
+        "tiny2": (True, 40),
+        "big1": (False, 794),
+        "big2": (False, 794),
+    }

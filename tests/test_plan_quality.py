@@ -756,6 +756,9 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     "ml_roc_curve": "101-bucket calibration grid",
     # n^alpha weights over the per-source count table (source catalog)
     "source_temperature_weights": "per-source counts (catalog-bounded)",
+    # UniMax waterfill prefix sums over the per-source table (catalog-
+    # bounded, the source_temperature_weights class)
+    "unimax_mixture_allocation": "per-source sums (catalog-bounded)",
 }
 
 
