@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "dedup_span_chunks",
     "dedup_substring_runs",
     "dedup_substring_rewrite",
+    "boilerplate_segment_removal",
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "ann_cosine_topk",
@@ -121,6 +122,9 @@ BENCH_QUERIES = [
     "url_dedup_keep_first",
     "url_incremental_store",
     "domain_stats_rollup",
+    # r9: 1-bit sign codes — Hamming scan + exact-cosine rescore
+    "ann_binary_hamming_topk",
+    "ann_binary_rescore_topk",
     # lexical index maintenance: serve from the postings store
     "bm25_incremental_postings",
     # Gopher-style repetition quality signals

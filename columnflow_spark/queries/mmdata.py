@@ -8223,3 +8223,273 @@ def unimax_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- binary (sign) embedding quantization + Hamming search.  The modern
+# binary-embedding serving trick (e.g. faiss IndexBinaryFlat; the shape
+# every "binary quantization" vector-DB feature uses): one sign bit per
+# dimension packs a 64-d float vector into 64 bits, Hamming distance is
+# two XOR+popcount instructions, and an exact float rescore over the
+# Hamming shortlist recovers most of the recall at ~1/32 the scan IO.
+# The 64 bits ship as TWO 32-bit halves in BIGINTs so neither engine
+# ever shifts into the sign bit (DuckDB raises on BIGINT overflow; the
+# halves stay < 2^32).  Completes the quantization family: int8 scalar
+# (embedding_quantize_int8), PQ/OPQ codebooks, and now 1-bit sign codes.
+_BINARY_QUERY_PRED = "vec_id < 10"  # the ann_cosine_topk probe workload
+_BINARY_TOPK = 5
+_BINARY_RESCORE_R = 32  # Hamming shortlist width per query
+
+
+def binary_sign_codes(emb: DataFrame) -> DataFrame:
+    """``(vec_id, h1, h2)`` sign codes: bit i of half 1 (2) is set when
+    dimension i (i+32) is strictly positive.  Pure in-row expression —
+    the packing runs inside whole-stage codegen at scan time, exactly
+    what a 100 TB encode pass wants (no shuffle, no Python)."""
+
+    def half(off: int):
+        return F.expr(
+            f"aggregate(zip_with(slice(embedding, {off + 1}, 32), sequence(0, 31), "
+            f"(v, i) -> IF(v > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i), "
+            f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        )
+
+    return emb.select("vec_id", "embedding", half(0).alias("h1"), half(32).alias("h2"))
+
+
+def _binary_codes_ctes() -> str:
+    def half(lo: int) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range({lo}, {lo + 32}), "
+            f"j -> CASE WHEN embedding[j] > 0 THEN (CAST(1 AS BIGINT) << (j - {lo})) "
+            f"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+        )
+
+    return f"""codes AS (
+        SELECT vec_id, embedding, {half(1)} AS h1, {half(33)} AS h2
+        FROM embeddings
+    ),
+    hams AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(bit_count(xor(q.h1, c.h1)) + bit_count(xor(q.h2, c.h2)) AS BIGINT) AS ham,
+               q.embedding AS qe, c.embedding AS ce
+        FROM codes q JOIN codes c
+          ON q.{_BINARY_QUERY_PRED} AND c.vec_id <> q.vec_id
+    )"""
+
+
+@query(
+    "ann_binary_hamming_topk",
+    oracle=f"""
+    WITH {_binary_codes_ctes()}
+    SELECT query_id, neighbor_id, ham, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT query_id, neighbor_id, ham,
+               row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS rk
+        FROM hams
+    )
+    WHERE rk <= {_BINARY_TOPK}
+    ORDER BY query_id, rk
+    """,
+)
+def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} nearest neighbours per probe under Hamming distance over
+    1-bit sign codes.  Plan shape mirrors ann_cosine_topk: the probe
+    codes broadcast over the corpus (the corpus never shuffles into the
+    distance join), the distance is two XOR+popcount longs inside
+    codegen, and the per-query rank is the two-phase salted top-k — at
+    100 TB the scan reads 8 bytes/vector instead of 256."""
+    from columnflow_spark.functions.skew import salted_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    codes = binary_sign_codes(emb).drop("embedding")
+    q = codes.filter(F.expr(_BINARY_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("h1").alias("q1"),
+        F.col("h2").alias("q2"),
+    )
+    hams = codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr("bit_count(h1 ^ q1) + bit_count(h2 ^ q2)").cast("long").alias("ham"),
+    )
+    top = salted_topk(
+        hams,
+        ["query_id"],
+        [F.asc("ham"), F.asc("neighbor_id")],
+        _BINARY_TOPK,
+        salt_src=F.col("neighbor_id"),
+    )
+    return top.select("query_id", "neighbor_id", "ham", "rk").orderBy("query_id", "rk")
+
+
+@query(
+    "ann_binary_rescore_topk",
+    oracle=f"""
+    WITH {_binary_codes_ctes()},
+    shortlist AS (
+        SELECT query_id, neighbor_id, qe, ce
+        FROM (
+            SELECT query_id, neighbor_id, qe, ce,
+                   row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS hrk
+            FROM hams
+        )
+        WHERE hrk <= {_BINARY_RESCORE_R}
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT query_id, neighbor_id,
+               round(list_cosine_similarity(qe::DOUBLE[], ce::DOUBLE[]), 4) AS sim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(qe::DOUBLE[], ce::DOUBLE[]) DESC,
+                            neighbor_id
+               ) AS rk
+        FROM shortlist
+    )
+    WHERE rk <= {_BINARY_TOPK}
+    ORDER BY query_id, rk
+    """,
+)
+def ann_binary_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming shortlist ({r} per query) + exact-cosine rescore: the
+    two-phase binary serving path.  Phase 1 is the 8-byte/vector
+    Hamming scan; phase 2 fetches float vectors for the BOUNDED
+    |queries| x {r} shortlist only (broadcast id-list semi-join — the
+    refine-fetch shape of ann_ivfpq_refined_topk), so the full-precision
+    corpus is touched at shortlist grain, never scanned."""
+    from columnflow_spark.functions.skew import salted_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    codes = binary_sign_codes(emb).drop("embedding")
+    q = codes.filter(F.expr(_BINARY_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("h1").alias("q1"),
+        F.col("h2").alias("q2"),
+    )
+    hams = codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr("bit_count(h1 ^ q1) + bit_count(h2 ^ q2)").cast("long").alias("ham"),
+    )
+    shortlist = salted_topk(
+        hams,
+        ["query_id"],
+        [F.asc("ham"), F.asc("neighbor_id")],
+        _BINARY_RESCORE_R,
+        salt_src=F.col("neighbor_id"),
+    ).select("query_id", "neighbor_id")
+    # bounded refine fetch: |queries| * R ids broadcast against the corpus
+    cand = emb.join(
+        F.broadcast(shortlist), emb["vec_id"] == shortlist["neighbor_id"]
+    ).select("query_id", "neighbor_id", F.col("embedding").alias("ce"))
+    qvec = emb.filter(F.expr(_BINARY_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = cand.join(F.broadcast(qvec), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qe"), F.col("ce")).alias("sim"),
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= _BINARY_TOPK)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+# --- bulk segment (line-level) dedup: the CCNet/FineWeb pipeline stage
+# the run-level ExactSubstr family deliberately does not cover — drop
+# from EVERY document (including the first) any fixed-width token
+# segment whose exact text occurs in >= N distinct documents
+# (boilerplate: headers, navigation, license blurbs).  The synthetic
+# corpus has no newlines, so the "line" is a fixed S-token window —
+# the same grain doc_chunk_overlap uses.
+_BP_SEG_TOKENS = 8
+_BP_MIN_DOCS = 2  # CCNet removes lines duplicated across >= 2 shards
+
+
+@query(
+    "boilerplate_segment_removal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, (i - 1) // {_BP_SEG_TOKENS} AS seg_idx,
+               string_agg(w, ' ' ORDER BY i) AS seg_text,
+               CAST(count(*) AS BIGINT) AS ntok
+        FROM (
+            SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+            FROM toks
+        )
+        GROUP BY doc_id, (i - 1) // {_BP_SEG_TOKENS}
+    ),
+    cnt AS (
+        SELECT seg_text, count(DISTINCT doc_id) AS nd
+        FROM segs GROUP BY seg_text
+    ),
+    flagged AS (
+        SELECT s.doc_id, s.seg_idx, s.seg_text, s.ntok,
+               (c.nd < {_BP_MIN_DOCS}) AS kept
+        FROM segs s JOIN cnt c USING (seg_text)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_seg,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_seg_kept,
+           CAST(coalesce(sum(ntok) FILTER (WHERE kept), 0) AS BIGINT) AS n_tokens_kept,
+           md5(coalesce(string_agg(seg_text, ' ' ORDER BY seg_idx)
+                        FILTER (WHERE kept), '')) AS sig
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bulk-segment removal: per-doc survivor stats + an
+    md5 digest of the rebuilt text (the rewrite equality shape of
+    dedup_substring_rewrite).
+
+    Plan shape: segmentation is PURE IN-ROW (one transform over the
+    token array — no explode shuffle to form segments); the only
+    segment-grain shuffles are the distinct-doc count per segment text
+    (map-side combinable after the in-partition (seg_text, doc_id)
+    dedup) and the count join back; the rebuild is one doc-keyed
+    aggregate.  Work is proportional to corpus segments — the FineWeb
+    line-dedup cost envelope — never a doc-pair join."""
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
+    )
+    S = _BP_SEG_TOKENS
+    segs_arr = F.when(F.size("ts") == 0, F.expr("array()")).otherwise(
+        F.expr(
+            f"transform(sequence(0, CAST(ceil(size(ts) / {S}.0) AS INT) - 1), "
+            f"i -> struct(array_join(slice(ts, i * {S} + 1, {S}), ' ') AS seg_text, "
+            f"CAST(size(slice(ts, i * {S} + 1, {S})) AS BIGINT) AS ntok))"
+        )
+    )
+    segs = toks.select(
+        "doc_id", F.posexplode(segs_arr).alias("seg_idx", "seg")
+    ).select("doc_id", "seg_idx", F.col("seg.seg_text").alias("seg_text"), F.col("seg.ntok").alias("ntok"))
+    cnt = segs.groupBy("seg_text").agg(F.countDistinct("doc_id").alias("nd"))
+    flagged = segs.join(cnt, "seg_text").withColumn(
+        "kept", F.col("nd") < _BP_MIN_DOCS
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("seg_idx", "seg_text"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seg"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_seg_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), F.col("ntok"))), F.lit(0)
+        ).cast("long").alias("n_tokens_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda s: s["seg_text"],
+                ),
+                " ",
+            )
+        ).alias("sig"),
+    )

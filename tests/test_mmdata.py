@@ -675,3 +675,34 @@ def test_unimax_waterfill_mixed_binding(spark, tmp_path):
         "big1": (False, 794),
         "big2": (False, 794),
     }
+
+
+def test_boilerplate_removal_semantics(spark, sf_dir):
+    """Bulk-segment removal drops a segment from EVERY doc carrying it
+    (not keep-first), and docs with all-unique segments are untouched
+    (sig == md5 of the original token stream)."""
+    from columnflow_spark.queries import all_queries
+    from columnflow_spark.queries.mmdata import _BP_MIN_DOCS, _BP_SEG_TOKENS
+
+    out = {r.doc_id: r for r in all_queries()["boilerplate_segment_removal"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]).collect()
+    import hashlib
+    from collections import Counter
+
+    seg_docs: dict = {}
+    segs_by_doc: dict = {}
+    for r in docs:
+        ts = [t for t in r.text.split(" ") if t]
+        segs = [" ".join(ts[i : i + _BP_SEG_TOKENS]) for i in range(0, len(ts), _BP_SEG_TOKENS)]
+        segs_by_doc[r.doc_id] = segs
+        for s in set(segs):
+            seg_docs.setdefault(s, set()).add(r.doc_id)
+    bulk = {s for s, d in seg_docs.items() if len(d) >= _BP_MIN_DOCS}
+    assert bulk, "fixture lost its planted duplication"
+    for doc_id, segs in segs_by_doc.items():
+        kept = [s for s in segs if s not in bulk]
+        row = out[doc_id]
+        assert row.n_seg == len(segs)
+        assert row.n_seg_kept == len(kept)
+        assert row.n_tokens_kept == sum(len(s.split(" ")) for s in kept)
+        assert row.sig == hashlib.md5(" ".join(kept).encode()).hexdigest()

@@ -659,6 +659,17 @@ _PLAN_BUDGETS = {
     "trigram_lm_perplexity": (9, 1),
     "domain_stats_rollup": (4, 1),
     "domain_blocklist_filter": (2, 1),
+    # r9 binary quantization: the ann_cosine_topk shape over 8-byte sign
+    # codes (corpus scanned once; the extra scans are the broadcast
+    # vec_id<10 probe side); rescore adds the bounded refine fetch +
+    # query-vector broadcast
+    "ann_binary_hamming_topk": (5, 4),
+    "ann_binary_rescore_topk": (8, 8),
+    # r9 bulk-segment (line-level) dedup: in-row segmentation; the only
+    # segment-grain shuffles are the distinct-doc count + the count
+    # join back + the doc rebuild agg (count pass + rewrite pass — the
+    # two-pass FineWeb line-dedup envelope)
+    "boilerplate_segment_removal": (5, 4),
 }
 
 
