@@ -125,11 +125,19 @@ BENCH_QUERIES = [
     # r9: 1-bit sign codes — Hamming scan + exact-cosine rescore
     "ann_binary_hamming_topk",
     "ann_binary_rescore_topk",
+    # r9: RM3 pseudo-relevance feedback (two-pass expanded retrieval)
+    "bm25_rm3_topk",
+    # r9: MMR diversification over the brute relevance pool
+    "mmr_diversified_topk",
     # lexical index maintenance: serve from the postings store
     "bm25_incremental_postings",
     # Gopher-style repetition quality signals
     "repetition_quality_flags",
     "graph_label_propagation",
+    # r9: HITS link analysis, chi2 vocabulary selection, LOCF resample
+    "graph_hits_scores",
+    "token_chi2_selection",
+    "events_gap_fill_locf",
     # single-pass distributed model fit + index build
     "ml_train_linreg",
     "ml_ridge_model_selection",

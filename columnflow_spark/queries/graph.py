@@ -547,3 +547,143 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+# --- HITS (Kleinberg hubs & authorities) on the same trade graph: the
+# OTHER classical link-analysis scorer (crawl frontier quality uses both
+# authority and hub signals).  The graph is bipartite by construction
+# (customers=src=hubs, suppliers=dst=authorities), so HITS converges to
+# the dominant left/right singular vectors of the adjacency matrix.
+#
+# Exactness: like PageRank, everything runs on an integer grid.  Each
+# half-round is contribution-sum -> L1 renormalization to (n_side *
+# SCALE) total mass, computed as raw_i * (n_side * SCALE) // sum(raw)
+# with the product in 128-bit integers (DECIMAL(38,0) in Spark, HUGEINT
+# in DuckDB — both floor-divide positives identically), so no round
+# ever overflows BIGINT state: normalized scores are <= n_side * SCALE
+# (~1e13 here) and raw sums stay < 2^63 for graphs up to ~1e5 nodes at
+# SCALE=1e8; at 1e9 nodes drop SCALE to 1e4 (the PageRank headroom note).
+_HITS_ITERS = 3
+_HITS_SCALE = 100_000_000
+
+
+def _hits_norm_expr(total_col: str, n_scale: int) -> str:
+    return (
+        f"CAST((CAST(raw AS DECIMAL(38,0)) * CAST({n_scale} AS DECIMAL(38,0))) "
+        f"div CAST({total_col} AS DECIMAL(38,0)) AS BIGINT)"
+    )
+
+
+def hits_contrib(
+    edges: DataFrame, scores: DataFrame, from_col: str, to_col: str
+) -> DataFrame:
+    """The HITS contribution sum (pre-checkpoint, plan-assertable): the
+    edge join shuffles edge-volume rows with map-side partial sums into
+    ``(node, raw)`` on the ``to`` side."""
+    return (
+        edges.join(scores.withColumnRenamed("node", from_col), from_col)
+        .groupBy(F.col(to_col).alias("node"))
+        .agg(F.sum("s").cast("long").alias("raw"))
+    )
+
+
+def hits_normalize(raw: DataFrame, n_scale: int) -> DataFrame:
+    """L1-renormalize ``(node, raw)`` to total mass ``n_scale`` with an
+    exact 128-bit floor division.  The normalizer is ONE scalar row
+    broadcast back (no driver sync)."""
+    tot = raw.agg(F.sum("raw").cast("long").alias("tot"))
+    return raw.crossJoin(F.broadcast(tot)).select(
+        "node", F.expr(_hits_norm_expr("tot", n_scale)).alias("s")
+    )
+
+
+def hits_half_round(
+    edges: DataFrame, scores: DataFrame, from_col: str, to_col: str, n_scale: int
+) -> DataFrame:
+    """ONE HITS half-round: contribution sum, checkpointed at node grain
+    (the scalar normalizer and the score output BOTH read it — without
+    the materialization the edge-join aggregate compiles twice per
+    half-round), then the broadcast L1 renormalization."""
+    raw = hits_contrib(edges, scores, from_col, to_col).localCheckpoint()
+    return hits_normalize(raw, n_scale)
+
+
+def _hits_iter_ctes(i: int, na_scale_sql: str, nh_scale_sql: str) -> str:
+    prev_h = f"h{i - 1}"
+    return f"""
+    a{i}_raw AS MATERIALIZED (
+        SELECT e.dst AS node, CAST(sum(p.s) AS BIGINT) AS raw
+        FROM edges e JOIN {prev_h} p ON p.node = e.src GROUP BY e.dst
+    ),
+    a{i} AS MATERIALIZED (
+        SELECT node, CAST((raw::HUGEINT * ({na_scale_sql})::HUGEINT)
+               // (SELECT sum(raw)::HUGEINT FROM a{i}_raw) AS BIGINT) AS s
+        FROM a{i}_raw
+    ),
+    h{i}_raw AS MATERIALIZED (
+        SELECT e.src AS node, CAST(sum(p.s) AS BIGINT) AS raw
+        FROM edges e JOIN a{i} p ON p.node = e.dst GROUP BY e.src
+    ),
+    h{i} AS MATERIALIZED (
+        SELECT node, CAST((raw::HUGEINT * ({nh_scale_sql})::HUGEINT)
+               // (SELECT sum(raw)::HUGEINT FROM h{i}_raw) AS BIGINT) AS s
+        FROM h{i}_raw
+    )"""
+
+
+_HITS_NA = f"(SELECT count(*) FROM (SELECT DISTINCT dst FROM edges)) * {_HITS_SCALE}"
+_HITS_NH = f"(SELECT count(*) FROM (SELECT DISTINCT src FROM edges)) * {_HITS_SCALE}"
+
+
+@query(
+    "graph_hits_scores",
+    oracle=f"""
+    WITH {_PR_EDGES_CTE.strip().rstrip()},
+    h0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, CAST({_HITS_SCALE} AS BIGINT) AS s FROM edges
+    ),
+    {",".join(_hits_iter_ctes(i, _HITS_NA, _HITS_NH) for i in range(1, _HITS_ITERS + 1))},
+    topa AS (
+        SELECT 'auth' AS side, node, s AS score_q,
+               row_number() OVER (ORDER BY s DESC, node) AS rk
+        FROM a{_HITS_ITERS}
+    ),
+    toph AS (
+        SELECT 'hub' AS side, node, s AS score_q,
+               row_number() OVER (ORDER BY s DESC, node) AS rk
+        FROM h{_HITS_ITERS}
+    )
+    SELECT side, node, score_q, CAST(rk AS INT) AS rk
+    FROM (SELECT * FROM topa WHERE rk <= 10 UNION ALL SELECT * FROM toph WHERE rk <= 10)
+    ORDER BY side, rk
+    """,
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 authorities and top-10 hubs after {K} exact-integer HITS
+    rounds on the customer→supplier graph (cites the same edge builder
+    as pagerank_trade_graph; reference has no link analysis — this is
+    the crawl-curation beyond-parity family)."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint()
+    n_a = edges.select("dst").distinct().count()
+    n_h = edges.select("src").distinct().count()
+    h = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(_HITS_SCALE).cast("long").alias("s"))
+    )
+    a = None
+    for _ in range(_HITS_ITERS):
+        a = hits_half_round(edges, h, "src", "dst", n_a * _HITS_SCALE).localCheckpoint()
+        h = hits_half_round(edges, a, "dst", "src", n_h * _HITS_SCALE).localCheckpoint()
+
+    def topk(scores: DataFrame, side: str) -> DataFrame:
+        top = scores.orderBy(F.desc("s"), F.asc("node")).limit(10)
+        win = W.orderBy(F.desc("s"), F.asc("node"))
+        return top.select(
+            F.lit(side).alias("side"),
+            "node",
+            F.col("s").alias("score_q"),
+            F.row_number().over(win).cast("int").alias("rk"),
+        )
+
+    return topk(a, "auth").unionAll(topk(h, "hub")).orderBy("side", "rk")

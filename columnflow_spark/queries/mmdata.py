@@ -8493,3 +8493,309 @@ def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sig"),
     )
+
+
+# --- chi-square token feature selection: the classic feature-selection
+# step in front of a quality classifier (select the vocabulary that
+# discriminates the target class, THEN fit — the fastText/CCNet recipe
+# at corpus scale).  The class label is the deterministic length proxy
+# (n_chars >= threshold) also used by the quality-rule family; presence
+# is per-doc (distinct doc-term), the standard chi2 contingency grain.
+# All four margins are exact BIGINT counts; the statistic is computed in
+# 128-bit integers (DECIMAL(38,0) / HUGEINT) on a 1e4 grid so the
+# ranking is bit-identical in both engines.
+_CHI2_THRESH = 300  # splits the corpus ~50/50 at every SF
+_CHI2_MIN_DF = 5
+_CHI2_TOPK = 20
+_CHI2_GRID = 10_000
+
+
+@query(
+    "token_chi2_selection",
+    oracle=f"""
+    WITH lab AS (
+        SELECT doc_id, CASE WHEN n_chars >= {_CHI2_THRESH} THEN 1 ELSE 0 END AS y,
+               list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n1,
+               CAST(count(*) FILTER (WHERE y = 0) AS BIGINT) AS n0
+        FROM lab
+    ),
+    pres AS (
+        SELECT DISTINCT doc_id, y, unnest(ts) AS w FROM lab
+    ),
+    cnt AS (
+        SELECT w,
+               CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS a,
+               CAST(count(*) FILTER (WHERE y = 0) AS BIGINT) AS b
+        FROM pres GROUP BY w
+        HAVING count(*) >= {_CHI2_MIN_DF}
+    ),
+    stat AS (
+        SELECT w, a, b,
+               CAST(((n1 + n0)::HUGEINT
+                     * (a::HUGEINT * (n0 - b) - b::HUGEINT * (n1 - a))
+                     * (a::HUGEINT * (n0 - b) - b::HUGEINT * (n1 - a))
+                     * {_CHI2_GRID})
+                    // ((a + b)::HUGEINT * (n1 + n0 - a - b)
+                        * n1::HUGEINT * n0::HUGEINT) AS BIGINT) AS chi2_q,
+               CASE WHEN a::HUGEINT * n0 >= b::HUGEINT * n1 THEN 1 ELSE -1 END AS direction
+        FROM cnt CROSS JOIN tot
+        WHERE (a + b) < (n1 + n0) AND n1 > 0 AND n0 > 0
+    )
+    SELECT w, a, b, chi2_q, direction, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY chi2_q DESC, w) AS rk FROM stat
+    )
+    WHERE rk <= {_CHI2_TOPK}
+    ORDER BY rk
+    """,
+)
+def token_chi2_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} tokens by chi-square association with the quality class:
+    ``(w, a, b, chi2_q, direction, rk)`` where a/b are class presence
+    counts and direction is +1 when the token indicates the positive
+    class.
+
+    Plan shape: ONE corpus explode -> in-partition distinct -> one
+    w-keyed count aggregate (map-side combinable); the class totals are
+    one scalar row broadcast into the vocabulary-grain statistic; the
+    final rank is a distributed top-k over vocabulary-grain rows."""
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text", "n_chars"]))
+    lab = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= _CHI2_THRESH, 1).otherwise(0).alias("y"),
+        F.filter(F.split("text", " "), lambda t: t != "").alias("ts"),
+    )
+    tot = lab.agg(
+        F.sum(F.col("y")).cast("long").alias("n1"),
+        F.sum(1 - F.col("y")).cast("long").alias("n0"),
+    )
+    pres = lab.select("doc_id", "y", F.explode("ts").alias("w")).distinct()
+    cnt = (
+        pres.groupBy("w")
+        .agg(
+            F.sum("y").cast("long").alias("a"),
+            F.sum(1 - F.col("y")).cast("long").alias("b"),
+        )
+        .filter(F.col("a") + F.col("b") >= _CHI2_MIN_DF)
+    )
+    d38 = "DECIMAL(38,0)"
+    diff = f"(CAST(a AS {d38}) * (n0 - b) - CAST(b AS {d38}) * (n1 - a))"
+    chi2 = (
+        f"CAST((CAST(n1 + n0 AS {d38}) * {diff} * {diff} * {_CHI2_GRID})"
+        f" div (CAST(a + b AS {d38}) * (n1 + n0 - a - b)"
+        f" * CAST(n1 AS {d38}) * CAST(n0 AS {d38})) AS BIGINT)"
+    )
+    stat = (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("a") + F.col("b") < F.col("n1") + F.col("n0"))
+            & (F.col("n1") > 0)
+            & (F.col("n0") > 0)
+        )
+        .select(
+            "w",
+            "a",
+            "b",
+            F.expr(chi2).alias("chi2_q"),
+            F.when(
+                F.expr(f"CAST(a AS {d38}) * n0 >= CAST(b AS {d38}) * n1"), 1
+            ).otherwise(-1).alias("direction"),
+        )
+    )
+    top = stat.orderBy(F.desc("chi2_q"), F.asc("w")).limit(_CHI2_TOPK)
+    win = W.orderBy(F.desc("chi2_q"), F.asc("w"))
+    return (
+        top.withColumn("rk", F.row_number().over(win).cast("int"))
+        .select("w", "a", "b", "chi2_q", "direction", "rk")
+        .orderBy("rk")
+    )
+
+
+# --- MMR result diversification (Carbonell/Goldstein maximal marginal
+# relevance; the standard RAG/search post-filter): greedily re-rank a
+# relevance pool so each pick trades relevance against similarity to
+# what is already picked.  Greedy selection is inherently sequential in
+# K, so the kernel is an Arrow-batched cogrouped applyInPandas over the
+# BOUNDED per-query pool — and it is INTEGER-ONLY by design: both
+# relevance and pairwise similarity are quantized to the 1e-6 grid in
+# SQL (not in Python) before they reach the kernel, so the oracle's
+# unrolled K-level greedy CTE replays the identical argmax chain.
+_MMR_POOL = 20
+_MMR_K = 8
+_MMR_W_REL = 7  # lambda = 0.7 on a /10 integer grid
+_MMR_W_DIV = 3
+_MMR_SCALE = 1_000_000
+
+
+def _mmr_level_ctes(i: int) -> str:
+    return f"""
+    cand{i} AS MATERIALIZED (
+        SELECT s.query_id, s.picked, c.neighbor_id, c.rel_q, max(p.sim_q) AS m
+        FROM sel{i - 1} s
+        JOIN pool c ON c.query_id = s.query_id
+         AND NOT list_contains(s.picked, c.neighbor_id)
+        JOIN pairsims p ON p.query_id = s.query_id AND p.a = c.neighbor_id
+         AND list_contains(s.picked, p.b)
+        GROUP BY s.query_id, s.picked, c.neighbor_id, c.rel_q
+    ),
+    sel{i} AS MATERIALIZED (
+        SELECT query_id, list_append(picked, pick) AS picked
+        FROM (
+            SELECT query_id, picked, neighbor_id AS pick,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {_MMR_W_REL} * rel_q - {_MMR_W_DIV} * m DESC,
+                                neighbor_id
+                   ) AS r
+            FROM cand{i}
+        ) WHERE r = 1
+    )"""
+
+
+@query(
+    "mmr_diversified_topk",
+    oracle=f"""
+    WITH sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(round(list_cosine_similarity(
+                   q.embedding::DOUBLE[], c.embedding::DOUBLE[]) * {_MMR_SCALE})
+                    AS BIGINT) AS rel_q
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    pool AS MATERIALIZED (
+        SELECT query_id, neighbor_id, rel_q
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY rel_q DESC, neighbor_id) AS rk
+              FROM sims)
+        WHERE rk <= {_MMR_POOL}
+    ),
+    pairsims AS MATERIALIZED (
+        SELECT pa.query_id, pa.neighbor_id AS a, pb.neighbor_id AS b,
+               CAST(round(list_cosine_similarity(
+                   ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * {_MMR_SCALE})
+                    AS BIGINT) AS sim_q
+        FROM pool pa JOIN pool pb
+          ON pa.query_id = pb.query_id AND pa.neighbor_id <> pb.neighbor_id
+        JOIN embeddings ea ON ea.vec_id = pa.neighbor_id
+        JOIN embeddings eb ON eb.vec_id = pb.neighbor_id
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT query_id, [neighbor_id] AS picked
+        FROM (SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY rel_q DESC, neighbor_id) AS r
+              FROM pool)
+        WHERE r = 1
+    ),
+    {",".join(_mmr_level_ctes(i) for i in range(2, _MMR_K + 1))}
+    SELECT query_id, unnest(picked) AS neighbor_id,
+           CAST(generate_subscripts(picked, 1) AS INT) AS rk
+    FROM sel{_MMR_K}
+    ORDER BY query_id, rk
+    """,
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-{k} per probe from a top-{p} relevance pool.
+
+    Plan shape: the pool is the broadcast-probe brute top-k (corpus
+    never shuffles); the pairwise-similarity matrix is built ONLY for
+    the bounded |queries| x {p} pool (broadcast id fetch, then a
+    per-query self-join — {p}^2 rows per query); the greedy chain runs
+    in one cogrouped Arrow kernel per query over integer grids."""
+    from columnflow_spark.functions.skew import salted_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    sims = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qe"), F.col("embedding")) * _MMR_SCALE, 0)
+        .cast("long")
+        .alias("rel_q"),
+    )
+    pool = (
+        salted_topk(
+            sims,
+            ["query_id"],
+            [F.desc("rel_q"), F.asc("neighbor_id")],
+            _MMR_POOL,
+            salt_src=F.col("neighbor_id"),
+        )
+        .select("query_id", "neighbor_id", "rel_q")
+        .localCheckpoint()  # bounded: |queries| x POOL rows, reused 3x below
+    )
+    fetch = emb.join(
+        F.broadcast(pool.select("neighbor_id").distinct()),
+        emb["vec_id"] == F.col("neighbor_id"),
+    ).select("neighbor_id", "embedding")
+    pwe = pool.join(F.broadcast(fetch), "neighbor_id").select(
+        "query_id", "neighbor_id", "embedding"
+    )
+    pa, pb = pwe.alias("pa"), pwe.alias("pb")
+    pairsims = (
+        pa.join(
+            pb,
+            (F.col("pa.query_id") == F.col("pb.query_id"))
+            & (F.col("pa.neighbor_id") != F.col("pb.neighbor_id")),
+        )
+        .select(
+            F.col("pa.query_id").alias("query_id"),
+            F.col("pa.neighbor_id").alias("a"),
+            F.col("pb.neighbor_id").alias("b"),
+            F.round(
+                cosine(F.col("pa.embedding"), F.col("pb.embedding")) * _MMR_SCALE, 0
+            )
+            .cast("long")
+            .alias("sim_q"),
+        )
+    )
+
+    k, w_rel, w_div = _MMR_K, _MMR_W_REL, _MMR_W_DIV
+
+    def greedy(key, left, right):
+        import pandas as pd  # noqa: PLC0415
+
+        (qid,) = key
+        rel = {
+            int(n): int(r) for n, r in zip(left["neighbor_id"], left["rel_q"])
+        }
+        sim = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(right["a"], right["b"], right["sim_q"])
+        }
+        picked: list[int] = []
+        remaining = set(rel)
+        while remaining and len(picked) < k:
+            if not picked:
+                best = max(remaining, key=lambda n: (rel[n], -n))
+            else:
+                best = max(
+                    remaining,
+                    key=lambda n: (
+                        w_rel * rel[n]
+                        - w_div * max(sim[(n, p)] for p in picked),
+                        -n,
+                    ),
+                )
+            picked.append(best)
+            remaining.discard(best)
+        return pd.DataFrame(
+            {
+                "query_id": [int(qid)] * len(picked),
+                "neighbor_id": picked,
+                "rk": list(range(1, len(picked) + 1)),
+            }
+        )
+
+    out = (
+        pool.groupBy("query_id")
+        .cogroup(pairsims.groupBy("query_id"))
+        .applyInPandas(greedy, "query_id long, neighbor_id long, rk int")
+    )
+    return out.orderBy("query_id", "rk")

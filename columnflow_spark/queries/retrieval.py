@@ -1017,3 +1017,229 @@ def bm25_postings_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "score_q", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# --- RM3 pseudo-relevance feedback (Lavrenko/Croft relevance models; the
+# Anserini/Lucene "RM3" default): run BM25, treat the top-N docs as
+# pseudo-relevant, build a relevance model over THEIR vocabulary, take the
+# top-M new terms, and rescore the corpus with original terms at weight
+# 7/10 and expansion terms at 3/10.  Everything stays on exact integer
+# grids: the relevance-model weight of term w is
+# sum_d(score_q(d) * tf_wd // dl_d) — BIGINT floor-div terms summed
+# exactly, so ranking ties break identically in both engines.
+_RM3_FB_DOCS = 5  # pseudo-relevant pool per query
+_RM3_EXP_TERMS = 5  # expansion terms per query
+_RM3_W_ORIG = 7  # lambda = 0.7 on a /10 integer grid
+_RM3_W_EXP = 3
+
+_RM3_EXP_CTES = f"""
+    fb AS (
+        SELECT query_id, doc_id, score_q
+        FROM (
+            SELECT query_id, doc_id, score_q, row_number() OVER (
+                PARTITION BY query_id ORDER BY score_q DESC, doc_id
+            ) AS rk
+            FROM totals
+        )
+        WHERE rk <= {_RM3_FB_DOCS}
+    ),
+    wtf AS (
+        SELECT w.doc_id, w.w, count(*) AS tf, max(w.dl) AS dl
+        FROM words w JOIN (SELECT DISTINCT doc_id FROM fb) fd USING (doc_id)
+        GROUP BY w.doc_id, w.w
+    ),
+    rm AS (
+        SELECT f.query_id, t.w,
+               CAST(sum(f.score_q * t.tf // t.dl) AS BIGINT) AS wt
+        FROM fb f JOIN wtf t USING (doc_id)
+        GROUP BY f.query_id, t.w
+    ),
+    expterms AS (
+        SELECT query_id, w, wt, CAST(trk AS INT) AS trk
+        FROM (
+            SELECT r.query_id, r.w, r.wt, row_number() OVER (
+                PARTITION BY r.query_id ORDER BY r.wt DESC, r.w
+            ) AS trk
+            FROM rm r LEFT JOIN qterms q
+              ON q.query_id = r.query_id AND q.w = r.w
+            WHERE q.w IS NULL
+        )
+        WHERE trk <= {_RM3_EXP_TERMS}
+    )"""
+
+
+@query(
+    "bm25_rm3_terms",
+    oracle=f"""
+    WITH {_BM25_TOTALS_CTES},
+    {_RM3_EXP_CTES}
+    SELECT query_id, w, wt, trk FROM expterms ORDER BY query_id, trk
+    """,
+)
+def bm25_rm3_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned RM3 expansion terms per query: ``(query_id, w, wt,
+    trk)`` — the relevance-model vocabulary of the pseudo-relevant pool
+    minus the original query terms, ranked by exact-integer model
+    weight.
+
+    Plan shape: the feedback pool is BOUNDED (|queries| x {n}) and
+    broadcasts into the corpus word stream, so the model build shuffles
+    fb-doc words only; the original-term anti-join is a broadcast of the
+    literal query table."""
+    totals = _bm25_totals(spark, sf_dir)
+    win = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    # the pool is BOUNDED (|queries| x N rows) and referenced by BOTH the
+    # model-build join and the fb-doc broadcast: materialize it once so
+    # the first-pass scoring subtree is not compiled into the plan twice
+    fb = (
+        totals.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= _RM3_FB_DOCS)
+        .select("query_id", "doc_id", "score_q")
+        .localCheckpoint()
+    )
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
+    )
+    words = toks.select("doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("w"))
+    fb_docs = fb.select("doc_id").distinct()
+    wtf = (
+        words.join(F.broadcast(fb_docs), "doc_id")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    rm = (
+        fb.join(wtf, "doc_id")
+        .select("query_id", "w", F.expr("score_q * tf div dl").alias("c"))
+        .groupBy("query_id", "w")
+        .agg(F.sum("c").cast("long").alias("wt"))
+    )
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, text in _BM25_QUERIES for w in text.split(" ")],
+        "query_id INT, w STRING",
+    )
+    fresh = rm.join(F.broadcast(qterms), ["query_id", "w"], "left_anti")
+    twin = W.partitionBy("query_id").orderBy(F.desc("wt"), F.asc("w"))
+    return (
+        fresh.withColumn("trk", F.row_number().over(twin).cast("int"))
+        .filter(F.col("trk") <= _RM3_EXP_TERMS)
+        .select("query_id", "w", "wt", "trk")
+        .orderBy("query_id", "trk")
+    )
+
+
+@query(
+    "bm25_rm3_topk",
+    oracle=f"""
+    WITH {_BM25_TOTALS_CTES},
+    {_RM3_EXP_CTES},
+    etf AS (
+        SELECT w.doc_id, w.w, count(*) AS tf, max(w.dl) AS dl
+        FROM words w JOIN (SELECT DISTINCT w FROM expterms) e USING (w)
+        GROUP BY w.doc_id, w.w
+    ),
+    eposting AS (
+        SELECT doc_id, w, tf, dl, count(*) OVER (PARTITION BY w) AS df
+        FROM etf
+    ),
+    escored AS (
+        SELECT e.query_id, p.doc_id,
+               CAST(round(
+                   ln(1 + (s.n_docs - p.df + 0.5) / (p.df + 0.5))
+                   * (p.tf * ({_BM25_K1} + 1))
+                   / (p.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * p.dl / s.avgdl))
+                   * {_BM25_SCALE}) AS BIGINT) AS si
+        FROM eposting p
+        JOIN expterms e USING (w)
+        CROSS JOIN stats s
+    ),
+    etotals AS (
+        SELECT query_id, doc_id, CAST(sum(si) AS BIGINT) AS escore
+        FROM escored GROUP BY query_id, doc_id
+    ),
+    fused AS (
+        SELECT coalesce(t.query_id, e.query_id) AS query_id,
+               coalesce(t.doc_id, e.doc_id) AS doc_id,
+               CAST({_RM3_W_ORIG} * coalesce(t.score_q, 0)
+                    + {_RM3_W_EXP} * coalesce(e.escore, 0) AS BIGINT) AS score_q
+        FROM totals t FULL OUTER JOIN etotals e
+          ON t.query_id = e.query_id AND t.doc_id = e.doc_id
+    )
+    SELECT query_id, doc_id, score_q, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT query_id, doc_id, score_q, row_number() OVER (
+            PARTITION BY query_id ORDER BY score_q DESC, doc_id
+        ) AS rk
+        FROM fused
+    )
+    WHERE rk <= {_BM25_TOPK}
+    ORDER BY query_id, rk
+    """,
+)
+def bm25_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-pass BM25 under the RM3-expanded query: original terms at
+    weight {w1}/10, the learned expansion terms at {w2}/10, exact
+    integer fusion, top-{k} per query.
+
+    Plan shape: the second corpus pass scores expansion terms exactly
+    like the first pass scores query terms (broadcast term list into
+    the word stream BEFORE the tf aggregation — posting-volume shuffles
+    only), and the fusion is a (query, doc)-keyed outer join of two
+    already-aggregated score tables."""
+    totals = _bm25_totals(spark, sf_dir)
+    exp = (
+        bm25_rm3_terms.__wrapped__(spark, sf_dir)
+        .select("query_id", "w")
+        .localCheckpoint()
+    )
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum(F.size("ts")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    words = toks.select("doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("w"))
+    etf = (
+        words.join(F.broadcast(exp.select("w").distinct()), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    eposting = etf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("w")))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    term_score = (
+        F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    escored = (
+        eposting.join(F.broadcast(exp), "w")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(term_score * _BM25_SCALE, 0).cast("long").alias("si"),
+        )
+    )
+    etotals = escored.groupBy("query_id", "doc_id").agg(
+        F.sum("si").cast("long").alias("escore")
+    )
+    fused = (
+        totals.join(etotals, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.lit(_RM3_W_ORIG) * F.coalesce(F.col("score_q"), F.lit(0))
+                + F.lit(_RM3_W_EXP) * F.coalesce(F.col("escore"), F.lit(0))
+            ).cast("long").alias("score_q"),
+        )
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "score_q", "rk")
+        .orderBy("query_id", "rk")
+    )

@@ -685,3 +685,78 @@ def skew_salted_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_src=F.col("event_id"),
     )
     return top.select("event_type", "rk", "event_id", "value").orderBy("event_type", "rk")
+
+
+# --- gap-fill + LOCF resample: the standard time-series densification
+# (TimescaleDB time_bucket_gapfill + locf; Flink/beam watermark fills) —
+# an hourly spine per entity, the hour's closing aggregate where data
+# exists, last-observation-carried-forward where it does not.
+_LOCF_USER_PRED = "user_id % 10 = 3"  # the bounded serving subset
+
+
+@query(
+    "events_gap_fill_locf",
+    oracle=f"""
+    WITH sub AS (
+        SELECT user_id, ts, value FROM events WHERE {_LOCF_USER_PRED}
+    ),
+    bounds AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM sub GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, round(max(value), 4) AS v
+        FROM sub GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.h,
+           last_value(hr.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.h
+           ) AS v_locf,
+           (hr.v IS NULL) AS is_gap
+    FROM spine s LEFT JOIN hourly hr ON hr.user_id = s.user_id AND hr.h = s.h
+    """,
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-filled series per user with LOCF: ``(user_id, h,
+    v_locf, is_gap)``.  The hour's observed value is its max (a
+    deterministic closing aggregate — no composite-key tie-break
+    needed); empty hours carry the last observed value forward.
+
+    Plan shape: the spine is generated IN-ROW from per-user bounds
+    (sequence + explode — no driver loop, no cross join against an hour
+    dimension), the hourly aggregate is one user/hour shuffle, and the
+    fill is one user-partitioned window.  Spine volume is bounded by
+    entities x span-hours — the resample contract — and each user's
+    series lives in one partition, so the window never sees another
+    user's rows."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "value"])
+    sub = ev.filter(F.expr(_LOCF_USER_PRED))
+    bounds = sub.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    hourly = sub.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.max("value"), 4).alias("v"))
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.last("v", ignorenulls=True).over(win).alias("v_locf"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+    )

@@ -460,3 +460,56 @@ def test_binary_rescore_beats_raw_hamming(spark, sf_dir):
     assert all(
         sorted(x.rk for x in v) == list(range(1, len(v) + 1)) for v in per_q.values()
     )
+
+
+def test_mmr_diversifies(spark, sf_dir):
+    """MMR contract: rank-1 equals the pure-relevance pick, and the
+    selected set's mean pairwise similarity is no higher than the plain
+    relevance top-k's (the point of the diversity term)."""
+    import itertools
+
+    import numpy as np
+
+    from columnflow_spark.queries.mmdata import _MMR_K
+
+    qs = all_queries()
+    mmr: dict = {}
+    for r in qs["mmr_diversified_topk"](spark, sf_dir).collect():
+        mmr.setdefault(r.query_id, {})[r.rk] = r.neighbor_id
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(F.col("vec_id") < 10)
+        .unionByName(
+            load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        )
+        .dropDuplicates(["vec_id"])
+        .collect()
+    }
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # pure-relevance top-K for the same workload
+    rel: dict = {}
+    for qid in mmr:
+        sims = sorted(
+            ((cos(emb[qid], v), -n) for n, v in emb.items() if n != qid),
+            reverse=True,
+        )[:_MMR_K]
+        rel[qid] = [-n for _, n in sims]
+
+    def mean_pair_sim(ids):
+        return float(
+            np.mean([cos(emb[a], emb[b]) for a, b in itertools.combinations(ids, 2)])
+        )
+
+    diversified, n_q = 0, 0
+    for qid, ranked in mmr.items():
+        assert sorted(ranked) == list(range(1, _MMR_K + 1))
+        assert ranked[1] == rel[qid][0], "rank-1 must be the pure-relevance pick"
+        n_q += 1
+        if mean_pair_sim(list(ranked.values())) <= mean_pair_sim(rel[qid]) + 1e-12:
+            diversified += 1
+    # the diversity term must actually bite on the workload as a whole
+    assert diversified >= max(1, int(0.8 * n_q)), (diversified, n_q)

@@ -110,3 +110,31 @@ def test_logreg_round_body_plan(spark, sf_dir):
     assert "partial_sum" in plan, "gradient aggregate lost its map-side partial"
     assert tree.count("- Exchange") <= 2, tree
     assert "Scan parquet" not in tree
+
+
+def test_hits_half_round_body_plan(spark):
+    from columnflow_spark.queries.graph import hits_contrib, hits_normalize
+
+    edges = _edges(spark)
+    scores = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(10**8).cast("long").alias("s"))
+        .localCheckpoint()
+    )
+    contrib = hits_contrib(edges, scores, "src", "dst")
+    plan = _fmt(contrib)
+    tree = plan.split("\n\n")[0]
+    # contribution sum must partial-combine before the node-grain shuffle
+    assert "partial_sum" in plan, "HITS contribution lost its map-side partial"
+    assert tree.count("- Exchange") <= 3, tree
+    assert "Scan parquet" not in tree
+
+    norm = hits_normalize(contrib.localCheckpoint(), 7 * 10**8)
+    nplan = _fmt(norm)
+    ntree = nplan.split("\n\n")[0]
+    # the L1 normalizer is ONE scalar row: broadcast, never a shuffle of
+    # score state back through the driver
+    assert "BroadcastExchange" in ntree
+    assert ntree.count("- Exchange") <= 2, ntree
+    assert "Scan parquet" not in ntree

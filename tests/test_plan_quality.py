@@ -670,6 +670,24 @@ _PLAN_BUDGETS = {
     # join back + the doc rebuild agg (count pass + rewrite pass — the
     # two-pass FineWeb line-dedup envelope)
     "boilerplate_segment_removal": (5, 4),
+    # r9 RM3: the model build runs over the checkpointed BOUNDED fb pool
+    # (first-pass scoring is NOT compiled twice); the second pass mirrors
+    # the first-pass posting shape for the expansion terms + outer fusion
+    "bm25_rm3_terms": (7, 2),
+    "bm25_rm3_topk": (12, 8),
+    # r9 HITS: final plan reads the checkpointed last half-rounds only
+    # (loop body asserted in test_loop_body_plans.py)
+    "graph_hits_scores": (2, 0),
+    # r9 chi2 feature selection: label totals (scalar, n_chars-pruned
+    # scan) + ONE corpus explode/distinct/vocab agg + broadcast totals +
+    # distributed top-k
+    "token_chi2_selection": (5, 4),
+    # r9 gap-fill: per-user bounds agg + hourly agg + fill window (the
+    # user-hour join rides the window's user clustering)
+    "events_gap_fill_locf": (2, 4),
+    # r9 MMR: brute pool (checkpointed, bounded) + broadcast pair fetch +
+    # pool self-join + ONE cogroup exchange pair into the Arrow greedy
+    "mmr_diversified_topk": (8, 4),
 }
 
 

@@ -244,3 +244,25 @@ def test_postings_delete_equals_reduced_rebuild(spark, sf_dir, tmp_path):
     assert len(stats) == 2 and any(r.n_docs < 0 for r in stats)
     # no deleted doc's postings remain
     assert spark.read.parquet(full).filter(deleted_pred).count() == 0
+
+
+def test_rm3_expansion_semantics(spark, sf_dir):
+    """RM3 contract: expansion terms never repeat original query terms,
+    every query gets exactly M ranked terms, and the expanded ranking
+    actually moves at least one query's top-10 (the point of feedback)."""
+    from columnflow_spark.queries import all_queries
+    from columnflow_spark.queries.retrieval import _BM25_QUERIES, _RM3_EXP_TERMS
+
+    qs = all_queries()
+    terms = qs["bm25_rm3_terms"](spark, sf_dir).collect()
+    orig = {qid: set(text.split(" ")) for qid, text in _BM25_QUERIES}
+    per_q: dict = {}
+    for r in terms:
+        assert r.w not in orig[r.query_id], (r.query_id, r.w)
+        per_q.setdefault(r.query_id, []).append(r.trk)
+    assert set(per_q) == set(orig)
+    assert all(sorted(v) == list(range(1, _RM3_EXP_TERMS + 1)) for v in per_q.values())
+
+    plain = {(r.query_id, r.rk): r.doc_id for r in qs["bm25_topk"](spark, sf_dir).collect()}
+    rm3 = {(r.query_id, r.rk): r.doc_id for r in qs["bm25_rm3_topk"](spark, sf_dir).collect()}
+    assert rm3 != plain, "expansion changed nothing — feedback is dead"
