@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "pack_sequences",
     "pack_sequences_bestfit",
+    "span_corruption_targets",
     "corpus_curation_pipeline",
     "decontaminate_eval_overlap",
     "pii_redact",
@@ -122,6 +123,7 @@ BENCH_QUERIES = [
     "url_dedup_keep_first",
     "url_incremental_store",
     "domain_stats_rollup",
+    "segment_incremental_store",
     # r9: 1-bit sign codes — Hamming scan + exact-cosine rescore
     "ann_binary_hamming_topk",
     "ann_binary_rescore_topk",
@@ -136,6 +138,7 @@ BENCH_QUERIES = [
     "graph_label_propagation",
     # r9: HITS link analysis, chi2 vocabulary selection, LOCF resample
     "graph_hits_scores",
+    "link_prediction_ra",
     "token_chi2_selection",
     "events_gap_fill_locf",
     # single-pass distributed model fit + index build

@@ -50,7 +50,7 @@ from columnflow_spark.functions.similarity import (
 from columnflow_spark.functions.text import fingerprint
 from columnflow_spark.queries import query
 from columnflow_spark.queries.annindex import content_tag, scratch_root
-from columnflow_spark.sources import load_table
+from columnflow_spark.sources import load_table, spread
 from columnflow_spark.sources.sinks import (
     anti_tombstones,
     clear_tombstones,
@@ -2028,3 +2028,184 @@ def url_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_fingerprints_against_store(
         _url_fingerprints(spark, sf_dir, F.col("doc_id") >= h), path, max_batch=None
     )
+
+
+# --- segment-count incremental store (round 9): the bulk-segment
+# (line-level) removal stage at crawl-ingest time.  Unlike every other
+# store in this file, the serve decision is a THRESHOLD over counts
+# (a segment is boilerplate once >= N distinct docs carry it — history
+# and batch combined), not mere presence, so the store's count monoid
+# is read as a number, not a flag.  The same negative-slice deletion
+# algebra applies: forgetting a history doc decrements its segments'
+# holder counts, and a segment that drops below the threshold stops
+# being boilerplate for future batches. ---
+def _segment_store_path(sf_dir: str, *, deleted: bool) -> str:
+    kind = "segment-deleted" if deleted else "segment"
+    tag = content_tag(table_path(sf_dir, "documents"), f"{kind}-v{_STORE_FORMAT}")
+    return os.path.join(scratch_root(), f"dedup_store_{kind}", tag)
+
+
+def _segment_fingerprints(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
+    """``(doc_id, fingerprint, band)`` — one row per DISTINCT (doc,
+    segment text): the count monoid must count holder DOCS, so in-doc
+    repeats of a segment are collapsed before the upsert."""
+    from columnflow_spark.queries.mmdata import segment_docs
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    if pred is not None:
+        docs = docs.filter(pred)
+    return (
+        segment_docs(docs)
+        .select("doc_id", F.col("seg_text").alias("fingerprint"))
+        .distinct()
+        .withColumn("band", F.pmod(F.hash("fingerprint"), F.lit(_N_BANDS)))
+    )
+
+
+def _segment_store_oracle(hist_filter: str = "") -> str:
+    from columnflow_spark.queries.mmdata import _BP_MIN_DOCS, _BP_SEG_TOKENS
+
+    return f"""
+    WITH n AS (SELECT 3 * count(*) // 5 AS h FROM documents),
+    corpus AS (
+        SELECT doc_id, text FROM documents, n
+        WHERE doc_id >= h OR (doc_id < h {hist_filter})
+    ),
+    toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM corpus
+    ),
+    segs AS (
+        SELECT doc_id, (i - 1) // {_BP_SEG_TOKENS} AS seg_idx,
+               string_agg(w, ' ' ORDER BY i) AS seg_text,
+               CAST(count(*) AS BIGINT) AS ntok
+        FROM (
+            SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+            FROM toks
+        )
+        GROUP BY doc_id, (i - 1) // {_BP_SEG_TOKENS}
+    ),
+    cnt AS (
+        SELECT seg_text, count(DISTINCT doc_id) AS nd
+        FROM segs GROUP BY seg_text
+    ),
+    flagged AS (
+        SELECT s.doc_id, s.seg_idx, s.seg_text, s.ntok,
+               (c.nd < {_BP_MIN_DOCS}) AS kept
+        FROM segs s JOIN cnt c USING (seg_text)
+        WHERE s.doc_id >= (SELECT h FROM n)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_seg,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_seg_kept,
+           CAST(coalesce(sum(ntok) FILTER (WHERE kept), 0) AS BIGINT) AS n_tokens_kept,
+           md5(coalesce(string_agg(seg_text, ' ' ORDER BY seg_idx)
+                        FILTER (WHERE kept), '')) AS sig
+    FROM flagged GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+def _ensure_segment_store(
+    spark: SparkSession, sf_dir: str, h: int, *, deleted: bool
+) -> str:
+    path = _segment_store_path(sf_dir, deleted=deleted)
+    done = os.path.join(path, "_SEQ_COMPLETE")
+    if not os.path.exists(done):
+        upsert_fingerprints(
+            _segment_fingerprints(spark, sf_dir, F.col("doc_id") < h), path, batch=0
+        )
+        if deleted:
+            rows = (
+                _segment_fingerprints(
+                    spark, sf_dir, _delete_pred() & (F.col("doc_id") < h)
+                )
+                .groupBy("band", "fingerprint")
+                .agg(
+                    F.min("doc_id").alias("first_doc"),
+                    (-F.count(F.lit(1))).cast("long").alias("cnt"),
+                )
+                .withColumn("batch", F.lit(1))
+            )
+            upsert_partitions(rows, path, partition_by=["band", "batch"])
+        with open(done, "w") as f:
+            f.write("segment ingest%s complete\n" % (" + delete" if deleted else ""))
+    return path
+
+
+def segment_store_serve(
+    spark: SparkSession, sf_dir: str, path: str, *, max_batch: int | None = None
+) -> DataFrame:
+    """Rewrite the arriving batch against history+batch segment counts:
+    per-doc survivor stats + rebuilt-text digest (the batch removal
+    pass's output shape, incremental).
+
+    Plan shape: history arrives as the store's already-aggregated
+    ``(band, fingerprint, cnt)`` rows — ONE count aggregate over store
+    partitions, summed with the batch's own distinct-doc counts in a
+    segment-grain shuffle join (history is never broadcast and never
+    rescanned at corpus grain); the rollup is one doc-keyed aggregate."""
+    from columnflow_spark.queries.mmdata import (
+        _BP_MIN_DOCS,
+        bp_doc_rollup,
+        segment_docs,
+    )
+
+    h = _history_cutoff(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        F.col("doc_id") >= h
+    )
+    segs = segment_docs(spread(docs, "doc_id"))
+    batch_cnt = (
+        segs.select("doc_id", "seg_text")
+        .distinct()
+        .groupBy("seg_text")
+        .agg(F.count(F.lit(1)).cast("long").alias("bn"))
+        .withColumn("band", F.pmod(F.hash("seg_text"), F.lit(_N_BANDS)))
+    )
+    store = spark.read.parquet(path)
+    if max_batch is not None:
+        store = store.filter(F.col("batch") <= max_batch)
+    hist_cnt = (
+        store.groupBy(F.col("band").cast("int").alias("band"), "fingerprint")
+        .agg(F.sum("cnt").cast("long").alias("hn"))
+        .filter(F.col("hn") > 0)
+        .withColumnRenamed("fingerprint", "seg_text")
+    )
+    bulk = (
+        batch_cnt.join(hist_cnt, ["band", "seg_text"], "left")
+        .select(
+            "seg_text",
+            (
+                (F.coalesce(F.col("hn"), F.lit(0)) + F.col("bn")) >= _BP_MIN_DOCS
+            ).alias("bulk"),
+        )
+    )
+    flagged = segs.join(bulk, "seg_text").withColumn("kept", ~F.col("bulk"))
+    return bp_doc_rollup(flagged).orderBy("doc_id")
+
+
+@query("segment_incremental_store", oracle=_segment_store_oracle())
+def segment_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk-segment removal served incrementally: the arriving batch
+    (last 40% of doc_ids) rewritten against the persisted segment-count
+    store plus its own counts — hash-equal to the from-scratch removal
+    pass restricted to the batch."""
+    h = _history_cutoff(spark, sf_dir)
+    path = _ensure_segment_store(spark, sf_dir, h, deleted=False)
+    return segment_store_serve(spark, sf_dir, path)
+
+
+@query(
+    "segment_store_delete",
+    oracle=_segment_store_oracle(f"AND NOT ({_DEL_PRED_SQL})"),
+)
+def segment_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk-segment removal AFTER deletion propagation: forgotten
+    history docs decrement their segments' holder counts through one
+    negative slice, so a segment below the threshold stops counting as
+    boilerplate — hash-equal to from-scratch removal over the reduced
+    corpus."""
+    h = _history_cutoff(spark, sf_dir)
+    path = _ensure_segment_store(spark, sf_dir, h, deleted=True)
+    return segment_store_serve(spark, sf_dir, path)

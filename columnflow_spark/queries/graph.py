@@ -687,3 +687,86 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return topk(a, "auth").unionAll(topk(h, "hub")).orderBy("side", "rk")
+
+
+# --- link prediction on the co-order graph: Resource Allocation index
+# (Zhou/Lu/Zhang 2009 — the top performer of the classical local
+# indices, and EXACT on an integer grid, unlike Adamic-Adar whose
+# 1/ln(deg) weights would knife-edge between engines): for a focal
+# item, score every distance-2 non-neighbour by sum(1/deg(z)) over the
+# common neighbours z.  The corpus analog is "related items" / crawl
+# frontier expansion.  Work is bounded by the focal wedge volume, not
+# the graph's (the focal predicate pushes into the first adjacency
+# scan) — the serving shape of a per-entity recommendation pass.
+_RA_FOCAL_MOD = 100
+_RA_FOCAL_REM = 7
+_RA_SCALE = 1_000_000
+_RA_TOPK = 5
+
+
+@query(
+    "link_prediction_ra",
+    oracle=f"""
+    WITH {_COORDER_EDGES_CTE.strip()},
+    adj AS MATERIALIZED (
+        SELECT x AS a, y AS b FROM edges UNION ALL SELECT y, x FROM edges
+    ),
+    deg AS MATERIALIZED (SELECT a AS node, count(*) AS deg FROM adj GROUP BY a),
+    wedges AS (
+        SELECT fa.a AS f, sb.b AS c, fa.b AS z
+        FROM adj fa JOIN adj sb ON sb.a = fa.b
+        WHERE fa.a % {_RA_FOCAL_MOD} = {_RA_FOCAL_REM} AND sb.b <> fa.a
+    ),
+    scored AS (
+        SELECT w.f, w.c,
+               CAST(sum({_RA_SCALE} // d.deg) AS BIGINT) AS ra_q,
+               CAST(count(*) AS BIGINT) AS cn
+        FROM wedges w JOIN deg d ON d.node = w.z
+        WHERE NOT EXISTS (
+            SELECT 1 FROM adj e WHERE e.a = w.f AND e.b = w.c
+        )
+        GROUP BY w.f, w.c
+    )
+    SELECT f, c, ra_q, cn, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY f ORDER BY ra_q DESC, c) AS rk
+        FROM scored
+    )
+    WHERE rk <= {_RA_TOPK}
+    ORDER BY f, rk
+    """,
+)
+def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} predicted links per focal item: ``(f, c, ra_q, cn, rk)``
+    — RA score on the 1e-6 integer grid plus the common-neighbour
+    count, existing edges anti-joined away."""
+    edges = _coorder_edges(spark, sf_dir).localCheckpoint()
+    adj = edges.select(F.col("x").alias("a"), F.col("y").alias("b")).unionAll(
+        edges.select(F.col("y").alias("a"), F.col("x").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    focal = adj.filter(
+        F.col("a") % _RA_FOCAL_MOD == _RA_FOCAL_REM
+    ).select(F.col("a").alias("f"), F.col("b").alias("z"))
+    hop2 = adj.select(F.col("a").alias("z"), F.col("b").alias("c"))
+    wedges = focal.join(hop2, "z").filter(F.col("c") != F.col("f"))
+    scored = (
+        wedges.join(deg.withColumnRenamed("node", "z"), "z")
+        .join(
+            adj.select(F.col("a").alias("f"), F.col("b").alias("c")),
+            ["f", "c"],
+            "left_anti",
+        )
+        .groupBy("f", "c")
+        .agg(
+            F.sum(F.expr(f"{_RA_SCALE} div deg")).cast("long").alias("ra_q"),
+            F.count(F.lit(1)).cast("long").alias("cn"),
+        )
+    )
+    win = W.partitionBy("f").orderBy(F.desc("ra_q"), F.asc("c"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= _RA_TOPK)
+        .select("f", "c", "ra_q", "cn", "rk")
+        .orderBy("f", "rk")
+    )

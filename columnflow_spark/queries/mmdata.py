@@ -8458,6 +8458,20 @@ def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.  Work is proportional to corpus segments — the FineWeb
     line-dedup cost envelope — never a doc-pair join."""
     docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+    segs = segment_docs(docs)
+    cnt = segs.groupBy("seg_text").agg(F.countDistinct("doc_id").alias("nd"))
+    flagged = segs.join(cnt, "seg_text").withColumn(
+        "kept", F.col("nd") < _BP_MIN_DOCS
+    )
+    return bp_doc_rollup(flagged)
+
+
+def segment_docs(docs: DataFrame) -> DataFrame:
+    """``(doc_id, seg_idx, seg_text, ntok)`` fixed-width token segments
+    for a ``(doc_id, text, …)`` frame — pure in-row segmentation (one
+    transform over the token array; no shuffle to form segments).
+    Shared by the batch removal pass and the incremental segment-count
+    store (queries/dedupstore.py)."""
     toks = docs.select(
         "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
     )
@@ -8469,13 +8483,14 @@ def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(size(slice(ts, i * {S} + 1, {S})) AS BIGINT) AS ntok))"
         )
     )
-    segs = toks.select(
+    return toks.select(
         "doc_id", F.posexplode(segs_arr).alias("seg_idx", "seg")
     ).select("doc_id", "seg_idx", F.col("seg.seg_text").alias("seg_text"), F.col("seg.ntok").alias("ntok"))
-    cnt = segs.groupBy("seg_text").agg(F.countDistinct("doc_id").alias("nd"))
-    flagged = segs.join(cnt, "seg_text").withColumn(
-        "kept", F.col("nd") < _BP_MIN_DOCS
-    )
+
+
+def bp_doc_rollup(flagged: DataFrame) -> DataFrame:
+    """Per-doc survivor rollup for a segmented frame carrying a ``kept``
+    flag: counts + the md5 digest of the rebuilt (kept-only) text."""
     kept_struct = F.when(F.col("kept"), F.struct("seg_idx", "seg_text"))
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_seg"),
@@ -8799,3 +8814,133 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(greedy, "query_id long, neighbor_id long, rk int")
     )
     return out.orderBy("query_id", "rk")
+
+
+# --- T5-style span corruption (Raffel et al. 2020): the pretraining
+# target generator — mask ~15% of each document in multi-token spans,
+# emit the sentinel-bridged encoder input and the sentinel->span decoder
+# target.  Masking is DETERMINISTIC per (doc, block): the reference's
+# sha256-seed recipe (functions/hashing.py, reference seeds.py) decides
+# each fixed-width block, so the whole generator is one in-row
+# expression chain over the token array — ZERO shuffles, exactly what a
+# 100 TB target-generation pass wants — and the DuckDB oracle replays
+# the identical hash arithmetic.  Sentinels are consecutive per doc
+# (<extra_id_0>, <extra_id_1>, ...), the T5 convention.
+_SPAN_BLOCK = 3  # tokens per maskable block (mean noise span length)
+_SPAN_DEN = 20
+_SPAN_NUM = 3  # 3/20 = 15% of blocks masked
+
+
+@query(
+    "span_corruption_targets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id, (i - 1) // {_SPAN_BLOCK} AS bi,
+               string_agg(w, ' ' ORDER BY i) AS btext,
+               CAST(count(*) AS BIGINT) AS ntok,
+               (('0x' || substr(sha256(doc_id || '|' || ((i - 1) // {_SPAN_BLOCK})), 1, 15))::BIGINT
+                % {_SPAN_DEN}) < {_SPAN_NUM} AS masked
+        FROM (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM toks)
+        GROUP BY doc_id, (i - 1) // {_SPAN_BLOCK}
+    ),
+    numbered AS (
+        SELECT doc_id, bi, btext, ntok, masked,
+               CAST(coalesce(sum(CASE WHEN masked THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY bi
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS k
+        FROM blocks
+    )
+    SELECT doc_id,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(coalesce(sum(ntok) FILTER (WHERE masked), 0) AS BIGINT) AS n_masked,
+           CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           md5(string_agg(CASE WHEN masked THEN '<extra_id_' || k || '>'
+                               ELSE btext END, ' ' ORDER BY bi)) AS inputs_sig,
+           md5(coalesce(string_agg('<extra_id_' || k || '> ' || btext, ' ' ORDER BY bi)
+                        FILTER (WHERE masked), '')) AS targets_sig
+    FROM numbered GROUP BY doc_id
+    """,
+)
+def span_corruption_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc span-corruption pair digests: ``(doc_id, n_tokens,
+    n_blocks, n_masked, n_spans, inputs_sig, targets_sig)``.
+
+    Plan shape: block split and the sha256 mask decision are in-row;
+    the consecutive sentinel numbering is ONE doc-partitioned running
+    count whose doc clustering the rollup aggregate reuses — a single
+    doc-grain shuffle for the whole generator.  Cites reference
+    production/cms/seeds.py:26-55 for the per-entity sha256 seed shape."""
+    from columnflow_spark.functions.hashing import seed_long
+
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+    segs = segment_docs_width(docs, _SPAN_BLOCK).withColumn(
+        "masked",
+        F.pmod(seed_long(F.col("doc_id"), F.col("seg_idx")), F.lit(_SPAN_DEN))
+        < _SPAN_NUM,
+    )
+    kwin = (
+        W.partitionBy("doc_id")
+        .orderBy("seg_idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    numbered = segs.withColumn(
+        "k",
+        F.coalesce(
+            F.sum(F.when(F.col("masked"), 1).otherwise(0)).over(kwin), F.lit(0)
+        ).cast("long"),
+    )
+    inp = F.when(
+        F.col("masked"), F.concat(F.lit("<extra_id_"), F.col("k"), F.lit(">"))
+    ).otherwise(F.col("seg_text"))
+    tgt = F.when(
+        F.col("masked"),
+        F.concat(F.lit("<extra_id_"), F.col("k"), F.lit("> "), F.col("seg_text")),
+    )
+    return numbered.groupBy("doc_id").agg(
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.coalesce(F.sum(F.when(F.col("masked"), F.col("ntok"))), F.lit(0))
+        .cast("long")
+        .alias("n_masked"),
+        F.sum(F.col("masked").cast("long")).cast("long").alias("n_spans"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seg_idx", inp.alias("v")))),
+                    lambda s: s["v"],
+                ),
+                " ",
+            )
+        ).alias("inputs_sig"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.when(F.col("masked"), F.struct("seg_idx", tgt.alias("v"))))),
+                    lambda s: s["v"],
+                ),
+                " ",
+            )
+        ).alias("targets_sig"),
+    )
+
+
+def segment_docs_width(docs: DataFrame, width: int) -> DataFrame:
+    """:func:`segment_docs` at an arbitrary block width."""
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
+    )
+    segs_arr = F.when(F.size("ts") == 0, F.expr("array()")).otherwise(
+        F.expr(
+            f"transform(sequence(0, CAST(ceil(size(ts) / {width}.0) AS INT) - 1), "
+            f"i -> struct(array_join(slice(ts, i * {width} + 1, {width}), ' ') AS seg_text, "
+            f"CAST(size(slice(ts, i * {width} + 1, {width})) AS BIGINT) AS ntok))"
+        )
+    )
+    return toks.select(
+        "doc_id", F.posexplode(segs_arr).alias("seg_idx", "seg")
+    ).select("doc_id", "seg_idx", F.col("seg.seg_text").alias("seg_text"), F.col("seg.ntok").alias("ntok"))

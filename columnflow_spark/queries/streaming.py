@@ -1980,3 +1980,61 @@ def streaming_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- streaming segment-count ingest (the boilerplate twin of the
+# index-maintenance family): the crawl history replays through
+# micro-batches, each upserting its DISTINCT (doc, segment) holder
+# counts into the count-monoid store; at rest the arriving batch is
+# rewritten against the accumulated counts by the SAME serve path —
+# and shares segment_incremental_store's oracle, so hash equality
+# proves the streamed store is bit-equal to the batch-built one.
+# Micro-batch boundaries cannot matter by construction: the store is a
+# sum over per-batch count slices.
+from columnflow_spark.queries.dedupstore import _segment_store_oracle
+
+
+@query("streaming_segment_ingest", oracle=_segment_store_oracle())
+def streaming_segment_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from columnflow_spark.queries.dedupstore import (
+        _history_cutoff,
+        segment_store_serve,
+        upsert_fingerprints,
+    )
+    from columnflow_spark.queries.mmdata import segment_docs
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.pydatasource import register
+
+    register(spark)
+    store = tempfile.mkdtemp(prefix="cf_segment_store_")
+    h = _history_cutoff(spark, sf_dir)
+    n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("order_col", "doc_id")
+        .option("batch_rows", _ingest_batch_rows(n))
+        .load()
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < h)
+    )
+
+    from columnflow_spark.queries.dedupstore import _N_BANDS
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        fp = (
+            segment_docs(batch_df)
+            .select("doc_id", F.col("seg_text").alias("fingerprint"))
+            .distinct()
+            .withColumn("band", F.pmod(F.hash("fingerprint"), F.lit(_N_BANDS)))
+        )
+        upsert_fingerprints(fp, store, batch=int(batch_id))
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return segment_store_serve(spark, sf_dir, store)

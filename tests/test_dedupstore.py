@@ -703,3 +703,83 @@ def test_substring_store_vacuum_purges_and_stays_equal(spark, sf_dir, tmp_path):
     assert n_after < n_before  # net-zero grams physically gone
     assert (spark.read.parquet(path).agg(F.min("cnt")).collect()[0][0] or 1) > 0
     assert flag() == f0 and rew() == r0
+
+
+def test_segment_store_batching_and_compaction_invariance(spark, sf_dir, tmp_path):
+    """Segment-count store contract: serving against a history ingested
+    in ONE batch, in TWO batches, or compacted yields the identical
+    batch rewrite — the count monoid merges across slices.  Also pins
+    the threshold semantics: a segment's history count and batch count
+    ADD (a segment seen once in history and once in the batch is
+    boilerplate at threshold 2)."""
+    from pyspark.sql import functions as F
+
+    from columnflow_spark.queries.dedupstore import (
+        _history_cutoff,
+        _segment_fingerprints,
+        compact_dedup_store,
+        segment_store_serve,
+        upsert_fingerprints,
+    )
+
+    h = _history_cutoff(spark, sf_dir)
+
+    one = str(tmp_path / "one")
+    upsert_fingerprints(
+        _segment_fingerprints(spark, sf_dir, F.col("doc_id") < h), one, batch=0
+    )
+    two = str(tmp_path / "two")
+    upsert_fingerprints(
+        _segment_fingerprints(spark, sf_dir, F.col("doc_id") < h // 2), two, batch=0
+    )
+    upsert_fingerprints(
+        _segment_fingerprints(
+            spark, sf_dir, (F.col("doc_id") >= h // 2) & (F.col("doc_id") < h)
+        ),
+        two,
+        batch=1,
+    )
+
+    def rows(path):
+        return sorted(
+            tuple(r) for r in segment_store_serve(spark, sf_dir, path).collect()
+        )
+
+    r_one = rows(one)
+    assert r_one == rows(two)
+    compact_dedup_store(spark, two)
+    assert r_one == rows(two)
+    # cross-boundary threshold: at least one batch doc must be flagged
+    # bulk ONLY because history contributes (n_seg_kept < n_seg while its
+    # segments are unique within the batch) — guaranteed by the planted
+    # near-dup pairs straddling the 60% cutoff
+    assert any(r[2] < r[1] for r in r_one), "no cross-boundary bulk segment"
+
+
+def test_segment_serve_never_broadcasts_history(spark, sf_dir, tmp_path):
+    """Both sides of the segment-count join are segment-grain (the
+    store's aggregated counts and the batch's distinct-doc counts): with
+    size-based broadcasting disabled the serve plan must contain NO
+    hint-driven BroadcastExchange — at 100x either side OOMs a build."""
+    from columnflow_spark.queries.dedupstore import (
+        _history_cutoff,
+        _segment_fingerprints,
+        segment_store_serve,
+        upsert_fingerprints,
+    )
+
+    h = _history_cutoff(spark, sf_dir)
+    path = str(tmp_path / "segstore")
+    upsert_fingerprints(
+        _segment_fingerprints(spark, sf_dir, F.col("doc_id") < h), path, batch=0
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = segment_store_serve(spark, sf_dir, path)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "BroadcastExchange" not in buf.getvalue().split("\n\n")[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -688,6 +688,18 @@ _PLAN_BUDGETS = {
     # r9 MMR: brute pool (checkpointed, bounded) + broadcast pair fetch +
     # pool self-join + ONE cogroup exchange pair into the Arrow greedy
     "mmr_diversified_topk": (8, 4),
+    # r9 segment-count store: store counts arrive pre-aggregated (one
+    # count agg over store partitions), summed with the batch's
+    # distinct-doc counts in a segment-grain shuffle join; history is
+    # never rescanned at corpus grain (asserted in test_dedupstore.py)
+    "segment_incremental_store": (8, 8),
+    "segment_store_delete": (8, 8),
+    # r9 span corruption: in-row mask decisions; ONE doc-grain shuffle
+    # shared by the sentinel-numbering window and the rollup
+    "span_corruption_targets": (2, 2),
+    # r9 RA link prediction: focal-filtered wedge join over the
+    # checkpointed edge list + deg join + anti-join + per-focal top-k
+    "link_prediction_ra": (9, 0),
 }
 
 
