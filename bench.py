@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "ann_binary_rescore_topk",
     # r9: RM3 pseudo-relevance feedback (two-pass expanded retrieval)
     "bm25_rm3_topk",
+    "retrieval_eval_ndcg",
     # r9: MMR diversification over the brute relevance pool
     "mmr_diversified_topk",
     # lexical index maintenance: serve from the postings store
@@ -138,9 +139,14 @@ BENCH_QUERIES = [
     "graph_label_propagation",
     # r9: HITS link analysis, chi2 vocabulary selection, LOCF resample
     "graph_hits_scores",
+    "personalized_pagerank",
     "link_prediction_ra",
     "token_chi2_selection",
     "events_gap_fill_locf",
+    "kmv_distinct_sketch",
+    "kmv_set_intersection",
+    "kmv_incremental_sketch",
+    "bootstrap_mean_ci",
     # single-pass distributed model fit + index build
     "ml_train_linreg",
     "ml_ridge_model_selection",
@@ -395,7 +401,7 @@ def _driver_line(timings: dict[str, float], sf_val, budget: int) -> str:
         cand = json.dumps({**scalars, "names": f"abbr{w}", "queries": q}, **compact)
         if len(cand) <= budget:
             return cand
-    # last resort: strip the separators too ("ann_ivf_top" -> "annivftop",
+    # next tier: strip the separators too ("ann_ivf_top" -> "annivftop",
     # ~2 chars per name) when that stays collision-free
     nosep = {n: a.replace("_", "") for n, a in amap.items()}
     if len(set(nosep.values())) == len(nosep):
@@ -403,7 +409,17 @@ def _driver_line(timings: dict[str, float], sf_val, budget: int) -> str:
         cand2 = json.dumps({**scalars, "names": f"abbr{w}ns", "queries": q}, **compact)
         if len(cand2) <= budget:
             return cand2
-    return cand  # best effort floor
+    # endgame tier (suite outgrew every per-token scheme in round 9):
+    # enumerated keys q<i> assigned in SORTED full-name order, so the
+    # mapping is reconstructible from the name list alone — BENCHLOG's
+    # full-fidelity record of the same run carries it, and sorted()
+    # makes the reconstruction deterministic without the map itself
+    idx = {n: f"q{i}" for i, n in enumerate(sorted(timings))}
+    q = {idx[k]: round(v, 2) for k, v in timings.items()}
+    cand3 = json.dumps({**scalars, "names": "idx-sorted", "queries": q}, **compact)
+    if len(cand3) <= budget:
+        return cand3
+    return cand3  # smallest representable form — best effort floor
 
 
 if __name__ == "__main__":

@@ -671,10 +671,14 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("node", F.lit(_HITS_SCALE).cast("long").alias("s"))
     )
+    # no loop-level checkpoint: each half-round already materializes its
+    # contribution table (hits_half_round), and the normalization on top
+    # of that checkpoint is one narrow broadcast-projection — keeping it
+    # lazy halves the per-round materializations (12 -> 6)
     a = None
     for _ in range(_HITS_ITERS):
-        a = hits_half_round(edges, h, "src", "dst", n_a * _HITS_SCALE).localCheckpoint()
-        h = hits_half_round(edges, a, "dst", "src", n_h * _HITS_SCALE).localCheckpoint()
+        a = hits_half_round(edges, h, "src", "dst", n_a * _HITS_SCALE)
+        h = hits_half_round(edges, a, "dst", "src", n_h * _HITS_SCALE)
 
     def topk(scores: DataFrame, side: str) -> DataFrame:
         top = scores.orderBy(F.desc("s"), F.asc("node")).limit(10)
@@ -769,4 +773,152 @@ def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _RA_TOPK)
         .select("f", "c", "ra_q", "cn", "rk")
         .orderBy("f", "rk")
+    )
+
+
+# --- personalized PageRank (the seed-biased variant: crawl-seed
+# expansion, trust propagation, "related to THESE domains" scoring).
+# Same exact-integer contract as the global PageRank above, with two
+# structural differences that matter at scale: (1) the rank state is
+# SPARSE — r0 lives only on the seed set and each round's state only on
+# reached nodes, so early rounds shuffle frontier-volume rows, not
+# graph-volume; (2) the teleport/reset and the dangling mass both
+# return to the SEED set, not the whole node table.
+_PPR_ITERS = 4
+#: seeds = customer nodes with custkey % 50 == 7 (node ids are
+#: custkey * 2, so src % 100 == 14) — a bounded, deterministic seed set
+_PPR_SEED_SQL = "src % 100 = 14"
+
+
+def _ppr_iter_cte(i: int) -> str:
+    prev = f"p{i - 1}"
+    base = (100 - _PR_D_NUM) * _PR_SCALE // _PR_D_DEN
+    return f"""
+    pc{i} AS MATERIALIZED (
+        SELECT e.dst AS node, CAST(sum(p.rank // d.deg) AS BIGINT) AS c
+        FROM edges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN outdeg d ON d.node = e.src
+        GROUP BY e.dst
+    ),
+    pd{i} AS MATERIALIZED (
+        SELECT CAST(coalesce(sum(p.rank), 0) AS BIGINT) AS dm
+        FROM {prev} p LEFT JOIN outdeg d ON d.node = p.node
+        WHERE d.node IS NULL
+    ),
+    p{i} AS MATERIALIZED (
+        SELECT coalesce(c.node, s.node) AS node,
+               CAST(CASE WHEN s.node IS NOT NULL
+                    THEN {base}
+                         + ({_PR_D_NUM} * (coalesce(c.c, 0)
+                            + (SELECT dm FROM pd{i}) // (SELECT count(*) FROM seeds)))
+                           // {_PR_D_DEN}
+                    ELSE ({_PR_D_NUM} * c.c) // {_PR_D_DEN}
+               END AS BIGINT) AS rank
+        FROM pc{i} c FULL OUTER JOIN seeds s ON s.node = c.node
+    )
+    """
+
+
+def ppr_round(
+    edges: DataFrame,
+    outdeg: DataFrame,
+    seeds: DataFrame,
+    ranks: DataFrame,
+    n_seeds: int,
+    base: int,
+) -> DataFrame:
+    """ONE personalized-PageRank round, pre-checkpoint (plan-assertable).
+    The rank state stays SPARSE: the output holds only reached nodes
+    (contribution targets) plus the seed set.  Dangling mass is one
+    scalar row broadcast back into the seed share; the contribution
+    aggregate partial-combines map-side before the node-grain shuffle."""
+    with_deg = ranks.join(outdeg, "node", "left")
+    dang = with_deg.filter(F.col("deg").isNull()).agg(
+        F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dm")
+    )
+    contrib = (
+        edges.join(
+            with_deg.filter(F.col("deg").isNotNull())
+            .select(F.col("node").alias("src"), "rank", "deg"),
+            "src",
+        )
+        .select("dst", F.expr("rank div deg").alias("c"))
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    return (
+        contrib.join(seeds.withColumn("is_seed", F.lit(True)), "node", "full_outer")
+        .crossJoin(F.broadcast(dang))
+        .select(
+            "node",
+            F.when(
+                F.col("is_seed"),
+                F.lit(base)
+                + F.expr(
+                    f"({_PR_D_NUM} * (coalesce(c, 0) + dm div {n_seeds}))"
+                    f" div {_PR_D_DEN}"
+                ),
+            )
+            .otherwise(F.expr(f"({_PR_D_NUM} * c) div {_PR_D_DEN}"))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
+@query(
+    "personalized_pagerank",
+    oracle=f"""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    outdeg AS MATERIALIZED (
+        SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
+    ),
+    seeds AS MATERIALIZED (
+        SELECT DISTINCT src AS node FROM edges WHERE {_PPR_SEED_SQL}
+    ),
+    p0 AS MATERIALIZED (
+        SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM seeds
+    ),
+    {",".join(_ppr_iter_cte(i) for i in range(1, _PPR_ITERS + 1))}
+    SELECT node, rank AS rank_q, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT node, rank,
+               row_number() OVER (ORDER BY rank DESC, node) AS rk
+        FROM p{_PPR_ITERS}
+    )
+    WHERE rk <= 20
+    ORDER BY rk
+    """,
+)
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by exact-integer personalized PageRank after
+    {K} rounds from a bounded customer seed set — teleport and dangling
+    mass both return to the seeds (Haveliwala topic-sensitive form)."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint()
+    outdeg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
+    seeds = (
+        edges.filter(F.expr(_PPR_SEED_SQL))
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_seeds = seeds.count()
+    base = (100 - _PR_D_NUM) * _PR_SCALE // _PR_D_DEN
+    ranks = seeds.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
+    for _ in range(_PPR_ITERS):
+        ranks = ppr_round(edges, outdeg, seeds, ranks, n_seeds, base).localCheckpoint()
+    top = ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+    win = F.row_number().over(W.orderBy(F.desc("rank"), F.asc("node")))
+    return (
+        top.withColumn("rk", win.cast("int"))
+        .select("node", F.col("rank").alias("rank_q"), "rk")
+        .orderBy("rk")
     )

@@ -1243,3 +1243,159 @@ def bm25_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "score_q", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# --- retrieval quality metrics: MRR@10 and nDCG@10 for the BM25 run
+# against a DETERMINISTIC relevance label (a doc is relevant to a query
+# iff it contains EVERY query term — the conjunctive-match gold standard
+# a synthetic corpus supports without human judgments).  DCG discount
+# weights are PRECOMPUTED integer literals (round(1e6 / log2(r+1))), so
+# the metric arithmetic is exact integer sums/divisions in both engines
+# — no ln/log2 knife edge.
+_EVAL_K = 10
+_EVAL_DCG_W = (1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065)
+_EVAL_SCALE = 1_000_000
+
+
+def _dcg_w_sql(rk: str) -> str:
+    cases = " ".join(
+        f"WHEN {rk} = {r} THEN {w}" for r, w in enumerate(_EVAL_DCG_W, start=1)
+    )
+    return f"(CASE {cases} ELSE 0 END)"
+
+
+@query(
+    "retrieval_eval_ndcg",
+    oracle=f"""
+    WITH {_BM25_TOTALS_CTES},
+    run AS (
+        SELECT query_id, doc_id, CAST(rk AS INT) AS rk
+        FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY score_q DESC, doc_id
+            ) AS rk
+            FROM totals
+        )
+        WHERE rk <= {_EVAL_K}
+    ),
+    nterms AS (
+        SELECT query_id, count(DISTINCT w) AS nt FROM qterms GROUP BY query_id
+    ),
+    relevant AS (
+        SELECT q.query_id, w2.doc_id
+        FROM (SELECT DISTINCT query_id FROM qterms) q
+        JOIN (
+            SELECT qt.query_id AS qid, wd.doc_id, count(DISTINCT wd.w) AS hit
+            FROM words wd JOIN qterms qt ON qt.w = wd.w
+            GROUP BY qt.query_id, wd.doc_id
+        ) w2 ON w2.qid = q.query_id
+        JOIN nterms n ON n.query_id = q.query_id
+        WHERE w2.hit = n.nt
+    ),
+    judged AS (
+        SELECT r.query_id, r.rk,
+               CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+        FROM run r LEFT JOIN relevant rel
+          ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+    ),
+    per_q AS (
+        SELECT j.query_id,
+               CAST(sum(j.is_rel * {_dcg_w_sql("j.rk")}) AS BIGINT) AS dcg_q,
+               CAST(min(CASE WHEN j.is_rel = 1 THEN j.rk END) AS BIGINT) AS first_rel,
+               CAST(sum(j.is_rel) AS BIGINT) AS n_rel_ranked
+        FROM judged j GROUP BY j.query_id
+    ),
+    ideal AS (
+        SELECT rel.query_id, CAST(count(*) AS BIGINT) AS n_rel
+        FROM relevant rel GROUP BY rel.query_id
+    ),
+    idcg AS (
+        SELECT i.query_id,
+               CAST(sum({_dcg_w_sql("r.r")}) AS BIGINT) AS idcg_q
+        FROM ideal i JOIN (SELECT unnest(range(1, {_EVAL_K + 1})) AS r) r
+          ON r.r <= least(i.n_rel, {_EVAL_K})
+        GROUP BY i.query_id
+    )
+    SELECT p.query_id, coalesce(i2.n_rel, 0) AS n_rel, p.n_rel_ranked,
+           CAST(coalesce({_EVAL_SCALE} // p.first_rel, 0) AS BIGINT) AS mrr_q,
+           CAST(CASE WHEN d.idcg_q > 0 THEN p.dcg_q * {_EVAL_SCALE} // d.idcg_q
+                ELSE 0 END AS BIGINT) AS ndcg_q
+    FROM per_q p
+    LEFT JOIN ideal i2 ON i2.query_id = p.query_id
+    LEFT JOIN idcg d ON d.query_id = p.query_id
+    ORDER BY p.query_id
+    """,
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query retrieval metrics for the BM25 run: ``(query_id, n_rel,
+    n_rel_ranked, mrr_q, ndcg_q)`` on the 1e-6 grid.
+
+    Plan shape: the gold set is one conjunctive-match aggregation over
+    the query-term postings (posting-volume shuffle, never a corpus
+    text rescan); the judged run and the ideal-DCG table are
+    |queries| x k grain."""
+    totals = _bm25_totals(spark, sf_dir)
+    win = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    run = (
+        totals.withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= _EVAL_K)
+        .select("query_id", "doc_id", "rk")
+    )
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
+    )
+    words = toks.select("doc_id", F.explode("ts").alias("w"))
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, text in _BM25_QUERIES for w in text.split(" ")],
+        "query_id INT, w STRING",
+    )
+    nterms = {qid: len(set(text.split(" "))) for qid, text in _BM25_QUERIES}
+    nt = spark.createDataFrame(list(nterms.items()), "query_id INT, nt INT")
+    hits = (
+        words.join(F.broadcast(qterms), "w")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("w").alias("hit"))
+    )
+    relevant = (
+        hits.join(F.broadcast(nt), "query_id")
+        .filter(F.col("hit") == F.col("nt"))
+        .select("query_id", "doc_id")
+        .localCheckpoint()  # gold grain: |queries| x matching docs
+    )
+    w_expr = F.expr(_dcg_w_sql("rk"))
+    judged = run.join(
+        relevant.withColumn("is_rel", F.lit(1)), ["query_id", "doc_id"], "left"
+    ).select("query_id", "rk", F.coalesce(F.col("is_rel"), F.lit(0)).alias("is_rel"))
+    per_q = judged.groupBy("query_id").agg(
+        F.sum(F.col("is_rel") * w_expr).cast("long").alias("dcg_q"),
+        F.min(F.when(F.col("is_rel") == 1, F.col("rk"))).cast("long").alias("first_rel"),
+        F.sum("is_rel").cast("long").alias("n_rel_ranked"),
+    )
+    ideal = relevant.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    ranks = spark.createDataFrame([(r,) for r in range(1, _EVAL_K + 1)], "r INT")
+    idcg = (
+        ideal.join(F.broadcast(ranks), F.col("r") <= F.least(F.col("n_rel"), F.lit(_EVAL_K)))
+        .groupBy("query_id")
+        .agg(F.sum(F.expr(_dcg_w_sql("r"))).cast("long").alias("idcg_q"))
+    )
+    return (
+        per_q.join(ideal, "query_id", "left")
+        .join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+            "n_rel_ranked",
+            F.coalesce(F.expr(f"{_EVAL_SCALE} div first_rel"), F.lit(0))
+            .cast("long")
+            .alias("mrr_q"),
+            F.when(
+                F.col("idcg_q") > 0,
+                F.expr(f"dcg_q * {_EVAL_SCALE} div idcg_q"),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("ndcg_q"),
+        )
+        .orderBy("query_id")
+    )

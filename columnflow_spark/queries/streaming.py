@@ -2038,3 +2038,55 @@ def streaming_segment_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return segment_store_serve(spark, sf_dir, store)
+
+
+# --- streaming KMV distinct-count maintenance: each micro-batch
+# persists only its own bottom-k per group (the sketch slice is
+# |types| x k rows regardless of batch size); the at-rest merge is the
+# group sketch and shares kmv_distinct_sketch's oracle — hash equality
+# proves the streamed sketch equals the from-scratch one.  Batch
+# boundaries cannot matter: bottom-k of per-batch bottom-ks IS the
+# bottom-k of the union (the mergeable-summary property).
+from columnflow_spark.queries.timeseries import _KMV_SKETCH_CTES as _KMV_CTES_S
+
+
+@query(
+    "streaming_kmv_ingest",
+    oracle=f"""
+    WITH {_KMV_CTES_S}
+    SELECT event_type, k_used, h_k, est_q FROM est ORDER BY event_type
+    """,
+)
+def streaming_kmv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from columnflow_spark.queries.timeseries import (
+        _kmv_batch_sketch,
+        kmv_store_serve,
+    )
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.pydatasource import register
+    from columnflow_spark.sources.sinks import upsert_partitions
+
+    register(spark)
+    store = tempfile.mkdtemp(prefix="cf_kmv_store_")
+    n = load_table(spark, sf_dir, "events", columns=["event_id"]).count()
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("order_col", "event_id")
+        .option("batch_rows", _ingest_batch_rows(n))
+        .load()
+        .select("event_type", "user_id")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = _kmv_batch_sketch(batch_df).withColumn("batch", F.lit(int(batch_id)))
+        upsert_partitions(rows, store, partition_by=["batch"])
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return kmv_store_serve(spark, store)

@@ -760,3 +760,403 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").isNull().alias("is_gap"),
         )
     )
+
+
+# --- KMV (bottom-k / K-Minimum-Values) distinct sketches: the
+# DataSketches theta-sketch family's deterministic core.  Unlike HLL
+# (approx_distinct_users above, rows-only checked), a KMV sketch is a
+# PURE FUNCTION of the input set — the k smallest 60-bit sha256 hashes —
+# so merge (k smallest of the union), estimation ((k-1) * H_MAX // h_k,
+# exact integer division), and set-intersection (Jaccard over the
+# merged sketch x union estimate) all replay bit-identically in SQL.
+# The sketch is the mergeable-summary contract: per-partition bottom-k
+# partials combine associatively (salted_topk's phase 1), exactly how a
+# 100 TB distinct-count rolls up.
+_KMV_K = 64
+_KMV_HMAX = 16**15  # 60-bit hash space (15 hex chars)
+
+_KMV_HASH_SQL = "('0x' || substr(sha256(user_id::VARCHAR), 1, 15))::BIGINT"
+
+_KMV_SKETCH_CTES = f"""
+    hashes AS (
+        SELECT DISTINCT event_type, {_KMV_HASH_SQL} AS h FROM events
+    ),
+    sk AS (
+        SELECT event_type, h, rk FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+            FROM hashes
+        ) WHERE rk <= {_KMV_K}
+    ),
+    est AS (
+        SELECT event_type,
+               CAST(max(rk) AS BIGINT) AS k_used,
+               CAST(max(h) FILTER (WHERE rk = {_KMV_K}) AS BIGINT) AS h_k,
+               CAST(CASE WHEN max(rk) < {_KMV_K} THEN max(rk)
+                    ELSE CAST(({_KMV_K} - 1)::HUGEINT * {_KMV_HMAX}
+                         // (max(h) FILTER (WHERE rk = {_KMV_K})) AS BIGINT)
+               END AS BIGINT) AS est_q
+        FROM sk GROUP BY event_type
+    )"""
+
+
+@query(
+    "kmv_distinct_sketch",
+    oracle=f"""
+    WITH {_KMV_SKETCH_CTES}
+    SELECT event_type, k_used, h_k, est_q FROM est ORDER BY event_type
+    """,
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KMV sketch summary ``(event_type, k_used, h_k,
+    est_q)`` — the distinct-user estimate from the k-th minimum hash
+    (exact count when the group holds fewer than k distinct values).
+
+    Plan shape: one distinct over (type, hash) with map-side combine,
+    then the two-phase salted bottom-k — no per-type single-task sort
+    at any scale; the estimate is an exact integer division."""
+    from columnflow_spark.functions.hashing import seed_long
+    from columnflow_spark.functions.skew import salted_topk
+
+    ev = load_table(spark, sf_dir, "events", columns=["event_type", "user_id"])
+    hashes = ev.select(
+        "event_type", seed_long(F.col("user_id")).alias("h")
+    ).distinct()
+    sk = salted_topk(
+        hashes, ["event_type"], [F.asc("h")], _KMV_K, salt_src=F.col("h")
+    )
+    return kmv_summarize(sk)
+
+
+def kmv_summarize(sk: DataFrame) -> DataFrame:
+    """``(event_type, k_used, h_k, est_q)`` from a ranked sketch frame
+    ``(event_type, h, rk)`` — shared by the one-pass build, the
+    incremental store serve, and the streaming ingest twin."""
+    return (
+        sk.groupBy("event_type")
+        .agg(
+            F.max("rk").cast("long").alias("k_used"),
+            F.max(F.when(F.col("rk") == _KMV_K, F.col("h")))
+            .cast("long")
+            .alias("h_k"),
+        )
+        .select(
+            "event_type",
+            "k_used",
+            "h_k",
+            F.when(F.col("k_used") < _KMV_K, F.col("k_used"))
+            .otherwise(F.expr(f"CAST((({_KMV_K} - 1) * CAST({_KMV_HMAX} AS DECIMAL(38,0))) div h_k AS BIGINT)"))
+            .cast("long")
+            .alias("est_q"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "kmv_set_intersection",
+    oracle=f"""
+    WITH {_KMV_SKETCH_CTES},
+    pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM (SELECT DISTINCT event_type FROM events) a
+        JOIN (SELECT DISTINCT event_type FROM events) b
+          ON a.event_type < b.event_type
+    ),
+    merged AS (
+        SELECT p.ta, p.tb, u.h,
+               row_number() OVER (PARTITION BY p.ta, p.tb ORDER BY u.h) AS rk
+        FROM pairs p
+        JOIN (SELECT DISTINCT s.event_type, s.h FROM sk s) u
+          ON u.event_type IN (p.ta, p.tb)
+        GROUP BY p.ta, p.tb, u.h
+    ),
+    unioned AS (
+        SELECT ta, tb, h, rk FROM merged WHERE rk <= {_KMV_K}
+    ),
+    summary AS (
+        SELECT u.ta, u.tb,
+               CAST(max(u.rk) AS BIGINT) AS k_used,
+               CAST(CASE WHEN max(u.rk) < {_KMV_K} THEN max(u.rk)
+                    ELSE CAST(({_KMV_K} - 1)::HUGEINT * {_KMV_HMAX}
+                         // (max(u.h) FILTER (WHERE u.rk = {_KMV_K})) AS BIGINT)
+               END AS BIGINT) AS union_q,
+               CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS shared
+        FROM unioned u
+        LEFT JOIN sk sa ON sa.event_type = u.ta AND sa.h = u.h
+        LEFT JOIN sk sb ON sb.event_type = u.tb AND sb.h = u.h
+        GROUP BY u.ta, u.tb
+    )
+    SELECT ta, tb, k_used, shared, union_q,
+           CAST(shared * union_q // k_used AS BIGINT) AS inter_q
+    FROM summary ORDER BY ta, tb
+    """,
+)
+def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between every event-type pair, estimated
+    ENTIRELY from the per-type KMV sketches (never from the raw data):
+    merge = k smallest of the union, Jaccard = shared fraction of the
+    merged sketch, intersection = Jaccard x union estimate — the theta-
+    sketch intersection recipe on exact integer grids.
+
+    Plan shape: everything after the sketch build runs at SKETCH grain
+    (|types| x k rows) — the raw corpus is touched once."""
+    from columnflow_spark.functions.hashing import seed_long
+    from columnflow_spark.functions.skew import salted_topk
+
+    ev = load_table(spark, sf_dir, "events", columns=["event_type", "user_id"])
+    hashes = ev.select(
+        "event_type", seed_long(F.col("user_id")).alias("h")
+    ).distinct()
+    sk = (
+        salted_topk(hashes, ["event_type"], [F.asc("h")], _KMV_K, salt_src=F.col("h"))
+        .select("event_type", "h", "rk")
+        .localCheckpoint()  # sketch grain: |types| x k rows, reused 4x
+    )
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.withColumnRenamed("event_type", "ta")
+        .crossJoin(types.withColumnRenamed("event_type", "tb"))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    u = sk.select("event_type", "h")
+    merged = (
+        pairs.join(
+            F.broadcast(u),
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .select("ta", "tb", "h")
+        .distinct()
+    )
+    mwin = W.partitionBy("ta", "tb").orderBy("h")
+    unioned = merged.withColumn("rk", F.row_number().over(mwin)).filter(
+        F.col("rk") <= _KMV_K
+    )
+    sa = sk.select(F.col("event_type").alias("ta"), F.col("h").alias("h"), F.lit(True).alias("in_a"))
+    sb = sk.select(F.col("event_type").alias("tb"), F.col("h").alias("h"), F.lit(True).alias("in_b"))
+    summary = (
+        unioned.join(F.broadcast(sa), ["ta", "h"], "left")
+        .join(F.broadcast(sb), ["tb", "h"], "left")
+        .groupBy("ta", "tb")
+        .agg(
+            F.max("rk").cast("long").alias("k_used"),
+            F.max(F.when(F.col("rk") == _KMV_K, F.col("h"))).alias("h_k"),
+            F.sum(
+                F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)
+            ).cast("long").alias("shared"),
+        )
+        .select(
+            "ta",
+            "tb",
+            "k_used",
+            "shared",
+            F.when(F.col("k_used") < _KMV_K, F.col("k_used"))
+            .otherwise(
+                F.expr(f"CAST((({_KMV_K} - 1) * CAST({_KMV_HMAX} AS DECIMAL(38,0))) div h_k AS BIGINT)")
+            )
+            .cast("long")
+            .alias("union_q"),
+        )
+    )
+    return summary.select(
+        "ta",
+        "tb",
+        "k_used",
+        "shared",
+        "union_q",
+        F.expr("shared * union_q div k_used").cast("long").alias("inter_q"),
+    ).orderBy("ta", "tb")
+
+
+# --- incremental KMV sketch store: the mergeable-summary maintenance
+# demo.  Each ingest batch persists ONLY its own bottom-k per group (a
+# |types| x k slice — the sketch property: the merged bottom-k of
+# per-batch bottom-ks equals the bottom-k of the union), and the serve
+# merges slices at sketch grain.  Deletes are deliberately ABSENT:
+# bottom-k sketches are not inverse-closed (a forgotten user's hash may
+# be one of the k minima and cannot be un-taken without the raw data) —
+# the delete story for sketch stores is a rebuild, documented here
+# rather than faked.
+def _kmv_store_path(sf_dir: str) -> str:
+    import os
+
+    from columnflow_spark.queries.annindex import content_tag, scratch_root
+    from columnflow_spark.sources.tables import table_path
+
+    tag = content_tag(table_path(sf_dir, "events"), f"kmv-k{_KMV_K}-v1")
+    return os.path.join(scratch_root(), "kmv_store", tag)
+
+
+def _kmv_batch_sketch(ev: DataFrame) -> DataFrame:
+    """Per-type bottom-k over one batch's events: ``(event_type, h)``."""
+    from columnflow_spark.functions.hashing import seed_long
+    from columnflow_spark.functions.skew import salted_topk
+
+    hashes = ev.select(
+        "event_type", seed_long(F.col("user_id")).alias("h")
+    ).distinct()
+    return salted_topk(
+        hashes, ["event_type"], [F.asc("h")], _KMV_K, salt_src=F.col("h")
+    ).select("event_type", "h")
+
+
+def kmv_store_serve(spark: SparkSession, path: str) -> DataFrame:
+    """Merge the store's per-batch sketch slices into the group sketch
+    and summarize — the rank window runs over sketch-grain rows only
+    (batches x types x k), never the raw corpus."""
+    merged = spark.read.parquet(path).select("event_type", "h").distinct()
+    win = W.partitionBy("event_type").orderBy("h")
+    sk = merged.withColumn("rk", F.row_number().over(win)).filter(
+        F.col("rk") <= _KMV_K
+    )
+    return kmv_summarize(sk)
+
+
+@query(
+    "kmv_incremental_sketch",
+    oracle=f"""
+    WITH {_KMV_SKETCH_CTES}
+    SELECT event_type, k_used, h_k, est_q FROM est ORDER BY event_type
+    """,
+)
+def kmv_incremental_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sketch maintained incrementally: events ingested in
+    three event_id-range batches, each persisting only its own bottom-k
+    slice; the merged serve is hash-equal to the from-scratch sketch —
+    the mergeability proof."""
+    import os
+
+    from columnflow_spark.sources.sinks import upsert_partitions
+
+    path = _kmv_store_path(sf_dir)
+    done = os.path.join(path, "_SEQ_COMPLETE")
+    if not os.path.exists(done):
+        ev = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "user_id"])
+        n = ev.count()
+        for b, (lo, hi) in enumerate(((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1))):
+            rows = _kmv_batch_sketch(
+                ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            ).withColumn("batch", F.lit(b))
+            upsert_partitions(rows, path, partition_by=["batch"])
+        with open(done, "w") as f:
+            f.write("kmv ingest complete\n")
+    return kmv_store_serve(spark, path)
+
+
+# --- Poisson bootstrap confidence interval (Chamandy et al., "Estimating
+# Uncertainty for Massive Data Streams" — the Google one-pass bootstrap):
+# B resample replicas of mean(value) per group, each row weighted by an
+# independent Poisson(1) draw, so the resample happens INSIDE one
+# distributed aggregation instead of B data passes.  Determinism: the
+# draw for (event, replica) inverts the Poisson CDF at the 60-bit sha256
+# hash u, compared against PRECOMPUTED INTEGER thresholds (u and t_k
+# both exact integers — no float op anywhere in the draw), so both
+# engines produce the identical weight table.
+_BOOT_B = 32
+#: ceil-free integer thresholds t_k = floor(CDF_Poisson1(k) * 16^15):
+#: weight(u) = #{k : u >= t_k}, capped at 8 (P(X>8|lambda=1) ~ 1e-6)
+_BOOT_THRESH = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+)
+_BOOT_VSCALE = 10_000  # value grid 1e-4
+_BOOT_LO_IDX = 2  # 2nd smallest of 32 ~ 5th percentile
+_BOOT_HI_IDX = 31  # 31st of 32 ~ 95th percentile
+
+
+def _boot_weight_sql(u: str) -> str:
+    return "(" + " + ".join(f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in _BOOT_THRESH) + ")"
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, event_id,
+               CAST(round(value * {_BOOT_VSCALE}) AS BIGINT) AS v_q
+        FROM events
+    ),
+    rep AS (
+        SELECT b.event_type, r.b, b.v_q,
+               {_boot_weight_sql(f"(('0x' || substr(sha256(b.event_id || '|' || r.b), 1, 15))::BIGINT)")} AS w
+        FROM base b CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) r
+    ),
+    means AS (
+        SELECT event_type, b,
+               CAST(sum(w * v_q) // greatest(sum(w), 1) AS BIGINT) AS m_q
+        FROM rep GROUP BY event_type, b
+    ),
+    ranked AS (
+        SELECT event_type, m_q,
+               row_number() OVER (PARTITION BY event_type ORDER BY m_q, b) AS rk
+        FROM means
+    ),
+    full_mean AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v_q) // count(*) AS BIGINT) AS mean_q
+        FROM base GROUP BY event_type
+    )
+    SELECT f.event_type, f.n, f.mean_q,
+           max(CASE WHEN r.rk = {_BOOT_LO_IDX} THEN r.m_q END) AS lo_q,
+           max(CASE WHEN r.rk = {_BOOT_HI_IDX} THEN r.m_q END) AS hi_q
+    FROM full_mean f JOIN ranked r USING (event_type)
+    GROUP BY f.event_type, f.n, f.mean_q
+    ORDER BY f.event_type
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mean with a {B}-replica Poisson-bootstrap CI:
+    ``(event_type, n, mean_q, lo_q, hi_q)`` on the 1e-4 grid.
+
+    Plan shape: ONE corpus pass exploded x{B} with map-side partial sums
+    into (group, replica) grain (the whole bootstrap is a single
+    aggregation — never B passes); the CI rank runs over |groups| x {B}
+    rows."""
+    from columnflow_spark.functions.hashing import seed_long
+
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * _BOOT_VSCALE, 0).cast("long").alias("v_q"),
+    )
+    rep = base.select(
+        "event_type",
+        "v_q",
+        F.posexplode(F.expr(f"array_repeat(event_id, {_BOOT_B})")).alias("b", "eid"),
+    ).select(
+        "event_type",
+        "v_q",
+        "b",
+        F.expr(
+            _boot_weight_sql(
+                f"conv(substr(sha2(concat_ws('|', eid, b), 256), 1, 15), 16, 10)"
+            )
+        ).alias("w"),
+    )
+    means = rep.groupBy("event_type", "b").agg(
+        F.expr("CAST(sum(w * v_q) div greatest(sum(w), 1) AS BIGINT)").alias("m_q")
+    )
+    rwin = W.partitionBy("event_type").orderBy("m_q", "b")
+    ranked = means.withColumn("rk", F.row_number().over(rwin))
+    full_mean = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(v_q) div count(*) AS BIGINT)").alias("mean_q"),
+    )
+    return (
+        full_mean.join(ranked, "event_type")
+        .groupBy("event_type", "n", "mean_q")
+        .agg(
+            F.max(F.when(F.col("rk") == _BOOT_LO_IDX, F.col("m_q"))).alias("lo_q"),
+            F.max(F.when(F.col("rk") == _BOOT_HI_IDX, F.col("m_q"))).alias("hi_q"),
+        )
+        .orderBy("event_type")
+    )

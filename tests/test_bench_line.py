@@ -24,10 +24,13 @@ def _bench():
 def test_driver_line_fits_window_and_parses():
     b = _bench()
     timings = {name: 123.4567 for name in b.BENCH_QUERIES}
-    # the two one-time build lines plus headroom for future rounds
-    for extra in ["ann_ivfpq_index_build", "tf_learned_gate_build"] + [
-        f"future_round_query_{i}" for i in range(8)
-    ]:
+    # the build lines plus generous headroom for future rounds (the
+    # VERDICT r8 projected-size self-test: +20 lines must still fit)
+    for extra in [
+        "ann_ivfpq_index_build",
+        "tf_learned_gate_build",
+        "unigram_vocab_build",
+    ] + [f"future_round_query_{i}" for i in range(20)]:
         timings[extra] = 9.8765
     line = b._driver_line(timings, 0.1, budget=1900)
     assert len(line) <= 1900, len(line)
@@ -41,3 +44,20 @@ def test_abbreviation_is_unique_and_flagged():
     amap, width = b._abbr_names(list(b.BENCH_QUERIES))
     assert len(set(amap.values())) == len(b.BENCH_QUERIES)
     assert width >= 3
+
+
+def test_idx_tier_mapping_is_reconstructible():
+    """The endgame idx-sorted tier must map q<i> back to full names via
+    sorted() alone — the BENCHLOG full record of the same run carries
+    the name list."""
+    b = _bench()
+    timings = {name: 1.2345 for name in b.BENCH_QUERIES}
+    for i in range(30):  # force far past every abbr tier
+        timings[f"some_very_long_future_query_name_variant_{i}"] = 9.9
+    line = b._driver_line(timings, 0.1, budget=1500)
+    parsed = json.loads(line)
+    assert parsed["names"] == "idx-sorted"
+    names_sorted = sorted(timings)
+    remap = {f"q{i}": n for i, n in enumerate(names_sorted)}
+    assert set(remap) == set(parsed["queries"])
+    assert abs(parsed["queries"][f"q{names_sorted.index('q1_pricing_summary')}"] - 1.23) < 1e-9

@@ -138,3 +138,29 @@ def test_hits_half_round_body_plan(spark):
     assert "BroadcastExchange" in ntree
     assert ntree.count("- Exchange") <= 2, ntree
     assert "Scan parquet" not in ntree
+
+
+def test_ppr_round_body_plan(spark):
+    from columnflow_spark.queries.graph import ppr_round
+
+    edges = _edges(spark)
+    outdeg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node")).distinct().limit(2).localCheckpoint()
+    )
+    ranks = seeds.select(
+        "node", F.lit(10**9).cast("long").alias("rank")
+    ).localCheckpoint()
+    body = ppr_round(edges, outdeg, seeds, ranks, 2, 15 * 10**7)
+    plan = _fmt(body)
+    tree = plan.split("\n\n")[0]
+    # contribution aggregate must partial-combine before the node shuffle
+    assert "partial_sum" in plan, "PPR contribution lost its map-side partial"
+    # dangling mass stays a broadcast scalar, never a rank-state shuffle
+    assert "BroadcastExchange" in tree
+    assert tree.count("- Exchange") <= 8, tree
+    assert "Scan parquet" not in tree

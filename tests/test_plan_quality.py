@@ -700,6 +700,21 @@ _PLAN_BUDGETS = {
     # r9 RA link prediction: focal-filtered wedge join over the
     # checkpointed edge list + deg join + anti-join + per-focal top-k
     "link_prediction_ra": (9, 0),
+    # r9 PPR: final plan reads the checkpointed last round only (loop
+    # body asserted in test_loop_body_plans.py)
+    "personalized_pagerank": (2, 0),
+    # r9 KMV sketches: ONE corpus distinct + the salted bottom-k; the
+    # intersection runs entirely at sketch grain off the checkpoint
+    "kmv_distinct_sketch": (4, 2),
+    "kmv_set_intersection": (3, 0),
+    # r9 KMV store serve: slice merge + rank at sketch grain
+    "kmv_incremental_sketch": (3, 2),
+    # r9 Poisson bootstrap: ONE exploded aggregation (corpus x B with
+    # map-side partials) + the |groups| x B CI rank + full-mean join
+    "bootstrap_mean_ci": (4, 4),
+    # r9 retrieval eval: BM25 run (posting shape) + conjunctive gold
+    # aggregation + |queries| x k judged/ideal joins
+    "retrieval_eval_ndcg": (12, 4),
 }
 
 

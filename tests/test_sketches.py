@@ -167,3 +167,44 @@ def test_kmeans_fit_converges_and_is_deterministic(spark, sf_dir):
     # shift after several iterations is small (converging, not bouncing)
     assert info1["shift"] < 0.5
     assert c1 == c2 and info1 == info2
+
+
+def test_kmv_estimate_accuracy_and_merge(spark, sf_dir):
+    """KMV contract: the estimate lands within the sketch's standard
+    error envelope (~1/sqrt(k-1) ~ 12.7% at k=64; assert 4 sigma), and
+    the incremental store's merged sketch is IDENTICAL to the one-pass
+    sketch (mergeability is exact, not approximate)."""
+    from columnflow_spark.queries import all_queries
+
+    qs = all_queries()
+    est = {r.event_type: r for r in qs["kmv_distinct_sketch"](spark, sf_dir).collect()}
+    truth = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events", columns=["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(truth)
+    for t, r in est.items():
+        if r.k_used < 64:
+            assert r.est_q == truth[t], (t, r.est_q, truth[t])
+        else:
+            rel = abs(r.est_q - truth[t]) / truth[t]
+            assert rel < 4 / (64 - 1) ** 0.5, (t, r.est_q, truth[t], rel)
+    inc = sorted(map(tuple, qs["kmv_incremental_sketch"](spark, sf_dir).collect()))
+    one = sorted(map(tuple, qs["kmv_distinct_sketch"](spark, sf_dir).collect()))
+    assert inc == one
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    """The 5-95% Poisson-bootstrap interval must bracket the full-data
+    mean for every group (32 replicas of a large group concentrate
+    tightly around it), and be non-degenerate (lo < hi)."""
+    from columnflow_spark.queries import all_queries
+
+    rows = all_queries()["bootstrap_mean_ci"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.lo_q <= r.mean_q <= r.hi_q, tuple(r)
+        assert r.lo_q < r.hi_q, tuple(r)
