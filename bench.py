@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "boilerplate_segment_removal",
     "dedup_minhash_lsh",
     "dedup_connected_components",
+    "leakage_safe_split",
+    "per_source_quantile_calibration",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_pq_adc_topk",
@@ -67,6 +69,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "pack_sequences_bestfit",
     "span_corruption_targets",
+    "fim_transform_targets",
     "corpus_curation_pipeline",
     "decontaminate_eval_overlap",
     "pii_redact",

@@ -8944,3 +8944,233 @@ def segment_docs_width(docs: DataFrame, width: int) -> DataFrame:
     return toks.select(
         "doc_id", F.posexplode(segs_arr).alias("seg_idx", "seg")
     ).select("doc_id", "seg_idx", F.col("seg.seg_text").alias("seg_text"), F.col("seg.ntok").alias("ntok"))
+
+
+# --- leakage-safe train/test split: assign every NEAR-DUP CLUSTER
+# wholly to one side (split by the cluster's canonical id, not the doc
+# id), so a paraphrase of a test document can never land in train — the
+# eval-hygiene rule naive doc-hash splits violate (Lee et al. 2022 §6;
+# the reason decontamination pipelines split AFTER dedup).  Reuses the
+# n-gram-Jaccard component solve; the split decision is one sha256 of
+# the component id.
+_SPLIT_TEST_MOD = 10
+_SPLIT_TEST_REM = 2  # hash % 10 < 2 -> ~20% test
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_GRAMS_CTE},
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
+    cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT d1, d2
+        FROM cand
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2
+        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (
+        SELECT d1 AS s, d2 AS t FROM edges
+        UNION ALL
+        SELECT d2 AS s, d1 AS t FROM edges
+    ),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS node FROM documents
+        UNION
+        SELECT r.src, sym.t AS node FROM reach r JOIN sym ON sym.s = r.node
+    ),
+    comp AS (
+        SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src
+    )
+    SELECT doc_id, component,
+           CASE WHEN ('0x' || substr(sha256(component::VARCHAR), 1, 15))::BIGINT
+                     % {_SPLIT_TEST_MOD} < {_SPLIT_TEST_REM}
+                THEN 'test' ELSE 'train' END AS split
+    FROM comp
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, component, split)`` — a dedup-aware holdout split:
+    the component id (not the doc id) hashes to the side, so connected
+    near-dups always co-locate.  Plan: the component solve plus one
+    in-row hash — no extra shuffle."""
+    from columnflow_spark.functions.hashing import seed_long
+
+    all_docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=True)
+    comp = components_from_edges(all_docs, edges)
+    return comp.select(
+        "doc_id",
+        "component",
+        F.when(
+            F.pmod(seed_long(F.col("component")), F.lit(_SPLIT_TEST_MOD))
+            < _SPLIT_TEST_REM,
+            F.lit("test"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+# --- per-source quantile calibration: raw quality signals are not
+# comparable across sources (a web dump's length distribution differs
+# from curated text), so production filters threshold each source at
+# its OWN quantiles (the FineWeb per-dump calibration).  The calibrated
+# score is the exact-integer empirical quantile of the doc's raw score
+# within its source; a single global cut on the calibrated score then
+# keeps the same fraction of every source by construction.
+_CAL_SCALE = 1_000_000
+_CAL_KEEP_Q = 800_000  # keep the per-source top 20%
+
+
+@query(
+    "per_source_quantile_calibration",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS raw,
+           CAST(CASE WHEN n > 1 THEN (rk - 1) * {_CAL_SCALE} // (n - 1)
+                ELSE {_CAL_SCALE} END AS BIGINT) AS cal_q,
+           (CASE WHEN n > 1 THEN (rk - 1) * {_CAL_SCALE} // (n - 1)
+                 ELSE {_CAL_SCALE} END) >= {_CAL_KEEP_Q} AS keep
+    FROM ranked
+    """,
+)
+def per_source_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, source, raw, cal_q, keep)`` — the raw score mapped to
+    its exact within-source quantile (1e-6 grid), with the global keep
+    cut applied on the calibrated scale.
+
+    Plan shape: ONE source-partitioned rank window (each source's docs
+    cluster in one exchange) and in-row math — at 100 TB the window key
+    has |sources| distinct values, so skewed sources are the bound;
+    the same rank could ride a pre-bucketed layout if a source
+    outgrows a task."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    win = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("raw"),
+        F.row_number().over(win).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
+    )
+    cal = F.when(
+        F.col("n") > 1, F.expr(f"(CAST(rk AS BIGINT) - 1) * {_CAL_SCALE} div (CAST(n AS BIGINT) - 1)")
+    ).otherwise(F.lit(_CAL_SCALE))
+    return ranked.select(
+        "doc_id",
+        "source",
+        "raw",
+        cal.cast("long").alias("cal_q"),
+        (cal >= _CAL_KEEP_Q).alias("keep"),
+    )
+
+
+# --- FIM (fill-in-the-middle) transformation (Bavarian et al. 2022;
+# the StarCoder/Codex pretraining transform): for a deterministic half
+# of the corpus, split the token stream at two seeded cut points and
+# re-order to PSM (prefix-suffix-middle) with sentinel tokens, so the
+# model learns infilling.  Like span corruption the WHOLE transform is
+# in-row (two sha256 draws + array slices) — a 100 TB pass is one scan.
+_FIM_RATE_MOD = 2  # seed % 2 == 0 -> ~50% of docs transformed
+
+
+@query(
+    "fim_transform_targets",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    cuts AS (
+        SELECT doc_id, ts, len(ts) AS n,
+               (('0x' || substr(sha256(doc_id || '|0'), 1, 15))::BIGINT % 2 = 0)
+                   AS fim_applied,
+               ('0x' || substr(sha256(doc_id || '|1'), 1, 15))::BIGINT
+                   % greatest(len(ts), 1) AS u1,
+               ('0x' || substr(sha256(doc_id || '|2'), 1, 15))::BIGINT
+                   % greatest(len(ts), 1) AS u2
+        FROM toks
+    ),
+    spans AS (
+        SELECT doc_id, ts, n, fim_applied,
+               least(u1, u2) AS c1, greatest(u1, u2) AS c2
+        FROM cuts
+    )
+    SELECT doc_id, fim_applied,
+           CAST(CASE WHEN fim_applied THEN c1 ELSE n END AS BIGINT) AS n_prefix,
+           CAST(CASE WHEN fim_applied THEN c2 - c1 ELSE 0 END AS BIGINT) AS n_middle,
+           CAST(CASE WHEN fim_applied THEN n - c2 ELSE 0 END AS BIGINT) AS n_suffix,
+           -- DuckDB array_to_string([]) is NULL (Spark array_join is '');
+           -- coalesce each piece so empty prefix/middle/suffix cannot
+           -- poison the concat
+           md5(CASE WHEN fim_applied THEN
+                   '<fim_prefix> ' || coalesce(array_to_string(ts[1:c1], ' '), '')
+                   || ' <fim_suffix> ' || coalesce(array_to_string(ts[c2+1:n], ' '), '')
+                   || ' <fim_middle> ' || coalesce(array_to_string(ts[c1+1:c2], ' '), '')
+               ELSE coalesce(array_to_string(ts, ' '), '') END) AS sig
+    FROM spans
+    """,
+)
+def fim_transform_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, fim_applied, n_prefix, n_middle, n_suffix, sig)`` —
+    the PSM re-ordering digest for the transformed half, the identity
+    digest for the rest.  Zero shuffles: scan-and-emit."""
+    from columnflow_spark.functions.hashing import seed_long
+
+    docs = spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
+    )
+    n = F.size("ts")
+    cuts = toks.select(
+        "doc_id",
+        "ts",
+        n.alias("n"),
+        (F.pmod(seed_long(F.col("doc_id"), F.lit(0)), F.lit(_FIM_RATE_MOD)) == 0).alias(
+            "fim_applied"
+        ),
+        F.pmod(seed_long(F.col("doc_id"), F.lit(1)), F.greatest(n, F.lit(1))).alias("u1"),
+        F.pmod(seed_long(F.col("doc_id"), F.lit(2)), F.greatest(n, F.lit(1))).alias("u2"),
+    ).select(
+        "doc_id",
+        "ts",
+        "n",
+        "fim_applied",
+        F.least("u1", "u2").alias("c1"),
+        F.greatest("u1", "u2").alias("c2"),
+    )
+    psm = F.concat(
+        F.lit("<fim_prefix> "),
+        F.array_join(F.slice(F.col("ts"), 1, F.col("c1")), " "),
+        F.lit(" <fim_suffix> "),
+        F.array_join(
+            F.slice(F.col("ts"), F.col("c2") + 1, F.greatest(F.col("n") - F.col("c2"), F.lit(0))),
+            " ",
+        ),
+        F.lit(" <fim_middle> "),
+        F.array_join(
+            F.slice(F.col("ts"), F.col("c1") + 1, F.col("c2") - F.col("c1")), " "
+        ),
+    )
+    return cuts.select(
+        "doc_id",
+        "fim_applied",
+        F.when(F.col("fim_applied"), F.col("c1")).otherwise(F.col("n")).cast("long").alias("n_prefix"),
+        F.when(F.col("fim_applied"), F.col("c2") - F.col("c1")).otherwise(0).cast("long").alias("n_middle"),
+        F.when(F.col("fim_applied"), F.col("n") - F.col("c2")).otherwise(0).cast("long").alias("n_suffix"),
+        F.md5(
+            F.when(F.col("fim_applied"), psm).otherwise(F.array_join("ts", " "))
+        ).alias("sig"),
+    )

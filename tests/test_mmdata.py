@@ -706,3 +706,40 @@ def test_boilerplate_removal_semantics(spark, sf_dir):
         assert row.n_seg_kept == len(kept)
         assert row.n_tokens_kept == sum(len(s.split(" ")) for s in kept)
         assert row.sig == hashlib.md5(" ".join(kept).encode()).hexdigest()
+
+
+def test_leakage_safe_split_never_straddles(spark, sf_dir):
+    """No near-dup pair may straddle the split, and both sides must be
+    non-empty (the planted duplicate clusters would be leaked by any
+    doc-grain hash split — this pins the cluster-grain one)."""
+    from columnflow_spark.queries import all_queries
+
+    qs = all_queries()
+    split = {r.doc_id: r.split for r in qs["leakage_safe_split"](spark, sf_dir).collect()}
+    edges = qs["dedup_ngram_jaccard"](spark, sf_dir).select("d1", "d2").collect()
+    assert edges, "fixture lost its planted near-dups"
+    for e in edges:
+        assert split[e.d1] == split[e.d2], (e.d1, e.d2)
+    sides = set(split.values())
+    assert sides == {"train", "test"}
+
+
+def test_quantile_calibration_equalizes_keep_rate(spark, sf_dir):
+    """The point of per-source calibration: the global cut keeps (close
+    to) the same fraction of EVERY source, while the same cut on the
+    raw scale would not."""
+    from collections import Counter
+
+    from columnflow_spark.queries import all_queries
+
+    rows = all_queries()["per_source_quantile_calibration"](spark, sf_dir).collect()
+    per_src: Counter = Counter()
+    kept: Counter = Counter()
+    for r in rows:
+        per_src[r.source] += 1
+        kept[r.source] += bool(r.keep)
+    assert len(per_src) > 1
+    for s, n in per_src.items():
+        frac = kept[s] / n
+        # exact-quantile keep rate: 20% within one rank step
+        assert abs(frac - 0.2) <= 1.5 / n + 0.01, (s, frac, n)

@@ -715,6 +715,12 @@ _PLAN_BUDGETS = {
     # r9 retrieval eval: BM25 run (posting shape) + conjunctive gold
     # aggregation + |queries| x k judged/ideal joins
     "retrieval_eval_ndcg": (12, 4),
+    # r9 split/calibration: component solve off the checkpointed edge
+    # list + in-row hash; one source-partitioned rank window
+    "leakage_safe_split": (2, 2),
+    "per_source_quantile_calibration": (1, 2),
+    # r9 FIM: pure in-row transform — scan-and-emit (spread + scan)
+    "fim_transform_targets": (1, 2),
 }
 
 
