@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "kmv_distinct_sketch",
     "kmv_set_intersection",
     "kmv_incremental_sketch",
+    "kmv_sliding_window_distinct",
     "bootstrap_mean_ci",
     # single-pass distributed model fit + index build
     "ml_train_linreg",

@@ -8472,20 +8472,7 @@ def segment_docs(docs: DataFrame) -> DataFrame:
     transform over the token array; no shuffle to form segments).
     Shared by the batch removal pass and the incremental segment-count
     store (queries/dedupstore.py)."""
-    toks = docs.select(
-        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
-    )
-    S = _BP_SEG_TOKENS
-    segs_arr = F.when(F.size("ts") == 0, F.expr("array()")).otherwise(
-        F.expr(
-            f"transform(sequence(0, CAST(ceil(size(ts) / {S}.0) AS INT) - 1), "
-            f"i -> struct(array_join(slice(ts, i * {S} + 1, {S}), ' ') AS seg_text, "
-            f"CAST(size(slice(ts, i * {S} + 1, {S})) AS BIGINT) AS ntok))"
-        )
-    )
-    return toks.select(
-        "doc_id", F.posexplode(segs_arr).alias("seg_idx", "seg")
-    ).select("doc_id", "seg_idx", F.col("seg.seg_text").alias("seg_text"), F.col("seg.ntok").alias("ntok"))
+    return segment_docs_width(docs, _BP_SEG_TOKENS)
 
 
 def bp_doc_rollup(flagged: DataFrame) -> DataFrame:

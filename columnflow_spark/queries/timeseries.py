@@ -1160,3 +1160,98 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- sliding-window distinct counts from daily KMV sketches: the
+# pre-aggregation pattern that makes sketches pay — ONE corpus pass
+# builds a bottom-k per day, and every overlapping 7-day window is then
+# answered by merging 7 tiny sketches (|days| x k rows), never by
+# rescanning events.  An exact sliding count(DISTINCT) would have to
+# re-shuffle the raw rows once per window.
+_KMV_WIN_DAYS = 7
+
+
+@query(
+    "kmv_sliding_window_distinct",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               {_KMV_HASH_SQL} AS h
+        FROM events GROUP BY 1, 2
+    ),
+    dsk AS (
+        SELECT day, h FROM (
+            SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+            FROM daily
+        ) WHERE rk <= {_KMV_K}
+    ),
+    days AS (SELECT DISTINCT day FROM dsk),
+    winmerge AS (
+        SELECT w.day, s.h,
+               row_number() OVER (PARTITION BY w.day ORDER BY s.h) AS rk
+        FROM days w
+        JOIN (SELECT DISTINCT day, h FROM dsk) s
+          ON s.day BETWEEN w.day - INTERVAL {_KMV_WIN_DAYS - 1} DAY AND w.day
+        GROUP BY w.day, s.h
+    )
+    SELECT day,
+           CAST(max(rk) AS BIGINT) AS k_used,
+           CAST(CASE WHEN max(rk) < {_KMV_K} THEN max(rk)
+                ELSE CAST(({_KMV_K} - 1)::HUGEINT * {_KMV_HMAX}
+                     // (max(h) FILTER (WHERE rk = {_KMV_K})) AS BIGINT)
+           END AS BIGINT) AS est_q
+    FROM winmerge WHERE rk <= {_KMV_K} GROUP BY day ORDER BY day
+    """,
+)
+def kmv_sliding_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{d}-day distinct-user estimates per day, computed by
+    merging the persisted DAILY sketches: ``(day, k_used, est_q)``.
+
+    Plan shape: one corpus distinct into daily bottom-ks (checkpointed
+    — sketch grain), then a bounded day-range self-join + rank entirely
+    at |days| x k volume."""
+    from columnflow_spark.functions.hashing import seed_long
+    from columnflow_spark.functions.skew import salted_topk
+
+    ev = load_table(spark, sf_dir, "events", columns=["ts", "user_id"])
+    daily = ev.select(
+        F.date_trunc("day", "ts").alias("day"), seed_long(F.col("user_id")).alias("h")
+    ).distinct()
+    dsk = (
+        salted_topk(daily, ["day"], [F.asc("h")], _KMV_K, salt_src=F.col("h"))
+        .select("day", "h")
+        .localCheckpoint()  # sketch grain: |days| x k
+    )
+    days = dsk.select("day").distinct()
+    joined = (
+        days.withColumnRenamed("day", "wday")
+        .join(
+            dsk,
+            (F.col("day") <= F.col("wday"))
+            & (F.col("day") >= F.col("wday") - F.expr(f"INTERVAL {_KMV_WIN_DAYS - 1} DAY")),
+        )
+        .select(F.col("wday").alias("day"), "h")
+        .distinct()
+    )
+    win = W.partitionBy("day").orderBy("h")
+    merged = joined.withColumn("rk", F.row_number().over(win)).filter(
+        F.col("rk") <= _KMV_K
+    )
+    return (
+        merged.groupBy("day")
+        .agg(
+            F.max("rk").cast("long").alias("k_used"),
+            F.max(F.when(F.col("rk") == _KMV_K, F.col("h"))).alias("h_k"),
+        )
+        .select(
+            "day",
+            "k_used",
+            F.when(F.col("k_used") < _KMV_K, F.col("k_used"))
+            .otherwise(
+                F.expr(f"CAST((({_KMV_K} - 1) * CAST({_KMV_HMAX} AS DECIMAL(38,0))) div h_k AS BIGINT)")
+            )
+            .cast("long")
+            .alias("est_q"),
+        )
+        .orderBy("day")
+    )

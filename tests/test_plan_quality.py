@@ -721,6 +721,9 @@ _PLAN_BUDGETS = {
     "per_source_quantile_calibration": (1, 2),
     # r9 FIM: pure in-row transform — scan-and-emit (spread + scan)
     "fim_transform_targets": (1, 2),
+    # r9 sliding-window KMV: daily sketch build + bounded day-range
+    # self-join/rank at sketch grain off the checkpoint
+    "kmv_sliding_window_distinct": (4, 2),
 }
 
 
