@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "leakage_safe_split",
+    "dedup_cluster_stats",
     "per_source_quantile_calibration",
     "ann_cosine_topk",
     "ann_ivf_topk",
@@ -151,6 +152,7 @@ BENCH_QUERIES = [
     "kmv_incremental_sketch",
     "kmv_sliding_window_distinct",
     "bootstrap_mean_ci",
+    "trimmed_mean_values",
     # single-pass distributed model fit + index build
     "ml_train_linreg",
     "ml_ridge_model_selection",

@@ -9161,3 +9161,65 @@ def fim_transform_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("fim_applied"), psm).otherwise(F.array_join("ts", " "))
         ).alias("sig"),
     )
+
+
+# --- dedup observability: cluster-size distribution + per-source
+# duplication factors.  Every production dedup run ships this report
+# (it is how FineWeb/Dolma card their duplication rates) — and it is
+# the cheap sanity check that catches a broken band config (cluster
+# sizes collapse to 1) or a degenerate corpus (one giant cluster).
+@query(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {_GRAMS_CTE},
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
+    cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT d1, d2 FROM cand
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2
+        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (
+        SELECT d1 AS s, d2 AS t FROM edges
+        UNION ALL SELECT d2, d1 FROM edges
+    ),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS node FROM documents
+        UNION
+        SELECT r.src, sym.t FROM reach r JOIN sym ON sym.s = r.node
+    ),
+    comp AS (SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src),
+    csize AS (
+        SELECT component, count(*) AS sz FROM comp GROUP BY component
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS n_removable
+    FROM csize GROUP BY sz ORDER BY sz
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: ``(cluster_size, n_clusters,
+    n_docs, n_removable)`` — n_removable sums what keep-one-per-cluster
+    deletes.  Catalog-sized output; the only cost is the shared
+    component solve."""
+    all_docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=True)
+    comp = components_from_edges(all_docs, edges)
+    csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        csize.groupBy(F.col("sz").cast("long").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("long").alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )

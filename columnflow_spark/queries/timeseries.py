@@ -1255,3 +1255,55 @@ def kmv_sliding_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- trimmed (winsor-free) mean: the robust location estimate metric
+# pipelines quote next to the mean (drop the top and bottom 5% by exact
+# rank, average the middle 90%) — immune to the heavy-tail events that
+# make raw means jump between runs.  Exact: integer-grid values, exact
+# rank bounds, ONE fixed division at the end.
+_TRIM_PCT = 5  # drop lowest/highest 5%
+
+
+@query(
+    "trimmed_mean_values",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(value * 10000) AS BIGINT) AS v_q,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(v_q) // count(*) AS BIGINT) AS trimmed_mean_q
+    FROM base
+    WHERE rk > n * {_TRIM_PCT} // 100 AND rk <= n - n * {_TRIM_PCT} // 100
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def trimmed_mean_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(event_type, n, n_kept, trimmed_mean_q)`` — the 5-95% trimmed
+    mean on the 1e-4 grid.  One group-partitioned rank window (rank and
+    count ride the same exchange), then a filtered aggregate."""
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+    win = W.partitionBy("event_type").orderBy("value", "event_id")
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 10000, 0).cast("long").alias("v_q"),
+        F.row_number().over(win).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    lo = F.expr(f"n * {_TRIM_PCT} div 100")
+    return (
+        base.filter((F.col("rk") > lo) & (F.col("rk") <= F.col("n") - lo))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.expr("CAST(sum(v_q) div count(*) AS BIGINT)").alias("trimmed_mean_q"),
+        )
+        .orderBy("event_type")
+    )

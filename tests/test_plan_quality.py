@@ -724,6 +724,10 @@ _PLAN_BUDGETS = {
     # r9 sliding-window KMV: daily sketch build + bounded day-range
     # self-join/rank at sketch grain off the checkpoint
     "kmv_sliding_window_distinct": (4, 2),
+    # r9 dedup report + robust mean: component solve + catalog-sized
+    # rollup; one group rank window + filtered aggregate
+    "dedup_cluster_stats": (3, 2),
+    "trimmed_mean_values": (2, 2),
 }
 
 
