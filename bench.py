@@ -153,6 +153,13 @@ BENCH_QUERIES = [
     "kmv_sliding_window_distinct",
     "bootstrap_mean_ci",
     "trimmed_mean_values",
+    # r10: graph ANN (DiskANN shape) — steady-state store serve (the
+    # build is its own split line, the IVF+PQ pattern), mergeable
+    # quantile sketch (one-pass + store serve), pointwise LTR re-rank
+    "ann_graph_store_topk",
+    "quantile_sketch_values",
+    "quantile_sketch_incremental",
+    "ltr_rerank_topk",
     # single-pass distributed model fit + index build
     "ml_train_linreg",
     "ml_ridge_model_selection",
@@ -257,6 +264,26 @@ def main() -> None:
         timings["ann_ivfpq_index_build"] = round(time.perf_counter() - t0, 4)
         print(
             f"[bench] ann_ivfpq_index_build: {timings['ann_ivfpq_index_build']}s",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    # same split for the graph-ANN page store (r10): build cold (band
+    # joins + degree windows + partitioned write) as its own line; the
+    # query-loop line then measures the steady beam over pruned reads
+    if "ann_graph_store_topk" in names:
+        import shutil
+
+        from columnflow_spark.queries import anngraph as _ag
+
+        gpath = _ag.graph_index_path(sf_dir)
+        shutil.rmtree(gpath, ignore_errors=True)
+        _ag._G_ADJ_CACHE.clear()
+        t0 = time.perf_counter()
+        _ag.build_graph_index(spark, sf_dir, gpath)
+        timings["ann_graph_index_build"] = round(time.perf_counter() - t0, 4)
+        print(
+            f"[bench] ann_graph_index_build: {timings['ann_graph_index_build']}s",
             file=sys.stderr,
             flush=True,
         )

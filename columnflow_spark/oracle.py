@@ -83,6 +83,14 @@ def _values_equal(a, b) -> bool:
 def compare(name: str, spark_df, oracle_sql: str, con: duckdb.DuckDBPyConnection) -> CompareResult:
     spark_pdf = spark_df.toPandas()
     oracle_pdf = con.sql(oracle_sql).df()
+    return compare_frames(name, spark_pdf, oracle_pdf)
+
+
+def compare_frames(name: str, spark_pdf, oracle_pdf) -> CompareResult:
+    """Frame-level comparison — split out of :func:`compare` so callers
+    that need to TIME the engine and oracle sides separately (the sf1
+    sweep's engine/oracle cost split, VERDICT r9 next #6) can
+    materialize each side themselves."""
     issues: list[str] = []
 
     if set(spark_pdf.columns) != set(oracle_pdf.columns):

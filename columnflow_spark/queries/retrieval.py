@@ -1399,3 +1399,303 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- pointwise learning-to-rank re-rank over the hybrid pool (VERDICT
+# r9 next #4): the production step after fixed-weight RRF — a logistic
+# model over (bm25, cosine, term-overlap, bias) features re-scores the
+# lex ∪ dense candidate pool, trained IN-ENGINE with the
+# one-aggregation-per-step logreg kernel (the ``tf_learned_gate``
+# pattern) and served as plan literals.
+#
+# Exactness architecture (the piece that makes a trained ranker
+# oracle-replayable):
+# - features live on a 1e-4 integer grid (BM25 total div 100, cosine
+#   round*1e4, overlap fraction *1e4, bias 1e4);
+# - weights are ROUNDED TO A 1e-6 INTEGER GRID AFTER EVERY STEP, so
+#   the forward pass z = Σ wq_j·xq_j is an exact BIGINT in both
+#   engines at every step AND at serve — the only cross-engine noise
+#   is the per-step gradient sum's ulp order-dependence, absorbed by
+#   the weight rounding exactly like ``ml_logreg_fit``'s round-4
+#   output (knife-edge class, measure-~0);
+# - the final ranking orders exact integers with doc_id tie-breaks.
+#
+# Labels are the conjunctive-match gold of ``retrieval_eval_ndcg``
+# (pointwise in-domain fit: the overlap feature dominates by
+# construction — the pin's value is the trained-rank PLUMBING, exactly
+# like tf_learned_gate).  nDCG(LTR) >= nDCG(RRF) is pinned in
+# tests/test_retrieval_ltr.py via the shared DCG weights.
+_LTR_STEPS = 6
+_LTR_LR = 0.5
+_LTR_WSCALE = 1_000_000  # weight grid 1e-6
+_LTR_XSCALE = 10_000  # feature grid 1e-4
+_LTR_NF = 4
+_LTR_TOPK = 10
+
+_LTR_FEAT_CACHE: dict = {}
+_LTR_W_CACHE: dict = {}
+
+
+def _ltr_pool_feat_ctes() -> str:
+    """CTE chain ``totals`` → ``feat(query_id, doc_id, xl, y)`` — the
+    pooled candidates with integer-grid features and gold labels."""
+    return f"""
+    lex AS MATERIALIZED (
+        SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY score_q DESC, doc_id
+            ) AS rk FROM totals
+        ) WHERE rk <= {_RRF_POOL}
+    ),
+    dsims AS MATERIALIZED (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        FROM {_queries_values_sql()}
+        JOIN embeddings p ON p.vec_id = q.query_id
+        JOIN embeddings c ON TRUE
+    ),
+    dense AS MATERIALIZED (
+        SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, doc_id
+            ) AS rk FROM dsims
+        ) WHERE rk <= {_RRF_POOL}
+    ),
+    pool AS MATERIALIZED (
+        SELECT DISTINCT query_id, doc_id FROM (
+            SELECT query_id, doc_id FROM lex
+            UNION ALL SELECT query_id, doc_id FROM dense
+        )
+    ),
+    nterms AS MATERIALIZED (
+        SELECT query_id, count(DISTINCT w) AS nt FROM qterms GROUP BY query_id
+    ),
+    qhits AS MATERIALIZED (
+        SELECT qt.query_id, wd.doc_id, count(DISTINCT wd.w) AS hit
+        FROM words wd JOIN qterms qt ON qt.w = wd.w
+        GROUP BY qt.query_id, wd.doc_id
+    ),
+    feat AS MATERIALIZED (
+        SELECT p.query_id, p.doc_id,
+               [coalesce(t.score_q, 0) // 100,
+                CAST(round(list_cosine_similarity(
+                    qe.embedding::DOUBLE[], de.embedding::DOUBLE[]) * {_LTR_XSCALE})
+                    AS BIGINT),
+                coalesce(h.hit, 0) * {_LTR_XSCALE} // n.nt,
+                {_LTR_XSCALE}] AS xl,
+               CASE WHEN coalesce(h.hit, 0) = n.nt THEN 1.0 ELSE 0.0 END AS y
+        FROM pool p
+        LEFT JOIN totals t ON t.query_id = p.query_id AND t.doc_id = p.doc_id
+        JOIN embeddings qe ON qe.vec_id = p.query_id
+        JOIN embeddings de ON de.vec_id = p.doc_id
+        LEFT JOIN qhits h ON h.query_id = p.query_id AND h.doc_id = p.doc_id
+        JOIN nterms n ON n.query_id = p.query_id
+    )"""
+
+
+def _ltr_fit_ctes() -> str:
+    """Weight CTEs wl0..wlK: integer 1e-6-grid weights, one gradient
+    aggregation per step — the exact replay of :func:`_ltr_train`."""
+    parts = [f""",
+    wl0 AS MATERIALIZED (
+        SELECT list_transform(range({_LTR_NF}), j -> CAST(0 AS BIGINT)) AS wl
+    )"""]
+    zq = (
+        f"list_aggregate(list_transform(range(1, {_LTR_NF + 1}), "
+        f"j -> wl[j] * xl[j]), 'sum')"
+    )
+    for k in range(1, _LTR_STEPS + 1):
+        parts.append(f""",
+    scored{k} AS MATERIALIZED (
+        SELECT xl, y,
+               1.0 / (1.0 + exp(-(CAST({zq} AS DOUBLE)
+                   / {_LTR_WSCALE * _LTR_XSCALE}))) AS p
+        FROM feat, wl{k - 1}
+    ),
+    grad{k} AS MATERIALIZED (
+        SELECT j, sum((p - y) * (xl[j + 1] / {_LTR_XSCALE}.0)) AS g
+        FROM scored{k}, unnest(range({_LTR_NF})) AS t(j)
+        GROUP BY j
+    ),
+    wl{k} AS MATERIALIZED (
+        SELECT list(wq ORDER BY j) AS wl FROM (
+            SELECT g.j,
+                   CAST(CASE WHEN v >= 0 THEN floor(v * {_LTR_WSCALE} + 0.5)
+                        ELSE -floor(-v * {_LTR_WSCALE} + 0.5) END AS BIGINT) AS wq
+            FROM (
+                SELECT g.j AS j, wl[g.j + 1] / {_LTR_WSCALE}.0 - {_LTR_LR} * g.g AS v
+                FROM grad{k} g, wl{k - 1}
+            ) g
+        )
+    )""")
+    return "".join(parts)
+
+
+LTR_RERANK_ORACLE = f"""
+    WITH {_BM25_TOTALS_CTES},{_ltr_pool_feat_ctes()}{_ltr_fit_ctes()}
+    SELECT query_id, doc_id, CAST(z AS BIGINT) AS ltr_q, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT query_id, doc_id, z, row_number() OVER (
+            PARTITION BY query_id ORDER BY z DESC, doc_id
+        ) AS rk
+        FROM (
+            SELECT f.query_id, f.doc_id,
+                   list_aggregate(list_transform(range(1, {_LTR_NF + 1}),
+                       j -> wl[j] * xl[j]), 'sum') AS z
+            FROM feat f, wl{_LTR_STEPS}
+        )
+    )
+    WHERE rk <= {_LTR_TOPK}
+    ORDER BY query_id, rk
+    """
+
+
+def _ltr_feat_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled feature frame ``(query_id, doc_id, x1q..x4q, y)`` —
+    checkpointed once per (session, sf_dir): |queries| x <=2·pool rows;
+    training replays K aggregations over it, never the corpus."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _LTR_FEAT_CACHE:
+        return _LTR_FEAT_CACHE[key]
+    totals = _bm25_totals(spark, sf_dir)
+    lwin = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    lex = (
+        totals.withColumn("rk", F.row_number().over(lwin))
+        .filter(F.col("rk") <= _RRF_POOL)
+        .select("query_id", "doc_id")
+    )
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    probe_ids = [qid for qid, _ in _BM25_QUERIES]
+    probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    dsims = emb.crossJoin(F.broadcast(probes)).select(
+        "query_id", F.col("vec_id").alias("doc_id"), cosine(F.col("q"), F.col("embedding")).alias("sim")
+    )
+    dense = salted_topk(
+        dsims, ["query_id"], [F.desc("sim"), F.asc("doc_id")], _RRF_POOL, salt_src=F.col("doc_id")
+    ).select("query_id", "doc_id")
+    pool = lex.unionAll(dense).distinct().localCheckpoint(eager=True)
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    words = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("w")
+    )
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, text in _BM25_QUERIES for w in text.split(" ")],
+        "query_id INT, w STRING",
+    )
+    nt = spark.createDataFrame(
+        [(qid, len(set(text.split(" ")))) for qid, text in _BM25_QUERIES],
+        "query_id INT, nt INT",
+    )
+    hits = (
+        words.join(F.broadcast(qterms), "w")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("w").alias("hit"))
+    )
+    # pool is bounded: every enrichment join broadcasts it
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    de = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("de"))
+    feat = (
+        pool.join(totals, ["query_id", "doc_id"], "left")
+        .join(qe, "query_id")
+        .join(de, "doc_id")
+        .join(hits, ["query_id", "doc_id"], "left")
+        .join(F.broadcast(nt), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr("coalesce(score_q, 0) div 100").cast("long").alias("x1q"),
+            F.round(cosine(F.col("qe"), F.col("de")) * _LTR_XSCALE, 0)
+            .cast("long")
+            .alias("x2q"),
+            F.expr(f"coalesce(hit, 0) * {_LTR_XSCALE} div nt").cast("long").alias("x3q"),
+            F.lit(_LTR_XSCALE).cast("long").alias("x4q"),
+            F.when(F.coalesce(F.col("hit"), F.lit(0)) == F.col("nt"), 1.0)
+            .otherwise(0.0)
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _LTR_FEAT_CACHE[key] = feat
+    return feat
+
+
+def _ltr_round(v: float) -> int:
+    """1e-6-grid weight rounding — the documented ``sign(y) *
+    floor(|y| + .5)`` form, matching the oracle's floor expression."""
+    import math
+
+    vs = v * _LTR_WSCALE
+    return int(math.floor(vs + 0.5)) if vs >= 0 else -int(math.floor(-vs + 0.5))
+
+
+def ltr_train(spark: SparkSession, sf_dir: str) -> list[int]:
+    """K gradient steps over the checkpointed pool features; returns the
+    1e-6-grid integer weights (a 4-element driver artifact)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _LTR_W_CACHE:
+        return _LTR_W_CACHE[key]
+    feat = _ltr_feat_cached(spark, sf_dir)
+    xcols = ["x1q", "x2q", "x3q", "x4q"]
+    wq = [0] * _LTR_NF
+    for _ in range(_LTR_STEPS):
+        z = sum(F.lit(wq[j]) * F.col(xcols[j]) for j in range(_LTR_NF))
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(z.cast("double") / F.lit(float(_LTR_WSCALE * _LTR_XSCALE))))
+        )
+        row = feat.agg(
+            *[
+                F.sum((p - F.col("y")) * (F.col(xcols[j]) / F.lit(float(_LTR_XSCALE)))).alias(f"g{j}")
+                for j in range(_LTR_NF)
+            ]
+        ).collect()[0]
+        wq = [
+            _ltr_round(wq[j] / _LTR_WSCALE - _LTR_LR * float(row[f"g{j}"]))
+            for j in range(_LTR_NF)
+        ]
+    _LTR_W_CACHE[key] = wq
+    return wq
+
+
+@query("ltr_rerank_topk", oracle=LTR_RERANK_ORACLE)
+def ltr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-LTR re-ranked hybrid pool: top-10 per query by the
+    exact-integer trained score ``z = Σ wq_j · xq_j`` (weights baked in
+    as plan literals — serving never touches the trainer)."""
+    wq = ltr_train(spark, sf_dir)
+    feat = _ltr_feat_cached(spark, sf_dir)
+    xcols = ["x1q", "x2q", "x3q", "x4q"]
+    z = sum(F.lit(wq[j]) * F.col(xcols[j]) for j in range(_LTR_NF))
+    win = W.partitionBy("query_id").orderBy(F.desc("z"), F.asc("doc_id"))
+    return (
+        feat.select("query_id", "doc_id", z.cast("long").alias("z"))
+        .withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= _LTR_TOPK)
+        .select("query_id", "doc_id", F.col("z").alias("ltr_q"), "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+@query(
+    "ltr_model_weights",
+    oracle=f"""
+    WITH {_BM25_TOTALS_CTES},{_ltr_pool_feat_ctes()}{_ltr_fit_ctes()}
+    SELECT j, wl[j + 1] AS wq
+    FROM wl{_LTR_STEPS}, unnest(range({_LTR_NF})) AS t(j)
+    ORDER BY j
+    """,
+)
+def ltr_model_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained 1e-6-grid weight vector itself, oracle-pinned: the
+    DuckDB side replays all K training aggregations (pool build →
+    features → gradients → per-step integer rounding) and must land on
+    the IDENTICAL four integers the engine trained — the
+    ``ml_logreg_fit`` shape with an exact-integer artifact instead of a
+    rounded-double one."""
+    wq = ltr_train(spark, sf_dir)
+    return (
+        spark.createDataFrame([(j, int(wq[j])) for j in range(_LTR_NF)], "j int, wq long")
+        .orderBy("j")
+    )

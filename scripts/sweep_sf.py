@@ -45,23 +45,37 @@ def main() -> None:
     if subset:
         keep = {s for s in subset.split(",") if s}
         queries = {k: v for k, v in queries.items() if k in keep}
+    from columnflow_spark.oracle import compare_frames
+
     with open(out_path, "a") as out:
         for name, fn in sorted(queries.items()):
             if name in done:
                 continue
+            # engine and oracle sides timed separately (VERDICT r9 next
+            # #6/#7): rows dominated by a DuckDB recursive-closure oracle
+            # (leakage_safe_split, dedup_cluster_stats, ...) must not be
+            # read as engine cost
             t0 = time.time()
+            t_engine = t_oracle = 0.0
             try:
                 if name not in oracles:
                     cnt = fn(spark, sf_dir).count()
+                    t_engine = time.time() - t0
                     res = CompareResult(name, cnt >= 0, cnt, -1, [])
                 else:
-                    res = compare(name, fn(spark, sf_dir), oracles[name], con)
+                    spark_pdf = fn(spark, sf_dir).toPandas()
+                    t_engine = time.time() - t0
+                    t1 = time.time()
+                    oracle_pdf = con.sql(oracles[name]).df()
+                    t_oracle = time.time() - t1
+                    res = compare_frames(name, spark_pdf, oracle_pdf)
             except Exception as ex:  # noqa: BLE001 - record, keep sweeping
                 res = CompareResult(name, False, -1, -1, [f"exception: {ex!r:.500}"])
             dt = time.time() - t0
             n_fail += not res.ok
             out.write(json.dumps({
                 "name": name, "ok": res.ok, "sec": round(dt, 2),
+                "engine_sec": round(t_engine, 2), "oracle_sec": round(t_oracle, 2),
                 "spark_rows": res.spark_rows, "oracle_rows": res.oracle_rows,
                 "issues": res.issues,
             }) + "\n")

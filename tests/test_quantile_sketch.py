@@ -1,0 +1,71 @@
+"""Mergeable quantile sketch: accuracy vs exact quantiles, store
+mergeability, sketch-grain serve."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window as W
+
+from columnflow_spark.queries import all_queries
+from columnflow_spark.queries.timeseries import _QSK_K, _QSK_PCTS, _QSK_VSCALE
+from columnflow_spark.sources import load_table
+
+
+def _exact_pct_ranks(spark, sf_dir):
+    """Exact per-type value ranks: (event_type, v_q, frac_rank)."""
+    ev = load_table(spark, sf_dir, "events", columns=["event_type", "value"])
+    hist = ev.groupBy(
+        "event_type", F.round(F.col("value") * _QSK_VSCALE, 0).cast("long").alias("v_q")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = W.partitionBy("event_type").orderBy("v_q")
+    return hist.select(
+        "event_type",
+        "v_q",
+        (F.sum("c").over(wcum) / F.sum("c").over(W.partitionBy("event_type"))).alias("fr"),
+    ).collect()
+
+
+def test_sketch_quantiles_within_sampling_error(spark, sf_dir):
+    """Each p-estimate's EXACT rank in the corpus must sit within the
+    bottom-k sample's rank error (3 standard errors + grid slack):
+    se = sqrt(p(1-p)/k) ~ 0.031 at the median for k=256."""
+    est = {r.event_type: r for r in all_queries()["quantile_sketch_values"](spark, sf_dir).collect()}
+    assert est
+    # exact fractional rank of each estimate value
+    ranks = _exact_pct_ranks(spark, sf_dir)
+    by_type: dict = {}
+    for r in ranks:
+        by_type.setdefault(r.event_type, []).append((r.v_q, r.fr))
+    for etype, row in est.items():
+        vals = sorted(by_type[etype])
+        for p in _QSK_PCTS:
+            v = getattr(row, f"p{p}_q")
+            assert v is not None, (etype, p)
+            # fractional rank of v = highest fr with v_q <= v
+            fr = max((f for vq, f in vals if vq <= v), default=0.0)
+            se = (p / 100 * (1 - p / 100) / min(row.k_used, _QSK_K)) ** 0.5
+            tol = 3 * se + 0.02
+            assert abs(fr - p / 100) <= tol, (etype, p, v, fr, tol)
+
+
+def test_incremental_store_matches_one_shot(spark, sf_dir):
+    one = sorted(map(tuple, all_queries()["quantile_sketch_values"](spark, sf_dir).collect()))
+    inc = sorted(map(tuple, all_queries()["quantile_sketch_incremental"](spark, sf_dir).collect()))
+    assert one == inc
+    assert one
+
+
+def test_serve_runs_at_sketch_grain(spark, sf_dir):
+    """The store serve's rank windows must sit over the sketch store
+    read (batches x types x k rows), never a raw events scan."""
+    import contextlib
+    import io
+
+    df = all_queries()["quantile_sketch_incremental"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    assert "events.parquet" not in buf.getvalue()
+    # store scan only
+    assert tree.count("Scan parquet") <= 1, tree

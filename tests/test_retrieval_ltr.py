@@ -1,0 +1,92 @@
+"""Pointwise LTR re-rank: trained-weight shape, serve-plan literals,
+and the headline pin — nDCG@10(LTR) >= nDCG@10(RRF) on the shared
+conjunctive gold (VERDICT r9 next #4 'done' criterion)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from columnflow_spark.queries import all_queries
+from columnflow_spark.queries.retrieval import (
+    _BM25_QUERIES,
+    _EVAL_DCG_W,
+    _LTR_NF,
+    _LTR_WSCALE,
+    ltr_train,
+)
+from columnflow_spark.sources import load_table
+
+
+def _gold(spark, sf_dir):
+    """Conjunctive gold pairs — the retrieval_eval_ndcg definition."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    words = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("w")
+    )
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, text in _BM25_QUERIES for w in text.split(" ")],
+        "query_id INT, w STRING",
+    )
+    nt = {qid: len(set(text.split(" "))) for qid, text in _BM25_QUERIES}
+    hits = (
+        words.join(F.broadcast(qterms), "w")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("w").alias("hit"))
+        .collect()
+    )
+    return {(r.query_id, r.doc_id) for r in hits if r.hit == nt[r.query_id]}
+
+
+def _ndcg_sum(ranking_rows, gold):
+    """Σ per-query DCG@10 / IDCG@10 over the shared integer weights."""
+    per_q: dict = {}
+    for r in sorted(ranking_rows, key=lambda r: (r.query_id, r.rk)):
+        per_q.setdefault(r.query_id, []).append(r.doc_id)
+    n_rel = {}
+    for q, d in gold:
+        n_rel[q] = n_rel.get(q, 0) + 1
+    total = 0.0
+    for qid, docs in per_q.items():
+        dcg = sum(
+            w for doc, w in zip(docs, _EVAL_DCG_W) if (qid, doc) in gold
+        )
+        ideal = sum(_EVAL_DCG_W[: min(n_rel.get(qid, 0), len(_EVAL_DCG_W))])
+        if ideal:
+            total += dcg / ideal
+    return total
+
+
+def test_trained_weights_are_bounded_grid_ints(spark, sf_dir):
+    wq = ltr_train(spark, sf_dir)
+    assert len(wq) == _LTR_NF
+    assert all(isinstance(w, int) for w in wq)
+    # weights stay O(1) on the 1e-6 grid (lr/steps sized for it)
+    assert all(abs(w) < 50 * _LTR_WSCALE for w in wq), wq
+    # the model must have learned SOMETHING (non-zero after step 1)
+    assert any(w != 0 for w in wq)
+
+
+def test_ltr_ndcg_not_worse_than_rrf(spark, sf_dir):
+    gold = _gold(spark, sf_dir)
+    assert gold, "gold set empty — workload/corpus drifted"
+    ltr = all_queries()["ltr_rerank_topk"](spark, sf_dir).collect()
+    rrf = all_queries()["hybrid_search_rrf"](spark, sf_dir).collect()
+    ndcg_ltr = _ndcg_sum(ltr, gold)
+    ndcg_rrf = _ndcg_sum(rrf, gold)
+    assert ndcg_ltr >= ndcg_rrf, (ndcg_ltr, ndcg_rrf)
+
+
+def test_serve_plan_uses_literal_weights(spark, sf_dir):
+    """Serving is a projection over the checkpointed pool features with
+    the weights as plan literals — no training scan, no corpus scan."""
+    import contextlib
+    import io
+
+    all_queries()["ltr_rerank_topk"](spark, sf_dir)  # warm caches
+    df = all_queries()["ltr_rerank_topk"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    assert "Scan parquet" not in tree, tree
+    assert "ExistingRDD" in tree
