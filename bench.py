@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "quantile_sketch_values",
     "quantile_sketch_incremental",
     "ltr_rerank_topk",
+    "ltr_pairwise_rerank_topk",
     # single-pass distributed model fit + index build
     "ml_train_linreg",
     "ml_ridge_model_selection",
@@ -452,7 +453,14 @@ def _driver_line(timings: dict[str, float], sf_val, budget: int) -> str:
     cand3 = json.dumps({**scalars, "names": "idx-sorted", "queries": q}, **compact)
     if len(cand3) <= budget:
         return cand3
-    return cand3  # smallest representable form — best effort floor
+    # final tier (suite crossed ~140 lines in round 10's projection):
+    # same idx-sorted keys at ONE decimal — regression granularity only;
+    # BENCHLOG's full record of the same run keeps the 4-decimal truth
+    q1 = {idx[k]: round(v, 1) for k, v in timings.items()}
+    cand4 = json.dumps({**scalars, "names": "idx-sorted1", "queries": q1}, **compact)
+    if len(cand4) <= budget:
+        return cand4
+    return cand4  # smallest representable form — best effort floor
 
 
 if __name__ == "__main__":

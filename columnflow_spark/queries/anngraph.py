@@ -40,7 +40,12 @@ the whole walk replays in the DuckDB oracle:
 - **deletes**: bounded tombstones anti-joined at the final ranking —
   deleted nodes still ROUTE (their edges keep the graph navigable, the
   DiskANN deletion semantics) but never surface as results; the oracle
-  replays the identical walk with the final exclusion.
+  replays the identical walk with the final exclusion.  Physical purge
+  is deliberately NOT a tombstone-drop compaction: removing a page
+  changes every walk that routed through it, so vacuum here means
+  re-linking each deleted node's in-neighbors to its out-neighbors
+  (the DiskANN repair) or a rebuild — like the KMV/quantile sketches,
+  the limit is documented rather than faked with a wrong-result purge.
 
 Scale notes (100 TB): the band width (6 bits) should grow ~log2(n) to
 hold per-bucket volume flat — at this corpus' scale the literal-plane

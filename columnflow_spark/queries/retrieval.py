@@ -1500,35 +1500,44 @@ def _ltr_fit_ctes() -> str:
     wl0 AS MATERIALIZED (
         SELECT list_transform(range({_LTR_NF}), j -> CAST(0 AS BIGINT)) AS wl
     )"""]
+    parts.extend(_ltr_step_ctes(src="feat", prefix="wl"))
+    return "".join(parts)
+
+
+def _ltr_step_ctes(src: str, prefix: str) -> list[str]:
+    """The K per-step (scored → grad → rounded-weight) CTEs over example
+    relation ``src(xl, y)`` starting from ``{prefix}0`` — shared by the
+    pointwise fit (src=feat) and the pairwise fit (src=fpairs)."""
+    parts = []
     zq = (
         f"list_aggregate(list_transform(range(1, {_LTR_NF + 1}), "
         f"j -> wl[j] * xl[j]), 'sum')"
     )
     for k in range(1, _LTR_STEPS + 1):
         parts.append(f""",
-    scored{k} AS MATERIALIZED (
+    {prefix}scored{k} AS MATERIALIZED (
         SELECT xl, y,
                1.0 / (1.0 + exp(-(CAST({zq} AS DOUBLE)
                    / {_LTR_WSCALE * _LTR_XSCALE}))) AS p
-        FROM feat, wl{k - 1}
+        FROM {src}, {prefix}{k - 1}
     ),
-    grad{k} AS MATERIALIZED (
+    {prefix}grad{k} AS MATERIALIZED (
         SELECT j, sum((p - y) * (xl[j + 1] / {_LTR_XSCALE}.0)) AS g
-        FROM scored{k}, unnest(range({_LTR_NF})) AS t(j)
+        FROM {prefix}scored{k}, unnest(range({_LTR_NF})) AS t(j)
         GROUP BY j
     ),
-    wl{k} AS MATERIALIZED (
+    {prefix}{k} AS MATERIALIZED (
         SELECT list(wq ORDER BY j) AS wl FROM (
             SELECT g.j,
                    CAST(CASE WHEN v >= 0 THEN floor(v * {_LTR_WSCALE} + 0.5)
                         ELSE -floor(-v * {_LTR_WSCALE} + 0.5) END AS BIGINT) AS wq
             FROM (
                 SELECT g.j AS j, wl[g.j + 1] / {_LTR_WSCALE}.0 - {_LTR_LR} * g.g AS v
-                FROM grad{k} g, wl{k - 1}
+                FROM {prefix}grad{k} g, {prefix}{k - 1}
             ) g
         )
     )""")
-    return "".join(parts)
+    return parts
 
 
 LTR_RERANK_ORACLE = f"""
@@ -1631,23 +1640,22 @@ def _ltr_round(v: float) -> int:
     return int(math.floor(vs + 0.5)) if vs >= 0 else -int(math.floor(-vs + 0.5))
 
 
-def ltr_train(spark: SparkSession, sf_dir: str) -> list[int]:
-    """K gradient steps over the checkpointed pool features; returns the
-    1e-6-grid integer weights (a 4-element driver artifact)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _LTR_W_CACHE:
-        return _LTR_W_CACHE[key]
-    feat = _ltr_feat_cached(spark, sf_dir)
-    xcols = ["x1q", "x2q", "x3q", "x4q"]
+_LTR_XCOLS = ["x1q", "x2q", "x3q", "x4q"]
+
+
+def _ltr_fit(frame: DataFrame) -> list[int]:
+    """K gradient steps over a bounded example frame ``(x1q..x4q, y)``;
+    returns the 1e-6-grid integer weights — shared by the pointwise and
+    pairwise trainers."""
     wq = [0] * _LTR_NF
     for _ in range(_LTR_STEPS):
-        z = sum(F.lit(wq[j]) * F.col(xcols[j]) for j in range(_LTR_NF))
+        z = sum(F.lit(wq[j]) * F.col(_LTR_XCOLS[j]) for j in range(_LTR_NF))
         p = F.lit(1.0) / (
             F.lit(1.0) + F.exp(-(z.cast("double") / F.lit(float(_LTR_WSCALE * _LTR_XSCALE))))
         )
-        row = feat.agg(
+        row = frame.agg(
             *[
-                F.sum((p - F.col("y")) * (F.col(xcols[j]) / F.lit(float(_LTR_XSCALE)))).alias(f"g{j}")
+                F.sum((p - F.col("y")) * (F.col(_LTR_XCOLS[j]) / F.lit(float(_LTR_XSCALE)))).alias(f"g{j}")
                 for j in range(_LTR_NF)
             ]
         ).collect()[0]
@@ -1655,6 +1663,16 @@ def ltr_train(spark: SparkSession, sf_dir: str) -> list[int]:
             _ltr_round(wq[j] / _LTR_WSCALE - _LTR_LR * float(row[f"g{j}"]))
             for j in range(_LTR_NF)
         ]
+    return wq
+
+
+def ltr_train(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Pointwise fit over the checkpointed pool features; returns the
+    1e-6-grid integer weights (a 4-element driver artifact)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _LTR_W_CACHE:
+        return _LTR_W_CACHE[key]
+    wq = _ltr_fit(_ltr_feat_cached(spark, sf_dir))
     _LTR_W_CACHE[key] = wq
     return wq
 
@@ -1698,4 +1716,91 @@ def ltr_model_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.createDataFrame([(j, int(wq[j])) for j in range(_LTR_NF)], "j int, wq long")
         .orderBy("j")
+    )
+
+
+# --- pairwise LTR (RankNet-style): the same logistic kernel applied to
+# within-query (relevant, non-relevant) DIFFERENCE vectors — the model
+# learns P(a ranks above b) = sigma(w·(xa - xb)), which is the pairwise
+# objective production rankers optimize; serving is still one linear
+# score per doc (the difference form makes the bias cancel, so its
+# weight stays 0).  Pair examples are bounded: |queries| x |rel in
+# pool| x |non-rel in pool|.  Exactness is inherited wholesale from the
+# pointwise fit: integer-grid difference features, per-step 1e-6 weight
+# rounding, exact-BIGINT serve ranking.
+_LTR_PAIR_CTES = f""",
+    fpairs AS MATERIALIZED (
+        SELECT a.query_id,
+               list_transform(range(1, {_LTR_NF + 1}), j -> a.xl[j] - b.xl[j]) AS xl,
+               1.0 AS y
+        FROM feat a JOIN feat b
+          ON a.query_id = b.query_id AND a.y = 1.0 AND b.y = 0.0
+    ),
+    pwl0 AS MATERIALIZED (
+        SELECT list_transform(range({_LTR_NF}), j -> CAST(0 AS BIGINT)) AS wl
+    )"""
+
+
+def _ltr_pairwise_ctes() -> str:
+    return _LTR_PAIR_CTES + "".join(_ltr_step_ctes(src="fpairs", prefix="pwl"))
+
+
+LTR_PAIRWISE_ORACLE = f"""
+    WITH {_BM25_TOTALS_CTES},{_ltr_pool_feat_ctes()}{_ltr_pairwise_ctes()}
+    SELECT query_id, doc_id, CAST(z AS BIGINT) AS ltr_q, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT query_id, doc_id, z, row_number() OVER (
+            PARTITION BY query_id ORDER BY z DESC, doc_id
+        ) AS rk
+        FROM (
+            SELECT f.query_id, f.doc_id,
+                   list_aggregate(list_transform(range(1, {_LTR_NF + 1}),
+                       j -> wl[j] * xl[j]), 'sum') AS z
+            FROM feat f, pwl{_LTR_STEPS}
+        )
+    )
+    WHERE rk <= {_LTR_TOPK}
+    ORDER BY query_id, rk
+    """
+
+_LTR_PW_CACHE: dict = {}
+
+
+def ltr_train_pairwise(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Pairwise fit: difference vectors of every (relevant, non-relevant)
+    pool pair per query, label 1 — same kernel, same rounding."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _LTR_PW_CACHE:
+        return _LTR_PW_CACHE[key]
+    feat = _ltr_feat_cached(spark, sf_dir)
+    a = feat.filter(F.col("y") == 1.0).select(
+        "query_id", *[F.col(c).alias(f"a{c}") for c in _LTR_XCOLS]
+    )
+    b = feat.filter(F.col("y") == 0.0).select(
+        "query_id", *[F.col(c).alias(f"b{c}") for c in _LTR_XCOLS]
+    )
+    pairs = a.join(b, "query_id").select(
+        *[(F.col(f"a{c}") - F.col(f"b{c}")).alias(c) for c in _LTR_XCOLS],
+        F.lit(1.0).alias("y"),
+    )
+    wq = _ltr_fit(pairs)
+    _LTR_PW_CACHE[key] = wq
+    return wq
+
+
+@query("ltr_pairwise_rerank_topk", oracle=LTR_PAIRWISE_ORACLE)
+def ltr_pairwise_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid pool re-ranked by the pairwise-trained linear model —
+    exact BIGINT scores, weights as plan literals, full SQL training
+    replay (difference-pair build + K rounded gradient steps)."""
+    wq = ltr_train_pairwise(spark, sf_dir)
+    feat = _ltr_feat_cached(spark, sf_dir)
+    z = sum(F.lit(wq[j]) * F.col(_LTR_XCOLS[j]) for j in range(_LTR_NF))
+    win = W.partitionBy("query_id").orderBy(F.desc("z"), F.asc("doc_id"))
+    return (
+        feat.select("query_id", "doc_id", z.cast("long").alias("z"))
+        .withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= _LTR_TOPK)
+        .select("query_id", "doc_id", F.col("z").alias("ltr_q"), "rk")
+        .orderBy("query_id", "rk")
     )

@@ -56,8 +56,12 @@ def test_idx_tier_mapping_is_reconstructible():
         timings[f"some_very_long_future_query_name_variant_{i}"] = 9.9
     line = b._driver_line(timings, 0.1, budget=1500)
     parsed = json.loads(line)
-    assert parsed["names"] == "idx-sorted"
+    # either idx tier is reconstructible the same way (the 1-decimal
+    # variant is the r10 growth tier; values coarsen, keys don't)
+    assert parsed["names"] in ("idx-sorted", "idx-sorted1")
     names_sorted = sorted(timings)
     remap = {f"q{i}": n for i, n in enumerate(names_sorted)}
     assert set(remap) == set(parsed["queries"])
-    assert abs(parsed["queries"][f"q{names_sorted.index('q1_pricing_summary')}"] - 1.23) < 1e-9
+    got = parsed["queries"][f"q{names_sorted.index('q1_pricing_summary')}"]
+    expected = 1.23 if parsed["names"] == "idx-sorted" else 1.2
+    assert abs(got - expected) < 1e-9

@@ -751,8 +751,10 @@ _PLAN_BUDGETS = {
     "quantile_sketch_values": (4, 1),
     "quantile_sketch_incremental": (3, 1),
     # r10 LTR: serve is a projection + bounded rank over the
-    # checkpointed pool features (weights are plan literals)
+    # checkpointed pool features (weights are plan literals; the
+    # pairwise variant serves the identical plan shape)
     "ltr_rerank_topk": (2, 0),
+    "ltr_pairwise_rerank_topk": (2, 0),
 }
 
 

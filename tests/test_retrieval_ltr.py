@@ -90,3 +90,19 @@ def test_serve_plan_uses_literal_weights(spark, sf_dir):
     tree = buf.getvalue().split("\n\n")[0]
     assert "Scan parquet" not in tree, tree
     assert "ExistingRDD" in tree
+
+
+def test_pairwise_ltr_ndcg_not_worse_than_rrf(spark, sf_dir):
+    gold = _gold(spark, sf_dir)
+    pw = all_queries()["ltr_pairwise_rerank_topk"](spark, sf_dir).collect()
+    rrf = all_queries()["hybrid_search_rrf"](spark, sf_dir).collect()
+    assert _ndcg_sum(pw, gold) >= _ndcg_sum(rrf, gold)
+
+
+def test_pairwise_bias_weight_is_zero(spark, sf_dir):
+    # difference pairs cancel the bias feature exactly, so its weight
+    # can never move off 0 — a structural invariant of the pair build
+    from columnflow_spark.queries.retrieval import ltr_train_pairwise
+
+    wq = ltr_train_pairwise(spark, sf_dir)
+    assert wq[3] == 0, wq
