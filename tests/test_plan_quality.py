@@ -747,9 +747,11 @@ _PLAN_BUDGETS = {
     "ann_graph_store_topk": (2, 0),
     "ann_graph_delete_topk": (3, 1),
     # r10 quantile sketch: distinct + salted bottom-k + sketch-grain
-    # summarize; the incremental serve reads only the store
+    # summarize; the incremental serve reads only the store; the
+    # sliding form works off the checkpointed daily-sketch table
     "quantile_sketch_values": (4, 1),
     "quantile_sketch_incremental": (3, 1),
+    "quantile_sliding_window": (4, 0),
     # r10 LTR: serve is a projection + bounded rank over the
     # checkpointed pool features (weights are plan literals; the
     # pairwise variant serves the identical plan shape)
