@@ -157,7 +157,9 @@ BENCH_QUERIES = [
     # build is its own split line, the IVF+PQ pattern), mergeable
     # quantile sketch (one-pass + store serve), pointwise LTR re-rank
     "ann_graph_store_topk",
+    "ann_graph_insert_topk",
     "quantile_sketch_values",
+    "quantile_sliding_window",
     "quantile_sketch_incremental",
     "ltr_rerank_topk",
     "ltr_pairwise_rerank_topk",

@@ -129,19 +129,25 @@ def _grid_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _G_ADJ_CACHE: dict = {}
 
 
-def build_graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_graph_adjacency(
+    spark: SparkSession, sf_dir: str, node_pred=None, tag: str = "full"
+) -> DataFrame:
     """``(src, dst, d)`` — the bounded-degree navigable graph: banded LSH
     candidates → per-node top-R by grid dot → symmetrize → cap.
+    ``node_pred`` restricts which vectors become nodes (the incremental
+    insert builds its base graph on the non-inserted subset).
 
     The bucketed and grid frames are checkpointed so the whole build
     reads the corpus exactly TWICE (one bucket pass, one grid pass) —
     the lazy composition would otherwise rescan embeddings per band
     side and per grid join (40 scans in the compiled plan); cached per
-    (session, sf_dir) since every serving form starts from it."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    (session, sf_dir, tag) since every serving form starts from it."""
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
     if key in _G_ADJ_CACHE:
         return _G_ADJ_CACHE[key]
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    if node_pred is not None:
+        emb = emb.filter(node_pred)
     bands = _band_planes()
     bucketed = emb.select(
         "vec_id",
@@ -179,22 +185,29 @@ def build_graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adj
 
 
-def _pages_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``(vec_id, g, nbrs)`` — the DiskANN page layout: vector + neighbor
-    ids in one row; isolated nodes get an empty adjacency."""
-    adj = build_graph_adjacency(spark, sf_dir)
+def _pages_from_adj(
+    spark: SparkSession, sf_dir: str, adj: DataFrame, node_pred=None
+) -> DataFrame:
+    """``(vec_id, g, nbrs)`` pages for an arbitrary adjacency frame;
+    ``node_pred`` limits which vectors get pages (base-graph pages must
+    not include not-yet-inserted vectors)."""
     nbrs = adj.groupBy(F.col("src").alias("vec_id")).agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
-    return (
-        _grid_emb(spark, sf_dir)
-        .join(nbrs, "vec_id", "left")
-        .select(
-            "vec_id",
-            "g",
-            F.coalesce("nbrs", F.array().cast("array<bigint>")).alias("nbrs"),
-        )
+    ge = _grid_emb(spark, sf_dir)
+    if node_pred is not None:
+        ge = ge.filter(node_pred)
+    return ge.join(nbrs, "vec_id", "left").select(
+        "vec_id",
+        "g",
+        F.coalesce("nbrs", F.array().cast("array<bigint>")).alias("nbrs"),
     )
+
+
+def _pages_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(vec_id, g, nbrs)`` — the DiskANN page layout: vector + neighbor
+    ids in one row; isolated nodes get an empty adjacency."""
+    return _pages_from_adj(spark, sf_dir, build_graph_adjacency(spark, sf_dir))
 
 
 def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,8 +287,8 @@ def _final_topk(visited: DataFrame, tombstone_path: str | None = None) -> DataFr
     )
 
 
-def _session_pages(spark: SparkSession, sf_dir: str):
-    pages = _pages_frame(spark, sf_dir).localCheckpoint(eager=True)
+def _fetcher_over(pages: DataFrame):
+    """In-session page provider over a checkpointed pages frame."""
 
     def fetch(ids: DataFrame | None, centroids: bool = False) -> DataFrame:
         if centroids:
@@ -283,6 +296,10 @@ def _session_pages(spark: SparkSession, sf_dir: str):
         return pages.join(F.broadcast(ids), "vec_id")
 
     return fetch
+
+
+def _session_pages(spark: SparkSession, sf_dir: str):
+    return _fetcher_over(_pages_frame(spark, sf_dir).localCheckpoint(eager=True))
 
 
 # --- persisted page store (the annindex.py contract) ---
@@ -293,9 +310,20 @@ def graph_index_path(sf_dir: str) -> str:
     return os.path.join(scratch_root(), "graph_index", tag)
 
 
-def build_graph_index(spark: SparkSession, sf_dir: str, path: str | None = None) -> str:
+def build_graph_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    node_pred=None,
+    tag: str = "full",
+) -> str:
     path = path or graph_index_path(sf_dir)
-    pages = _pages_frame(spark, sf_dir).select(
+    pages = _pages_from_adj(
+        spark,
+        sf_dir,
+        build_graph_adjacency(spark, sf_dir, node_pred=node_pred, tag=tag),
+        node_pred=node_pred,
+    ).select(
         "vec_id",
         "g",
         "nbrs",
@@ -322,13 +350,19 @@ def store_page_fetcher(spark: SparkSession, path: str):
     entrant ids' ``gb=`` buckets (planning-time PartitionFilters — the
     probe-pruned IO contract, asserted in tests/test_ann_graph.py)."""
 
+    def latest(rows: DataFrame) -> DataFrame:
+        # latest-batch-wins page resolution (the annindex compaction
+        # rule): an incremental insert shadows a rewritten base page
+        # with a higher batch= slice; the dedup runs over the BOUNDED
+        # fetched rows, never the store
+        w = W.partitionBy("vec_id").orderBy(F.desc("batch"))
+        return rows.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+
     def fetch(ids: DataFrame | None, centroids: bool = False) -> DataFrame:
         if centroids:
-            return (
-                spark.read.parquet(path)
-                .filter(F.col("vec_id") % 64 == 0)
-                .select("vec_id", "g")
-            )
+            return latest(
+                spark.read.parquet(path).filter(F.col("vec_id") % 64 == 0)
+            ).select("vec_id", "g")
         bkts = sorted(
             r[0]
             for r in ids.select(
@@ -337,12 +371,11 @@ def store_page_fetcher(spark: SparkSession, path: str):
             .distinct()
             .collect()
         )
-        return (
+        return latest(
             spark.read.parquet(path)
             .filter(F.col("gb").isin(bkts))
             .join(F.broadcast(ids), "vec_id")
-            .select("vec_id", "g", "nbrs")
-        )
+        ).select("vec_id", "g", "nbrs")
 
     return fetch
 
@@ -391,7 +424,11 @@ def _g_dot_sql(a: str, b: str) -> str:
     )
 
 
-def _g_build_ctes() -> str:
+def _g_build_ctes(where: str = "") -> str:
+    """Build-CTE chain ``ge``(all vectors) → ``adj``; ``where`` filters
+    which vectors become graph NODES (the incremental-insert oracle
+    builds the base graph on the non-inserted subset while ``ge`` keeps
+    every vector addressable for scoring)."""
     bands = _band_planes()
     bucket_cols = ", ".join(
         f"CAST({_g_bucket_sql(bands[b])} AS BIGINT) AS bk{b}" for b in range(_G_BANDS)
@@ -408,7 +445,7 @@ def _g_build_ctes() -> str:
                    j -> CAST(round(embedding[j]::DOUBLE * {_G_GRID}) AS BIGINT)) AS g
         FROM embeddings
     ),
-    bk AS MATERIALIZED (SELECT vec_id, embedding, {bucket_cols} FROM embeddings),
+    bk AS MATERIALIZED (SELECT vec_id, embedding, {bucket_cols} FROM embeddings {where}),
     cand AS MATERIALIZED (SELECT DISTINCT v1, v2 FROM ({band_joins})),
     sedge AS MATERIALIZED (
         SELECT c.v1, c.v2, {_g_dot_sql('g1.g', 'g2.g')} AS d
@@ -438,67 +475,75 @@ def _g_build_ctes() -> str:
     )"""
 
 
-def _g_beam_ctes() -> str:
+def _g_beam_ctes(
+    pfx: str = "",
+    qv_where: str = "vec_id % 100 = 7",
+    adj_rel: str = "adj",
+) -> str:
+    """Beam-CTE chain ``{pfx}qv`` → ``{pfx}v{ROUNDS}`` over adjacency
+    relation ``adj_rel`` — prefixable so the incremental-insert oracle
+    can run TWO walks in one query (the insert beams over the base
+    graph, then the serve beams over the repaired graph)."""
     parts = [f"""
-    qv AS MATERIALIZED (SELECT vec_id AS query_id, g AS gq FROM ge WHERE vec_id % 100 = 7),
-    gseed AS MATERIALIZED (
+    {pfx}qv AS MATERIALIZED (SELECT vec_id AS query_id, g AS gq FROM ge WHERE {qv_where}),
+    {pfx}gseed AS MATERIALIZED (
         SELECT q.query_id, c.vec_id, {_g_dot_sql('q.gq', 'c.g')} AS d
-        FROM qv q, (SELECT vec_id, g FROM ge WHERE vec_id % 64 = 0) c
+        FROM {pfx}qv q, (SELECT vec_id, g FROM ge WHERE vec_id % 64 = 0) c
     ),
-    v0 AS MATERIALIZED (
+    {pfx}v0 AS MATERIALIZED (
         SELECT query_id, vec_id, d FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS rk
-            FROM gseed
+            FROM {pfx}gseed
         ) WHERE rk <= {_G_SEEDS}
     ),
-    b0 AS MATERIALIZED (
+    {pfx}b0 AS MATERIALIZED (
         SELECT query_id, vec_id, d FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS rk
-            FROM v0
+            FROM {pfx}v0
         ) WHERE rk <= {_G_BEAM_W}
     ),
-    e0 AS MATERIALIZED (SELECT query_id, vec_id FROM b0)"""]
+    {pfx}e0 AS MATERIALIZED (SELECT query_id, vec_id FROM {pfx}b0)"""]
     for t in range(1, _G_ROUNDS + 1):
         p = t - 1
         parts.append(f"""
-    cand{t} AS MATERIALIZED (
+    {pfx}cand{t} AS MATERIALIZED (
         SELECT DISTINCT e.query_id, a.dst AS vec_id
-        FROM e{p} e JOIN adj a ON a.src = e.vec_id
+        FROM {pfx}e{p} e JOIN {adj_rel} a ON a.src = e.vec_id
         WHERE NOT EXISTS (
-            SELECT 1 FROM v{p} v WHERE v.query_id = e.query_id AND v.vec_id = a.dst
+            SELECT 1 FROM {pfx}v{p} v WHERE v.query_id = e.query_id AND v.vec_id = a.dst
         )
     ),
-    sc{t} AS MATERIALIZED (
+    {pfx}sc{t} AS MATERIALIZED (
         SELECT c.query_id, c.vec_id, {_g_dot_sql('q.gq', 'g.g')} AS d
-        FROM cand{t} c
+        FROM {pfx}cand{t} c
         JOIN ge g ON g.vec_id = c.vec_id
-        JOIN qv q ON q.query_id = c.query_id
+        JOIN {pfx}qv q ON q.query_id = c.query_id
     ),
-    v{t} AS MATERIALIZED (
-        SELECT query_id, vec_id, d FROM v{p}
-        UNION ALL SELECT query_id, vec_id, d FROM sc{t}
+    {pfx}v{t} AS MATERIALIZED (
+        SELECT query_id, vec_id, d FROM {pfx}v{p}
+        UNION ALL SELECT query_id, vec_id, d FROM {pfx}sc{t}
     ),
-    b{t} AS MATERIALIZED (
+    {pfx}b{t} AS MATERIALIZED (
         SELECT query_id, vec_id, d FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS rk
-            FROM v{t}
+            FROM {pfx}v{t}
         ) WHERE rk <= {_G_BEAM_W}
     ),
-    e{t} AS MATERIALIZED (
-        SELECT query_id, vec_id FROM b{t} b
+    {pfx}e{t} AS MATERIALIZED (
+        SELECT query_id, vec_id FROM {pfx}b{t} b
         WHERE NOT EXISTS (
-            SELECT 1 FROM b{p} p WHERE p.query_id = b.query_id AND p.vec_id = b.vec_id
+            SELECT 1 FROM {pfx}b{p} p WHERE p.query_id = b.query_id AND p.vec_id = b.vec_id
         )
     )""")
     return ",".join(parts)
 
 
-def _g_final_sql(extra_pred: str = "") -> str:
+def _g_final_sql(extra_pred: str = "", pfx: str = "") -> str:
     return f"""
     SELECT query_id, vec_id AS neighbor_id, CAST(d AS BIGINT) AS d, CAST(rk AS INT) AS rk
     FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS rk
-        FROM v{_G_ROUNDS} WHERE vec_id <> query_id{extra_pred}
+        FROM {pfx}v{_G_ROUNDS} WHERE vec_id <> query_id{extra_pred}
     )
     WHERE rk <= {_G_TOPK}
     ORDER BY query_id, rk
@@ -568,3 +613,136 @@ def ann_graph_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vectors(spark, sf_dir)
     visited = _graph_beam(spark, qv, store_page_fetcher(spark, path))
     return _final_topk(visited, tombstone_path=path)
+
+
+# --- incremental insert with neighborhood repair (the other half of
+# the DiskANN maintenance story next to tombstone deletes): a new batch
+# of vectors joins a BUILT graph without a rebuild.  Each new vector
+# runs the standard deterministic beam over the BASE graph; its top-R
+# visited nodes become its out-edges; the affected base nodes gain the
+# reverse edge and re-cap their adjacency at DEG_CAP (the repair) —
+# work is (batch x beam) page reads plus rewrites of the touched
+# pages, never corpus-proportional.  Batch-internal edges are
+# deliberately excluded (new nodes link through the base graph only),
+# which keeps the whole insert a pure function of (base graph, batch)
+# and hence exactly replayable: the oracle runs the insert beams and
+# the repair as one CTE chain, then serves the standard query workload
+# over the repaired graph.
+_G_INSERT_MOD, _G_INSERT_REM = 20, 11  # 5% of vectors arrive late
+
+
+def _insert_pred():
+    return F.pmod(F.col("vec_id"), F.lit(_G_INSERT_MOD)) == _G_INSERT_REM
+
+
+_G_UPD_CACHE: dict = {}
+
+
+def updated_graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(src, dst, d)`` after inserting the late batch into the base
+    graph (insert beams → new out-edges → reverse edges → re-cap)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _G_UPD_CACHE:
+        return _G_UPD_CACHE[key]
+    base_adj = build_graph_adjacency(
+        spark, sf_dir, node_pred=~_insert_pred(), tag="base"
+    )
+    base_pages = _pages_from_adj(
+        spark, sf_dir, base_adj, node_pred=~_insert_pred()
+    ).localCheckpoint(eager=True)
+    qv_new = (
+        _grid_emb(spark, sf_dir)
+        .filter(_insert_pred())
+        .select(F.col("vec_id").alias("query_id"), F.col("g").alias("gq"))
+    )
+    visited = _graph_beam(spark, qv_new, _fetcher_over(base_pages))
+    new_edges = _topw(visited, _G_R_OUT).select(
+        F.col("query_id").alias("src"), F.col("vec_id").alias("dst"), "d"
+    )
+    upd0 = base_adj.unionAll(new_edges).unionAll(
+        new_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "d")
+    )
+    w = W.partitionBy("src").orderBy(F.desc("d"), F.asc("dst"))
+    upd = (
+        upd0.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _G_DEG_CAP)
+        .drop("rk")
+        .localCheckpoint(eager=True)
+    )
+    _G_UPD_CACHE[key] = upd
+    return upd
+
+
+def update_graph_index(spark: SparkSession, sf_dir: str, path: str) -> str:
+    """Propagate the insert into a BASE-graph page store: new nodes'
+    pages plus rewritten pages of base nodes whose adjacency changed,
+    all as a ``batch=1`` slice (latest-batch-wins at read — the
+    annindex compaction rule); untouched gb partitions are never
+    rewritten."""
+    upd = updated_graph_adjacency(spark, sf_dir)
+    new_edges_dsts = (
+        upd.join(
+            _grid_emb(spark, sf_dir).filter(_insert_pred()).select(F.col("vec_id").alias("src")),
+            "src",
+        )
+        .select(F.col("dst").alias("vec_id"))
+        .distinct()
+    )
+    changed = new_edges_dsts.unionAll(
+        _grid_emb(spark, sf_dir).filter(_insert_pred()).select("vec_id")
+    ).distinct()
+    pages = (
+        _pages_from_adj(spark, sf_dir, upd)
+        .join(F.broadcast(changed), "vec_id")
+        .select(
+            "vec_id",
+            "g",
+            "nbrs",
+            F.pmod(F.xxhash64("vec_id"), F.lit(_G_STORE_BUCKETS)).alias("gb"),
+            F.lit(1).alias("batch"),
+        )
+    )
+    upsert_partitions(pages, path, partition_by=["gb", "batch"])
+    return path
+
+
+_GRAPH_INSERT_ORACLE = (
+    "WITH "
+    + _g_build_ctes(where=f"WHERE vec_id % {_G_INSERT_MOD} <> {_G_INSERT_REM}")
+    + ","
+    + _g_beam_ctes(pfx="i", qv_where=f"vec_id % {_G_INSERT_MOD} = {_G_INSERT_REM}")
+    + f""",
+    inew AS MATERIALIZED (
+        SELECT query_id AS src, vec_id AS dst, d FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS rk
+            FROM iv{_G_ROUNDS}
+        ) WHERE rk <= {_G_R_OUT}
+    ),
+    upd0 AS MATERIALIZED (
+        SELECT src, dst, d FROM adj
+        UNION ALL SELECT src, dst, d FROM inew
+        UNION ALL SELECT dst AS src, src AS dst, d FROM inew
+    ),
+    uadj AS MATERIALIZED (
+        SELECT src, dst, d FROM (
+            SELECT *, row_number() OVER (PARTITION BY src ORDER BY d DESC, dst) AS rk
+            FROM upd0
+        ) WHERE rk <= {_G_DEG_CAP}
+    ),"""
+    + _g_beam_ctes(pfx="s", adj_rel="uadj")
+    + _g_final_sql(pfx="s")
+)
+
+
+@query("ann_graph_insert_topk", oracle=_GRAPH_INSERT_ORACLE)
+def ann_graph_insert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the standard query workload over the INCREMENTALLY
+    UPDATED graph (late 5% batch inserted via beams + repair, no
+    rebuild): newly inserted vectors are reachable and rankable; the
+    oracle replays base build → insert beams → repair → serve beams as
+    one chain."""
+    upd = updated_graph_adjacency(spark, sf_dir)
+    pages = _pages_from_adj(spark, sf_dir, upd).localCheckpoint(eager=True)
+    qv = _query_vectors(spark, sf_dir)
+    visited = _graph_beam(spark, qv, _fetcher_over(pages))
+    return _final_topk(visited)

@@ -124,3 +124,48 @@ def test_delete_excludes_tombstoned_and_preserves_rest(spark, sf_dir):
         # the surviving prefix of the full ranking must lead the deleted
         # ranking (the walk is identical; only the final filter differs)
         assert del_seq.get(qid, [])[: len(seq)] == seq, (qid, seq, del_seq.get(qid))
+
+
+def test_insert_store_update_matches_in_session(spark, sf_dir, tmp_path):
+    from columnflow_spark.queries.anngraph import (
+        _insert_pred,
+        build_graph_index,
+        update_graph_index,
+    )
+
+    path = str(tmp_path / "gbase")
+    build_graph_index(spark, sf_dir, path, node_pred=~_insert_pred(), tag="base")
+    update_graph_index(spark, sf_dir, path)
+    qv = _query_vectors(spark, sf_dir)
+    stored = _rows(_final_topk(_graph_beam(spark, qv, store_page_fetcher(spark, path))))
+    live = _rows(all_queries()["ann_graph_insert_topk"](spark, sf_dir))
+    assert stored == live
+    assert stored
+
+
+def test_insert_repair_links_new_nodes(spark, sf_dir):
+    from columnflow_spark.queries.anngraph import (
+        _G_DEG_CAP,
+        _grid_emb,
+        _insert_pred,
+        updated_graph_adjacency,
+    )
+    import pyspark.sql.functions as F
+
+    upd = updated_graph_adjacency(spark, sf_dir).collect()
+    new = {
+        r.vec_id
+        for r in _grid_emb(spark, sf_dir).filter(_insert_pred()).select("vec_id").collect()
+    }
+    assert new
+    srcs = {}
+    for r in upd:
+        srcs[r.src] = srcs.get(r.src, 0) + 1
+    # every inserted node got out-edges (its beam found the base graph)
+    # and the degree cap still holds everywhere after the repair
+    assert new <= set(srcs)
+    assert max(srcs.values()) <= _G_DEG_CAP
+    # most inserted nodes keep at least one in-edge after re-capping
+    # (a crowded neighborhood may evict a few — the DiskANN trade)
+    dsts = {r.dst for r in upd}
+    assert len(new & dsts) >= 0.5 * len(new), (len(new & dsts), len(new))

@@ -746,6 +746,7 @@ _PLAN_BUDGETS = {
     "ann_graph_beam_topk": (2, 0),
     "ann_graph_store_topk": (2, 0),
     "ann_graph_delete_topk": (3, 1),
+    "ann_graph_insert_topk": (2, 0),
     # r10 quantile sketch: distinct + salted bottom-k + sketch-grain
     # summarize; the incremental serve reads only the store; the
     # sliding form works off the checkpointed daily-sketch table
