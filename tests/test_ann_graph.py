@@ -60,6 +60,38 @@ def test_degree_cap_and_symmetry_superset(spark, sf_dir):
     assert rev / len(edges) > 0.5, rev / len(edges)
 
 
+def test_centroid_routing_reads_sidecar_only(spark, sf_dir, fresh_graph):
+    """The r10 perf demerit: entry-layer routing must read the 1/64-sized
+    _centroids sidecar, never any gb= partition of the page store."""
+    cents = store_page_fetcher(spark, fresh_graph)(None, centroids=True)
+    files = cents.inputFiles()
+    assert files, "centroid sidecar is empty"
+    assert all("/_centroids/" in f for f in files), files
+    assert not any("/gb=" in f for f in files), files
+    # and it IS the entry layer: every 64th node, with its grid vector
+    ids = [r.vec_id for r in cents.collect()]
+    assert ids and all(i % 64 == 0 for i in ids)
+
+
+def test_deferred_marker_fails_closed(spark, sf_dir, tmp_path):
+    """mark=False leaves no _BUILT marker — multi-step store setup
+    (build + tombstones) that crashes mid-way must trigger a rebuild,
+    never serve a half-initialized store as complete."""
+    import os
+
+    path = str(tmp_path / "gdefer")
+    build_graph_index(spark, sf_dir, path, mark=False)
+    assert not os.path.exists(os.path.join(path, "_BUILT"))
+    assert os.path.exists(os.path.join(path, "_centroids"))
+
+
+def test_predicated_build_requires_distinct_tag(spark, sf_dir):
+    from columnflow_spark.queries.anngraph import _insert_pred
+
+    with pytest.raises(ValueError, match="distinct tag"):
+        build_graph_adjacency(spark, sf_dir, node_pred=~_insert_pred())
+
+
 def test_page_fetch_prunes_partitions(spark, sf_dir, fresh_graph):
     # a beam-round fetch must skip non-entrant buckets at PLANNING time
     df = (
@@ -124,6 +156,78 @@ def test_delete_excludes_tombstoned_and_preserves_rest(spark, sf_dir):
         # the surviving prefix of the full ranking must lead the deleted
         # ranking (the walk is identical; only the final filter differs)
         assert del_seq.get(qid, [])[: len(seq)] == seq, (qid, seq, del_seq.get(qid))
+
+
+@pytest.fixture(scope="module")
+def vacuumed_graph(spark, sf_dir, tmp_path_factory):
+    from columnflow_spark.queries.anngraph import (
+        _delete_ids,
+        _mark_built,
+        compact_graph_index,
+    )
+    from columnflow_spark.sources.sinks import upsert_tombstones
+
+    path = str(tmp_path_factory.mktemp("gvac") / "index")
+    build_graph_index(spark, sf_dir, path, mark=False)
+    upsert_tombstones(_delete_ids(spark, sf_dir), path, batch=0, id_col="vec_id")
+    _mark_built(path)
+    compact_graph_index(spark, path)
+    return path
+
+
+def _store_state(spark, path):
+    import os
+
+    from columnflow_spark.queries.anngraph import _centroids_path
+
+    pages = sorted(
+        (r.vec_id, tuple(r.g), tuple(r.nbrs))
+        for r in spark.read.parquet(path).select("vec_id", "g", "nbrs").collect()
+    )
+    cents = sorted(
+        (r.vec_id, tuple(r.g))
+        for r in spark.read.parquet(_centroids_path(path)).select("vec_id", "g").collect()
+    )
+    return pages, cents, os.path.exists(os.path.join(path, "_deleted"))
+
+
+def test_vacuum_purges_pages_and_routing(spark, sf_dir, vacuumed_graph):
+    pages, cents, has_tombstones = _store_state(spark, vacuumed_graph)
+    assert pages and cents
+    assert not has_tombstones, "vacuum must clear the tombstone slice"
+    # physical purge: no deleted page survives, no survivor routes to one
+    for vec_id, _g, nbrs in pages:
+        assert vec_id % _G_DELETE_MOD != _G_DELETE_REM, vec_id
+        assert all(n % _G_DELETE_MOD != _G_DELETE_REM for n in nbrs), (vec_id, nbrs)
+        assert len(nbrs) <= _G_DEG_CAP
+    assert all(v % _G_DELETE_MOD != _G_DELETE_REM for v, _ in cents)
+
+
+def test_vacuum_revacuum_is_idempotent(spark, sf_dir, vacuumed_graph):
+    from columnflow_spark.queries.anngraph import _delete_ids, compact_graph_index
+    from columnflow_spark.sources.sinks import upsert_tombstones
+
+    before = _store_state(spark, vacuumed_graph)
+    # crash-resume shape: the same tombstone batch lands again on an
+    # already-purged store — the repair finds nothing to splice
+    upsert_tombstones(
+        _delete_ids(spark, sf_dir), vacuumed_graph, batch=0, id_col="vec_id"
+    )
+    compact_graph_index(spark, vacuumed_graph)
+    assert _store_state(spark, vacuumed_graph) == before
+
+
+def test_vacuum_serve_excludes_deleted_and_differs_from_tombstone_serve(
+    spark, sf_dir, vacuumed_graph
+):
+    served = _rows(
+        _final_topk(_graph_beam(spark, _query_vectors(spark, sf_dir),
+                                store_page_fetcher(spark, vacuumed_graph)))
+    )
+    assert served
+    assert all(n % _G_DELETE_MOD != _G_DELETE_REM for (_q, n, _d, _rk) in served)
+    live = _rows(all_queries()["ann_graph_vacuum_topk"](spark, sf_dir))
+    assert served == live
 
 
 def test_insert_store_update_matches_in_session(spark, sf_dir, tmp_path):

@@ -747,6 +747,11 @@ _PLAN_BUDGETS = {
     "ann_graph_store_topk": (2, 0),
     "ann_graph_delete_topk": (3, 1),
     "ann_graph_insert_topk": (2, 0),
+    # r11 vacuum: serve reads only the repaired store (beam fetches are
+    # pruned id-joins over checkpointed state; the stats pin is one
+    # store scan + degree/histogram aggregates)
+    "ann_graph_vacuum_stats": (3, 1),
+    "ann_graph_vacuum_topk": (2, 0),
     # r10 quantile sketch: distinct + salted bottom-k + sketch-grain
     # summarize; the incremental serve reads only the store; the
     # sliding form works off the checkpointed daily-sketch table
