@@ -2140,3 +2140,61 @@ def streaming_quantile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return qsk_store_serve(spark, store)
+
+
+# --- streaming graph-ANN ingest (the 11th streaming index-maintenance
+# member — every other index family has its streaming twin; the
+# DiskANN-shape graph gets one here): late vectors arrive as replay
+# micro-batches over a BUILT base page store; each batch runs insert
+# beams over the base slice, repairs the touched neighborhoods, and
+# upserts its pages as the next batch slice (anngraph.ingest_graph_batch
+# — fenced at its own batch id for replay idempotence).  At rest the
+# store equals the one-shot batch insert (the recap sequential-
+# consistency argument in anngraph.py), so the serve shares
+# ann_graph_insert_topk's oracle verbatim. ---
+from columnflow_spark.queries.anngraph import _GRAPH_INSERT_ORACLE  # noqa: E402
+
+
+@query("streaming_graph_ann_ingest", oracle=_GRAPH_INSERT_ORACLE)
+def streaming_graph_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from columnflow_spark.queries.anngraph import (
+        _final_topk,
+        _graph_beam,
+        _insert_pred,
+        _query_vectors,
+        build_graph_index,
+        ingest_graph_batch,
+        store_page_fetcher,
+    )
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.pydatasource import register
+
+    register(spark)
+    store = tempfile.mkdtemp(prefix="cf_gann_store_")
+    build_graph_index(spark, sf_dir, store, node_pred=~_insert_pred(), tag="base")
+
+    n = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).count()
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/embeddings.parquet")
+        .option("order_col", "vec_id")
+        # ~8 target batches: each micro-batch pays a full insert-beam
+        # round trip, and at-rest equality is batch-size-invariant
+        .option("batch_rows", _ingest_batch_rows(n, target_batches=8))
+        .load()
+        .filter(_insert_pred())
+        .select("vec_id", "embedding")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_graph_batch(spark, batch_df, store, int(batch_id))
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    qv = _query_vectors(spark, sf_dir)
+    return _final_topk(_graph_beam(spark, qv, store_page_fetcher(spark, store)))

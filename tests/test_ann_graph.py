@@ -247,6 +247,44 @@ def test_insert_store_update_matches_in_session(spark, sf_dir, tmp_path):
     assert stored
 
 
+def test_streaming_ingest_batches_match_batch_twin_and_replay_fence(
+    spark, sf_dir, tmp_path
+):
+    """The streaming contract: N micro-batches of inserts land the SAME
+    store as the one-shot batch insert (recap sequential consistency),
+    and replaying a micro-batch is a no-op (the max_batch fence)."""
+    from columnflow_spark.queries.anngraph import (
+        _grid_emb,
+        _insert_pred,
+        ingest_graph_batch,
+    )
+    from columnflow_spark.sources import load_table
+
+    store = str(tmp_path / "gstream")
+    build_graph_index(spark, sf_dir, store, node_pred=~_insert_pred(), tag="base")
+    ins = (
+        load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(_insert_pred())
+    )
+    mid = sorted(r.vec_id for r in ins.select("vec_id").collect())
+    assert len(mid) >= 4
+    cut = mid[len(mid) // 2]
+    ingest_graph_batch(spark, ins.filter(F.col("vec_id") < cut), store, 0)
+    ingest_graph_batch(spark, ins.filter(F.col("vec_id") >= cut), store, 1)
+    qv = _query_vectors(spark, sf_dir)
+    served = _rows(_final_topk(_graph_beam(spark, qv, store_page_fetcher(spark, store))))
+    batch_twin = _rows(all_queries()["ann_graph_insert_topk"](spark, sf_dir))
+    assert served == batch_twin
+    state = _store_state(spark, store)
+    # replay batch 1 (crash-recovery shape): fenced at its own id, it
+    # recomputes the identical slice — store state must not change
+    ingest_graph_batch(spark, ins.filter(F.col("vec_id") >= cut), store, 1)
+    assert _store_state(spark, store) == state
+    # inserted nodes got pages in the streaming store (reachable)
+    pages, _cents, _ = state
+    assert any(v % 20 == 11 for (v, _g, _n) in pages)
+
+
 def test_insert_repair_links_new_nodes(spark, sf_dir):
     from columnflow_spark.queries.anngraph import (
         _G_DEG_CAP,
