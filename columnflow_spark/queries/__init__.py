@@ -63,6 +63,7 @@ _MODULES = (
     "columnflow_spark.queries.mmdata",
     "columnflow_spark.queries.annindex",
     "columnflow_spark.queries.anngraph",
+    "columnflow_spark.queries.annfiltered",
     "columnflow_spark.queries.retrieval",
     "columnflow_spark.queries.dedupstore",
     "columnflow_spark.queries.graph",

@@ -237,13 +237,18 @@ def _topw(df: DataFrame, k: int) -> DataFrame:
     return df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
 
 
-def _graph_beam(spark: SparkSession, qv: DataFrame, pages_of) -> DataFrame:
+def _graph_beam(
+    spark: SparkSession, qv: DataFrame, pages_of, beam_w: int = _G_BEAM_W
+) -> DataFrame:
     """The deterministic beam: returns the full visited set
     ``(query_id, vec_id, d)`` after the fixed round count.
 
     ``pages_of(ids_df)`` fetches pages for a bounded id frame;
     ``pages_of(None, centroids=True)`` returns the centroid layer
-    ``(vec_id, g)`` for entry routing."""
+    ``(vec_id, g)`` for entry routing.  ``beam_w`` widens the walk —
+    the filtered-search accuracy knob (post-filtering a fixed-width
+    beam loses recall as predicate selectivity drops; widening restores
+    it at a proportional page-read budget)."""
     cents = pages_of(None, centroids=True)
     seed_sc = cents.join(F.broadcast(qv)).select(
         "query_id", "vec_id", _gdot(F.col("gq"), F.col("g")).alias("d")
@@ -262,7 +267,7 @@ def _graph_beam(spark: SparkSession, qv: DataFrame, pages_of) -> DataFrame:
         visited = vis_new if visited is None else visited.unionAll(vis_new)
         # bounded state: <= seeds + W * DEG_CAP rows per query per round
         visited = visited.localCheckpoint(eager=True)
-        beam = _topw(visited, _G_BEAM_W)
+        beam = _topw(visited, beam_w)
         new_in_beam = (
             beam
             if beam_prev is None
@@ -541,6 +546,7 @@ def _g_beam_ctes(
     qv_where: str = "vec_id % 100 = 7",
     adj_rel: str = "adj",
     seed_where: str = f"vec_id % {_G_ENTRY_MOD} = 0",
+    beam_w: int = _G_BEAM_W,
 ) -> str:
     """Beam-CTE chain ``{pfx}qv`` → ``{pfx}v{ROUNDS}`` over adjacency
     relation ``adj_rel`` — prefixable so the incremental-insert oracle
@@ -564,7 +570,7 @@ def _g_beam_ctes(
         SELECT query_id, vec_id, d FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS rk
             FROM {pfx}v0
-        ) WHERE rk <= {_G_BEAM_W}
+        ) WHERE rk <= {beam_w}
     ),
     {pfx}e0 AS MATERIALIZED (SELECT query_id, vec_id FROM {pfx}b0)"""]
     for t in range(1, _G_ROUNDS + 1):
@@ -591,7 +597,7 @@ def _g_beam_ctes(
         SELECT query_id, vec_id, d FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS rk
             FROM {pfx}v{t}
-        ) WHERE rk <= {_G_BEAM_W}
+        ) WHERE rk <= {beam_w}
     ),
     {pfx}e{t} AS MATERIALIZED (
         SELECT query_id, vec_id FROM {pfx}b{t} b

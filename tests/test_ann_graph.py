@@ -104,18 +104,76 @@ def test_page_fetch_prunes_partitions(spark, sf_dir, fresh_graph):
     assert pf and any("gb" in l and "IN (0,3)" in l for l in pf), pf
 
 
-def _brute_force_top5(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+def _brute_force_top5(spark, sf_dir, labels_in=None):
+    emb = load_table(
+        spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]
+    )
     q = emb.filter(F.col("vec_id") % 100 == 7).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
-    sims = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+    pool = emb if labels_in is None else emb.filter(F.col("label").isin(*labels_in))
+    sims = pool.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         cosine(F.col("q"), F.col("embedding")).alias("sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return sims.withColumn("rk", F.row_number().over(w)).filter("rk <= 5")
+
+
+def test_filtered_search_recall_per_selectivity_tier(spark, sf_dir):
+    """Pin the filtered-search recall trade (VERDICT r10 next #4): the
+    2x-widened graph beam post-filter must hold a high recall floor at
+    the ~20% tier AND beat post-filtering the unfiltered-width beam's
+    visited set; the IVF pre-filter arm holds the (lower) floor its
+    2-probe budget allows at ~10% (measured: graph 1.0/1.0, ivf
+    0.32/0.36 at sf0.001/sf0.01)."""
+    from columnflow_spark.queries.annfiltered import (
+        _F_GRAPH_LABELS,
+        _F_IVF_LABEL,
+        graph_filtered_topk,
+    )
+    from columnflow_spark.queries.anngraph import _G_BEAM_W
+
+    bf_g = {
+        (r.query_id, r.neighbor_id)
+        for r in _brute_force_top5(spark, sf_dir, _F_GRAPH_LABELS).collect()
+    }
+    assert bf_g
+    wide = {
+        (r.query_id, r.neighbor_id)
+        for r in all_queries()["ann_graph_filtered_topk"](spark, sf_dir).collect()
+    }
+    r_wide = len(wide & bf_g) / len(bf_g)
+    assert r_wide >= 0.6, r_wide
+    # the widening is what buys the recall: the unfiltered-width beam's
+    # post-filtered recall may not exceed the widened one
+    narrow = {
+        (r.query_id, r.neighbor_id)
+        for r in graph_filtered_topk(
+            spark, sf_dir, _F_GRAPH_LABELS, _G_BEAM_W
+        ).collect()
+    }
+    r_narrow = len(narrow & bf_g) / len(bf_g)
+    assert r_wide >= r_narrow, (r_wide, r_narrow)
+    bf_i = {
+        (r.query_id, r.neighbor_id)
+        for r in _brute_force_top5(spark, sf_dir, (_F_IVF_LABEL,)).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in all_queries()["ann_ivfpq_filtered_topk"](spark, sf_dir).collect()
+    }
+    r_ivf = len(ivf & bf_i) / len(bf_i)
+    assert r_ivf >= 0.2, r_ivf
+    # every filtered result satisfies its predicate (exactness of the
+    # filter itself — recall is the only approximation)
+    lab = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings", columns=["vec_id", "label"]).collect()
+    }
+    assert all(lab[n] in _F_GRAPH_LABELS for (_q, n) in wide)
+    assert all(lab[n] == _F_IVF_LABEL for (_q, n) in ivf)
 
 
 def test_beam_recall_not_worse_than_ivfpq(spark, sf_dir):

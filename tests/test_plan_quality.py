@@ -752,6 +752,11 @@ _PLAN_BUDGETS = {
     # store scan + degree/histogram aggregates)
     "ann_graph_vacuum_stats": (3, 1),
     "ann_graph_vacuum_topk": (2, 0),
+    # r11 filtered search: graph arm = final window + label column scan
+    # semi-joined with the bounded visited ids; IVF arm = unfiltered
+    # ann_ivfpq_topk (10, 5) + the label pre-filter's pruned scan/join
+    "ann_graph_filtered_topk": (4, 1),
+    "ann_ivfpq_filtered_topk": (11, 6),
     # r10 quantile sketch: distinct + salted bottom-k + sketch-grain
     # summarize; the incremental serve reads only the store; the
     # sliding form works off the checkpointed daily-sketch table
