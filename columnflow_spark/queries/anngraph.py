@@ -829,6 +829,72 @@ def ann_graph_insert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_topk(visited)
 
 
+# --- trained entry layer (VERDICT r10 next #5): route from kmeans
+# centroids instead of the every-64th-vector modulus layer.  The
+# spherical-Lloyd centroids (functions/similarity.py kmeans_fit — the
+# trained-IVF family's frozen, fully deterministic trainer) are mapped
+# to their nearest GRAPH NODES by exact grid dot (lowest vec_id on
+# ties), and those nodes seed the standard beam.  Same entry count as
+# the modulus layer (k = n/64) → identical routing budget, so the
+# recall comparison in tests/test_ann_graph.py is apples-to-apples.
+# Rows-only for the driver (float Lloyd means have no exact SQL twin —
+# the ann_ivf_trained_topk precedent); the walk downstream of the entry
+# set is the same oracle-pinned beam machinery. ---
+
+_G_ENTRY_CACHE: dict = {}
+
+
+def trained_entry_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(vec_id, g)`` of the trained entry layer: one graph node per
+    Lloyd centroid (build-time cost — the corpus x k assignment is the
+    standard IVF training scan, never paid at serve)."""
+    from columnflow_spark.functions.similarity import kmeans_fit
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    ids = _G_ENTRY_CACHE.get(key)
+    if ids is None:
+        emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+        n = emb.count()
+        k = max(2, (n + _G_ENTRY_MOD - 1) // _G_ENTRY_MOD)
+        cents, _info = kmeans_fit(emb, k=k, iters=3)
+        cents_df = spark.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+            "cid long, ce array<double>",
+        ).select("cid", _grid(F.col("ce")).alias("gc"))
+        ge = _grid_emb(spark, sf_dir)
+        w = W.partitionBy("cid").orderBy(F.desc("d"), F.asc("vec_id"))
+        mapped = (
+            ge.join(F.broadcast(cents_df))
+            .select("cid", "vec_id", _gdot(F.col("g"), F.col("gc")).alias("d"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id")
+            .distinct()
+        )
+        ids = [int(r.vec_id) for r in mapped.collect()]
+        _G_ENTRY_CACHE[key] = ids
+    id_df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    return _grid_emb(spark, sf_dir).join(F.broadcast(id_df), "vec_id").select("vec_id", "g")
+
+
+@query("ann_graph_trained_entry_topk")
+def ann_graph_trained_entry_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard beam routed from the TRAINED entry layer — recall
+    vs the modulus entry pinned at equal vectors-read budget in
+    tests/test_ann_graph.py (rows-only for the driver: Lloyd means have
+    no exact SQL twin, the trained-IVF precedent)."""
+    pages = _pages_frame(spark, sf_dir).localCheckpoint(eager=True)
+    entry = trained_entry_nodes(spark, sf_dir).localCheckpoint(eager=True)
+
+    def fetch(ids: DataFrame | None, centroids: bool = False) -> DataFrame:
+        if centroids:
+            return entry
+        return pages.join(F.broadcast(ids), "vec_id")
+
+    qv = _query_vectors(spark, sf_dir)
+    return _final_topk(_graph_beam(spark, qv, fetch))
+
+
 # --- streaming ingest (the 11th streaming index-maintenance member,
 # VERDICT r10 next #3): micro-batches of late vectors join a BUILT base
 # page store via foreachBatch — insert beams + neighborhood repair +

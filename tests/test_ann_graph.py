@@ -197,6 +197,38 @@ def test_beam_recall_not_worse_than_ivfpq(spark, sf_dir):
     assert r_graph >= 0.2, r_graph
 
 
+def test_trained_entry_recall_holds_at_equal_budget(spark, sf_dir):
+    """The trained (kmeans) entry layer has the SAME entry count as the
+    modulus layer (k = n/64 — identical routing budget), so recall@5
+    must hold: measured 0.84 vs 0.88 at sf0.001 (one neighbor, tiny-
+    scale tie noise) and 0.88 vs 0.80 at sf0.01 (trained routing WINS
+    where cluster structure matters).  Pinned as no-worse-than-one-
+    neighbor at the test scale."""
+    from columnflow_spark.queries.anngraph import trained_entry_nodes
+
+    bf = {(r.query_id, r.neighbor_id) for r in _brute_force_top5(spark, sf_dir).collect()}
+    assert bf
+    mod = {
+        (r.query_id, r.neighbor_id)
+        for r in all_queries()["ann_graph_beam_topk"](spark, sf_dir).collect()
+    }
+    tr = {
+        (r.query_id, r.neighbor_id)
+        for r in all_queries()["ann_graph_trained_entry_topk"](spark, sf_dir).collect()
+    }
+    r_mod, r_tr = len(mod & bf) / len(bf), len(tr & bf) / len(bf)
+    assert r_tr >= r_mod - 1.01 / len(bf), (r_tr, r_mod)
+    assert r_tr >= 0.5, r_tr
+    # equal budget: the trained layer has as many entry nodes as the
+    # modulus layer (one per 64 vectors, minus centroid-map collisions)
+    from columnflow_spark.queries.anngraph import _G_ENTRY_MOD, _grid_emb
+
+    n_entries = trained_entry_nodes(spark, sf_dir).count()
+    n_vec = _grid_emb(spark, sf_dir).count()
+    assert n_entries <= (n_vec + _G_ENTRY_MOD - 1) // _G_ENTRY_MOD
+    assert n_entries >= ((n_vec + _G_ENTRY_MOD - 1) // _G_ENTRY_MOD) // 2
+
+
 def test_delete_excludes_tombstoned_and_preserves_rest(spark, sf_dir):
     full = all_queries()["ann_graph_beam_topk"](spark, sf_dir).collect()
     deleted = all_queries()["ann_graph_delete_topk"](spark, sf_dir).collect()
