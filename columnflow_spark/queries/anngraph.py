@@ -73,6 +73,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from columnflow_spark.core.state import checkpoint_df
 from columnflow_spark.functions.similarity import hyperplane_signs
 from columnflow_spark.queries import query
 from columnflow_spark.queries.annindex import content_tag, scratch_root
@@ -166,7 +167,7 @@ def build_graph_adjacency(
     bucketed = emb.select(
         "vec_id",
         *[hyperplane_signs(F.col("embedding"), bands[b]).alias(f"bk{b}") for b in range(_G_BANDS)],
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint_df)
     parts = []
     for b in range(_G_BANDS):
         x = bucketed.select(F.col(f"bk{b}").alias("bkt"), F.col("vec_id").alias("v1"))
@@ -176,7 +177,7 @@ def build_graph_adjacency(
     for p in parts[1:]:
         cand = cand.unionAll(p)
     cand = cand.distinct()
-    ge = _grid_emb(spark, sf_dir).localCheckpoint(eager=True)
+    ge = _grid_emb(spark, sf_dir).transform(checkpoint_df)
     scored = (
         cand.join(ge.select(F.col("vec_id").alias("v1"), F.col("g").alias("g1")), "v1")
         .join(ge.select(F.col("vec_id").alias("v2"), F.col("g").alias("g2")), "v2")
@@ -266,7 +267,7 @@ def _graph_beam(
         vis_new = scored.select("query_id", "vec_id", "d")
         visited = vis_new if visited is None else visited.unionAll(vis_new)
         # bounded state: <= seeds + W * DEG_CAP rows per query per round
-        visited = visited.localCheckpoint(eager=True)
+        visited = visited.transform(checkpoint_df)
         beam = _topw(visited, beam_w)
         new_in_beam = (
             beam
@@ -282,7 +283,7 @@ def _graph_beam(
                 .select("query_id", F.explode("nbrs").alias("vec_id"))
                 .distinct()
                 .join(visited.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti")
-                .localCheckpoint(eager=True)
+                .transform(checkpoint_df)
             )
         beam_prev = beam
     return visited
@@ -318,7 +319,7 @@ def _fetcher_over(pages: DataFrame):
 
 
 def _session_pages(spark: SparkSession, sf_dir: str):
-    return _fetcher_over(_pages_frame(spark, sf_dir).localCheckpoint(eager=True))
+    return _fetcher_over(_pages_frame(spark, sf_dir).transform(checkpoint_df))
 
 
 # --- persisted page store (the annindex.py contract) ---
@@ -719,7 +720,7 @@ def updated_graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base_pages = _pages_from_adj(
         spark, sf_dir, base_adj, node_pred=~_insert_pred()
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint_df)
     qv_new = (
         _grid_emb(spark, sf_dir)
         .filter(_insert_pred())
@@ -737,7 +738,7 @@ def updated_graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
         upd0.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _G_DEG_CAP)
         .drop("rk")
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
     _G_UPD_CACHE[key] = upd
     return upd
@@ -823,7 +824,7 @@ def ann_graph_insert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays base build → insert beams → repair → serve beams as
     one chain."""
     upd = updated_graph_adjacency(spark, sf_dir)
-    pages = _pages_from_adj(spark, sf_dir, upd).localCheckpoint(eager=True)
+    pages = _pages_from_adj(spark, sf_dir, upd).transform(checkpoint_df)
     qv = _query_vectors(spark, sf_dir)
     visited = _graph_beam(spark, qv, _fetcher_over(pages))
     return _final_topk(visited)
@@ -883,8 +884,8 @@ def ann_graph_trained_entry_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the modulus entry pinned at equal vectors-read budget in
     tests/test_ann_graph.py (rows-only for the driver: Lloyd means have
     no exact SQL twin, the trained-IVF precedent)."""
-    pages = _pages_frame(spark, sf_dir).localCheckpoint(eager=True)
-    entry = trained_entry_nodes(spark, sf_dir).localCheckpoint(eager=True)
+    pages = _pages_frame(spark, sf_dir).transform(checkpoint_df)
+    entry = trained_entry_nodes(spark, sf_dir).transform(checkpoint_df)
 
     def fetch(ids: DataFrame | None, centroids: bool = False) -> DataFrame:
         if centroids:
@@ -926,13 +927,13 @@ def ingest_graph_batch(
         batch_df.select(
             F.col("vec_id").alias("query_id"), _grid(F.col("embedding")).alias("gq")
         )
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
     visited = _graph_beam(spark, qv, store_page_fetcher(spark, store, max_batch=0))
     new_edges = (
         _topw(visited, _G_R_OUT)
         .select(F.col("query_id").alias("src"), F.col("vec_id").alias("dst"), "d")
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
     new_nbrs = new_edges.groupBy(F.col("src").alias("vec_id")).agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
@@ -951,14 +952,12 @@ def ingest_graph_batch(
     # the same exact integers the build stored, so recap order is
     # identical to the batch twin's.
     fenced = store_page_fetcher(spark, store, max_batch=int(batch_id))
-    touched = new_edges.select(F.col("dst").alias("vec_id")).distinct().localCheckpoint(
-        eager=True
-    )
-    tpages = fenced(touched).localCheckpoint(eager=True)
+    touched = new_edges.select(F.col("dst").alias("vec_id")).distinct().transform(checkpoint_df)
+    tpages = fenced(touched).transform(checkpoint_df)
     need_g = (
         touched.unionAll(tpages.select(F.explode("nbrs").alias("vec_id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
     gall = fenced(need_g).select("vec_id", "g")
     cur = (
@@ -1092,8 +1091,8 @@ def compact_graph_index(spark: SparkSession, path: str) -> str:
     del_ids = read_tombstones(spark, path, id_col="vec_id")
     if del_ids is None:
         return path
-    del_ids = del_ids.localCheckpoint(eager=True)
-    pages = _store_pages_latest(spark, path).localCheckpoint(eager=True)
+    del_ids = del_ids.transform(checkpoint_df)
+    pages = _store_pages_latest(spark, path).transform(checkpoint_df)
     radj = _repaired_adjacency(pages, del_ids)
     nbrs = radj.groupBy(F.col("src").alias("vec_id")).agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
@@ -1109,7 +1108,7 @@ def compact_graph_index(spark: SparkSession, path: str) -> str:
             F.pmod(F.xxhash64("vec_id"), F.lit(_G_STORE_BUCKETS)).alias("gb"),
             F.lit(0).alias("batch"),
         )
-        .localCheckpoint(eager=True)  # fully resolved BEFORE the in-place rewrite
+        .transform(checkpoint_df)  # fully resolved BEFORE the in-place rewrite
     )
     # new routing sidecar staged to a sibling first (same fail-closed
     # shape as replace_store's tmp): purged entry nodes must leave routing

@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from columnflow_spark.core.state import checkpoint_df
+
 from columnflow_spark.functions.similarity import (
     chunked_self_pairs,
     cosine,
@@ -533,7 +535,7 @@ def flag_semdedup_frame(
     batch = (
         nearest_centroid_assign(vecs, _sem_centroids(spark, path))
         .select("cid", "vec_id", "embedding")
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     if not os.path.exists(os.path.join(path, "_BUILT")):
         inb = (
@@ -998,7 +1000,7 @@ def flag_phash_batch_against_store(
     spark: SparkSession, sf_dir: str, path: str, *, batch_pred, max_batch: int | None = None
 ) -> DataFrame:
     """Documents-table form of :func:`flag_phash_fp`."""
-    ph = _phash_frame(spark, sf_dir, batch_pred).localCheckpoint(eager=True)
+    ph = _phash_frame(spark, sf_dir, batch_pred).transform(checkpoint_df)
     return flag_phash_fp(ph, path, max_batch=max_batch)
 
 

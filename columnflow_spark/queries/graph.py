@@ -41,6 +41,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from columnflow_spark.core.state import checkpoint_df
+
 from columnflow_spark.queries import query
 from columnflow_spark.sources import load_table, spread
 
@@ -173,10 +175,10 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _trade_edges(spark, sf_dir)
     # the reused artifacts: materialize ONCE, every iteration reads them
     # (at scale: a persisted table; here: a local checkpoint)
-    edges = edges.localCheckpoint()
+    edges = edges.transform(checkpoint_df)
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
-    ).distinct().localCheckpoint()
+    ).distinct().transform(checkpoint_df)
     # out-degree is round-invariant and referenced by BOTH loop-body
     # branches (contribution join + dangling filter): materialize it once
     # so each round reads node-grain state instead of re-aggregating the
@@ -184,7 +186,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
 
     n_nodes = nodes.count()
@@ -194,7 +196,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_PR_ITERS):
         # keep the lineage flat: each round's state is node-grain and
         # becomes the next round's input (iterative-job checkpointing)
-        ranks = pagerank_round(nodes, edges, outdeg, ranks, n_nodes, base).localCheckpoint()
+        ranks = pagerank_round(nodes, edges, outdeg, ranks, n_nodes, base).transform(checkpoint_df)
 
     # distributed top-k first (TakeOrderedAndProject — per-partition heads
     # merged on the driver, never a node-grain single-partition sort); the
@@ -239,7 +241,7 @@ def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node incident-triangle counts ``(node, n_tri)`` for an
     undirected edge list ``(x, y)`` with x < y and no duplicates."""
-    edges = edges.localCheckpoint()
+    edges = edges.transform(checkpoint_df)
     deg = (
         edges.select(F.col("x").alias("node"))
         .unionAll(edges.select(F.col("y").alias("node")))
@@ -258,7 +260,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
             F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
         )
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
@@ -295,12 +297,12 @@ def label_propagation(dir_edges: DataFrame, iters: int) -> DataFrame:
     """Synchronous min-tie-break label propagation: ``iters`` rounds over a
     DIRECTED edge list ``(src, dst)`` (an undirected graph supplies both
     directions); returns ``(node, lab)`` for every node with in-edges."""
-    dir_edges = dir_edges.localCheckpoint()
+    dir_edges = dir_edges.transform(checkpoint_df)
     labels = dir_edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
     for _ in range(iters):
-        labels = lpa_round(dir_edges, labels).localCheckpoint()
+        labels = lpa_round(dir_edges, labels).transform(checkpoint_df)
     return labels
 
 
@@ -528,15 +530,15 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _coorder_edges(spark, sf_dir)
     dir_edges = edges.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
         edges.select(F.col("y").alias("src"), F.col("x").alias("dst"))
-    ).localCheckpoint()
-    nodes = dir_edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    ).transform(checkpoint_df)
+    nodes = dir_edges.select(F.col("src").alias("node")).distinct().transform(checkpoint_df)
     dist = (
         nodes.orderBy("node")
         .limit(_BFS_N_SOURCES)
         .select("node", F.lit(0).cast("int").alias("dist"))
     )
     for i in range(1, _BFS_ROUNDS + 1):
-        dist = bfs_round(dir_edges, dist, i).localCheckpoint()
+        dist = bfs_round(dir_edges, dist, i).transform(checkpoint_df)
     return (
         nodes.join(dist, "node", "left")
         .select("node", F.coalesce("dist", F.lit(-1)).cast("int").alias("dist"))
@@ -604,7 +606,7 @@ def hits_half_round(
     (the scalar normalizer and the score output BOTH read it — without
     the materialization the edge-join aggregate compiles twice per
     half-round), then the broadcast L1 renormalization."""
-    raw = hits_contrib(edges, scores, from_col, to_col).localCheckpoint()
+    raw = hits_contrib(edges, scores, from_col, to_col).transform(checkpoint_df)
     return hits_normalize(raw, n_scale)
 
 
@@ -663,7 +665,7 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds on the customer→supplier graph (cites the same edge builder
     as pagerank_trade_graph; reference has no link analysis — this is
     the crawl-curation beyond-parity family)."""
-    edges = _trade_edges(spark, sf_dir).localCheckpoint()
+    edges = _trade_edges(spark, sf_dir).transform(checkpoint_df)
     n_a = edges.select("dst").distinct().count()
     n_h = edges.select("src").distinct().count()
     h = (
@@ -744,7 +746,7 @@ def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{k} predicted links per focal item: ``(f, c, ra_q, cn, rk)``
     — RA score on the 1e-6 integer grid plus the common-neighbour
     count, existing edges anti-joined away."""
-    edges = _coorder_edges(spark, sf_dir).localCheckpoint()
+    edges = _coorder_edges(spark, sf_dir).transform(checkpoint_df)
     adj = edges.select(F.col("x").alias("a"), F.col("y").alias("b")).unionAll(
         edges.select(F.col("y").alias("a"), F.col("x").alias("b"))
     )
@@ -898,23 +900,23 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 nodes by exact-integer personalized PageRank after
     {K} rounds from a bounded customer seed set — teleport and dangling
     mass both return to the seeds (Haveliwala topic-sensitive form)."""
-    edges = _trade_edges(spark, sf_dir).localCheckpoint()
+    edges = _trade_edges(spark, sf_dir).transform(checkpoint_df)
     outdeg = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     seeds = (
         edges.filter(F.expr(_PPR_SEED_SQL))
         .select(F.col("src").alias("node"))
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     n_seeds = seeds.count()
     base = (100 - _PR_D_NUM) * _PR_SCALE // _PR_D_DEN
     ranks = seeds.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
     for _ in range(_PPR_ITERS):
-        ranks = ppr_round(edges, outdeg, seeds, ranks, n_seeds, base).localCheckpoint()
+        ranks = ppr_round(edges, outdeg, seeds, ranks, n_seeds, base).transform(checkpoint_df)
     top = ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
     win = F.row_number().over(W.orderBy(F.desc("rank"), F.asc("node")))
     return (

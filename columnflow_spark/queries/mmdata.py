@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from columnflow_spark.core.state import checkpoint_df, checkpoint_df_lazy
+
 from columnflow_spark.functions.similarity import (
     bucketed_candidate_pairs,
     chunked_self_pairs,
@@ -153,7 +155,7 @@ def hashed_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.transform("sh", lambda s: s["h"]).alias("hs"))
             .withColumn("sz", F.size("hs"))
             .join(src, "doc_id")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_df)
         )
         _GRAMS_CACHE[key] = g
     return g
@@ -203,7 +205,7 @@ def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = (
             docs.filter(F.size(tokens(F.col("text"))) >= 3)
             .select("doc_id", simhash64(md5_hashes).alias("sh"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_df)
         )
         _SIMHASH_CACHE[key] = t
     return t
@@ -1122,7 +1124,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint the pair list BEFORE symmetrizing: a union of two
     # references to the same plan computes it twice, so materialize once
     # and build both edge directions from the materialized rows
-    edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=True)
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").transform(checkpoint_df)
     return components_from_edges(all_docs, edges)
 
 
@@ -1163,7 +1165,7 @@ def components_from_edges(all_docs: DataFrame, edges: DataFrame) -> DataFrame:
         edges.union(edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
         .toDF("src", "dst")
         .coalesce(8)
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
     # iterate ONLY over edge endpoints: isolated docs can never change
     # label, so they join in as identity components at the end — the loop
@@ -1171,7 +1173,7 @@ def components_from_edges(all_docs: DataFrame, edges: DataFrame) -> DataFrame:
     labels = (
         sym.select("src").distinct()
         .select(F.col("src").alias("doc_id"), F.col("src").alias("comp"))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
     # convergence via the monotone label sum: comp only ever decreases, so
     # an unchanged sum means a fixed point — one tiny aggregate per round,
@@ -1192,7 +1194,7 @@ def components_from_edges(all_docs: DataFrame, edges: DataFrame) -> DataFrame:
                 "doc_id",
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint(eager=False)
+            .transform(checkpoint_df_lazy)
         )
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
@@ -4382,7 +4384,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size-count and both candidate join sides read the narrow (id, ph)
     # table instead of re-running the UDF per plan reference (the
     # hashed_grams materialize-once contract)
-    ph = phash_image(media).localCheckpoint(eager=True)
+    ph = phash_image(media).transform(checkpoint_df)
     return phash_neardup_pairs(ph)
 
 
@@ -4455,8 +4457,8 @@ def multimodal_phash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     media = build_media_table(docs, payload="payload", mime="image/png")
-    ph = phash_image(media).localCheckpoint(eager=True)
-    edges = phash_neardup_pairs(ph).select("d1", "d2").localCheckpoint(eager=True)
+    ph = phash_image(media).transform(checkpoint_df)
+    edges = phash_neardup_pairs(ph).select("d1", "d2").transform(checkpoint_df)
     comp = components_from_edges(all_docs, edges)
     return comp.select(
         "doc_id",
@@ -4528,12 +4530,12 @@ def multimodal_canonical_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     media = build_media_table(docs, payload="payload", mime="image/png")
-    ph = phash_image(media).localCheckpoint(eager=True)
+    ph = phash_image(media).transform(checkpoint_df)
     vedges = phash_neardup_pairs(ph).select("d1", "d2")
     # checkpoint BEFORE the component solve (it references the edge list
     # twice to symmetrize); dropDuplicates because a pair can be both a
     # text AND a visual duplicate
-    edges = tedges.union(vedges).dropDuplicates(["d1", "d2"]).localCheckpoint(eager=True)
+    edges = tedges.union(vedges).dropDuplicates(["d1", "d2"]).transform(checkpoint_df)
     comp = components_from_edges(all_docs, edges)
     return comp.select(
         "doc_id",
@@ -4693,7 +4695,7 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
             ).alias("p"),
         )
         counts = (
-            pairs.groupBy("p.a", "p.b").agg(F.sum("cnt").alias("n")).localCheckpoint(eager=True)
+            pairs.groupBy("p.a", "p.b").agg(F.sum("cnt").alias("n")).transform(checkpoint_df)
         )
         top = (
             counts.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
@@ -4737,7 +4739,7 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
         s = F.col("s")
         for a, b, _n in kept:
             s = F.replace(s, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
-        state = state.withColumn("s", s).localCheckpoint(eager=True)
+        state = state.withColumn("s", s).transform(checkpoint_df)
     _BPE_LAST_FALLBACK_ROUNDS["rounds"] = rounds
     _BPE_MERGE_CACHE[key] = merges
     return merges
@@ -4984,7 +4986,7 @@ def _tf_feat_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = _TF_FEAT_CACHE.get(key)
     if f is None:
         docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-        f = _tf_feat(docs).localCheckpoint(eager=True)
+        f = _tf_feat(docs).transform(checkpoint_df)
         _TF_FEAT_CACHE[key] = f
     return f
 
@@ -5243,7 +5245,7 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _verify_pairs_exact(g, cand4, JACCARD_THRESHOLD)
         .select(F.col("d2").alias("doc_id"), F.lit(True).alias("is_loser"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
 
     # decontamination id set: docs sharing any shingle with the eval
@@ -6136,7 +6138,7 @@ def _ulm_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
 
 
@@ -7787,7 +7789,7 @@ def _wp_train_distributed(state: DataFrame) -> list[tuple[str, str, int, int]]:
         state = state.withColumn(
             "s",
             F.replace(F.col("s"), F.lit(f"<{r.a}><{r.b}>"), F.lit(f"<{r.a}{r.b}>")),
-        ).localCheckpoint(eager=True)
+        ).transform(checkpoint_df)
     return merges
 
 
@@ -8106,7 +8108,7 @@ def trigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE corpus-grain shuffle; everything below is n-gram-type grain.
     # checkpoint so the four marginal branches + the scoring join read
     # the counted table, not four recomputations of the corpus explode
-    c3 = ex.groupBy("a", "b", "c").agg(F.count(F.lit(1)).alias("n3")).localCheckpoint()
+    c3 = ex.groupBy("a", "b", "c").agg(F.count(F.lit(1)).alias("n3")).transform(checkpoint_df)
     m_ab = c3.groupBy("a", "b").agg(F.sum("n3").alias("nab"))
     m_bc = c3.groupBy("b", "c").agg(F.sum("n3").alias("nbc"))
     m_b = c3.groupBy("b").agg(F.sum("n3").alias("nb"))
@@ -8762,7 +8764,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             salt_src=F.col("neighbor_id"),
         )
         .select("query_id", "neighbor_id", "rel_q")
-        .localCheckpoint()  # bounded: |queries| x POOL rows, reused 3x below
+        .transform(checkpoint_df)  # bounded: |queries| x POOL rows, reused 3x below
     )
     fetch = emb.join(
         F.broadcast(pool.select("neighbor_id").distinct()),
@@ -9022,7 +9024,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnflow_spark.functions.hashing import seed_long
 
     all_docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
-    edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=True)
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").transform(checkpoint_df)
     comp = components_from_edges(all_docs, edges)
     return comp.select(
         "doc_id",
@@ -9258,7 +9260,7 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes.  Catalog-sized output; the only cost is the shared
     component solve."""
     all_docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
-    edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=True)
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").transform(checkpoint_df)
     comp = components_from_edges(all_docs, edges)
     csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
     return (

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from columnflow_spark.core.state import checkpoint_df, checkpoint_df_lazy
+
 from columnflow_spark.queries import query
 from columnflow_spark.sources import load_table
 
@@ -788,7 +790,7 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
     )
     # one aggregation, reused for both the rows and the scalar threshold
-    pv = pv.localCheckpoint(eager=False)
+    pv = pv.transform(checkpoint_df_lazy)
     thr = pv.agg((F.sum("value") * 0.0008).alias("threshold"))
     return (
         pv.join(F.broadcast(thr))
@@ -914,7 +916,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         li.groupBy("l_suppkey")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
-        .localCheckpoint(eager=False)
+        .transform(checkpoint_df_lazy)
     )
     mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (

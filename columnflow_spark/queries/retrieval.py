@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from columnflow_spark.core.state import checkpoint_df
+
 from columnflow_spark.functions.similarity import cosine
 from columnflow_spark.functions.skew import salted_topk
 from columnflow_spark.queries import query
@@ -1095,7 +1097,7 @@ def bm25_rm3_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.withColumn("rk", F.row_number().over(win))
         .filter(F.col("rk") <= _RM3_FB_DOCS)
         .select("query_id", "doc_id", "score_q")
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     toks = docs.select(
@@ -1190,7 +1192,7 @@ def bm25_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp = (
         bm25_rm3_terms.__wrapped__(spark, sf_dir)
         .select("query_id", "w")
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     toks = docs.select(
@@ -1361,7 +1363,7 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.join(F.broadcast(nt), "query_id")
         .filter(F.col("hit") == F.col("nt"))
         .select("query_id", "doc_id")
-        .localCheckpoint()  # gold grain: |queries| x matching docs
+        .transform(checkpoint_df)  # gold grain: |queries| x matching docs
     )
     w_expr = F.expr(_dcg_w_sql("rk"))
     judged = run.join(
@@ -1584,7 +1586,7 @@ def _ltr_feat_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = salted_topk(
         dsims, ["query_id"], [F.desc("sim"), F.asc("doc_id")], _RRF_POOL, salt_src=F.col("doc_id")
     ).select("query_id", "doc_id")
-    pool = lex.unionAll(dense).distinct().localCheckpoint(eager=True)
+    pool = lex.unionAll(dense).distinct().transform(checkpoint_df)
 
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     words = docs.select(
@@ -1625,7 +1627,7 @@ def _ltr_feat_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0.0)
             .alias("y"),
         )
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
     _LTR_FEAT_CACHE[key] = feat
     return feat

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+from columnflow_spark.core.state import checkpoint_df
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -1163,7 +1165,7 @@ def streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_c"),
             F.lit("1990-01-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
         )
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     latest = {"path": None}
 
@@ -1549,7 +1551,7 @@ def streaming_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # one Arrow fingerprint pass per micro-batch, shared by the flag
         # joins and the upsert
-        ph = phash_fp_frame(batch_df).localCheckpoint(eager=True)
+        ph = phash_fp_frame(batch_df).transform(checkpoint_df)
         if os.path.exists(os.path.join(store, "_BUILT")):
             # max_batch fence: a REPLAYED micro-batch must not see the
             # slice its failed attempt already upserted

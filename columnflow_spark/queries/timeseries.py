@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from columnflow_spark.core.state import checkpoint_df
+
 from columnflow_spark.queries import query
 from columnflow_spark.sources import load_table
 
@@ -912,7 +914,7 @@ def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = (
         salted_topk(hashes, ["event_type"], [F.asc("h")], _KMV_K, salt_src=F.col("h"))
         .select("event_type", "h", "rk")
-        .localCheckpoint()  # sketch grain: |types| x k rows, reused 4x
+        .transform(checkpoint_df)  # sketch grain: |types| x k rows, reused 4x
     )
     types = sk.select("event_type").distinct()
     pairs = (
@@ -1220,7 +1222,7 @@ def kmv_sliding_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsk = (
         salted_topk(daily, ["day"], [F.asc("h")], _KMV_K, salt_src=F.col("h"))
         .select("day", "h")
-        .localCheckpoint()  # sketch grain: |days| x k
+        .transform(checkpoint_df)  # sketch grain: |days| x k
     )
     days = dsk.select("day").distinct()
     joined = (
@@ -1578,7 +1580,7 @@ def quantile_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsk = (
         salted_topk(qdaily, ["day"], [F.asc("h")], _QSK_K, salt_src=F.col("h"))
         .select("day", "h", "v_q")
-        .localCheckpoint()  # sketch grain: |days| x k
+        .transform(checkpoint_df)  # sketch grain: |days| x k
     )
     days = dsk.select("day").distinct()
     merged = (

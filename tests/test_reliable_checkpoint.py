@@ -1,0 +1,66 @@
+"""The cluster-reliability switch (VERDICT r10 next #6): every loop
+body bounds its state through core.state.checkpoint_df, which picks
+localCheckpoint (default — zero IO, executor-pinned) or reliable
+checkpoint() (survives executor loss) per session."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from columnflow_spark.core.state import checkpoint_df
+
+
+@pytest.fixture()
+def reliable_mode(tmp_path):
+    os.environ["SPARK_GRAFT_RELIABLE_CHECKPOINT"] = "1"
+    os.environ["SPARK_GRAFT_CHECKPOINT_DIR"] = str(tmp_path / "ckpt")
+    try:
+        yield str(tmp_path / "ckpt")
+    finally:
+        os.environ.pop("SPARK_GRAFT_RELIABLE_CHECKPOINT", None)
+        os.environ.pop("SPARK_GRAFT_CHECKPOINT_DIR", None)
+
+
+def test_checkpoint_df_reliable_writes_and_preserves_rows(spark, reliable_mode):
+    df = spark.range(100).selectExpr("id", "id * id AS sq")
+    out = checkpoint_df(df)
+    assert sorted((r.id, r.sq) for r in out.collect()) == [
+        (i, i * i) for i in range(100)
+    ]
+    # the reliable form actually landed on the fault-tolerant store
+    ckpt_dir = spark.sparkContext.getCheckpointDir()
+    assert ckpt_dir is not None
+    local = ckpt_dir.replace("file:", "")
+    assert any(files for _, _, files in os.walk(local)), local
+
+
+def test_checkpoint_df_default_is_local(spark):
+    # no switch -> localCheckpoint semantics (no checkpoint-dir writes)
+    df = checkpoint_df(spark.range(10))
+    assert df.count() == 10
+
+
+def test_loop_body_query_runs_under_reliable_mode(spark, sf_dir, reliable_mode):
+    """A real iterative operator (the graph-ANN beam: 5 checkpointed
+    rounds) must produce identical results under the reliable switch."""
+    from columnflow_spark.queries.anngraph import (
+        _final_topk,
+        _graph_beam,
+        _query_vectors,
+        _session_pages,
+    )
+
+    qv = _query_vectors(spark, sf_dir)
+    reliable = sorted(
+        (r.query_id, r.neighbor_id, r.d, r.rk)
+        for r in _final_topk(_graph_beam(spark, qv, _session_pages(spark, sf_dir))).collect()
+    )
+    os.environ.pop("SPARK_GRAFT_RELIABLE_CHECKPOINT")
+    local = sorted(
+        (r.query_id, r.neighbor_id, r.d, r.rk)
+        for r in _final_topk(_graph_beam(spark, qv, _session_pages(spark, sf_dir))).collect()
+    )
+    assert reliable == local
+    assert reliable
