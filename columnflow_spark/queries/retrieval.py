@@ -1648,7 +1648,20 @@ _LTR_XCOLS = ["x1q", "x2q", "x3q", "x4q"]
 def _ltr_fit(frame: DataFrame) -> list[int]:
     """K gradient steps over a bounded example frame ``(x1q..x4q, y)``;
     returns the 1e-6-grid integer weights — shared by the pointwise and
-    pairwise trainers."""
+    pairwise trainers.
+
+    An EMPTY example frame (possible for the pairwise trainer when a
+    workload yields no (relevant, non-relevant) pool pairs) fails loudly
+    here: the silent alternative is a float(None) TypeError mid-step on
+    the engine side while the oracle's empty weight CTE returns zero
+    rows — two different failure modes for the same degenerate input
+    (ADVICE r10)."""
+    if frame.isEmpty():
+        raise ValueError(
+            "_ltr_fit: empty training-example frame — the workload produced "
+            "no labeled pool examples (pairwise: no (relevant, non-relevant) "
+            "pairs); LTR re-ranking is undefined for this corpus/workload"
+        )
     wq = [0] * _LTR_NF
     for _ in range(_LTR_STEPS):
         z = sum(F.lit(wq[j]) * F.col(_LTR_XCOLS[j]) for j in range(_LTR_NF))
