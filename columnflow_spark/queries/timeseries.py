@@ -26,6 +26,21 @@ SESSION_GAP_MIN = 30
 
 
 # --- sessionization: gap-based sessions via lag + cumulative sum ---
+#: per-(session, sf_dir) cached events row count — the incremental
+#: store twins (KMV, quantile) derive their synthetic ingest cut points
+#: from it; one scan serves both (ADVICE r10 nit)
+_EV_COUNT_CACHE: dict = {}
+
+
+def _events_count(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EV_COUNT_CACHE:
+        _EV_COUNT_CACHE[key] = load_table(
+            spark, sf_dir, "events", columns=["event_id"]
+        ).count()
+    return _EV_COUNT_CACHE[key]
+
+
 @query(
     "sessionize_gap30",
     oracle=f"""
@@ -1036,7 +1051,7 @@ def kmv_incremental_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     done = os.path.join(path, "_SEQ_COMPLETE")
     if not os.path.exists(done):
         ev = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "user_id"])
-        n = ev.count()
+        n = _events_count(spark, sf_dir)
         for b, (lo, hi) in enumerate(((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1))):
             rows = _kmv_batch_sketch(
                 ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
@@ -1502,7 +1517,7 @@ def quantile_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     done = os.path.join(path, "_SEQ_COMPLETE")
     if not os.path.exists(done):
         ev = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
-        n = ev.count()
+        n = _events_count(spark, sf_dir)
         for b, (lo, hi) in enumerate(((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1))):
             rows = _qsk_batch_sample(
                 ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))

@@ -25,10 +25,7 @@ def _exact_pct_ranks(spark, sf_dir):
     ).collect()
 
 
-def test_sketch_quantiles_within_sampling_error(spark, sf_dir):
-    """Each p-estimate's EXACT rank in the corpus must sit within the
-    bottom-k sample's rank error (3 standard errors + grid slack):
-    se = sqrt(p(1-p)/k) ~ 0.031 at the median for k=256."""
+def _assert_quantiles_within_sampling_error(spark, sf_dir):
     est = {r.event_type: r for r in all_queries()["quantile_sketch_values"](spark, sf_dir).collect()}
     assert est
     # exact fractional rank of each estimate value
@@ -46,6 +43,28 @@ def test_sketch_quantiles_within_sampling_error(spark, sf_dir):
             se = (p / 100 * (1 - p / 100) / min(row.k_used, _QSK_K)) ** 0.5
             tol = 3 * se + 0.02
             assert abs(fr - p / 100) <= tol, (etype, p, v, fr, tol)
+
+
+def test_sketch_quantiles_within_sampling_error(spark, sf_dir):
+    """Each p-estimate's EXACT rank in the corpus must sit within the
+    bottom-k sample's rank error (3 standard errors + grid slack):
+    se = sqrt(p(1-p)/k) ~ 0.031 at the median for k=256."""
+    _assert_quantiles_within_sampling_error(spark, sf_dir)
+
+
+def test_sketch_quantiles_within_sampling_error_sf01(spark):
+    """The same O(1/sqrt(k)) rank-error pin at the sf0.1 tier (VERDICT
+    r10 next #8): the bound is scale-free — k is fixed, so the estimate
+    error must NOT grow with the corpus; a 100x corpus only shrinks the
+    grid slack's relative weight."""
+    import os
+
+    import pytest
+
+    tier = "/root/testdata/sf0.1"
+    if not os.path.isdir(tier):
+        pytest.skip("sf0.1 testdata not present")
+    _assert_quantiles_within_sampling_error(spark, tier)
 
 
 def test_incremental_store_matches_one_shot(spark, sf_dir):
