@@ -110,6 +110,119 @@ def compare_frames(name: str, spark_pdf, oracle_pdf) -> CompareResult:
     return CompareResult(name, not issues, len(spark_pdf), len(oracle_pdf), issues)
 
 
+# --- stepwise oracle execution for the ITERATIVE oracle families
+# (VERDICT r10 next #7 — harness velocity, not engine semantics).
+#
+# The graph-ANN oracles replay the whole banded build + beam walk as one
+# WITH chain of materialized CTEs; DuckDB evaluates every materialized
+# CTE per query, so the 8 graph oracles each re-derive the identical
+# build CTEs (ge/bk/cand/.../adj) — 6-8 min EACH at sf1, 57% of the
+# full sweep.  Executing the chain STEPWISE as temp tables lets a
+# sweep connection reuse an unchanged step across queries: each step is
+# keyed by a DEPENDENCY-AWARE content hash (its SQL text plus the
+# hashes of every earlier step it references), so a step whose text is
+# unchanged but whose upstream differs (the insert oracle's `cand` over
+# a predicated `bk`) is correctly rebuilt, never stale-reused.
+#
+# This path is used by scripts/sweep_sf.py only — run_all (the mirror
+# of the driver's gate) executes oracles verbatim. ---
+
+#: oracle names eligible for stepwise execution (iterative CTE replays)
+STEPWISE_PREFIXES = ("ann_graph_", "streaming_graph_ann_ingest")
+
+
+def split_materialized_ctes(sql: str):
+    """Parse ``WITH a AS MATERIALIZED (...), ... SELECT ...`` into
+    ``([(name, body), ...], final_select)`` — or None when the shape is
+    anything else (the caller falls back to verbatim execution)."""
+    import re
+
+    s = sql.strip()
+    if not s[:4].upper() == "WITH":
+        return None
+    i, n = 4, len(s)
+    ctes: list[tuple[str, str]] = []
+    while True:
+        m = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+MATERIALIZED\s*\(", s[i:], re.S)
+        if not m:
+            return None
+        j = i + m.end()
+        depth, k = 1, j
+        while depth and k < n:
+            c = s[k]
+            if c == "'":  # skip string literals (parens inside must not count)
+                k += 1
+                while k < n and s[k] != "'":
+                    k += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        if depth:
+            return None
+        ctes.append((m.group(1).lower(), s[j : k - 1]))
+        m2 = re.match(r"\s*,", s[k:])
+        if m2:
+            i = k + m2.end()
+            continue
+        final = s[k:].strip()
+        if not final[:6].upper() == "SELECT":
+            return None
+        return ctes, final
+
+
+def _rewrite_refs(sql: str, mapping: dict[str, str]) -> str:
+    """Rewrite relation-position references (``FROM x`` / ``JOIN x``)
+    to their versioned temp-table names.  Only relation position — a
+    bare word-boundary substitution would false-match column aliases
+    against step names (the beam chain's ``v1``/``v2`` aliases vs the
+    ``v1``/``v2`` round CTEs).  A reference this regex could miss
+    fails LOUDLY (no unversioned temp table ever exists), never reads
+    a stale relation."""
+    import re
+
+    def sub(m):
+        return f"{m.group(1)} {mapping.get(m.group(2).lower(), m.group(2))}"
+
+    return re.sub(
+        r"\b(FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)\b", sub, sql, flags=re.IGNORECASE
+    )
+
+
+def run_oracle_stepwise(
+    con: duckdb.DuckDBPyConnection, sql: str, created: set[str]
+) -> "pd.DataFrame":
+    """Execute an oracle WITH-chain as CREATE-TEMP-TABLE steps with
+    HASH-VERSIONED names (``ge__a1b2c3...``): each step's references
+    are rewritten to its upstreams' versioned names first, so the
+    content hash transitively covers the whole subtree — an unchanged
+    step is reused across oracles on this connection regardless of
+    execution order, and variant chains (the insert oracle's predicated
+    build next to the full build) coexist instead of thrashing one
+    name.  ``created`` is the caller's cross-query cache of versioned
+    names; falls back to verbatim execution when the chain shape is
+    unsupported or a CTE name would shadow a base table view."""
+    import hashlib
+
+    parsed = split_materialized_ctes(sql)
+    if parsed is None:
+        return con.sql(sql).df()
+    ctes, final = parsed
+    if any(name in TABLES for name, _ in ctes):
+        return con.sql(sql).df()
+    mapping: dict[str, str] = {}
+    for name, body in ctes:
+        body_v = _rewrite_refs(body, mapping)
+        h = hashlib.sha256(body_v.encode()).hexdigest()[:12]
+        vname = f"{name}__{h}"
+        if vname not in created:
+            con.execute(f'CREATE OR REPLACE TEMP TABLE "{vname}" AS {body_v}')
+            created.add(vname)
+        mapping[name] = vname
+    return con.sql(_rewrite_refs(final, mapping)).df()
+
+
 def run_all(spark, sf_dir: str, names: list[str] | None = None) -> list[CompareResult]:
     from columnflow_spark.queries import all_oracles, all_queries
 

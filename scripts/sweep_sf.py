@@ -45,7 +45,19 @@ def main() -> None:
     if subset:
         keep = {s for s in subset.split(",") if s}
         queries = {k: v for k, v in queries.items() if k in keep}
-    from columnflow_spark.oracle import compare_frames
+    from columnflow_spark.oracle import (
+        STEPWISE_PREFIXES,
+        compare_frames,
+        run_oracle_stepwise,
+    )
+
+    # cross-query step cache for the iterative oracle families: the 8
+    # graph-ANN oracles share their build CTEs (ge/bk/cand/.../adj), so
+    # stepwise execution pays the 6-8 min build replay ONCE per sweep
+    # instead of per query (VERDICT r10 next #7); steps are hash-VERSIONED so
+    # variant chains (predicated builds) coexist without name thrash
+    step_tables: set[str] = set()
+    stepwise = os.environ.get("SWEEP_STEPWISE_ORACLES", "1") not in ("0", "false")
 
     with open(out_path, "a") as out:
         for name, fn in sorted(queries.items()):
@@ -66,7 +78,10 @@ def main() -> None:
                     spark_pdf = fn(spark, sf_dir).toPandas()
                     t_engine = time.time() - t0
                     t1 = time.time()
-                    oracle_pdf = con.sql(oracles[name]).df()
+                    if stepwise and name.startswith(STEPWISE_PREFIXES):
+                        oracle_pdf = run_oracle_stepwise(con, oracles[name], step_tables)
+                    else:
+                        oracle_pdf = con.sql(oracles[name]).df()
                     t_oracle = time.time() - t1
                     res = compare_frames(name, spark_pdf, oracle_pdf)
             except Exception as ex:  # noqa: BLE001 - record, keep sweeping
