@@ -802,12 +802,24 @@ def update_graph_index(spark: SparkSession, sf_dir: str, path: str) -> str:
     return path
 
 
-_GRAPH_INSERT_ORACLE = (
-    "WITH "
-    + _g_build_ctes(where=f"WHERE vec_id % {_G_INSERT_MOD} <> {_G_INSERT_REM}")
-    + ","
-    + _g_beam_ctes(pfx="i", qv_where=f"vec_id % {_G_INSERT_MOD} = {_G_INSERT_REM}")
-    + f""",
+def _graph_insert_oracle(final_extra: str = "") -> str:
+    """The base-build → insert-beams → repair → serve chain;
+    ``final_extra`` narrows the FINAL ranking (the streaming CDC twin
+    excludes in-stream-tombstoned vectors there — the DiskANN delete
+    semantics: deleted nodes still route, never surface)."""
+    return (
+        "WITH "
+        + _g_build_ctes(where=f"WHERE vec_id % {_G_INSERT_MOD} <> {_G_INSERT_REM}")
+        + ","
+        + _g_beam_ctes(pfx="i", qv_where=f"vec_id % {_G_INSERT_MOD} = {_G_INSERT_REM}")
+        + _GRAPH_INSERT_REPAIR_CTES
+        + _g_beam_ctes(pfx="s", adj_rel="uadj")
+        + _g_final_sql(extra_pred=final_extra, pfx="s")
+    )
+
+
+_GRAPH_INSERT_REPAIR_CTES = (
+    f""",
     inew AS MATERIALIZED (
         SELECT query_id AS src, vec_id AS dst, d FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS rk
@@ -825,9 +837,9 @@ _GRAPH_INSERT_ORACLE = (
             FROM upd0
         ) WHERE rk <= {_G_DEG_CAP}
     ),"""
-    + _g_beam_ctes(pfx="s", adj_rel="uadj")
-    + _g_final_sql(pfx="s")
 )
+
+_GRAPH_INSERT_ORACLE = _graph_insert_oracle()
 
 
 @query("ann_graph_insert_topk", oracle=_GRAPH_INSERT_ORACLE)

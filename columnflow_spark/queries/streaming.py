@@ -2200,3 +2200,72 @@ def streaming_graph_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     qv = _query_vectors(spark, sf_dir)
     return _final_topk(_graph_beam(spark, qv, store_page_fetcher(spark, store)))
+
+
+# --- streaming graph-ANN CDC (the 12th member): one replay stream
+# carries BOTH late-vector inserts (vec_id % 20 = 11) and delete
+# requests for base vectors (vec_id % 50 = 3 — disjoint from the insert
+# set by CRT) — the change-data-capture shape of a live vector store.
+# Inserts run the fenced beam+repair ingest; deletes land as the
+# batch's own tombstone slice (idempotent per batch id).  Tombstoned
+# nodes keep ROUTING (the DiskANN delete semantics — the insert beams
+# may legitimately link through them) and are excluded only at the
+# final ranking, so the at-rest serve equals the batch insert chain
+# with the final tombstone exclusion: the shared oracle is
+# _graph_insert_oracle(' AND vec_id % 50 <> 3').  Physical purge stays
+# the vacuum's job (compact_graph_index). ---
+from columnflow_spark.queries.anngraph import _graph_insert_oracle  # noqa: E402
+
+
+@query(
+    "streaming_graph_ann_cdc",
+    oracle=_graph_insert_oracle(" AND vec_id % 50 <> 3"),
+)
+def streaming_graph_ann_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from columnflow_spark.queries.anngraph import (
+        _final_topk,
+        _graph_beam,
+        _insert_pred,
+        _query_vectors,
+        build_graph_index,
+        ingest_graph_batch,
+        store_page_fetcher,
+    )
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.pydatasource import register
+    from columnflow_spark.sources.sinks import upsert_tombstones
+
+    register(spark)
+    store = tempfile.mkdtemp(prefix="cf_gann_cdc_")
+    build_graph_index(spark, sf_dir, store, node_pred=~_insert_pred(), tag="base")
+
+    n = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).count()
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/embeddings.parquet")
+        .option("order_col", "vec_id")
+        .option("batch_rows", _ingest_batch_rows(n, target_batches=8))
+        .load()
+        .filter(_insert_pred() | (F.col("vec_id") % 50 == 3))
+        .select("vec_id", "embedding")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = int(batch_id)
+        ingest_graph_batch(spark, batch_df.filter(_insert_pred()), store, b)
+        dels = batch_df.filter(F.col("vec_id") % 50 == 3).select("vec_id")
+        if not dels.isEmpty():
+            # the batch's delete requests as its OWN tombstone slice —
+            # a replayed batch overwrites exactly its slice (idempotent)
+            upsert_tombstones(dels, store, batch=b, id_col="vec_id")
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    qv = _query_vectors(spark, sf_dir)
+    visited = _graph_beam(spark, qv, store_page_fetcher(spark, store))
+    return _final_topk(visited, tombstone_path=store)
