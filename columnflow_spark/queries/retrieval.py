@@ -342,6 +342,139 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- filtered hybrid retrieval (r11, the filtered-RAG API shape): the
+# SAME two-arm RRF fusion restricted to a METADATA predicate from a
+# DIFFERENT table (documents.lang — the cross-table filter every RAG
+# stack applies: "retrieve among English docs").  The filter defines
+# the candidate UNIVERSE: both arms rank within the filtered pool
+# (pre-filter — ranks 1..POOL are of eligible docs), not a post-filter
+# of unfiltered ranks which starves the fusion pool as selectivity
+# drops.  At 100 TB the lang rides the postings/index rows as a
+# denormalized metadata column (a pushed-down scan predicate); here it
+# is one column-pruned documents scan semi-joined into each arm. ---
+_HYB_FILTER_LANG = "en"  # ~44% of docs at every sf (testgen distribution)
+
+
+@query(
+    "hybrid_search_rrf_filtered",
+    oracle=f"""
+    WITH {_BM25_TOTALS_CTES},
+    allowed AS (SELECT doc_id FROM documents WHERE lang = '{_HYB_FILTER_LANG}'),
+    lex AS (
+        SELECT query_id, doc_id, CAST(rk AS INT) AS lex_rk
+        FROM (
+            SELECT t.query_id, t.doc_id, row_number() OVER (
+                PARTITION BY t.query_id ORDER BY t.score_q DESC, t.doc_id
+            ) AS rk
+            FROM totals t JOIN allowed a ON a.doc_id = t.doc_id
+        )
+        WHERE rk <= {_RRF_POOL}
+    ),
+    dsims AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        FROM {_queries_values_sql()}
+        JOIN embeddings p ON p.vec_id = q.query_id
+        JOIN embeddings c ON TRUE
+        JOIN allowed a ON a.doc_id = c.vec_id
+    ),
+    dense AS (
+        SELECT query_id, doc_id, CAST(rk AS INT) AS dense_rk
+        FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, doc_id
+            ) AS rk
+            FROM dsims
+        )
+        WHERE rk <= {_RRF_POOL}
+    ),
+    fused AS (
+        SELECT coalesce(l.query_id, d.query_id) AS query_id,
+               coalesce(l.doc_id, d.doc_id) AS doc_id,
+               CAST(coalesce({_RRF_SCALE} // ({_RRF_K} + l.lex_rk), 0)
+                    + coalesce({_RRF_SCALE} // ({_RRF_K} + d.dense_rk), 0)
+                    AS BIGINT) AS rrf_q,
+               CAST(coalesce(l.lex_rk, 0) AS INT) AS lex_rk,
+               CAST(coalesce(d.dense_rk, 0) AS INT) AS dense_rk
+        FROM lex l
+        FULL OUTER JOIN dense d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf_q, lex_rk, dense_rk, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_q DESC, doc_id
+        ) AS rk
+        FROM fused
+    )
+    WHERE rk <= {_RRF_TOPK}
+    ORDER BY query_id, rk
+    """,
+)
+def hybrid_search_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered hybrid search: both RRF arms rank WITHIN the
+    ``documents.lang = 'en'`` candidate universe (pre-filter — the pool
+    never starves), fused with the same exact-integer arithmetic as
+    :func:`hybrid_search_rrf`."""
+    allowed = (
+        load_table(spark, sf_dir, "documents", columns=["doc_id", "lang"])
+        .filter(F.col("lang") == _HYB_FILTER_LANG)
+        .select("doc_id")
+    )
+    lwin = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    lex = (
+        _bm25_totals(spark, sf_dir)
+        .join(allowed, "doc_id", "left_semi")
+        .withColumn("lex_rk", F.row_number().over(lwin).cast("int"))
+        .filter(F.col("lex_rk") <= _RRF_POOL)
+        .select("query_id", "doc_id", "lex_rk")
+    )
+    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    probe_ids = [qid for qid, _ in _BM25_QUERIES]
+    probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    dsims = (
+        emb.join(allowed.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(probes))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("q"), F.col("embedding")).alias("sim"),
+        )
+    )
+    dense = salted_topk(
+        dsims,
+        ["query_id"],
+        [F.desc("sim"), F.asc("doc_id")],
+        _RRF_POOL,
+        salt_src=F.col("doc_id"),
+    ).select("query_id", "doc_id", F.col("rk").cast("int").alias("dense_rk"))
+
+    def _arm(rk_col: str):
+        return F.when(
+            F.col(rk_col).isNull(), F.lit(0).cast("long")
+        ).otherwise(F.expr(f"CAST({_RRF_SCALE} div ({_RRF_K} + {rk_col}) AS LONG)"))
+
+    fused = (
+        lex.join(dense, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (_arm("lex_rk") + _arm("dense_rk")).cast("long").alias("rrf_q"),
+            F.coalesce("lex_rk", F.lit(0)).cast("int").alias("lex_rk"),
+            F.coalesce("dense_rk", F.lit(0)).cast("int").alias("dense_rk"),
+        )
+    )
+    fwin = W.partitionBy("query_id").orderBy(F.desc("rrf_q"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(fwin).cast("int"))
+        .filter(F.col("rk") <= _RRF_TOPK)
+        .select("query_id", "doc_id", "rrf_q", "lex_rk", "dense_rk", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
 # --- index-served hybrid retrieval (VERDICT r5 next #1): the SAME integer
 # RRF fusion, but the dense arm is the materialized IVF+PQ index
 # (queries/annindex.py) instead of the brute-force cosine scan — the form

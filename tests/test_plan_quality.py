@@ -757,6 +757,10 @@ _PLAN_BUDGETS = {
     # ann_ivfpq_topk (10, 5) + the label pre-filter's pruned scan/join
     "ann_graph_filtered_topk": (4, 1),
     "ann_ivfpq_filtered_topk": (11, 6),
+    # filtered hybrid = hybrid_search_rrf (14, 4) with the lang filter's
+    # pruned documents scans semi-joined into each arm (+2 scans, the
+    # semi joins fold into existing exchanges)
+    "hybrid_search_rrf_filtered": (14, 6),
     # r10 quantile sketch: distinct + salted bottom-k + sketch-grain
     # summarize; the incremental serve reads only the store; the
     # sliding form works off the checkpointed daily-sketch table

@@ -266,3 +266,24 @@ def test_rm3_expansion_semantics(spark, sf_dir):
     plain = {(r.query_id, r.rk): r.doc_id for r in qs["bm25_topk"](spark, sf_dir).collect()}
     rm3 = {(r.query_id, r.rk): r.doc_id for r in qs["bm25_rm3_topk"](spark, sf_dir).collect()}
     assert rm3 != plain, "expansion changed nothing — feedback is dead"
+
+
+def test_hybrid_filtered_predicate_and_pool_integrity(spark, sf_dir):
+    """Every filtered-hybrid result satisfies the lang predicate, and
+    ranks are WITHIN the filtered universe (pre-filter): any doc ranked
+    by an arm is eligible, so a rank-1 result exists per query."""
+    from columnflow_spark.queries.retrieval import _HYB_FILTER_LANG
+    from columnflow_spark.sources import load_table
+
+    rows = all_queries()["hybrid_search_rrf_filtered"](spark, sf_dir).collect()
+    assert rows
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_dir, "documents", columns=["doc_id", "lang"]).collect()
+    }
+    assert all(langs[r.doc_id] == _HYB_FILTER_LANG for r in rows)
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rk)
+    for q, rks in by_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), (q, rks)
