@@ -1114,7 +1114,14 @@ def compact_graph_index(spark: SparkSession, path: str) -> str:
 
     del_ids = read_tombstones(spark, path, id_col="vec_id")
     if del_ids is None:
-        return path
+        # no tombstones -> pure slice-fold compaction (the
+        # compact_ivfpq_index shape): an insert-heavy store grows one
+        # batch= slice per ingest forever; fold latest-wins pages back
+        # into one batch=0 layout so serve-time latest-wins dedup sees
+        # one row per page again (repair with an empty delete set is
+        # the identity on an already-capped adjacency).  Serve
+        # equality re-proven in tests/test_ann_graph.py.
+        del_ids = spark.createDataFrame([], "vec_id long")
     del_ids = del_ids.transform(checkpoint_df)
     pages = _store_pages_latest(spark, path).transform(checkpoint_df)
     radj = _repaired_adjacency(pages, del_ids)

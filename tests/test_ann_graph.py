@@ -375,6 +375,36 @@ def test_streaming_ingest_batches_match_batch_twin_and_replay_fence(
     assert any(v % 20 == 11 for (v, _g, _n) in pages)
 
 
+def test_slice_fold_compaction_preserves_serve(spark, sf_dir, tmp_path):
+    """compact_graph_index with NO tombstones is the pure slice-fold
+    (the compact_ivfpq_index shape): after an incremental insert the
+    store holds batch=0 + batch=1 slices; compaction folds them into
+    one batch=0 layout and the serve is bit-identical."""
+    import pyspark.sql.functions as F2
+
+    from columnflow_spark.queries.anngraph import (
+        _insert_pred,
+        compact_graph_index,
+        update_graph_index,
+    )
+
+    path = str(tmp_path / "gfold")
+    build_graph_index(spark, sf_dir, path, node_pred=~_insert_pred(), tag="base")
+    update_graph_index(spark, sf_dir, path)
+    qv = _query_vectors(spark, sf_dir)
+    before = _rows(_final_topk(_graph_beam(spark, qv, store_page_fetcher(spark, path))))
+    batches = {r.batch for r in spark.read.parquet(path).select("batch").distinct().collect()}
+    assert batches == {0, 1}, batches
+    compact_graph_index(spark, path)
+    after = _rows(_final_topk(_graph_beam(spark, qv, store_page_fetcher(spark, path))))
+    assert after == before
+    folded = spark.read.parquet(path)
+    assert {r.batch for r in folded.select("batch").distinct().collect()} == {0}
+    # one row per page after the fold (latest-wins resolved physically)
+    dup = folded.groupBy("vec_id").count().filter(F2.col("count") > 1).count()
+    assert dup == 0
+
+
 def test_insert_repair_links_new_nodes(spark, sf_dir):
     from columnflow_spark.queries.anngraph import (
         _G_DEG_CAP,
