@@ -1083,9 +1083,15 @@ def _repaired_adjacency(pages: DataFrame, del_ids: DataFrame) -> DataFrame:
         .join(ge.select(F.col("vec_id").alias("dst"), F.col("g").alias("gd")), "dst")
         .select("src", "dst", _gdot(F.col("gs"), F.col("gd")).alias("d"))
     )
-    kept = scored.join(
-        dset.select(F.col("vec_id").alias("src")), "src", "left_anti"
-    ).join(dset.select(F.col("vec_id").alias("dst")), "dst", "left_anti")
+    kept = (
+        scored.join(dset.select(F.col("vec_id").alias("src")), "src", "left_anti")
+        .join(dset.select(F.col("vec_id").alias("dst")), "dst", "left_anti")
+        # USING-column joins move the key to the FRONT (dst, src, d) —
+        # re-project before the POSITIONAL union or every kept edge
+        # enters it swapped (passed at sf0.01 where the graph is near-
+        # symmetric; caught by the r11 sf1 sweep on asymmetric edges)
+        .select("src", "dst", "d")
+    )
     w = W.partitionBy("src").orderBy(F.desc("d"), F.asc("dst"))
     return (
         kept.unionAll(bridge_d)
@@ -1162,8 +1168,17 @@ def compact_graph_index(spark: SparkSession, path: str) -> str:
     return path
 
 
+#: vacuum-path revision — bump when the REPAIR code changes semantics,
+#: so content-addressed vacuumed stores built by older code rebuild
+#: (r2: the kept-edge direction-swap fix; _BUILT gating otherwise
+#: happily serves a store the old code produced)
+_G_VAC_REV = 2
+
+
 def _vacuumed_graph_path(sf_dir: str) -> str:
-    tag = content_tag(table_path(sf_dir, "embeddings"), f"gann-vac{_G_FORMAT}")
+    tag = content_tag(
+        table_path(sf_dir, "embeddings"), f"gann-vac{_G_FORMAT}.{_G_VAC_REV}"
+    )
     return os.path.join(scratch_root(), "graph_index", tag)
 
 

@@ -281,6 +281,40 @@ def _store_state(spark, path):
     return pages, cents, os.path.exists(os.path.join(path, "_deleted"))
 
 
+def test_repair_keeps_asymmetric_edges_unswapped(spark):
+    """Regression (r11 sf1 sweep): the kept-edge anti-joins move the
+    USING key to the front, and the positional union with the bridge
+    frame then swapped every kept edge's direction — invisible on a
+    near-symmetric graph (sf0.01 passed), wrong wherever the degree cap
+    left an edge one-directional.  Crafted asymmetric case: edge (1→2)
+    exists without (2→1); node 9 is deleted with in-edge (1→9) and
+    out-edge (9→3)."""
+    from columnflow_spark.queries.anngraph import _repaired_adjacency
+
+    g = {1: [100, 7], 2: [100, 6], 3: [100, 5], 9: [100, 4]}
+    pages = spark.createDataFrame(
+        [
+            (1, g[1], [2, 9]),  # asymmetric: 2 has no edge back to 1
+            (2, g[2], [3]),
+            (3, g[3], [2]),
+            (9, g[9], [3]),  # deleted mid: bridge 1→3 expected
+        ],
+        "vec_id long, g array<long>, nbrs array<long>",
+    )
+    dels = spark.createDataFrame([(9,)], "vec_id long")
+    radj = {
+        (r.src, r.dst): r.d for r in _repaired_adjacency(pages, dels).collect()
+    }
+    # kept edges keep their DIRECTION (1→2 present, 2→1 absent)
+    assert (1, 2) in radj and (2, 1) not in radj, radj
+    assert (2, 3) in radj and (3, 2) in radj
+    # the bridge replaced the deleted route: 1→3 spliced, 9 fully gone
+    assert (1, 3) in radj
+    assert not any(9 in k for k in radj), radj
+    # bridge d is the grid dot of the endpoints
+    assert radj[(1, 3)] == 100 * 100 + 7 * 5
+
+
 def test_vacuum_purges_pages_and_routing(spark, sf_dir, vacuumed_graph):
     pages, cents, has_tombstones = _store_state(spark, vacuumed_graph)
     assert pages and cents
