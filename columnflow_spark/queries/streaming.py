@@ -2269,3 +2269,175 @@ def streaming_graph_ann_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vectors(spark, sf_dir)
     visited = _graph_beam(spark, qv, store_page_fetcher(spark, store))
     return _final_topk(visited, tombstone_path=store)
+
+
+# --- streaming incremental connected components (the 13th member):
+# exact CC maintenance over an edge stream — the clustering half of
+# incremental dedup (near-dup pairs arrive forever; cluster ids must
+# stay queryable without re-solving the graph).  Workload: the sparse
+# bipartite graph (order, part) from high-quantity lineitems — each
+# ROW is one self-contained edge, so the stream decomposes into
+# micro-batches with no cross-batch pair computation.
+#
+# State is a (node, label, gb=hash(label), batch) store with the
+# LIVE-LABEL invariant: labels only die (a merge absorbs the larger
+# root into the smaller, and a dead label can never be reborn — new
+# nodes enter with their own never-before-seen id), therefore every
+# stored row whose label is still live IS current, and the per-batch
+# relabel read is a label-pruned partition read, never a latest-wins
+# window over the store.  Per batch: resolve the batch endpoints'
+# current labels (bounded semi-join + collect — batch-grain, the
+# driver-union-find precedent of components_from_edges), union-find
+# over label-level edges on the driver (bounded by batch size), then
+# rewrite exactly the members of the absorbed labels as the next
+# slice.  Min-merge union-find is CONFLUENT, so any batch boundary
+# lands the same fixpoint: final label = min node id of the component,
+# which is exactly the batch oracle's recursive min-reachability —
+# shared compare semantics, rows replay-fenced at batch <= b.
+_SCC_PART_OFF = 1_000_000_000  # part node ids (disjoint from orders)
+_SCC_QTY_MIN = 49  # sparsity predicate: ~4% of lineitems become edges
+_SCC_GB = 16
+
+
+@query(
+    "streaming_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    e AS (
+        SELECT DISTINCT l_orderkey AS a, l_partkey + {_SCC_PART_OFF} AS b
+        FROM lineitem WHERE l_quantity >= {_SCC_QTY_MIN}
+    ),
+    sym AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b AS s, a AS t FROM e),
+    nodes AS (SELECT DISTINCT s AS n FROM sym),
+    reach AS (
+        SELECT n AS src, n AS node FROM nodes
+        UNION
+        SELECT r.src, sym.t AS node FROM reach r JOIN sym ON sym.s = r.node
+    ),
+    comp AS (SELECT src, min(node) AS c FROM reach GROUP BY src)
+    SELECT o.o_orderkey AS order_id,
+           CAST(coalesce(c.c, o.o_orderkey) AS BIGINT) AS component
+    FROM orders o LEFT JOIN comp c ON c.src = o.o_orderkey
+    ORDER BY order_id
+    """,
+)
+def streaming_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.window import Window as W2
+
+    from columnflow_spark.sources import load_table
+    from columnflow_spark.sources.pydatasource import register
+    from columnflow_spark.sources.sinks import upsert_partitions
+
+    register(spark)
+    store = tempfile.mkdtemp(prefix="cf_scc_store_")
+    wrote = {"any": False}
+    n = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey"]).count()
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/lineitem.parquet")
+        .option("order_col", "l_orderkey")
+        .option("batch_rows", _ingest_batch_rows(n, target_batches=8))
+        .load()
+        .filter(F.col("l_quantity") >= _SCC_QTY_MIN)
+        .select(
+            F.col("l_orderkey").alias("a"),
+            (F.col("l_partkey") + _SCC_PART_OFF).alias("b"),
+        )
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = int(batch_id)
+        pairs = [(r.a, r.b) for r in batch_df.select("a", "b").distinct().collect()]
+        if not pairs:
+            return
+        endpoints = sorted({x for p in pairs for x in p})
+        cur: dict = {}
+        if wrote["any"]:
+            ep = spark.createDataFrame([(x,) for x in endpoints], "node long")
+            rows = (
+                spark.read.parquet(store)
+                .filter(F.col("batch") <= b)  # replay fence
+                .join(F.broadcast(ep), "node", "left_semi")
+                .select("node", "label", "batch")
+                .collect()
+            )
+            # latest-wins per node: a relabeled node keeps its stale
+            # rows (only the LABEL-pruned member read can skip the
+            # window; a NODE-keyed lookup cannot)
+            best: dict = {}
+            for r in rows:
+                if r.node not in best or r.batch > best[r.node][1]:
+                    best[r.node] = (r.label, r.batch)
+            cur = {k: v[0] for k, v in best.items()}
+        # driver union-find over LABEL-level edges (batch-bounded)
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, bb in pairs:
+            ra, rb = find(cur.get(a, a)), find(cur.get(bb, bb))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        absorbed = sorted(l for l in parent if find(l) != l)
+        new_rows = [
+            (node, find(cur.get(node, node)))
+            for node in endpoints
+            if node not in cur
+        ]
+        out = spark.createDataFrame(new_rows or [], "node long, label long")
+        if absorbed and wrote["any"]:
+            amap = spark.createDataFrame(
+                [(l, find(l)) for l in absorbed], "label long, root long"
+            )
+            gbs = sorted(
+                {r.gb for r in amap.select(
+                    F.pmod(F.xxhash64("label"), F.lit(_SCC_GB)).alias("gb")
+                ).distinct().collect()}
+            )
+            # LIVE-LABEL invariant: every row under an absorbed (still-
+            # live) label is current — a label-pruned partition read,
+            # no window over the store
+            members = (
+                spark.read.parquet(store)
+                .filter(F.col("batch") <= b)
+                .filter(F.col("gb").isin(gbs))
+                .join(F.broadcast(amap), "label")
+                .select("node", F.col("root").alias("label"))
+            )
+            out = out.unionByName(members)
+        rows = out.select(
+            "node",
+            "label",
+            F.pmod(F.xxhash64("label"), F.lit(_SCC_GB)).alias("gb"),
+            F.lit(b + 1).alias("batch"),
+        )
+        upsert_partitions(rows, store, partition_by=["gb", "batch"])
+        wrote["any"] = True
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey"])
+    w = W2.partitionBy("node").orderBy(F.desc("batch"))
+    labels = (
+        spark.read.parquet(store)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("node").alias("o_orderkey"), "label")
+    )
+    return (
+        orders.join(labels, "o_orderkey", "left")
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.coalesce("label", "o_orderkey").cast("long").alias("component"),
+        )
+        .orderBy("order_id")
+    )
