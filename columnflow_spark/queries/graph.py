@@ -924,3 +924,67 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("rank").alias("rank_q"), "rk")
         .orderBy("rk")
     )
+
+
+# --- bipartite order-part components (r11): the BATCH twin of
+# streaming_connected_components — same sparse (order, part) edge set
+# (high-quantity lineitems), same recursive min-reachability oracle, so
+# the pair pins batch ≡ incremental ≡ oracle the way every other
+# maintenance family does.  Solve is the shared components_from_edges
+# (driver union-find on the sparse graph, distributed min-label loop
+# above the cap). ---
+from columnflow_spark.queries.streaming import (  # noqa: E402
+    _SCC_PART_OFF,
+    _SCC_QTY_MIN,
+)
+
+
+@query(
+    "order_part_components",
+    oracle=f"""
+    WITH RECURSIVE
+    e AS (
+        SELECT DISTINCT l_orderkey AS a, l_partkey + {_SCC_PART_OFF} AS b
+        FROM lineitem WHERE l_quantity >= {_SCC_QTY_MIN}
+    ),
+    sym AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b AS s, a AS t FROM e),
+    nodes AS (SELECT DISTINCT s AS n FROM sym),
+    reach AS (
+        SELECT n AS src, n AS node FROM nodes
+        UNION
+        SELECT r.src, sym.t AS node FROM reach r JOIN sym ON sym.s = r.node
+    ),
+    comp AS (SELECT src, min(node) AS c FROM reach GROUP BY src)
+    SELECT o.o_orderkey AS order_id,
+           CAST(coalesce(c.c, o.o_orderkey) AS BIGINT) AS component
+    FROM orders o LEFT JOIN comp c ON c.src = o.o_orderkey
+    ORDER BY order_id
+    """,
+)
+def order_part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the sparse bipartite (order, part) graph:
+    orders cluster through shared high-quantity parts — per-order
+    component = min node id reachable (orders dominate the min: part
+    node ids are offset above every order key)."""
+    from columnflow_spark.queries.mmdata import components_from_edges
+
+    edges = (
+        spread(load_table(
+            spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_quantity"]
+        ))
+        .filter(F.col("l_quantity") >= _SCC_QTY_MIN)
+        .select(
+            F.col("l_orderkey").alias("d1"),
+            (F.col("l_partkey") + _SCC_PART_OFF).alias("d2"),
+        )
+        .distinct()
+        .transform(checkpoint_df)
+    )
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey"]).select(
+        F.col("o_orderkey").alias("doc_id")
+    )
+    comp = components_from_edges(orders, edges)
+    return comp.select(
+        F.col("doc_id").alias("order_id"),
+        F.col("component").cast("long").alias("component"),
+    ).orderBy("order_id")
