@@ -1194,21 +1194,22 @@ def _ensure_vacuumed_graph_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _g_repair_ctes() -> str:
-    """Repair-CTE chain ``adj`` → ``vadj`` (mirrors
+def _g_repair_ctes(adj_rel: str = "adj") -> str:
+    """Repair-CTE chain ``{adj_rel}`` → ``vadj`` (mirrors
     :func:`_repaired_adjacency` exactly: kept ∪ scored bridges, distinct,
-    re-cap)."""
+    re-cap); ``adj_rel`` lets the CDC-vacuum oracle repair the
+    INSERT-UPDATED graph (``uadj``) instead of the base build."""
     return f"""
     gdel AS MATERIALIZED (
         SELECT vec_id FROM ge WHERE vec_id % {_G_DELETE_MOD} = {_G_DELETE_REM}
     ),
     ginn AS MATERIALIZED (
-        SELECT a.src, a.dst AS mid FROM adj a
+        SELECT a.src, a.dst AS mid FROM {adj_rel} a
         WHERE a.dst IN (SELECT vec_id FROM gdel)
           AND a.src NOT IN (SELECT vec_id FROM gdel)
     ),
     gout AS MATERIALIZED (
-        SELECT a.src AS mid, a.dst FROM adj a
+        SELECT a.src AS mid, a.dst FROM {adj_rel} a
         WHERE a.src IN (SELECT vec_id FROM gdel)
           AND a.dst NOT IN (SELECT vec_id FROM gdel)
     ),
@@ -1221,7 +1222,7 @@ def _g_repair_ctes() -> str:
         FROM gbr b JOIN ge g1 ON g1.vec_id = b.src JOIN ge g2 ON g2.vec_id = b.dst
     ),
     vkept AS MATERIALIZED (
-        SELECT src, dst, d FROM adj
+        SELECT src, dst, d FROM {adj_rel}
         WHERE src NOT IN (SELECT vec_id FROM gdel)
           AND dst NOT IN (SELECT vec_id FROM gdel)
     ),

@@ -2217,21 +2217,16 @@ def streaming_graph_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 from columnflow_spark.queries.anngraph import _graph_insert_oracle  # noqa: E402
 
 
-@query(
-    "streaming_graph_ann_cdc",
-    oracle=_graph_insert_oracle(" AND vec_id % 50 <> 3"),
-)
-def streaming_graph_ann_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _graph_cdc_store(spark: SparkSession, sf_dir: str) -> str:
+    """Run the CDC ingest (base build + streamed inserts with repair +
+    per-batch tombstone slices) into a fresh store; shared by the
+    logical-delete serve and the vacuum lifecycle twin."""
     import tempfile
 
     from columnflow_spark.queries.anngraph import (
-        _final_topk,
-        _graph_beam,
         _insert_pred,
-        _query_vectors,
         build_graph_index,
         ingest_graph_batch,
-        store_page_fetcher,
     )
     from columnflow_spark.sources import load_table
     from columnflow_spark.sources.pydatasource import register
@@ -2266,9 +2261,86 @@ def streaming_graph_ann_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    return store
+
+
+@query(
+    "streaming_graph_ann_cdc",
+    oracle=_graph_insert_oracle(" AND vec_id % 50 <> 3"),
+)
+def streaming_graph_ann_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnflow_spark.queries.anngraph import (
+        _final_topk,
+        _graph_beam,
+        _query_vectors,
+        store_page_fetcher,
+    )
+
+    store = _graph_cdc_store(spark, sf_dir)
     qv = _query_vectors(spark, sf_dir)
     visited = _graph_beam(spark, qv, store_page_fetcher(spark, store))
     return _final_topk(visited, tombstone_path=store)
+
+
+def _graph_cdc_vacuum_oracle() -> str:
+    """base build → insert beams → repair (uadj) → DELETE-repair
+    (vadj over uadj) → serve beams with purged entry routing — the full
+    lifecycle as ONE replayable chain."""
+    from columnflow_spark.queries.anngraph import (
+        _G_DELETE_MOD,
+        _G_DELETE_REM,
+        _G_ENTRY_MOD,
+        _G_INSERT_MOD,
+        _G_INSERT_REM,
+        _GRAPH_INSERT_REPAIR_CTES,
+        _g_beam_ctes,
+        _g_build_ctes,
+        _g_final_sql,
+        _g_repair_ctes,
+    )
+
+    return (
+        "WITH "
+        + _g_build_ctes(where=f"WHERE vec_id % {_G_INSERT_MOD} <> {_G_INSERT_REM}")
+        + ","
+        + _g_beam_ctes(pfx="i", qv_where=f"vec_id % {_G_INSERT_MOD} = {_G_INSERT_REM}")
+        + _GRAPH_INSERT_REPAIR_CTES
+        + _g_repair_ctes(adj_rel="uadj")
+        + ","
+        + _g_beam_ctes(
+            pfx="z",
+            adj_rel="vadj",
+            seed_where=(
+                f"vec_id % {_G_ENTRY_MOD} = 0 "
+                f"AND vec_id % {_G_DELETE_MOD} <> {_G_DELETE_REM}"
+            ),
+        )
+        + _g_final_sql(pfx="z")
+    )
+
+
+@query("streaming_graph_ann_cdc_vacuum", oracle=_graph_cdc_vacuum_oracle())
+def streaming_graph_ann_cdc_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL store lifecycle in one pinned chain: base build →
+    streamed inserts (beam + repair) with in-stream deletes → physical
+    vacuum (compact_graph_index: delete-repair + slice fold + sidecar
+    purge + tombstone clear) → serve over the repaired graph.  The
+    oracle replays every stage; deleted vectors neither route nor
+    surface after the vacuum (compare ``streaming_graph_ann_cdc`` where
+    they still route)."""
+    from columnflow_spark.queries.anngraph import (
+        _final_topk,
+        _graph_beam,
+        _query_vectors,
+        compact_graph_index,
+        store_page_fetcher,
+    )
+
+    store = _graph_cdc_store(spark, sf_dir)
+    compact_graph_index(spark, store)
+    qv = _query_vectors(spark, sf_dir)
+    visited = _graph_beam(spark, qv, store_page_fetcher(spark, store))
+    return _final_topk(visited)
 
 
 # --- streaming incremental connected components (the 13th member):
