@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "ann_graph_filtered_topk",
     "ann_ivfpq_filtered_topk",
     "ann_graph_trained_entry_topk",
+    "hybrid_search_rrf_filtered",
+    "order_part_components",
     "quantile_sketch_values",
     "quantile_sliding_window",
     "quantile_sketch_incremental",
