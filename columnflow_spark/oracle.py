@@ -10,6 +10,7 @@ the driver's CORRECTNESS_r{N}.json does.
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 
 import duckdb
@@ -190,6 +191,17 @@ def _rewrite_refs(sql: str, mapping: dict[str, str]) -> str:
     )
 
 
+#: comma-separated relation lists (``FROM a x, b y``) sit outside
+#: _rewrite_refs' relation-position grammar; matching bare commas would
+#: false-match function-argument commas, so chains containing the shape
+#: fall back to verbatim execution instead (correct, just un-cached)
+_COMMA_JOIN = re.compile(
+    r"\b(?:FROM|JOIN)\s+[A-Za-z_][A-Za-z0-9_]*"
+    r"(?:\s+(?:AS\s+)?[A-Za-z_][A-Za-z0-9_]*)?\s*,",
+    re.IGNORECASE,
+)
+
+
 def run_oracle_stepwise(
     con: duckdb.DuckDBPyConnection, sql: str, created: set[str]
 ) -> "pd.DataFrame":
@@ -210,6 +222,10 @@ def run_oracle_stepwise(
         return con.sql(sql).df()
     ctes, final = parsed
     if any(name in TABLES for name, _ in ctes):
+        return con.sql(sql).df()
+    if any(_COMMA_JOIN.search(body) for _, body in ctes) or _COMMA_JOIN.search(final):
+        # a comma join would dodge the reference rewrite (ADVICE r11):
+        # run the chain verbatim rather than risk a per-row loud failure
         return con.sql(sql).df()
     mapping: dict[str, str] = {}
     for name, body in ctes:

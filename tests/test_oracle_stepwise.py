@@ -78,3 +78,21 @@ def test_stepwise_rebuilds_on_upstream_change():
     n_full2 = run_oracle_stepwise(con, full, created)["n"][0]
     assert created == before
     assert n_full2 == n_full
+
+
+def test_comma_join_chain_falls_back_to_verbatim():
+    """ADVICE r11: comma-separated relation lists sit outside the
+    relation-position rewrite grammar — a chain containing one must run
+    verbatim (correct result) instead of failing loudly per row."""
+    con = duckdb_connection(SF)
+
+    sql = """
+    WITH a AS MATERIALIZED (SELECT 1 AS x),
+    b AS MATERIALIZED (SELECT 2 AS y),
+    c AS MATERIALIZED (SELECT x, y FROM a t1, b t2)
+    SELECT x + y AS s FROM c
+    """
+    created: set = set()
+    out = run_oracle_stepwise(con, sql, created)
+    assert out["s"].tolist() == [3]
+    assert created == set()  # verbatim path: no temp tables created
