@@ -22,6 +22,15 @@ with the checkpoint location from ``SPARK_GRAFT_CHECKPOINT_DIR`` (or
 ``spark.columnflow.checkpointDir``), falling back to a local temp dir
 so the switch is testable on one box.
 
+Retention: reliable checkpoints are only garbage-collected when
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` is set AT
+CONTEXT START (the ContextCleaner reads it once; it cannot be flipped
+at runtime).  ``columnflow_spark.session.get_spark`` sets it; a
+spark-submit deployment that enables the reliable switch must set the
+same conf, otherwise each ``checkpoint_df`` call under the switch
+leaves its RDD checkpoint on disk for the life of the job — unbounded
+accumulation on exactly the long 100 TB runs the switch exists for.
+
 Call sites keep method-chain syntax via ``DataFrame.transform``::
 
     visited = visited.transform(checkpoint_df)        # eager bounded state

@@ -54,6 +54,11 @@ def get_spark(app_name: str = "columnflow_spark", shuffle_partitions: int | None
         .config("spark.sql.parquet.mergeSchema", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # reliable-checkpoint retention (core/state.py switch): without
+        # this the ContextCleaner never deletes checkpointed RDD data, so
+        # a long job under SPARK_GRAFT_RELIABLE_CHECKPOINT=1 accumulates
+        # unbounded checkpoint storage; must be set at context start
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
