@@ -156,6 +156,46 @@ def replace_store(
     shutil.rmtree(old)
 
 
+def ensure_store(path: str, build_fn, marker: str = "_BUILT") -> str:
+    """Cross-session-safe check-then-build (VERDICT r11 next #7): when
+    the ``_BUILT`` marker is absent, build into a UNIQUE staging sibling
+    and publish with one atomic ``rename``.  Two concurrent sessions may
+    both pay the build (content-addressed paths make the bytes
+    identical), but they can never interleave writes inside one
+    directory: exactly one rename wins, the loser discards its staging
+    copy and serves the winner's store.
+
+    ``build_fn(staging_path)`` must write the complete store INCLUDING
+    its completeness ``marker`` at ``staging_path`` (``_BUILT`` for
+    single-step builds, ``_SEQ_COMPLETE`` for multi-step fixtures) — the
+    marker therefore exists before publication, and a crash at any point
+    leaves either nothing at ``path`` (next session rebuilds) or a
+    fully-marked store.
+    """
+    import uuid
+
+    if os.path.exists(os.path.join(path, marker)):
+        return path
+    staging = f"{path}.staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    build_fn(staging)
+    if not os.path.exists(os.path.join(staging, marker)):
+        raise RuntimeError(f"store build left no {marker} marker: {staging}")
+    # a marker-less remnant at path (crashed legacy in-place build) must
+    # not block publication
+    if os.path.exists(path) and not os.path.exists(os.path.join(path, marker)):
+        shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        if os.path.exists(os.path.join(path, marker)):
+            # another session published first — deterministic content,
+            # use theirs
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            raise
+    return path
+
+
 # --- tombstone primitives for DOC-GRAIN incremental stores (phash block
 # postings, semantic vectors, the IVF+PQ index — queries/dedupstore.py,
 # queries/annindex.py): rows carry their doc/vec id, so a deletion is a

@@ -219,3 +219,75 @@ def test_upsert_partitions_preserves_siblings(spark, sf_dir, tmp_path):
     assert b == [5, 6, 7, 8, 9]
     # conf restored
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+
+def test_ensure_store_builds_staged_and_publishes(tmp_path):
+    from columnflow_spark.sources.sinks import ensure_store
+
+    path = str(tmp_path / "store")
+    calls = []
+
+    def build(p):
+        calls.append(p)
+        assert p != path and p.startswith(path + ".staging-")
+        os.makedirs(p)
+        with open(os.path.join(p, "data.txt"), "w") as f:
+            f.write("x")
+        with open(os.path.join(p, "_BUILT"), "w") as f:
+            f.write("ok")
+
+    assert ensure_store(path, build) == path
+    assert os.path.exists(os.path.join(path, "_BUILT"))
+    assert not any(e.startswith("store.staging-") for e in os.listdir(tmp_path))
+    # second call short-circuits: no rebuild
+    assert ensure_store(path, build) == path
+    assert len(calls) == 1
+
+
+def test_ensure_store_requires_marker_and_clears_remnants(tmp_path):
+    import pytest
+
+    from columnflow_spark.sources.sinks import ensure_store
+
+    path = str(tmp_path / "store")
+
+    def bad_build(p):
+        os.makedirs(p)  # no marker -> must fail loudly, never publish
+
+    with pytest.raises(RuntimeError):
+        ensure_store(path, bad_build)
+    assert not os.path.exists(path)
+    # a marker-less remnant (crashed legacy in-place build) is replaced
+    os.makedirs(path)
+    with open(os.path.join(path, "junk"), "w") as f:
+        f.write("partial")
+
+    def build(p):
+        os.makedirs(p)
+        with open(os.path.join(p, "_BUILT"), "w") as f:
+            f.write("ok")
+
+    assert ensure_store(path, build) == path
+    assert not os.path.exists(os.path.join(path, "junk"))
+
+
+def test_ensure_store_loser_adopts_winner(tmp_path):
+    """Concurrent-session shape: a second builder whose rename loses must
+    adopt the published store and discard its staging copy."""
+    from columnflow_spark.sources.sinks import ensure_store
+
+    path = str(tmp_path / "store")
+
+    def racing_build(p):
+        os.makedirs(p)
+        with open(os.path.join(p, "_BUILT"), "w") as f:
+            f.write("mine")
+        # simulate the other session publishing first
+        os.makedirs(path)
+        with open(os.path.join(path, "_BUILT"), "w") as f:
+            f.write("theirs")
+
+    assert ensure_store(path, racing_build) == path
+    with open(os.path.join(path, "_BUILT")) as f:
+        assert f.read() == "theirs"
+    assert not any(e.startswith("store.staging-") for e in os.listdir(tmp_path))
