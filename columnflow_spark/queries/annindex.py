@@ -57,6 +57,7 @@ from columnflow_spark.sources import load_table
 from columnflow_spark.sources.sinks import (
     anti_tombstones,
     clear_tombstones,
+    ensure_store,
     replace_store,
     upsert_partitions,
     upsert_tombstones,
@@ -190,10 +191,9 @@ def delete_vectors_from_index(
 
 
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
-    path = ivfpq_index_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_BUILT")):
-        build_ivfpq_index(spark, sf_dir, path)
-    return path
+    return ensure_store(
+        ivfpq_index_path(sf_dir), lambda p: build_ivfpq_index(spark, sf_dir, p)
+    )
 
 
 def search_ivfpq_index(
@@ -406,15 +406,14 @@ def _ensure_trend_index(spark: SparkSession, sf_dir: str) -> str:
     has a per-batch trend to report; sequence-marker gated (a crash
     between the two builds must not leave a half-index that passes the
     reuse check)."""
-    path = _trend_index_path(sf_dir)
-    done = os.path.join(path, "_SEQ_COMPLETE")
-    if not os.path.exists(done):
+    def build(p: str) -> None:
         n = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).count()
-        build_ivfpq_index(spark, sf_dir, path, batch=0, batch_pred=F.col("vec_id") < n // 2)
-        build_ivfpq_index(spark, sf_dir, path, batch=1, batch_pred=F.col("vec_id") >= n // 2)
-        with open(done, "w") as f:
+        build_ivfpq_index(spark, sf_dir, p, batch=0, batch_pred=F.col("vec_id") < n // 2)
+        build_ivfpq_index(spark, sf_dir, p, batch=1, batch_pred=F.col("vec_id") >= n // 2)
+        with open(os.path.join(p, "_SEQ_COMPLETE"), "w") as f:
             f.write("2-batch trend build complete\n")
-    return path
+
+    return ensure_store(_trend_index_path(sf_dir), build, marker="_SEQ_COMPLETE")
 
 
 def _index_drift_oracle() -> str:
@@ -518,19 +517,20 @@ def _deleted_index_path(sf_dir: str, *, vacuum: bool) -> str:
 
 
 def _ensure_deleted_index(spark: SparkSession, sf_dir: str, *, vacuum: bool) -> str:
-    path = _deleted_index_path(sf_dir, vacuum=vacuum)
-    done = os.path.join(path, "_SEQ_COMPLETE")
-    if not os.path.exists(done):
-        build_ivfpq_index(spark, sf_dir, path)
+    def build(p: str) -> None:
+        build_ivfpq_index(spark, sf_dir, p)
         deleted = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).filter(
             F.col("vec_id") % 7 == 3
         )
-        delete_vectors_from_index(spark, deleted, path, batch=0)
+        delete_vectors_from_index(spark, deleted, p, batch=0)
         if vacuum:
-            compact_ivfpq_index(spark, path)
-        with open(done, "w") as f:
+            compact_ivfpq_index(spark, p)
+        with open(os.path.join(p, "_SEQ_COMPLETE"), "w") as f:
             f.write("build + delete%s complete\n" % (" + vacuum" if vacuum else ""))
-    return path
+
+    return ensure_store(
+        _deleted_index_path(sf_dir, vacuum=vacuum), build, marker="_SEQ_COMPLETE"
+    )
 
 
 def _ivfpq_delete_oracle() -> str:
@@ -650,10 +650,9 @@ def load_opq_artifacts(spark: SparkSession, path: str):
 
 
 def _ensure_opq_index(spark: SparkSession, sf_dir: str) -> str:
-    path = opq_index_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_BUILT")):
-        build_opq_index(spark, sf_dir, path)
-    return path
+    return ensure_store(
+        opq_index_path(sf_dir), lambda p: build_opq_index(spark, sf_dir, p)
+    )
 
 
 def search_opq_index(

@@ -56,6 +56,7 @@ from columnflow_spark.sources import load_table, spread
 from columnflow_spark.sources.sinks import (
     anti_tombstones,
     clear_tombstones,
+    ensure_store,
     replace_store,
     upsert_partitions,
     upsert_tombstones,
@@ -210,12 +211,12 @@ def _history_cutoff(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _ensure_history_store(spark: SparkSession, sf_dir: str, h: int) -> str:
-    path = dedup_store_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_BUILT")):
-        upsert_dedup_batch(
-            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h
-        )
-    return path
+    return ensure_store(
+        dedup_store_path(sf_dir),
+        lambda p: upsert_dedup_batch(
+            spark, sf_dir, p, batch=0, batch_pred=F.col("doc_id") < h
+        ),
+    )
 
 
 #: shared oracle for every store-backed exact-dedup variant: the flagging
@@ -276,28 +277,25 @@ def _ensure_compacted_history_store(spark: SparkSession, sf_dir: str, h: int) ->
     """History store built as TWO ingest batches then compacted to one
     ``batch=0`` slice per band — the steady-state layout a long-running
     ingest pipeline periodically restores."""
-    path = _compacted_store_path(sf_dir)
     # sequence marker, not the per-upsert _BUILT: a crash between the
     # upserts (or before the compaction) would otherwise leave a partial
-    # store that passes the reuse check forever (ADVICE r6).  The re-run
-    # is safe: both upserts idempotently overwrite their batch= slices
-    # and the compaction swap fails closed (replace_store).
-    done = os.path.join(path, "_SEQ_COMPLETE")
-    if not os.path.exists(done):
+    # store that passes the reuse check forever (ADVICE r6)
+    def build(p: str) -> None:
         upsert_dedup_batch(
-            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h // 2
+            spark, sf_dir, p, batch=0, batch_pred=F.col("doc_id") < h // 2
         )
         upsert_dedup_batch(
             spark,
             sf_dir,
-            path,
+            p,
             batch=1,
             batch_pred=(F.col("doc_id") >= h // 2) & (F.col("doc_id") < h),
         )
-        compact_dedup_store(spark, path)
-        with open(done, "w") as f:
+        compact_dedup_store(spark, p)
+        with open(os.path.join(p, "_SEQ_COMPLETE"), "w") as f:
             f.write("2-batch ingest + compaction complete\n")
-    return path
+
+    return ensure_store(_compacted_store_path(sf_dir), build, marker="_SEQ_COMPLETE")
 
 
 @query("dedup_store_compacted", oracle=_INC_STORE_ORACLE)
@@ -381,21 +379,22 @@ def _ensure_deleted_dedup_store(
     store with undeleted docs that passes the reuse check; the re-run is
     safe (each step idempotently overwrites its own slices, the
     compaction swap fails closed)."""
-    path = _deleted_store_path(sf_dir, vacuum=vacuum)
-    done = os.path.join(path, "_SEQ_COMPLETE")
-    if not os.path.exists(done):
+    def build(p: str) -> None:
         upsert_dedup_batch(
-            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h
+            spark, sf_dir, p, batch=0, batch_pred=F.col("doc_id") < h
         )
         delete_docs_from_dedup_store(
-            spark, sf_dir, path,
+            spark, sf_dir, p,
             delete_pred=_delete_pred() & (F.col("doc_id") < h), batch=1,
         )
         if vacuum:
-            compact_dedup_store(spark, path)
-        with open(done, "w") as f:
+            compact_dedup_store(spark, p)
+        with open(os.path.join(p, "_SEQ_COMPLETE"), "w") as f:
             f.write("ingest + delete%s complete\n" % (" + vacuum" if vacuum else ""))
-    return path
+
+    return ensure_store(
+        _deleted_store_path(sf_dir, vacuum=vacuum), build, marker="_SEQ_COMPLETE"
+    )
 
 
 @query("dedup_store_delete", oracle=_inc_store_oracle(f"AND NOT ({_DEL_PRED_SQL})"))
@@ -618,16 +617,16 @@ def _sem_history_cutoff(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _ensure_semdedup_store(spark: SparkSession, sf_dir: str, h: int) -> str:
-    path = semdedup_store_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_BUILT")):
+    def build(p: str) -> None:
         init_semdedup_store(
-            spark, sf_dir, path,
+            spark, sf_dir, p,
             seed_pred=(F.col("vec_id") % 64 == 0) & (F.col("vec_id") < h),
         )
         upsert_semdedup_batch(
-            spark, sf_dir, path, batch=0, batch_pred=F.col("vec_id") < h
+            spark, sf_dir, p, batch=0, batch_pred=F.col("vec_id") < h
         )
-    return path
+
+    return ensure_store(semdedup_store_path(sf_dir), build)
 
 
 @query(
@@ -777,24 +776,23 @@ def _sem_trend_store_path(sf_dir: str) -> str:
 def _ensure_semdedup_trend_store(spark: SparkSession, sf_dir: str, h: int) -> str:
     """Two-batch history store (first and second 30% of vec_ids) so the
     audit has a per-batch trend to report; sequence-marker gated."""
-    path = _sem_trend_store_path(sf_dir)
-    done = os.path.join(path, "_SEQ_COMPLETE")
-    if not os.path.exists(done):
+    def build(p: str) -> None:
         a = h // 2
         init_semdedup_store(
-            spark, sf_dir, path,
+            spark, sf_dir, p,
             seed_pred=(F.col("vec_id") % 64 == 0) & (F.col("vec_id") < h),
         )
         upsert_semdedup_batch(
-            spark, sf_dir, path, batch=0, batch_pred=F.col("vec_id") < a
+            spark, sf_dir, p, batch=0, batch_pred=F.col("vec_id") < a
         )
         upsert_semdedup_batch(
-            spark, sf_dir, path, batch=1,
+            spark, sf_dir, p, batch=1,
             batch_pred=(F.col("vec_id") >= a) & (F.col("vec_id") < h),
         )
-        with open(done, "w") as f:
+        with open(os.path.join(p, "_SEQ_COMPLETE"), "w") as f:
             f.write("2-batch trend ingest complete\n")
-    return path
+
+    return ensure_store(_sem_trend_store_path(sf_dir), build, marker="_SEQ_COMPLETE")
 
 
 @query(
@@ -1005,12 +1003,12 @@ def flag_phash_batch_against_store(
 
 
 def _ensure_phash_store(spark: SparkSession, sf_dir: str, h: int) -> str:
-    path = phash_store_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_BUILT")):
-        upsert_phash_batch(
-            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h
-        )
-    return path
+    return ensure_store(
+        phash_store_path(sf_dir),
+        lambda p: upsert_phash_batch(
+            spark, sf_dir, p, batch=0, batch_pred=F.col("doc_id") < h
+        ),
+    )
 
 
 def _phash_store_oracle(hist_filter: str = "") -> str:
@@ -1239,12 +1237,12 @@ def compact_substring_store(spark: SparkSession, path: str) -> None:
 
 
 def _ensure_substring_store(spark: SparkSession, sf_dir: str, h: int) -> str:
-    path = substring_store_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_BUILT")):
-        upsert_substring_batch(
-            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h
-        )
-    return path
+    return ensure_store(
+        substring_store_path(sf_dir),
+        lambda p: upsert_substring_batch(
+            spark, sf_dir, p, batch=0, batch_pred=F.col("doc_id") < h
+        ),
+    )
 
 
 def _sstr_store_oracle(hist_filter: str = "") -> str:
@@ -1363,19 +1361,20 @@ def _ensure_deleted_substring_store(spark: SparkSession, sf_dir: str, h: int) ->
     """History gram store (first 60%) with ``doc_id % 7 == 3`` deleted
     through it as a negative occurrence slice; sequence-marker gated
     (see :func:`_ensure_deleted_dedup_store`)."""
-    path = _deleted_substring_store_path(sf_dir)
-    done = os.path.join(path, "_SEQ_COMPLETE")
-    if not os.path.exists(done):
+    def build(p: str) -> None:
         upsert_substring_batch(
-            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h
+            spark, sf_dir, p, batch=0, batch_pred=F.col("doc_id") < h
         )
         delete_docs_from_substring_store(
-            spark, sf_dir, path,
+            spark, sf_dir, p,
             delete_pred=_delete_pred() & (F.col("doc_id") < h), batch=1,
         )
-        with open(done, "w") as f:
+        with open(os.path.join(p, "_SEQ_COMPLETE"), "w") as f:
             f.write("ingest + delete complete\n")
-    return path
+
+    return ensure_store(
+        _deleted_substring_store_path(sf_dir), build, marker="_SEQ_COMPLETE"
+    )
 
 
 @query(
@@ -1428,21 +1427,22 @@ def _deleted_phash_store_path(sf_dir: str, *, vacuum: bool) -> str:
 def _ensure_deleted_phash_store(
     spark: SparkSession, sf_dir: str, h: int, *, vacuum: bool
 ) -> str:
-    path = _deleted_phash_store_path(sf_dir, vacuum=vacuum)
-    done = os.path.join(path, "_SEQ_COMPLETE")
-    if not os.path.exists(done):
+    def build(p: str) -> None:
         upsert_phash_batch(
-            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h
+            spark, sf_dir, p, batch=0, batch_pred=F.col("doc_id") < h
         )
         deleted = load_table(spark, sf_dir, "documents", columns=["doc_id"]).filter(
             _delete_pred() & (F.col("doc_id") < h)
         )
-        upsert_tombstones(deleted, path, batch=0)
+        upsert_tombstones(deleted, p, batch=0)
         if vacuum:
-            purge_phash_store(spark, path)
-        with open(done, "w") as f:
+            purge_phash_store(spark, p)
+        with open(os.path.join(p, "_SEQ_COMPLETE"), "w") as f:
             f.write("ingest + delete%s complete\n" % (" + vacuum" if vacuum else ""))
-    return path
+
+    return ensure_store(
+        _deleted_phash_store_path(sf_dir, vacuum=vacuum), build, marker="_SEQ_COMPLETE"
+    )
 
 
 @query(
@@ -1501,23 +1501,22 @@ def _deleted_sem_store_path(sf_dir: str) -> str:
 
 
 def _ensure_deleted_sem_store(spark: SparkSession, sf_dir: str, h: int) -> str:
-    path = _deleted_sem_store_path(sf_dir)
-    done = os.path.join(path, "_SEQ_COMPLETE")
-    if not os.path.exists(done):
+    def build(p: str) -> None:
         init_semdedup_store(
-            spark, sf_dir, path,
+            spark, sf_dir, p,
             seed_pred=(F.col("vec_id") % 64 == 0) & (F.col("vec_id") < h),
         )
         upsert_semdedup_batch(
-            spark, sf_dir, path, batch=0, batch_pred=F.col("vec_id") < h
+            spark, sf_dir, p, batch=0, batch_pred=F.col("vec_id") < h
         )
         deleted = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).filter(
             (F.col("vec_id") % 7 == 3) & (F.col("vec_id") < h)
         )
-        upsert_tombstones(deleted, path, batch=0, id_col="vec_id")
-        with open(done, "w") as f:
+        upsert_tombstones(deleted, p, batch=0, id_col="vec_id")
+        with open(os.path.join(p, "_SEQ_COMPLETE"), "w") as f:
             f.write("ingest + delete complete\n")
-    return path
+
+    return ensure_store(_deleted_sem_store_path(sf_dir), build, marker="_SEQ_COMPLETE")
 
 
 @query(
@@ -1751,12 +1750,12 @@ def _mh_store_oracle(hist_filter: str = "") -> str:
 
 
 def _ensure_minhash_store(spark: SparkSession, sf_dir: str, h: int) -> str:
-    path = minhash_store_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_BUILT")):
-        upsert_minhash_batch(
-            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h
-        )
-    return path
+    return ensure_store(
+        minhash_store_path(sf_dir),
+        lambda p: upsert_minhash_batch(
+            spark, sf_dir, p, batch=0, batch_pred=F.col("doc_id") < h
+        ),
+    )
 
 
 @query("minhash_incremental_store", oracle=_mh_store_oracle())
@@ -1781,19 +1780,20 @@ def _deleted_minhash_store_path(sf_dir: str) -> str:
 
 
 def _ensure_deleted_minhash_store(spark: SparkSession, sf_dir: str, h: int) -> str:
-    path = _deleted_minhash_store_path(sf_dir)
-    done = os.path.join(path, "_SEQ_COMPLETE")
-    if not os.path.exists(done):
+    def build(p: str) -> None:
         upsert_minhash_batch(
-            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < h
+            spark, sf_dir, p, batch=0, batch_pred=F.col("doc_id") < h
         )
         deleted = load_table(spark, sf_dir, "documents", columns=["doc_id"]).filter(
             _delete_pred() & (F.col("doc_id") < h)
         )
-        delete_docs_from_minhash_store(spark, deleted, path, batch=0)
-        with open(done, "w") as f:
+        delete_docs_from_minhash_store(spark, deleted, p, batch=0)
+        with open(os.path.join(p, "_SEQ_COMPLETE"), "w") as f:
             f.write("ingest + delete complete\n")
-    return path
+
+    return ensure_store(
+        _deleted_minhash_store_path(sf_dir), build, marker="_SEQ_COMPLETE"
+    )
 
 
 @query(
@@ -1979,11 +1979,9 @@ def _url_store_oracle(hist_filter: str = "") -> str:
 
 
 def _ensure_url_store(spark: SparkSession, sf_dir: str, h: int, *, deleted: bool) -> str:
-    path = _url_store_path(sf_dir, deleted=deleted)
-    done = os.path.join(path, "_SEQ_COMPLETE")
-    if not os.path.exists(done):
+    def build(p: str) -> None:
         upsert_fingerprints(
-            _url_fingerprints(spark, sf_dir, F.col("doc_id") < h), path, batch=0
+            _url_fingerprints(spark, sf_dir, F.col("doc_id") < h), p, batch=0
         )
         if deleted:
             rows = (
@@ -1997,10 +1995,13 @@ def _ensure_url_store(spark: SparkSession, sf_dir: str, h: int, *, deleted: bool
                 )
                 .withColumn("batch", F.lit(1))
             )
-            upsert_partitions(rows, path, partition_by=["band", "batch"])
-        with open(done, "w") as f:
+            upsert_partitions(rows, p, partition_by=["band", "batch"])
+        with open(os.path.join(p, "_SEQ_COMPLETE"), "w") as f:
             f.write("url ingest%s complete\n" % (" + delete" if deleted else ""))
-    return path
+
+    return ensure_store(
+        _url_store_path(sf_dir, deleted=deleted), build, marker="_SEQ_COMPLETE"
+    )
 
 
 @query("url_incremental_store", oracle=_url_store_oracle())
@@ -2111,11 +2112,9 @@ def _segment_store_oracle(hist_filter: str = "") -> str:
 def _ensure_segment_store(
     spark: SparkSession, sf_dir: str, h: int, *, deleted: bool
 ) -> str:
-    path = _segment_store_path(sf_dir, deleted=deleted)
-    done = os.path.join(path, "_SEQ_COMPLETE")
-    if not os.path.exists(done):
+    def build(p: str) -> None:
         upsert_fingerprints(
-            _segment_fingerprints(spark, sf_dir, F.col("doc_id") < h), path, batch=0
+            _segment_fingerprints(spark, sf_dir, F.col("doc_id") < h), p, batch=0
         )
         if deleted:
             rows = (
@@ -2129,10 +2128,13 @@ def _ensure_segment_store(
                 )
                 .withColumn("batch", F.lit(1))
             )
-            upsert_partitions(rows, path, partition_by=["band", "batch"])
-        with open(done, "w") as f:
+            upsert_partitions(rows, p, partition_by=["band", "batch"])
+        with open(os.path.join(p, "_SEQ_COMPLETE"), "w") as f:
             f.write("segment ingest%s complete\n" % (" + delete" if deleted else ""))
-    return path
+
+    return ensure_store(
+        _segment_store_path(sf_dir, deleted=deleted), build, marker="_SEQ_COMPLETE"
+    )
 
 
 def segment_store_serve(

@@ -177,8 +177,8 @@ def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _SIGS_CACHE.get(key)
     if s is None:
         g = hashed_grams(spark, sf_dir)
-        s = minhash_signature_agg(g, ["doc_id"], "hs", k=32, pre_hashed=True).localCheckpoint(
-            eager=True
+        s = minhash_signature_agg(g, ["doc_id"], "hs", k=32, pre_hashed=True).transform(
+            checkpoint_df  # through the reliability switch like every loop-body site
         )
         _SIGS_CACHE[key] = s
     return s
@@ -4617,8 +4617,8 @@ def _bpe_word_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize it so the corpus is scanned exactly once
     return wc.withColumn(
         "s", F.regexp_replace(_bpe_clean_word(F.col("w")), "(.)", "<$1>")
-    ).localCheckpoint(
-        eager=True
+    ).transform(
+        checkpoint_df  # through the reliability switch like every loop-body site
     )
 
 
@@ -6306,12 +6306,19 @@ def build_unigram_vocab_store(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     path = unigram_vocab_store_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_BUILT")):
+        return path  # training is the expensive part — skip before it
     rows = unigram_train_rows(spark, _ulm_word_counts(spark, sf_dir))
     df = spark.createDataFrame(rows, "piece string, cnt long, score_q long")
-    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "vocab"))
-    with open(os.path.join(path, "_BUILT"), "w") as f:
-        f.write("ulm vocab v1\n")
-    return path
+
+    def build(p: str) -> None:
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(p, "vocab"))
+        with open(os.path.join(p, "_BUILT"), "w") as f:
+            f.write("ulm vocab v1\n")
+
+    from columnflow_spark.sources.sinks import ensure_store
+
+    return ensure_store(path, build)
 
 
 def _ulm_vocab(spark: SparkSession, sf_dir: str) -> list[tuple[str, int, int]]:
@@ -6325,9 +6332,7 @@ def _ulm_vocab(spark: SparkSession, sf_dir: str) -> list[tuple[str, int, int]]:
     key = (session_key(spark), sf_dir)
     cached = _ULM_CACHE.get(key)
     if cached is None:
-        path = unigram_vocab_store_path(sf_dir)
-        if not os.path.exists(os.path.join(path, "_BUILT")):
-            build_unigram_vocab_store(spark, sf_dir)
+        path = build_unigram_vocab_store(spark, sf_dir)
         cached = sorted(
             (r.piece, int(r.cnt), int(r.score_q))
             for r in spark.read.parquet(os.path.join(path, "vocab")).collect()

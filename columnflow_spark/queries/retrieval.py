@@ -39,6 +39,7 @@ from columnflow_spark.functions.similarity import cosine
 from columnflow_spark.functions.skew import salted_topk
 from columnflow_spark.queries import query
 from columnflow_spark.sources import load_table, spread
+from columnflow_spark.sources.sinks import ensure_store
 
 # fixed search workload: deterministic multi-term keyword queries over the
 # synthetic corpus vocabulary (TESTDATA.md documents.text)
@@ -1015,19 +1016,18 @@ def _ensure_postings_store(spark: SparkSession, sf_dir: str) -> str:
     upsert idempotently overwrites its own ``batch=`` slices."""
     import os
 
-    path = postings_store_path(sf_dir)
-    done = os.path.join(path, "_SEQ_COMPLETE")
-    if not os.path.exists(done):
+    def build(p: str) -> None:
         n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
         upsert_postings_batch(
-            spark, sf_dir, path, batch=0, batch_pred=F.col("doc_id") < n // 2
+            spark, sf_dir, p, batch=0, batch_pred=F.col("doc_id") < n // 2
         )
         upsert_postings_batch(
-            spark, sf_dir, path, batch=1, batch_pred=F.col("doc_id") >= n // 2
+            spark, sf_dir, p, batch=1, batch_pred=F.col("doc_id") >= n // 2
         )
-        with open(done, "w") as f:
+        with open(os.path.join(p, "_SEQ_COMPLETE"), "w") as f:
             f.write("2-batch ingest complete\n")
-    return path
+
+    return ensure_store(postings_store_path(sf_dir), build, marker="_SEQ_COMPLETE")
 
 
 @query("bm25_incremental_postings", oracle=BM25_TOPK_ORACLE)
@@ -1111,15 +1111,15 @@ def _ensure_deleted_postings_store(spark: SparkSession, sf_dir: str) -> str:
     # still-undeleted docs that passes the reuse check forever (ADVICE
     # r6).  The re-run is safe: the ingest overwrites every batch=0
     # slice (resetting any partial delete), then the delete re-applies.
-    done = os.path.join(path, "_SEQ_COMPLETE")
-    if not os.path.exists(done):
-        upsert_postings_batch(spark, sf_dir, path, batch=0, batch_pred=F.lit(True))
+    def build(p: str) -> None:
+        upsert_postings_batch(spark, sf_dir, p, batch=0, batch_pred=F.lit(True))
         delete_docs_from_postings(
-            spark, sf_dir, path, delete_pred=F.col("doc_id") % 7 == 3, batch=1
+            spark, sf_dir, p, delete_pred=F.col("doc_id") % 7 == 3, batch=1
         )
-        with open(done, "w") as f:
+        with open(os.path.join(p, "_SEQ_COMPLETE"), "w") as f:
             f.write("ingest+delete complete\n")
-    return path
+
+    return ensure_store(path, build, marker="_SEQ_COMPLETE")
 
 
 @query(
