@@ -2358,14 +2358,18 @@ def streaming_graph_ann_cdc_vacuum(spark: SparkSession, sf_dir: str) -> DataFram
 # stored row whose label is still live IS current, and the per-batch
 # relabel read is a label-pruned partition read, never a latest-wins
 # window over the store.  Per batch: resolve the batch endpoints'
-# current labels (bounded semi-join + collect — batch-grain, the
-# driver-union-find precedent of components_from_edges), union-find
-# over label-level edges on the driver (bounded by batch size), then
-# rewrite exactly the members of the absorbed labels as the next
-# slice.  Min-merge union-find is CONFLUENT, so any batch boundary
-# lands the same fixpoint: final label = min node id of the component,
-# which is exactly the batch oracle's recursive min-reachability —
-# shared compare semantics, rows replay-fenced at batch <= b.
+# current labels IN-PLAN (semi-joined store read — distributed), reduce
+# the batch to LABEL-LEVEL edges (bounded by components touched, never
+# raw pair count), and solve with the shared components_from_edges —
+# driver union-find below _CC_DRIVER_MAX_EDGES, the distributed
+# min-label loop above it (or under SPARK_GRAFT_CC_DISTRIBUTED=1) —
+# then rewrite exactly the members of the absorbed labels as the next
+# slice.  Min-merge is CONFLUENT, so any batch boundary lands the same
+# fixpoint: final label = min node id of the component, which is
+# exactly the batch oracle's recursive min-reachability — shared
+# compare semantics, rows replay-fenced at batch <= b.  No collect in
+# the sink is corpus-proportional: the only raw collects are the
+# absorbed labels' gb= bucket ids (≤ _SCC_GB, a constant).
 _SCC_PART_OFF = 1_000_000_000  # part node ids (disjoint from orders)
 _SCC_QTY_MIN = 49  # sparsity predicate: ~4% of lineitems become edges
 _SCC_GB = 16
@@ -2420,58 +2424,85 @@ def streaming_connected_components(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from columnflow_spark.queries.mmdata import components_from_edges
+
         b = int(batch_id)
-        pairs = [(r.a, r.b) for r in batch_df.select("a", "b").distinct().collect()]
-        if not pairs:
+        pairs = batch_df.select("a", "b").distinct().transform(checkpoint_df)
+        if pairs.isEmpty():
             return
-        endpoints = sorted({x for p in pairs for x in p})
-        cur: dict = {}
+        nodes = (
+            pairs.select(F.col("a").alias("node"))
+            .union(pairs.select(F.col("b").alias("node")))
+            .distinct()
+        )
         if wrote["any"]:
-            ep = spark.createDataFrame([(x,) for x in endpoints], "node long")
-            rows = (
+            # latest-wins per node, resolved IN-PLAN: a relabeled node
+            # keeps its stale rows (only the LABEL-pruned member read
+            # can skip the window; a NODE-keyed lookup cannot) — the
+            # window runs over the semi-joined (batch-bounded) rows,
+            # never the store
+            wn = W.partitionBy("node").orderBy(F.desc("batch"))
+            cur = (
                 spark.read.parquet(store)
                 .filter(F.col("batch") <= b)  # replay fence
-                .join(F.broadcast(ep), "node", "left_semi")
-                .select("node", "label", "batch")
-                .collect()
+                .join(nodes, "node", "left_semi")
+                .withColumn("_rn", F.row_number().over(wn))
+                .filter(F.col("_rn") == 1)
+                .select("node", "label")
             )
-            # latest-wins per node: a relabeled node keeps its stale
-            # rows (only the LABEL-pruned member read can skip the
-            # window; a NODE-keyed lookup cannot)
-            best: dict = {}
-            for r in rows:
-                if r.node not in best or r.batch > best[r.node][1]:
-                    best[r.node] = (r.label, r.batch)
-            cur = {k: v[0] for k, v in best.items()}
-        # driver union-find over LABEL-level edges (batch-bounded)
-        parent: dict = {}
-
-        def find(x):
-            while parent.get(x, x) != x:
-                parent[x] = parent.get(parent[x], parent[x])
-                x = parent[x]
-            return x
-
-        for a, bb in pairs:
-            ra, rb = find(cur.get(a, a)), find(cur.get(bb, bb))
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        absorbed = sorted(l for l in parent if find(l) != l)
-        new_rows = [
-            (node, find(cur.get(node, node)))
-            for node in endpoints
-            if node not in cur
-        ]
-        out = spark.createDataFrame(new_rows or [], "node long, label long")
-        if absorbed and wrote["any"]:
-            amap = spark.createDataFrame(
-                [(l, find(l)) for l in absorbed], "label long, root long"
+        else:
+            cur = spark.createDataFrame([], "node long, label long")
+        cur = cur.transform(checkpoint_df)
+        # LABEL-level edges: resolve both endpoints to their current
+        # labels distributed, keep only cross-component pairs — bounded
+        # by components touched, never by raw batch pair count
+        lab_edges = (
+            pairs.join(
+                cur.select(F.col("node").alias("a"), F.col("label").alias("la")),
+                "a",
+                "left",
             )
+            .join(
+                cur.select(F.col("node").alias("b"), F.col("label").alias("lb")),
+                "b",
+                "left",
+            )
+            .select(
+                F.coalesce("la", F.col("a")).alias("x"),
+                F.coalesce("lb", F.col("b")).alias("y"),
+            )
+            .filter(F.col("x") != F.col("y"))
+            .select(F.least("x", "y").alias("d1"), F.greatest("x", "y").alias("d2"))
+            .distinct()
+            .transform(checkpoint_df)
+        )
+        touched = (
+            lab_edges.select(F.col("d1").alias("doc_id"))
+            .union(lab_edges.select(F.col("d2").alias("doc_id")))
+            .distinct()
+        )
+        # shared solve: driver union-find below _CC_DRIVER_MAX_EDGES,
+        # distributed min-label loop above it (the batch precedent)
+        rootmap = (
+            components_from_edges(touched, lab_edges)
+            .select(F.col("doc_id").alias("label"), F.col("component").alias("root"))
+            .transform(checkpoint_df)
+        )
+        amap = rootmap.filter(F.col("root") != F.col("label"))
+        new_rows = (
+            nodes.join(cur, "node", "left_anti")
+            .join(
+                amap.select(F.col("label").alias("node"), "root"), "node", "left"
+            )
+            .select("node", F.coalesce("root", F.col("node")).alias("label"))
+        )
+        out = new_rows
+        if wrote["any"] and not amap.isEmpty():
             gbs = sorted(
                 {r.gb for r in amap.select(
                     F.pmod(F.xxhash64("label"), F.lit(_SCC_GB)).alias("gb")
                 ).distinct().collect()}
-            )
+            )  # bounded: ≤ _SCC_GB distinct bucket ids, a constant
             # LIVE-LABEL invariant: every row under an absorbed (still-
             # live) label is current — a label-pruned partition read,
             # no window over the store
@@ -2479,7 +2510,7 @@ def streaming_connected_components(spark: SparkSession, sf_dir: str) -> DataFram
                 spark.read.parquet(store)
                 .filter(F.col("batch") <= b)
                 .filter(F.col("gb").isin(gbs))
-                .join(F.broadcast(amap), "label")
+                .join(amap, "label")
                 .select("node", F.col("root").alias("label"))
             )
             out = out.unionByName(members)
