@@ -72,6 +72,7 @@ _MODULES = (
     "columnflow_spark.queries.warehouse",
     "columnflow_spark.queries.governance",
     "columnflow_spark.queries.streaming",
+    "columnflow_spark.queries.ccstore",
     "columnflow_spark.queries.analysis_demo",
 )
 
