@@ -88,3 +88,65 @@ def test_serve_runs_at_sketch_grain(spark, sf_dir):
     assert "events.parquet" not in buf.getvalue()
     # store scan only
     assert tree.count("Scan parquet") <= 1, tree
+
+
+def test_delete_rebuilds_only_affected_slices(spark, sf_dir, tmp_path):
+    """The delete contract is a BOUNDED per-slice rebuild: a delete set
+    confined to one ingest slice's id range must rebuild exactly that
+    slice (the _slices sidecar proves the routing), leave the others'
+    files untouched, and the settled serve must equal the from-scratch
+    sketch over the reduced corpus."""
+    import glob
+    import os
+
+    from columnflow_spark.queries.timeseries import (
+        _build_qsk_store,
+        _qsk_batch_sample,
+        qsk_apply_deletes,
+        qsk_request_delete,
+        qsk_store_serve,
+        qsk_summarize,
+    )
+    from columnflow_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "qsk")
+    _build_qsk_store(spark, sf_dir, path)
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, "batch=*", "*.parquet"))
+    }
+    # a delete set inside slice 0's range only
+    sl = {r.batch: (r.lo, r.hi) for r in spark.read.parquet(os.path.join(path, "_slices")).collect()}
+    lo0, hi0 = sl[0]
+    ids = (
+        load_table(spark, sf_dir, "events", columns=["event_id"])
+        .filter((F.col("event_id") >= lo0) & (F.col("event_id") < hi0))
+        .filter(F.col("event_id") % 5 == 0)
+        .distinct()
+    )
+    qsk_request_delete(ids, path, batch=0)
+    assert qsk_apply_deletes(spark, sf_dir, path) == [0]
+    assert not os.path.exists(os.path.join(path, "_deleted"))
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, "batch=*", "*.parquet"))
+    }
+    untouched = {f: t for f, t in before.items() if "batch=0" not in f}
+    assert all(after.get(f) == t for f, t in untouched.items())
+    # settled serve == from-scratch sketch of the reduced corpus
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+    fresh = qsk_summarize(
+        _qsk_batch_sample(ev.join(F.broadcast(ids), "event_id", "left_anti"))
+    )
+    assert sorted(map(tuple, qsk_store_serve(spark, path).collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+    # idempotent re-delete: requesting the same set again changes nothing
+    qsk_request_delete(ids, path, batch=1)
+    assert qsk_apply_deletes(spark, sf_dir, path) == [0]
+    assert sorted(map(tuple, qsk_store_serve(spark, path).collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+    # no pending deletes -> no-op
+    assert qsk_apply_deletes(spark, sf_dir, path) == []
