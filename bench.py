@@ -167,9 +167,13 @@ BENCH_QUERIES = [
     "ann_graph_trained_entry_topk",
     "hybrid_search_rrf_filtered",
     "order_part_components",
+    # r12: CC retraction (bounded re-solve of affected components)
+    "order_part_components_delete",
     "quantile_sketch_values",
     "quantile_sliding_window",
     "quantile_sketch_incremental",
+    # r12: delete-through-the-store settle + serve
+    "quantile_sketch_store_delete",
     "ltr_rerank_topk",
     "ltr_pairwise_rerank_topk",
     # single-pass distributed model fit + index build
@@ -525,7 +529,22 @@ def _driver_line(timings: dict[str, float], sf_val, budget: int) -> str:
     cand4 = json.dumps({**scalars, "names": "idx-sorted1", "queries": q1}, **compact)
     if len(cand4) <= budget:
         return cand4
-    return cand4  # smallest representable form — best effort floor
+
+    # last tier (suite crossed ~150 projected lines in round 12): three
+    # SIGNIFICANT digits — multi-second lines drop decimals (123.5 ->
+    # 123, where 0.4s is noise anyway) while sub-second lines keep their
+    # regression granularity (0.123); BENCHLOG keeps the 4-decimal truth
+    def _sig3(v: float):
+        from math import floor, log10
+
+        if v <= 0:
+            return 0
+        r = round(v, max(0, 2 - floor(log10(abs(v)))))
+        return int(r) if r == int(r) else r
+
+    q2 = {idx[k]: _sig3(v) for k, v in timings.items()}
+    cand5 = json.dumps({**scalars, "names": "idx-sorted-sig3", "queries": q2}, **compact)
+    return cand5  # smallest representable form — best effort floor
 
 
 if __name__ == "__main__":

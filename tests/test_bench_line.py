@@ -58,10 +58,10 @@ def test_idx_tier_mapping_is_reconstructible():
     parsed = json.loads(line)
     # either idx tier is reconstructible the same way (the 1-decimal
     # variant is the r10 growth tier; values coarsen, keys don't)
-    assert parsed["names"] in ("idx-sorted", "idx-sorted1")
+    assert parsed["names"] in ("idx-sorted", "idx-sorted1", "idx-sorted-sig3")
     names_sorted = sorted(timings)
     remap = {f"q{i}": n for i, n in enumerate(names_sorted)}
     assert set(remap) == set(parsed["queries"])
     got = parsed["queries"][f"q{names_sorted.index('q1_pricing_summary')}"]
-    expected = 1.23 if parsed["names"] == "idx-sorted" else 1.2
+    expected = {"idx-sorted": 1.23, "idx-sorted1": 1.2, "idx-sorted-sig3": 1.23}[parsed["names"]]
     assert abs(got - expected) < 1e-9

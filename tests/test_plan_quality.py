@@ -766,12 +766,19 @@ _PLAN_BUDGETS = {
     # sliding form works off the checkpointed daily-sketch table
     "quantile_sketch_values": (4, 1),
     "quantile_sketch_incremental": (3, 1),
+    # r12 delete twin serves the identical store-read shape (the
+    # settle/rebuild is paid before the returned plan)
+    "quantile_sketch_store_delete": (3, 1),
     "quantile_sliding_window": (4, 0),
     # r10 LTR: serve is a projection + bounded rank over the
     # checkpointed pool features (weights are plan literals; the
     # pairwise variant serves the identical plan shape)
     "ltr_rerank_topk": (2, 0),
     "ltr_pairwise_rerank_topk": (2, 0),
+    # r12 CC retraction batch twin: base/affected solves ride broadcast
+    # component maps over the checkpointed edge lists; the final plan is
+    # the keep/resolved union + one orders scan join + the sort
+    "order_part_components_delete": (8, 2),
 }
 
 
