@@ -158,6 +158,10 @@ BENCH_QUERIES = [
     # quantile sketch (one-pass + store serve), pointwise LTR re-rank
     "ann_graph_store_topk",
     "ann_graph_insert_topk",
+    # r12: shard-parallel build + cross-shard merge, COLD each sample
+    # (the line measures the build+merge cost, not the steady serve —
+    # the serve is plan-identical to ann_graph_beam_topk)
+    "ann_graph_sharded_topk",
     # r11: vacuum serve (store build+repair split into its own line),
     # filtered search both arms, trained-entry routing (kmeans build
     # split), all steady-state in the query loop
@@ -255,7 +259,10 @@ def main() -> None:
     # of OTHER session artifacts keep their intended warm inputs.
     import columnflow_spark.queries.mmdata as _mm
 
+    import columnflow_spark.queries.anngraph as _agc
+
     cold_first: dict[str, list[dict]] = {
+        "ann_graph_sharded_topk": [_agc._G_SHARD_CACHE],
         "dedup_shingle_index": [_mm._GRAMS_CACHE],
         "dedup_minhash_lsh": [_mm._SIGS_CACHE],
         "ann_pq_adc_topk": [_mm._PQ_CB_CACHE],

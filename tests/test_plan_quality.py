@@ -745,6 +745,8 @@ _PLAN_BUDGETS = {
     "ann_graph_adjacency_stats": (10, 0),
     "ann_graph_beam_topk": (2, 0),
     "ann_graph_store_topk": (2, 0),
+    # r12 shard-merge serve: identical beam over the merged pages
+    "ann_graph_sharded_topk": (2, 0),
     "ann_graph_delete_topk": (3, 1),
     "ann_graph_insert_topk": (2, 0),
     # r11 vacuum: serve reads only the repaired store (beam fetches are
