@@ -191,13 +191,16 @@ def _rewrite_refs(sql: str, mapping: dict[str, str]) -> str:
     )
 
 
-#: comma-separated relation lists (``FROM a x, b y``) sit outside
-#: _rewrite_refs' relation-position grammar; matching bare commas would
-#: false-match function-argument commas, so chains containing the shape
-#: fall back to verbatim execution instead (correct, just un-cached)
+#: BARE-NAME comma relations (``FROM a x, b y`` — the second name never
+#: hits the FROM/JOIN rewrite) send a chain to verbatim execution.
+#: The guard must stay narrow: a comma followed by ``(`` is fine (the
+#: subquery's own FROM is rewritten — the beam-chain ``FROM qv q,
+#: (SELECT ...) c`` shape, which stepwise has always handled; flagging
+#: it re-ran the 6-min build replay per graph oracle), and matching
+#: bare commas generally would false-match function arguments.
 _COMMA_JOIN = re.compile(
     r"\b(?:FROM|JOIN)\s+[A-Za-z_][A-Za-z0-9_]*"
-    r"(?:\s+(?:AS\s+)?[A-Za-z_][A-Za-z0-9_]*)?\s*,",
+    r"(?:\s+(?:AS\s+)?[A-Za-z_][A-Za-z0-9_]*)?\s*,\s*[A-Za-z_]",
     re.IGNORECASE,
 )
 

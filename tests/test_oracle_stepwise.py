@@ -96,3 +96,22 @@ def test_comma_join_chain_falls_back_to_verbatim():
     out = run_oracle_stepwise(con, sql, created)
     assert out["s"].tolist() == [3]
     assert created == set()  # verbatim path: no temp tables created
+
+
+def test_subquery_comma_relation_stays_stepwise():
+    """The beam chain's `FROM qv q, (SELECT ...) c` shape (second
+    relation a SUBQUERY) is fully handled by the rewrite — it must NOT
+    trip the bare-name comma-join guard (r12 regression: flagging it
+    re-ran the 6-minute build replay per graph oracle at sf1)."""
+    from columnflow_spark.oracle import run_oracle_stepwise
+
+    con = duckdb_connection(SF)
+    sql = """
+    WITH a AS MATERIALIZED (SELECT 1 AS x),
+    c AS MATERIALIZED (SELECT x, y FROM a t1, (SELECT 2 AS y FROM a) t2)
+    SELECT x + y AS s FROM c
+    """
+    created: set = set()
+    out = run_oracle_stepwise(con, sql, created)
+    assert out["s"].tolist() == [3]
+    assert any(t.startswith("a__") for t in created), created  # stepwise ran
