@@ -319,6 +319,37 @@ def cc_retract_edges(
     )
 
 
+def cc_compact_store(spark: SparkSession, store: str) -> str:
+    """Physical fold (the family's vacuum): rewrite BOTH sidecars as one
+    ``batch=0`` layout — each node's single current row under its
+    current label's bucket, each LIVE edge re-labeled to its component's
+    current label, tombstones and stale dual-bucket history dropped.
+    The full-store read is the one corpus-proportional read compaction
+    is allowed (the graph-vacuum rule); each sidecar rewrite is
+    ``replace_store``'s atomic tmp+swap, and a crash between the two
+    swaps leaves a correct store (the sidecars are independently
+    complete) that a re-run finishes — idempotent.  Run at stream
+    quiescence, like every other store vacuum: a micro-batch replayed
+    from BEFORE the compaction horizon would see folded state."""
+    from columnflow_spark.sources.sinks import replace_store
+
+    labels = cc_current_labels(spark, store).transform(checkpoint_df)
+    nodes_new = labels.select("node", "label", _gb().alias("gb"), F.lit(0).alias("batch"))
+    edges_new = (
+        _latest(spark.read.parquet(_edges_path(store)), ["a", "b"])
+        .filter(F.col("live"))
+        .select("a", "b")
+        .join(labels.select(F.col("node").alias("a"), "label"), "a")
+        .select(
+            "a", "b", "label", F.lit(True).alias("live"),
+            _gb().alias("gb"), F.lit(0).alias("batch"),
+        )
+    )
+    replace_store(nodes_new, _nodes_path(store), partition_by=["gb", "batch"])
+    replace_store(edges_new, _edges_path(store), partition_by=["gb", "batch"])
+    return store
+
+
 def cc_current_labels(spark: SparkSession, store: str) -> DataFrame:
     """At-rest ``(node, label)``: global latest-wins per node."""
     return _latest(spark.read.parquet(_nodes_path(store)), ["node"]).select(
@@ -429,15 +460,11 @@ def order_part_components_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_cc_cdc", oracle=_CC_DEL_ORACLE)
-def streaming_cc_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CC with CDC deletes (completes the r9 rule — every
-    incremental store family propagates deletions): the edge stream
-    ingests through :func:`cc_apply_edges` (the insert sink contract),
-    then the ``qty == {_SCC_QTY_MIN}`` retractions land as two delete
-    batches through :func:`cc_retract_edges` — split re-solve bounded to
-    the touched components.  At rest ≡ the batch twin ≡ the reduced-set
-    min-reachability oracle."""
+def _run_cc_cdc_lifecycle(spark: SparkSession, sf_dir: str) -> str:
+    """Shared CDC drive: stream-ingest the ``qty >= {_SCC_QTY_MIN}``
+    edges through :func:`cc_apply_edges`, then retract the
+    ``qty == {_SCC_QTY_MIN}`` pairs as two delete batches through
+    :func:`cc_retract_edges`.  Returns the store path."""
     from columnflow_spark.sources.pydatasource import register
 
     register(spark)
@@ -482,4 +509,30 @@ def streaming_cc_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across batch boundaries, not just as one big retraction
     cc_retract_edges(spark, dels.filter(F.col("a") % 2 == 0), store, 1000)
     cc_retract_edges(spark, dels.filter(F.col("a") % 2 == 1), store, 1001)
+    return store
+
+
+@query("streaming_cc_cdc", oracle=_CC_DEL_ORACLE)
+def streaming_cc_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CC with CDC deletes (completes the r9 rule — every
+    incremental store family propagates deletions): the edge stream
+    ingests through :func:`cc_apply_edges` (the insert sink contract),
+    then the ``qty == {_SCC_QTY_MIN}`` retractions land as two delete
+    batches through :func:`cc_retract_edges` — split re-solve bounded to
+    the touched components.  At rest ≡ the batch twin ≡ the reduced-set
+    min-reachability oracle."""
+    store = _run_cc_cdc_lifecycle(spark, sf_dir)
+    return _order_labels(spark, sf_dir, cc_current_labels(spark, store))
+
+
+@query("streaming_cc_cdc_vacuum", oracle=_CC_DEL_ORACLE)
+def streaming_cc_cdc_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL lifecycle in one oracle chain (the graph family's
+    cdc-vacuum shape): stream ingest → CDC retractions → physical
+    compaction (:func:`cc_compact_store` folds both sidecars to one
+    batch=0 layout, purging tombstones and stale history) → serve.
+    Hash-equal to the un-compacted CDC serve and to the reduced-set
+    oracle — the layout invariance IS the vacuum correctness proof."""
+    store = _run_cc_cdc_lifecycle(spark, sf_dir)
+    cc_compact_store(spark, store)
     return _order_labels(spark, sf_dir, cc_current_labels(spark, store))

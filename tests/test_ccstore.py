@@ -97,3 +97,50 @@ def test_batch_and_streaming_delete_twins_agree(spark, sf_dir):
         for r in q["order_part_components"](spark, sf_dir).collect()
     }
     assert base != batch
+
+
+def test_compaction_folds_and_contract_continues(spark, tmp_path):
+    """The vacuum: compaction folds both sidecars to one batch=0 layout
+    (tombstones and stale dual-bucket history physically gone), the
+    at-rest labels are unchanged, and the apply/retract contract —
+    including a post-compaction rebirth — continues off the folded
+    base."""
+    import os
+
+    from columnflow_spark.queries.ccstore import (
+        _edges_path,
+        cc_compact_store,
+    )
+
+    store = str(tmp_path / "cc")
+    cc_apply_edges(spark, _edges(spark, [(1, 101)]), store, 0)
+    cc_apply_edges(spark, _edges(spark, [(0, 101), (2, 102)]), store, 1)
+    cc_retract_edges(spark, _edges(spark, [(0, 101)]), store, 2)
+    before = _labels(spark, store)
+    cc_compact_store(spark, store)
+    assert _labels(spark, store) == before
+    # physically folded: single batch=0 slice, no tombstones, no stale rows
+    edges_raw = spark.read.parquet(_edges_path(store)).collect()
+    assert all(r.batch == 0 and r.live for r in edges_raw)
+    assert {(r.a, r.b) for r in edges_raw} == {(1, 101), (2, 102)}
+    # idempotent re-compaction
+    cc_compact_store(spark, store)
+    assert _labels(spark, store) == before
+    # contract continues: merge into a label, then a rebirth-shaped split
+    cc_apply_edges(spark, _edges(spark, [(0, 101)]), store, 3)
+    assert _labels(spark, store) == {(0, 0), (1, 0), (101, 0), (2, 2), (102, 2)}
+    cc_retract_edges(spark, _edges(spark, [(0, 101)]), store, 4)
+    assert _labels(spark, store) == {(0, 0), (1, 1), (101, 1), (2, 2), (102, 2)}
+
+
+def test_cdc_vacuum_twin_matches_cdc(spark, sf_dir):
+    from columnflow_spark.queries import all_queries
+
+    q = all_queries()
+    cdc = {(r.order_id, r.component) for r in q["streaming_cc_cdc"](spark, sf_dir).collect()}
+    vac = {
+        (r.order_id, r.component)
+        for r in q["streaming_cc_cdc_vacuum"](spark, sf_dir).collect()
+    }
+    assert vac == cdc
+    assert len(vac) > 0
