@@ -260,9 +260,20 @@ def main() -> None:
     import columnflow_spark.queries.mmdata as _mm
 
     import columnflow_spark.queries.anngraph as _agc
+    import columnflow_spark.queries.graph as _gr
 
     cold_first: dict[str, list[dict]] = {
-        "ann_graph_sharded_topk": [_agc._G_SHARD_CACHE],
+        # the sharded line measures the COLD build+merge: purge the shared
+        # corpus build frame too (r13 — bucket bits + grid now land in one
+        # checkpointed pass shared across build variants), so every sample
+        # re-pays the full corpus pass, not just the merge
+        "ann_graph_sharded_topk": [_agc._G_SHARD_CACHE, _agc._G_CF_CACHE],
+        # first line of each iterative-graph family pays the session edge
+        # build COLD (r13 — _trade_edges/_coorder_edges are checkpointed
+        # session artifacts now, the shared-shingle-table pattern);
+        # downstream family members keep their intended warm edges
+        "pagerank_trade_graph": [_gr._EDGE_CACHE],
+        "graph_label_propagation": [_gr._EDGE_CACHE],
         "dedup_shingle_index": [_mm._GRAMS_CACHE],
         "dedup_minhash_lsh": [_mm._SIGS_CACHE],
         "ann_pq_adc_topk": [_mm._PQ_CB_CACHE],

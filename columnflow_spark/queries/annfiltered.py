@@ -73,8 +73,16 @@ def graph_filtered_topk(
     scan joined against the BROADCAST bounded visited-id set (never a
     corpus shuffle), then the bounded match-list broadcasts back into
     the visited frame."""
+    from columnflow_spark.core.state import checkpoint_df
+
     qv = _query_vectors(spark, sf_dir)
-    visited = _graph_beam(spark, qv, _session_pages(spark, sf_dir), beam_w=beam_w)
+    # collapse the per-round union ONCE before the label joins: the
+    # semi-join would otherwise be pushed into every union branch,
+    # duplicating the label scan + visited-id aggregate per round (r13 —
+    # visible in plans/r13/ann_graph_filtered_topk plans)
+    visited = _graph_beam(
+        spark, qv, _session_pages(spark, sf_dir), beam_w=beam_w
+    ).transform(checkpoint_df)
     vis_ids = visited.select("vec_id").distinct()
     matching = (
         _labels(spark, sf_dir)

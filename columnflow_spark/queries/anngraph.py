@@ -100,7 +100,16 @@ _G_ROUNDS = 4  # fixed synchronous expansion rounds
 # force 0.88 at n=500 / 0.76 at n=2000 — 2-3x the IVF+PQ arm at a
 # visited set of ~300-450 exact-scored vectors per query)
 _G_TOPK = 5
-_G_STORE_BUCKETS = 16  # gb= partition buckets of the page store
+#: LEGACY/default gb= bucket count — the serve-side fallback for stores
+#: written before the ``_BUCKETS`` metadata sidecar existed.  New stores
+#: derive their bucket count from corpus size at creation (r13, guide
+#: §2: make partitioning scale-adaptive — a constant bucket count makes
+#: every "pruned" read a constant 1/16 of the store instead of O(pages
+#: touched); see :func:`_derive_store_buckets`).
+_G_STORE_BUCKETS = 16
+#: target pages per gb= bucket at store creation: the per-bucket read
+#: stays ~this many rows no matter the corpus size
+_G_BUCKET_TARGET_PAGES = 1024
 _G_ENTRY_MOD = 64  # every 64th vector is an entry (routing) node
 _G_FORMAT = 2  # v2: _centroids routing sidecar (pre-sidecar stores rebuild)
 #: deletion workload for the tombstone twin (10 of 500 at sf0.01)
@@ -136,6 +145,37 @@ def _grid_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _G_ADJ_CACHE: dict = {}
 
+#: per-(session, sf_dir) combined build frame — see :func:`_corpus_frame`
+_G_CF_CACHE: dict = {}
+
+
+def _corpus_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(vec_id, g, bk0..bk{B-1})`` — ONE checkpointed corpus pass
+    serving BOTH the banded bucket join and exact grid scoring (r13
+    optimization, guide §1.2: the build previously paid separate
+    checkpointed passes for the bucket frame and the grid frame — at
+    100 TB that is two full corpus scans where one suffices, since the
+    sign bits and the grid quantization read the same embedding column).
+    Cached per (session, sf_dir) like the dedup family's shared shingle
+    table (``_GRAMS_CACHE``), so the full/base/sharded build variants
+    share the scan; bench cold-lines that must pay it purge this cache
+    (bench.py ``cold_first``)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cf = _G_CF_CACHE.get(key)
+    if cf is None:
+        emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+        bands = _band_planes()
+        cf = emb.select(
+            "vec_id",
+            _grid(F.col("embedding")).alias("g"),
+            *[
+                hyperplane_signs(F.col("embedding"), bands[b]).alias(f"bk{b}")
+                for b in range(_G_BANDS)
+            ],
+        ).transform(checkpoint_df)
+        _G_CF_CACHE[key] = cf
+    return cf
+
 
 def build_graph_adjacency(
     spark: SparkSession, sf_dir: str, node_pred=None, tag: str = "full"
@@ -145,11 +185,13 @@ def build_graph_adjacency(
     ``node_pred`` restricts which vectors become nodes (the incremental
     insert builds its base graph on the non-inserted subset).
 
-    The bucketed and grid frames are checkpointed so the whole build
-    reads the corpus exactly TWICE (one bucket pass, one grid pass) —
-    the lazy composition would otherwise rescan embeddings per band
-    side and per grid join (40 scans in the compiled plan); cached per
-    (session, sf_dir, tag) since every serving form starts from it.
+    The combined build frame (:func:`_corpus_frame`) is checkpointed so
+    the whole build reads the corpus exactly ONCE (bucket bits + grid
+    quantization in the same pass — r13; previously one bucket pass plus
+    one grid pass) — the lazy composition would otherwise rescan
+    embeddings per band side and per grid join (40 scans in the compiled
+    plan); cached per (session, sf_dir, tag) since every serving form
+    starts from it.
     A ``node_pred`` REQUIRES a non-default tag — the cache is keyed by
     tag, and a predicated build under tag='full' would poison the
     full-graph adjacency for the whole session."""
@@ -161,26 +203,13 @@ def build_graph_adjacency(
     key = (spark.sparkContext.applicationId, sf_dir, tag)
     if key in _G_ADJ_CACHE:
         return _G_ADJ_CACHE[key]
-    bucketed = _bucketed_frame(spark, sf_dir, node_pred)
+    cf = _corpus_frame(spark, sf_dir)
+    bucketed = cf if node_pred is None else cf.filter(node_pred)
     cand = _within_pairs(bucketed)
-    ge = _grid_emb(spark, sf_dir).transform(checkpoint_df)
+    ge = cf.select("vec_id", "g")
     adj = _adjacency_from_pairs(cand, ge)
     _G_ADJ_CACHE[key] = adj
     return adj
-
-
-def _bucketed_frame(spark: SparkSession, sf_dir: str, node_pred=None) -> DataFrame:
-    """``(vec_id, bk0..bk{B-1})`` — the banded LSH bucket ids, one
-    checkpointed corpus pass (at cluster scale this is the per-shard
-    job: each shard buckets only its own slice)."""
-    emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
-    if node_pred is not None:
-        emb = emb.filter(node_pred)
-    bands = _band_planes()
-    return emb.select(
-        "vec_id",
-        *[hyperplane_signs(F.col("embedding"), bands[b]).alias(f"bk{b}") for b in range(_G_BANDS)],
-    ).transform(checkpoint_df)
 
 
 def _within_pairs(bucketed: DataFrame) -> DataFrame:
@@ -257,16 +286,21 @@ def build_graph_adjacency_sharded(spark: SparkSession, sf_dir: str) -> DataFrame
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _G_SHARD_CACHE:
         return _G_SHARD_CACHE[key]
-    ba = _bucketed_frame(spark, sf_dir, F.col("vec_id") % 2 == 0)
-    bb = _bucketed_frame(spark, sf_dir, F.col("vec_id") % 2 == 1)
+    # one combined corpus pass serves both shards' bucket slices and the
+    # grid scoring (r13 — previously two per-shard bucket passes plus a
+    # grid pass; the shard split is a filter on the shared checkpointed
+    # frame, which at cluster scale maps to each shard job reading its
+    # own slice of the same columns)
+    cf = _corpus_frame(spark, sf_dir)
+    ba = cf.filter(F.col("vec_id") % 2 == 0)
+    bb = cf.filter(F.col("vec_id") % 2 == 1)
     cand = (
         _within_pairs(ba)
         .unionAll(_within_pairs(bb))
         .unionAll(_cross_pairs(ba, bb))
         .distinct()
     )
-    ge = _grid_emb(spark, sf_dir).transform(checkpoint_df)
-    adj = _adjacency_from_pairs(cand, ge)
+    adj = _adjacency_from_pairs(cand, cf.select("vec_id", "g"))
     _G_SHARD_CACHE[key] = adj
     return adj
 
@@ -283,7 +317,10 @@ def _pages_from_adj(
     nbrs = adj.groupBy(F.col("src").alias("vec_id")).agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
-    ge = _grid_emb(spark, sf_dir)
+    # pages are always built downstream of an adjacency build, so the
+    # checkpointed corpus frame exists — read grid vectors from it
+    # instead of a fresh parquet scan + spread shuffle (r13)
+    ge = _corpus_frame(spark, sf_dir).select("vec_id", "g")
     if node_pred is not None:
         ge = ge.filter(node_pred)
     return ge.join(nbrs, "vec_id", "left").select(
@@ -323,7 +360,19 @@ def _graph_beam(
     ``(vec_id, g)`` for entry routing.  ``beam_w`` widens the walk —
     the filtered-search accuracy knob (post-filtering a fixed-width
     beam loses recall as predicate selectivity drops; widening restores
-    it at a proportional page-read budget)."""
+    it at a proportional page-read budget).
+
+    Per-round materialization (r13 optimization, guide §1.2/§2.4): the
+    ONE eagerly checkpointed frame per round is the round's ``scored``
+    pages — it carries both the new visited rows AND the ``nbrs`` the
+    expansion needs.  The growing visited set stays a LAZY union of
+    those bounded checkpointed round frames (≤ seeds + W × DEG_CAP rows
+    per query per round, each a materialized leaf), and the entrant
+    frame is a lazy window/anti-join chain over them — so each round
+    runs one eager job instead of the previous three (visited
+    checkpoint + entrant checkpoint + fetch), which at serve time is
+    the difference between ~16 and ~7 scheduled jobs per walk with
+    identical dataflow and bit-identical results."""
     cents = pages_of(None, centroids=True)
     seed_sc = cents.join(F.broadcast(qv)).select(
         "query_id", "vec_id", _gdot(F.col("gq"), F.col("g")).alias("d")
@@ -337,11 +386,11 @@ def _graph_beam(
             entr.join(pages, "vec_id")
             .join(F.broadcast(qv), "query_id")
             .select("query_id", "vec_id", _gdot(F.col("gq"), F.col("g")).alias("d"), "nbrs")
+            # bounded state: <= seeds + W * DEG_CAP rows per query per round
+            .transform(checkpoint_df)
         )
         vis_new = scored.select("query_id", "vec_id", "d")
         visited = vis_new if visited is None else visited.unionAll(vis_new)
-        # bounded state: <= seeds + W * DEG_CAP rows per query per round
-        visited = visited.transform(checkpoint_df)
         beam = _topw(visited, beam_w)
         new_in_beam = (
             beam
@@ -357,7 +406,6 @@ def _graph_beam(
                 .select("query_id", F.explode("nbrs").alias("vec_id"))
                 .distinct()
                 .join(visited.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti")
-                .transform(checkpoint_df)
             )
         beam_prev = beam
     return visited
@@ -366,7 +414,9 @@ def _graph_beam(
 def _final_topk(visited: DataFrame, tombstone_path: str | None = None) -> DataFrame:
     out = visited.filter(F.col("vec_id") != F.col("query_id"))
     if tombstone_path is not None:
-        out = anti_tombstones(out, tombstone_path, id_col="vec_id")
+        # collapse the per-round union before the tombstone anti-join so
+        # the join is not pushed into every union branch (r13)
+        out = anti_tombstones(out.transform(checkpoint_df), tombstone_path, id_col="vec_id")
     w = W.partitionBy("query_id").orderBy(F.desc("d"), F.asc("vec_id"))
     return (
         out.withColumn("rk", F.row_number().over(w))
@@ -392,8 +442,24 @@ def _fetcher_over(pages: DataFrame):
     return fetch
 
 
+#: per-(session, sf_dir) checkpointed full pages frame — built once per
+#: session and shared by every in-session serve (beam/filtered/trained
+#: entry), the ``_G_UPD_CACHE`` pages precedent: repeated serves measure
+#: the beam, not a per-call page rematerialization (r13)
+_G_PAGES_CACHE: dict = {}
+
+
+def _session_pages_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pages = _G_PAGES_CACHE.get(key)
+    if pages is None:
+        pages = _pages_frame(spark, sf_dir).transform(checkpoint_df)
+        _G_PAGES_CACHE[key] = pages
+    return pages
+
+
 def _session_pages(spark: SparkSession, sf_dir: str):
-    return _fetcher_over(_pages_frame(spark, sf_dir).transform(checkpoint_df))
+    return _fetcher_over(_session_pages_frame(spark, sf_dir))
 
 
 # --- persisted page store (the annindex.py contract) ---
@@ -406,6 +472,38 @@ def graph_index_path(sf_dir: str) -> str:
 
 def _centroids_path(path: str) -> str:
     return os.path.join(path, "_centroids")
+
+
+def _derive_store_buckets(n_rows: int) -> int:
+    """Corpus-scaled power-of-two gb= bucket count: ~:data:`_G_BUCKET_TARGET_PAGES`
+    pages per bucket (floor 4, cap 2^20), so bucket pruning approximates
+    id pruning at ANY store size — the 100 TB fix for the constant-
+    fraction prune (a fixed 16 buckets reads 1/16 of the store per
+    touched bucket regardless of how few pages the serve needs)."""
+    b = 4
+    while b * _G_BUCKET_TARGET_PAGES < n_rows and b < (1 << 20):
+        b *= 2
+    return b
+
+
+def _write_store_buckets(path: str, buckets: int) -> None:
+    """Record the store's bucket modulus as the ``_BUCKETS`` metadata
+    sidecar (underscore-prefixed → carried through ``replace_store``
+    compaction by the sinks contract) so every later reader/writer uses
+    the modulus the store was PARTITIONED with."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_BUCKETS"), "w") as f:
+        f.write(f"{int(buckets)}\n")
+
+
+def _read_store_buckets(path: str) -> int:
+    """The store's recorded bucket modulus; pre-metadata stores fall back
+    to the legacy constant they were written with."""
+    try:
+        with open(os.path.join(path, "_BUCKETS")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return _G_STORE_BUCKETS
 
 
 def _mark_built(path: str) -> None:
@@ -422,6 +520,7 @@ def build_graph_index(
     node_pred=None,
     tag: str = "full",
     mark: bool = True,
+    buckets: int | None = None,
 ) -> str:
     """Persist the page store plus its ``_centroids`` routing sidecar.
 
@@ -431,6 +530,13 @@ def build_graph_index(
     build and that extra step must fail closed (no marker → rebuild),
     never serve a half-initialized store."""
     path = path or graph_index_path(sf_dir)
+    # scale-adaptive bucket count (r13): derived from corpus size at
+    # creation and recorded in store metadata so serves/ingests/compactions
+    # read the same modulus back — per-bucket reads stay O(target pages)
+    # instead of a constant fraction of the store
+    if buckets is None:
+        buckets = _derive_store_buckets(_corpus_frame(spark, sf_dir).count())
+    _write_store_buckets(path, buckets)
     pages = _pages_from_adj(
         spark,
         sf_dir,
@@ -440,7 +546,7 @@ def build_graph_index(
         "vec_id",
         "g",
         "nbrs",
-        F.pmod(F.xxhash64("vec_id"), F.lit(_G_STORE_BUCKETS)).alias("gb"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(buckets)).alias("gb"),
         F.lit(0).alias("batch"),
     )
     upsert_partitions(pages, path, partition_by=["gb", "batch"])
@@ -449,7 +555,7 @@ def build_graph_index(
     # (centroid nodes hash-scatter across ALL gb= buckets; a modulus
     # predicate prunes nothing).  batch=-sliced so an incremental insert
     # upserts only its own slice (idempotent, the store contract).
-    ge = _grid_emb(spark, sf_dir)
+    ge = _corpus_frame(spark, sf_dir).select("vec_id", "g")
     if node_pred is not None:
         ge = ge.filter(node_pred)
     cents = ge.filter(F.col("vec_id") % _G_ENTRY_MOD == 0).select(
@@ -477,6 +583,7 @@ def store_page_fetcher(spark: SparkSession, path: str, max_batch: int | None = N
     slices, and a REPLAYED streaming micro-batch fenced at its own id
     never sees its previous write — the idempotence rule every
     streaming store twin follows."""
+    buckets = _read_store_buckets(path)
 
     def fence(rows: DataFrame) -> DataFrame:
         return rows if max_batch is None else rows.filter(F.col("batch") <= max_batch)
@@ -497,13 +604,24 @@ def store_page_fetcher(spark: SparkSession, path: str, max_batch: int | None = N
             # per vec_id like the page path — the store contract must
             # hold for ANY batch layout, even one that re-slices an
             # entry node (the dedup runs over sidecar-sized rows)
-            return latest(fence(spark.read.parquet(_centroids_path(path)))).select(
-                "vec_id", "g"
-            )
+            cpath = _centroids_path(path)
+            if not os.path.exists(cpath):
+                # crash recovery (ADVICE r12): a vacuum that died between
+                # the sidecar rmtree and rename leaves a marker-complete
+                # store with NO _centroids and no _deleted to trigger a
+                # re-vacuum.  The sidecar is definitionally the modulus
+                # entry rows of the store's own pages — serve from them
+                # (one full-store read, paid only until the next
+                # compaction rewrites the sidecar) instead of raising.
+                rows = fence(spark.read.parquet(path)).filter(
+                    F.col("vec_id") % _G_ENTRY_MOD == 0
+                )
+                return latest(rows).select("vec_id", "g")
+            return latest(fence(spark.read.parquet(cpath))).select("vec_id", "g")
         bkts = sorted(
             r[0]
             for r in ids.select(
-                F.pmod(F.xxhash64("vec_id"), F.lit(_G_STORE_BUCKETS)).alias("gb")
+                F.pmod(F.xxhash64("vec_id"), F.lit(buckets)).alias("gb")
             )
             .distinct()
             .collect()
@@ -814,7 +932,7 @@ def updated_graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, base_adj, node_pred=~_insert_pred()
     ).transform(checkpoint_df)
     qv_new = (
-        _grid_emb(spark, sf_dir)
+        _corpus_frame(spark, sf_dir)
         .filter(_insert_pred())
         .select(F.col("vec_id").alias("query_id"), F.col("g").alias("gq"))
     )
@@ -857,17 +975,13 @@ def update_graph_index(spark: SparkSession, sf_dir: str, path: str) -> str:
     annindex compaction rule); untouched gb partitions are never
     rewritten."""
     upd = updated_graph_adjacency(spark, sf_dir)
+    inserted_ids = _corpus_frame(spark, sf_dir).filter(_insert_pred()).select("vec_id")
     new_edges_dsts = (
-        upd.join(
-            _grid_emb(spark, sf_dir).filter(_insert_pred()).select(F.col("vec_id").alias("src")),
-            "src",
-        )
+        upd.join(inserted_ids.select(F.col("vec_id").alias("src")), "src")
         .select(F.col("dst").alias("vec_id"))
         .distinct()
     )
-    changed = new_edges_dsts.unionAll(
-        _grid_emb(spark, sf_dir).filter(_insert_pred()).select("vec_id")
-    ).distinct()
+    changed = new_edges_dsts.unionAll(inserted_ids).distinct()
     pages = (
         _pages_from_adj(spark, sf_dir, upd)
         .join(F.broadcast(changed), "vec_id")
@@ -875,7 +989,7 @@ def update_graph_index(spark: SparkSession, sf_dir: str, path: str) -> str:
             "vec_id",
             "g",
             "nbrs",
-            F.pmod(F.xxhash64("vec_id"), F.lit(_G_STORE_BUCKETS)).alias("gb"),
+            F.pmod(F.xxhash64("vec_id"), F.lit(_read_store_buckets(path))).alias("gb"),
             F.lit(1).alias("batch"),
         )
     )
@@ -885,7 +999,7 @@ def update_graph_index(spark: SparkSession, sf_dir: str, path: str) -> str:
     # workload — insert ids are odd, entry ids even — but the store
     # contract must hold for any batch)
     new_cents = (
-        _grid_emb(spark, sf_dir)
+        _corpus_frame(spark, sf_dir)
         .filter(_insert_pred() & (F.col("vec_id") % _G_ENTRY_MOD == 0))
         .select("vec_id", "g", F.lit(1).alias("batch"))
     )
@@ -988,7 +1102,7 @@ def trained_entry_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
             "cid long, ce array<double>",
         ).select("cid", _grid(F.col("ce")).alias("gc"))
-        ge = _grid_emb(spark, sf_dir)
+        ge = _corpus_frame(spark, sf_dir).select("vec_id", "g")
         w = W.partitionBy("cid").orderBy(F.desc("d"), F.asc("vec_id"))
         mapped = (
             ge.join(F.broadcast(cents_df))
@@ -1001,8 +1115,13 @@ def trained_entry_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _G_ENTRY_CACHE[key] = mapped
     # k is capped constant → the entry-id set is model-sized; broadcast
-    # keeps the serve join shuffle-free
-    return _grid_emb(spark, sf_dir).join(F.broadcast(mapped), "vec_id").select("vec_id", "g")
+    # keeps the serve join shuffle-free (grid vectors from the shared
+    # checkpointed corpus frame — no per-call parquet rescan, r13)
+    return (
+        _corpus_frame(spark, sf_dir)
+        .join(F.broadcast(mapped), "vec_id")
+        .select("vec_id", "g")
+    )
 
 
 @query("ann_graph_trained_entry_topk")
@@ -1011,7 +1130,7 @@ def ann_graph_trained_entry_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the modulus entry pinned at equal vectors-read budget in
     tests/test_ann_graph.py (rows-only for the driver: Lloyd means have
     no exact SQL twin, the trained-IVF precedent)."""
-    pages = _pages_frame(spark, sf_dir).transform(checkpoint_df)
+    pages = _session_pages_frame(spark, sf_dir)
     entry = trained_entry_nodes(spark, sf_dir).transform(checkpoint_df)
 
     def fetch(ids: DataFrame | None, centroids: bool = False) -> DataFrame:
@@ -1114,7 +1233,7 @@ def ingest_graph_batch(
         "vec_id",
         "g",
         "nbrs",
-        F.pmod(F.xxhash64("vec_id"), F.lit(_G_STORE_BUCKETS)).alias("gb"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(_read_store_buckets(store))).alias("gb"),
         F.lit(int(batch_id) + 1).alias("batch"),
     )
     upsert_partitions(pages, store, partition_by=["gb", "batch"])
@@ -1245,7 +1364,9 @@ def compact_graph_index(spark: SparkSession, path: str) -> str:
             "vec_id",
             "g",
             F.coalesce("nbrs", F.array().cast("array<bigint>")).alias("nbrs"),
-            F.pmod(F.xxhash64("vec_id"), F.lit(_G_STORE_BUCKETS)).alias("gb"),
+            # keep the store's recorded modulus (the _BUCKETS sidecar is
+            # carried through replace_store's swap like every sidecar)
+            F.pmod(F.xxhash64("vec_id"), F.lit(_read_store_buckets(path))).alias("gb"),
             F.lit(0).alias("batch"),
         )
         .transform(checkpoint_df)  # fully resolved BEFORE the in-place rewrite

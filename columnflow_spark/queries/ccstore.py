@@ -57,14 +57,21 @@ from columnflow_spark.queries.streaming import (
     _SCC_GB,
     _SCC_PART_OFF,
     _SCC_QTY_MIN,
+    _derive_scc_gb,
     _ingest_batch_rows,
+    _read_scc_gb,
+    _write_scc_gb,
 )
 from columnflow_spark.sources import load_table, spread
 from columnflow_spark.sources.sinks import upsert_partitions
 
 
-def _gb(col: str = "label"):
-    return F.pmod(F.xxhash64(col), F.lit(_SCC_GB))
+def _gb(col: str = "label", gb_mod: int = _SCC_GB):
+    """Label → gb= bucket under the STORE'S recorded modulus (r13:
+    scale-adaptive, read from the ``_GB`` metadata file at each call
+    site — a fixed modulus made every label-pruned read a constant
+    1/16 of the store)."""
+    return F.pmod(F.xxhash64(col), F.lit(int(gb_mod)))
 
 
 def _nodes_path(store: str) -> str:
@@ -99,13 +106,17 @@ def _node_lookup(spark: SparkSession, store: str, nodes: DataFrame, b: int) -> D
     )
 
 
-def _dual_gb(df: DataFrame, old_label: str, new_label: str) -> DataFrame:
+def _dual_gb(
+    df: DataFrame, old_label: str, new_label: str, gb_mod: int = _SCC_GB
+) -> DataFrame:
     """Explode a relabeled row into BOTH the old and the new label's
     ``gb=`` bucket (the rebirth-safety write discipline — see module
     docstring)."""
     return df.withColumn(
         "gb",
-        F.explode(F.array_distinct(F.array(_gb(old_label), _gb(new_label)))),
+        F.explode(
+            F.array_distinct(F.array(_gb(old_label, gb_mod), _gb(new_label, gb_mod)))
+        ),
     )
 
 
@@ -117,10 +128,15 @@ def cc_apply_edges(
     guarded solve, rewrite absorbed labels' members (nodes AND edges,
     dual-bucket), land the batch's own edges.  Work is bounded by batch
     size + absorbed components' members; the only raw collects are
-    ``gb`` bucket ids (≤ ``_SCC_GB``, a constant)."""
+    ``gb`` bucket ids (bounded by the touched components).  Bucket
+    pruning is at gb= grain with a modulus DERIVED from corpus size at
+    store creation (r13): each touched bucket reads ~the creation-time
+    target rows, so the member re-read scales with the touched
+    components, not with a constant fraction of the store."""
     from columnflow_spark.queries.mmdata import components_from_edges
 
     b = int(batch_id)
+    gbm = _read_scc_gb(store)
     pairs = batch_df.select("a", "b").distinct().transform(checkpoint_df)
     if pairs.isEmpty():
         return
@@ -162,14 +178,14 @@ def cc_apply_edges(
         nodes.join(cur, "node", "left_anti")
         .join(amap.select(F.col("label").alias("node"), "root"), "node", "left")
         .select("node", F.coalesce("root", F.col("node")).alias("label"))
-        .withColumn("gb", _gb())
+        .withColumn("gb", _gb(gb_mod=gbm))
     )
     out_nodes = new_nodes
     out_edges = None
     if exists and not amap.isEmpty():
         gbs = sorted(
-            {r.g for r in amap.select(_gb().alias("g")).distinct().collect()}
-        )  # bounded: ≤ _SCC_GB distinct bucket ids, a constant
+            {r.g for r in amap.select(_gb(gb_mod=gbm).alias("g")).distinct().collect()}
+        )  # bounded: ≤ touched components' bucket ids
         members_n = (
             _latest(
                 spark.read.parquet(_nodes_path(store))
@@ -181,7 +197,7 @@ def cc_apply_edges(
             .select("node", F.col("label").alias("old_label"), F.col("root").alias("label"))
         )
         out_nodes = out_nodes.unionByName(
-            _dual_gb(members_n, "old_label", "label").select("node", "label", "gb")
+            _dual_gb(members_n, "old_label", "label", gbm).select("node", "label", "gb")
         )
         if os.path.exists(_edges_path(store)):
             members_e = (
@@ -198,7 +214,7 @@ def cc_apply_edges(
                 )
             )
             out_edges = (
-                _dual_gb(members_e, "old_label", "label")
+                _dual_gb(members_e, "old_label", "label", gbm)
                 .select("a", "b", "label", F.lit(True).alias("live"), "gb")
             )
     own_edges = (
@@ -213,7 +229,7 @@ def cc_apply_edges(
             F.coalesce("root", F.col("x")).alias("label"),
             F.lit(True).alias("live"),
         )
-        .withColumn("gb", _gb())
+        .withColumn("gb", _gb(gb_mod=gbm))
     )
     out_edges = own_edges if out_edges is None else own_edges.unionByName(out_edges)
     upsert_partitions(
@@ -232,9 +248,13 @@ def cc_retract_edges(
     spark: SparkSession, pairs_df: DataFrame, store: str, batch_id: int
 ) -> None:
     """Retract a batch of edges: the split case min-merge cannot express.
-    Resolve the retracted pairs' CURRENT components, re-read exactly
-    those components' member nodes + live member edges (label-pruned
-    partition reads), re-solve the member subgraph MINUS the retracted
+    Resolve the retracted pairs' CURRENT components, re-read those
+    components' member nodes + live member edges — pruned at gb= bucket
+    grain under the store's corpus-scaled modulus (ADVICE r12: with the
+    old FIXED modulus each touched bucket read 1/16 of the store; the
+    derived modulus keeps a bucket at ~the creation-time row target, so
+    the read tracks the touched components up to that constant, never
+    the corpus) — re-solve the member subgraph MINUS the retracted
     pairs with the shared guarded solve, rewrite the members
     (dual-bucket) and tombstone the dead edges.  Retracting an absent or
     already-retracted edge re-solves to the identical labels — re-delete
@@ -242,6 +262,7 @@ def cc_retract_edges(
     from columnflow_spark.queries.mmdata import components_from_edges
 
     b = int(batch_id)
+    gbm = _read_scc_gb(store)
     if not os.path.exists(_nodes_path(store)):
         return
     pairs = pairs_df.select("a", "b").distinct().transform(checkpoint_df)
@@ -257,8 +278,8 @@ def cc_retract_edges(
     if affected.isEmpty():
         return
     gbs = sorted(
-        {r.g for r in affected.select(_gb().alias("g")).distinct().collect()}
-    )  # bounded: ≤ _SCC_GB distinct bucket ids, a constant
+        {r.g for r in affected.select(_gb(gb_mod=gbm).alias("g")).distinct().collect()}
+    )  # bounded: ≤ touched components' bucket ids
     members_n = (
         _latest(
             spark.read.parquet(_nodes_path(store))
@@ -293,19 +314,20 @@ def cc_retract_edges(
         .transform(checkpoint_df)
     )
     out_nodes = _dual_gb(
-        members_n.join(resolved, "node"), "old_label", "label"
+        members_n.join(resolved, "node"), "old_label", "label", gbm
     ).select("node", "label", "gb")
     out_edges = _dual_gb(
         reduced.join(resolved.select(F.col("node").alias("a"), "label"), "a"),
         "old_label",
         "label",
+        gbm,
     ).select("a", "b", "label", F.lit(True).alias("live"), "gb")
     tombs = dead.select(
         "a",
         "b",
         F.col("old_label").alias("label"),
         F.lit(False).alias("live"),
-        _gb("old_label").alias("gb"),
+        _gb("old_label", gbm).alias("gb"),
     )
     upsert_partitions(
         out_nodes.withColumn("batch", F.lit(b + 1)),
@@ -333,8 +355,11 @@ def cc_compact_store(spark: SparkSession, store: str) -> str:
     from BEFORE the compaction horizon would see folded state."""
     from columnflow_spark.sources.sinks import replace_store
 
+    gbm = _read_scc_gb(store)
     labels = cc_current_labels(spark, store).transform(checkpoint_df)
-    nodes_new = labels.select("node", "label", _gb().alias("gb"), F.lit(0).alias("batch"))
+    nodes_new = labels.select(
+        "node", "label", _gb(gb_mod=gbm).alias("gb"), F.lit(0).alias("batch")
+    )
     edges_new = (
         _latest(spark.read.parquet(_edges_path(store)), ["a", "b"])
         .filter(F.col("live"))
@@ -342,7 +367,7 @@ def cc_compact_store(spark: SparkSession, store: str) -> str:
         .join(labels.select(F.col("node").alias("a"), "label"), "a")
         .select(
             "a", "b", "label", F.lit(True).alias("live"),
-            _gb().alias("gb"), F.lit(0).alias("batch"),
+            _gb(gb_mod=gbm).alias("gb"), F.lit(0).alias("batch"),
         )
     )
     replace_store(nodes_new, _nodes_path(store), partition_by=["gb", "batch"])
@@ -470,6 +495,8 @@ def _run_cc_cdc_lifecycle(spark: SparkSession, sf_dir: str) -> str:
     register(spark)
     store = tempfile.mkdtemp(prefix="cf_cccdc_store_")
     n = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey"]).count()
+    # scale-adaptive bucket modulus, recorded at store creation (r13)
+    _write_scc_gb(store, _derive_scc_gb(n))
     stream = (
         spark.readStream.format("events_replay")
         .option("path", f"{sf_dir}/lineitem.parquet")

@@ -53,19 +53,38 @@ _PR_SCALE = 1_000_000_000
 _PR_D_NUM, _PR_D_DEN = 85, 100
 
 
+#: per-(session, sf_dir, kind) CHECKPOINTED edge lists — the reused
+#: artifact of every iterative op on the same graph (r13, guide §1.2):
+#: pagerank/HITS/PPR all start from the trade edges and LPA/triangle/
+#: link-prediction from the co-order edges; at 100 TB the edge list is a
+#: materialized table built once, so the per-query rebuild (join +
+#: DISTINCT over the fact table) was repeated work.  bench.py purges the
+#: cache on the FIRST line of each family (pagerank_trade_graph /
+#: graph_label_propagation) so the build cost stays measured there, the
+#: shared-shingle-table precedent (_GRAMS_CACHE).
+_EDGE_CACHE: dict = {}
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct customer→supplier edges; node ids namespaced into one
-    space (customers even, suppliers odd) since the key ranges overlap."""
-    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    li = spread(load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]))
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    space (customers even, suppliers odd) since the key ranges overlap.
+    Returned CHECKPOINTED and session-cached (see ``_EDGE_CACHE``)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "trade")
+    edges = _EDGE_CACHE.get(key)
+    if edges is None:
+        orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+        li = spread(load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]))
+        edges = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            )
+            .distinct()
+            .transform(checkpoint_df)
         )
-        .distinct()
-    )
+        _EDGE_CACHE[key] = edges
+    return edges
 
 
 _PR_EDGES_CTE = """
@@ -172,10 +191,9 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 nodes by exact-integer PageRank after 5 rounds (damping
     0.85, uniform dangling-mass redistribution — suppliers have no
     out-edges, so the dangling term is live, not decorative)."""
+    # the reused artifacts: materialized ONCE (checkpointed inside
+    # _trade_edges), every iteration reads them
     edges = _trade_edges(spark, sf_dir)
-    # the reused artifacts: materialize ONCE, every iteration reads them
-    # (at scale: a persisted table; here: a local checkpoint)
-    edges = edges.transform(checkpoint_df)
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
     ).distinct().transform(checkpoint_df)
@@ -226,16 +244,23 @@ _COORDER_EDGES_CTE = """
 
 
 def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct undirected part co-order edges, stored once as x < y."""
-    li = spread(load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]))
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("x"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("y"))
-    return (
-        a.join(b, "ok")
-        .filter(F.col("x") < F.col("y"))
-        .select("x", "y")
-        .distinct()
-    )
+    """Distinct undirected part co-order edges, stored once as x < y.
+    Returned CHECKPOINTED and session-cached (see ``_EDGE_CACHE``)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "coorder")
+    edges = _EDGE_CACHE.get(key)
+    if edges is None:
+        li = spread(load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]))
+        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("x"))
+        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("y"))
+        edges = (
+            a.join(b, "ok")
+            .filter(F.col("x") < F.col("y"))
+            .select("x", "y")
+            .distinct()
+            .transform(checkpoint_df)
+        )
+        _EDGE_CACHE[key] = edges
+    return edges
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
@@ -665,7 +690,7 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds on the customer→supplier graph (cites the same edge builder
     as pagerank_trade_graph; reference has no link analysis — this is
     the crawl-curation beyond-parity family)."""
-    edges = _trade_edges(spark, sf_dir).transform(checkpoint_df)
+    edges = _trade_edges(spark, sf_dir)
     n_a = edges.select("dst").distinct().count()
     n_h = edges.select("src").distinct().count()
     h = (
@@ -746,7 +771,7 @@ def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{k} predicted links per focal item: ``(f, c, ra_q, cn, rk)``
     — RA score on the 1e-6 integer grid plus the common-neighbour
     count, existing edges anti-joined away."""
-    edges = _coorder_edges(spark, sf_dir).transform(checkpoint_df)
+    edges = _coorder_edges(spark, sf_dir)
     adj = edges.select(F.col("x").alias("a"), F.col("y").alias("b")).unionAll(
         edges.select(F.col("y").alias("a"), F.col("x").alias("b"))
     )
@@ -900,7 +925,7 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 nodes by exact-integer personalized PageRank after
     {K} rounds from a bounded customer seed set — teleport and dangling
     mass both return to the seeds (Haveliwala topic-sensitive form)."""
-    edges = _trade_edges(spark, sf_dir).transform(checkpoint_df)
+    edges = _trade_edges(spark, sf_dir)
     outdeg = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("deg"))

@@ -6199,7 +6199,14 @@ def _ulm_viterbi_word(w: str, sc: dict[str, int], maxlen: int) -> list[str]:
 
 def _ulm_segment(wc: DataFrame, sc: dict[str, int]) -> DataFrame:
     """Arrow-batched Viterbi over the word-count table -> (w, cnt,
-    pieces).  Integer-only Python; the score dict is vocab-bounded."""
+    pieces).  Integer-only Python; the score dict is vocab-bounded.
+
+    r13 measurement note (guide §1): spreading this frame across cores
+    was tried and REVERTED — the synthetic corpus has a ~31-word
+    vocabulary, so the DP input is tens of rows and a round-robin
+    repartition costs 2-5x the whole serial pass (0.6 s → 1.3-5.4 s
+    measured at sf0.1).  On a real corpus (1e6+ distinct words) the
+    caller should ``spread`` the word-count table first."""
     scores = dict(sc)
 
     def run(it):

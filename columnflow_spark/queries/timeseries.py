@@ -1600,8 +1600,17 @@ def qsk_apply_deletes(spark: SparkSession, sf_dir: str, path: str) -> list[int]:
             ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).join(
                 F.broadcast(del_ids), "event_id", "left_anti"
             )
-        ).withColumn("batch", F.lit(b))
-        upsert_partitions(rows, path, partition_by=["batch"])
+        ).withColumn("batch", F.lit(b)).transform(checkpoint_df)
+        if rows.isEmpty():
+            # ADVICE r12: dynamic partition overwrite writes NOTHING for
+            # an empty frame, so a delete set covering a whole slice
+            # would leave the stale slice files serving deleted rows
+            # after the tombstones clear — drop the partition explicitly
+            import shutil
+
+            shutil.rmtree(os.path.join(path, f"batch={b}"), ignore_errors=True)
+        else:
+            upsert_partitions(rows, path, partition_by=["batch"])
     clear_tombstones(path)
     return affected
 

@@ -54,6 +54,25 @@ def get_spark(app_name: str = "columnflow_spark", shuffle_partitions: int | None
         .config("spark.sql.parquet.mergeSchema", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # r13 (optimization guide §3.1/§9): let the planner pick shuffled
+        # hash join over sort-merge when the per-partition build side fits
+        # (skips both sort passes), and let AQE rewrite SMJ->SHJ at
+        # runtime when every post-shuffle partition is under the local-map
+        # threshold.  Both are size-gated, spill-safe defaults on any
+        # deployment; override per-cluster via spark-submit conf.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", "64m"),
+        )
+        # r13 (guide §6): zstd parquet for everything the engine writes —
+        # smaller store/sink bytes at similar read speed (codec is
+        # per-file metadata, so existing snappy stores keep reading fine)
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # r13 (guide §4.3): Arrow serialization for any scalar Python UDF
+        # (the engine's own kernels are already pandas/Arrow-native; this
+        # covers user extensions at the session level)
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         # reliable-checkpoint retention (core/state.py switch): without
         # this the ContextCleaner never deletes checkpointed RDD data, so
         # a long job under SPARK_GRAFT_RELIABLE_CHECKPOINT=1 accumulates

@@ -145,10 +145,21 @@ def replace_store(
     # but are not part of the rewritten data — carry them into the new
     # layout before the swap, or the rewrite silently destroys them
     # (found by bm25_postings_delete: the stats slices vanished and every
-    # score went NaN off a negative doc count)
+    # score went NaN off a negative doc count).  FILE sidecars (store
+    # metadata like the graph store's _BUCKETS modulus) are COPIED, not
+    # moved: a crash between this loop and the swap must leave the
+    # still-live source store metadata-complete — a marker-complete
+    # store missing its bucket-modulus record would serve wrongly-pruned
+    # reads, which is worse than the rebuild a missing marker forces
+    # (r13; directory sidecars keep the move — their loss fails safe via
+    # the serve-path fallbacks).
     for entry in os.listdir(path):
         if entry.startswith("_") and entry != marker_name:
-            os.rename(os.path.join(path, entry), os.path.join(tmp, entry))
+            src, dst = os.path.join(path, entry), os.path.join(tmp, entry)
+            if os.path.isfile(src):
+                shutil.copy2(src, dst)
+            else:
+                os.rename(src, dst)
     with open(os.path.join(tmp, marker_name), "w") as f:
         f.write(marker_text)
     os.rename(path, old)
@@ -177,9 +188,33 @@ def ensure_store(path: str, build_fn, marker: str = "_BUILT") -> str:
     if os.path.exists(os.path.join(path, marker)):
         return path
     staging = f"{path}.staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    build_fn(staging)
-    if not os.path.exists(os.path.join(staging, marker)):
-        raise RuntimeError(f"store build left no {marker} marker: {staging}")
+    try:
+        build_fn(staging)
+        if not os.path.exists(os.path.join(staging, marker)):
+            raise RuntimeError(f"store build left no {marker} marker: {staging}")
+    except BaseException:
+        # a failed build must not leak its staging tree (ADVICE r12):
+        # orphaned .staging-* siblings otherwise accumulate forever
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    # opportunistic sweep of stale staging siblings from crashed builds
+    # (a LIVE concurrent build uses a different pid-uuid name and wins or
+    # discards via the rename race below; anything older than a day here
+    # is dead weight)
+    import time as _time
+
+    parent, base = os.path.split(path)
+    try:
+        for entry in os.listdir(parent or "."):
+            if entry.startswith(f"{base}.staging-") and entry != os.path.basename(staging):
+                full = os.path.join(parent, entry)
+                try:
+                    if _time.time() - os.path.getmtime(full) > 86400:
+                        shutil.rmtree(full, ignore_errors=True)
+                except OSError:
+                    pass
+    except OSError:
+        pass
     # a marker-less remnant at path (crashed legacy in-place build) must
     # not block publication
     if os.path.exists(path) and not os.path.exists(os.path.join(path, marker)):

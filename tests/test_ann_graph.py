@@ -572,3 +572,63 @@ def test_sharded_build_equals_one_shot(spark, sf_dir):
     }
     assert sharded == full
     assert full
+
+
+def test_bucket_count_invariance(spark, sf_dir, tmp_path):
+    """r13 scale-adaptive store buckets: the SAME serve results at any
+    gb= modulus (4 vs 16) — bucket layout is pure IO partitioning, and
+    the fetcher reads the modulus back from the _BUCKETS metadata."""
+    from columnflow_spark.queries.anngraph import _read_store_buckets
+
+    qv = _query_vectors(spark, sf_dir)
+    rows = {}
+    for b in (4, 16):
+        path = str(tmp_path / f"gann_b{b}")
+        build_graph_index(spark, sf_dir, path, buckets=b)
+        assert _read_store_buckets(path) == b
+        rows[b] = _rows(_final_topk(_graph_beam(spark, qv, store_page_fetcher(spark, path))))
+    assert rows[4] == rows[16] and len(rows[4]) > 0
+
+
+def test_store_fetch_reads_only_entrant_buckets(spark, sf_dir, tmp_path):
+    """IO assertion for the scaled modulus: a bounded-id fetch prunes to
+    the ids' gb= buckets at PLANNING time under the store's RECORDED
+    modulus (PartitionFilters — the test_page_fetch_prunes_partitions
+    precedent; ``inputFiles()`` reflects the unpruned relation)."""
+    from columnflow_spark.queries.anngraph import _read_store_buckets
+
+    path = str(tmp_path / "gann_io")
+    build_graph_index(spark, sf_dir, path, buckets=8)
+    b = _read_store_buckets(path)
+    assert b == 8
+    ids = spark.createDataFrame([(0,)], "vec_id long")
+    (want_gb,) = [
+        r.gb
+        for r in ids.select(F.pmod(F.xxhash64("vec_id"), F.lit(b)).alias("gb")).collect()
+    ]
+    fetched = store_page_fetcher(spark, path)(ids)
+    plan = fetched._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    # a single-bucket isin compiles to an equality predicate
+    assert pf and any(
+        "gb" in l and (f"IN ({want_gb})" in l or f"= {want_gb})" in l) for l in pf
+    ), pf
+    # and the fetch serves exactly the requested page
+    assert [r.vec_id for r in fetched.collect()] == [0]
+
+
+def test_centroid_fallback_when_sidecar_missing(spark, sf_dir, tmp_path):
+    """ADVICE r12: a vacuum crash between sidecar rmtree and rename can
+    leave a marker-complete store with no _centroids — routing must fall
+    back to the pages-derived entry rows instead of raising."""
+    import shutil
+
+    from columnflow_spark.queries.anngraph import _centroids_path
+
+    path = str(tmp_path / "gann_nocent")
+    build_graph_index(spark, sf_dir, path)
+    fetch = store_page_fetcher(spark, path)
+    want = sorted(r.vec_id for r in fetch(None, centroids=True).collect())
+    shutil.rmtree(_centroids_path(path))
+    got = sorted(r.vec_id for r in store_page_fetcher(spark, path)(None, centroids=True).collect())
+    assert got == want and len(got) > 0

@@ -144,3 +144,32 @@ def test_cdc_vacuum_twin_matches_cdc(spark, sf_dir):
     }
     assert vac == cdc
     assert len(vac) > 0
+
+
+def test_gb_modulus_invariance(spark, tmp_path):
+    """r13 scale-adaptive gb= modulus: the full CDC lifecycle lands
+    identical labels at ANY recorded modulus (4 vs 64) — bucket layout
+    is pure IO partitioning, read back from the _GB metadata file."""
+    from columnflow_spark.queries.streaming import _read_scc_gb, _write_scc_gb
+
+    results = {}
+    for gb in (4, 64):
+        store = str(tmp_path / f"cc_gb{gb}")
+        _write_scc_gb(store, gb)
+        assert _read_scc_gb(store) == gb
+        cc_apply_edges(spark, _edges(spark, [(1, 101), (2, 101), (3, 102)]), store, 0)
+        cc_apply_edges(spark, _edges(spark, [(3, 101), (4, 103)]), store, 1)
+        cc_retract_edges(spark, _edges(spark, [(2, 101)]), store, 2)
+        results[gb] = _labels(spark, store)
+    assert results[4] == results[64] and len(results[4]) > 0
+
+
+def test_derived_gb_scales_with_corpus(spark):
+    from columnflow_spark.queries.streaming import _SCC_GB, _derive_scc_gb
+
+    assert _derive_scc_gb(1_000) == _SCC_GB  # small corpus keeps the floor
+    assert _derive_scc_gb(10_000_000) > _SCC_GB
+    assert _derive_scc_gb(10_000_000) * 65536 >= 10_000_000
+    # power of two, capped
+    b = _derive_scc_gb(1 << 62)
+    assert b == (1 << 20) and (b & (b - 1)) == 0

@@ -150,3 +150,46 @@ def test_delete_rebuilds_only_affected_slices(spark, sf_dir, tmp_path):
     )
     # no pending deletes -> no-op
     assert qsk_apply_deletes(spark, sf_dir, path) == []
+
+
+def test_store_delete_whole_slice_drops_partition(spark, sf_dir, tmp_path):
+    """ADVICE r12: a delete set covering an ENTIRE ingest slice rebuilds
+    to an empty sample — dynamic partition overwrite writes nothing for
+    it, so the stale slice files must be dropped explicitly, or deleted
+    rows keep being served after the tombstones clear."""
+    import os
+
+    from columnflow_spark.queries.timeseries import (
+        _build_qsk_store,
+        _qsk_batch_sample,
+        qsk_apply_deletes,
+        qsk_request_delete,
+        qsk_store_serve,
+        qsk_summarize,
+    )
+    from columnflow_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "qsk_full")
+    _build_qsk_store(spark, sf_dir, path)
+    sl = {
+        r.batch: (r.lo, r.hi)
+        for r in spark.read.parquet(os.path.join(path, "_slices")).collect()
+    }
+    lo0, hi0 = sl[0]
+    ids = (
+        load_table(spark, sf_dir, "events", columns=["event_id"])
+        .filter((F.col("event_id") >= lo0) & (F.col("event_id") < hi0))
+        .distinct()
+    )
+    qsk_request_delete(ids, path, batch=0)
+    assert qsk_apply_deletes(spark, sf_dir, path) == [0]
+    # the whole slice was deleted: its partition directory must be gone
+    assert not os.path.exists(os.path.join(path, "batch=0"))
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+    fresh = qsk_summarize(
+        _qsk_batch_sample(ev.join(F.broadcast(ids), "event_id", "left_anti"))
+    )
+    assert sorted(map(tuple, qsk_store_serve(spark, path).collect())) == sorted(
+        map(tuple, fresh.collect())
+    )

@@ -291,3 +291,30 @@ def test_ensure_store_loser_adopts_winner(tmp_path):
     with open(os.path.join(path, "_BUILT")) as f:
         assert f.read() == "theirs"
     assert not any(e.startswith("store.staging-") for e in os.listdir(tmp_path))
+
+
+def test_ensure_store_cleans_staging_on_failure(tmp_path):
+    """ADVICE r12: a failed build must not leak its .staging-* tree."""
+    import os
+
+    import pytest as _pytest
+
+    from columnflow_spark.sources.sinks import ensure_store
+
+    path = str(tmp_path / "store")
+
+    def boom(p):
+        os.makedirs(p, exist_ok=True)
+        with open(os.path.join(p, "partial"), "w") as f:
+            f.write("x")
+        raise RuntimeError("build failed")
+
+    with _pytest.raises(RuntimeError, match="build failed"):
+        ensure_store(path, boom)
+    leftovers = [e for e in os.listdir(tmp_path) if ".staging-" in e]
+    assert leftovers == []
+    # and a markerless build (no exception, no marker) also cleans up
+    with _pytest.raises(RuntimeError, match="no _BUILT marker"):
+        ensure_store(path, lambda p: os.makedirs(p, exist_ok=True))
+    leftovers = [e for e in os.listdir(tmp_path) if ".staging-" in e]
+    assert leftovers == []
