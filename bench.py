@@ -267,7 +267,7 @@ def main() -> None:
         # corpus build frame too (r13 — bucket bits + grid now land in one
         # checkpointed pass shared across build variants), so every sample
         # re-pays the full corpus pass, not just the merge
-        "ann_graph_sharded_topk": [_agc._G_SHARD_CACHE, _agc._G_CF_CACHE],
+        "ann_graph_sharded_topk": [_agc._G_SHARD_CACHE, _agc._G_CF_CACHE, _agc._G_N_CACHE],
         # first line of each iterative-graph family pays the session edge
         # build COLD (r13 — _trade_edges/_coorder_edges are checkpointed
         # session artifacts now, the shared-shingle-table pattern);

@@ -15,6 +15,7 @@ Conventions (driver compare is column-name + order-insensitive value-hash):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from importlib import import_module
 
@@ -49,6 +50,16 @@ def tune_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # r13 (guide §3.1): the same size-gated join-strategy runtime confs
+    # session.py sets for engine-built sessions — a vanilla driver session
+    # otherwise plans every equi-join sort-merge even when the build side
+    # fits a per-partition hash table (both are spill-safe, size-gated,
+    # and change plans only, never results)
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", "64m"),
+    )
     # deliberately NOT touching result-representation confs (e.g. Arrow
     # collect): they change collected dtypes, and the external compare
     # harness hashed round-1 results without them — plan-side tuning only.

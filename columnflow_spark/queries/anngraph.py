@@ -148,6 +148,26 @@ _G_ADJ_CACHE: dict = {}
 #: per-(session, sf_dir) combined build frame — see :func:`_corpus_frame`
 _G_CF_CACHE: dict = {}
 
+#: per-(session, sf_dir) corpus row count — one tiny job over the
+#: already-checkpointed corpus frame, reused wherever a build needs the
+#: corpus size (trained-entry k sizing) instead of a fresh parquet scan.
+#: NOTE (r13, measured): a size-derived ``coalesce`` of the checkpointed
+#: serve artifacts (pages / repaired adjacency) down to O(rows/65536)
+#: partitions was tried here and REVERTED — the beam's per-round cost is
+#: the lazy entrant-chain replay (windows/anti-joins over the visited
+#: union), whose map sides the coalesce serializes: insert/sharded
+#: serves measured +2-4 s with 1-partition artifacts at sf0.1.
+_G_N_CACHE: dict = {}
+
+
+def _corpus_rows(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n = _G_N_CACHE.get(key)
+    if n is None:
+        n = _corpus_frame(spark, sf_dir).count()
+        _G_N_CACHE[key] = n
+    return n
+
 
 def _corpus_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(vec_id, g, bk0..bk{B-1})`` — ONE checkpointed corpus pass
@@ -212,37 +232,47 @@ def build_graph_adjacency(
     return adj
 
 
+def _stacked_bands(bucketed: DataFrame, vcol: str) -> DataFrame:
+    """``(band, bkt, <vcol>)`` — the bucketed frame unpivoted to one row
+    per (vector, band), so all four band joins collapse into ONE join
+    keyed on ``(band, bkt)`` (r13, guide §2.4: four per-band self-joins
+    compiled eight scans of the corpus checkpoint and eight exchanges
+    where one stacked join needs two)."""
+    return bucketed.select(
+        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(_G_BANDS)])).alias(
+            "band", "bkt"
+        ),
+        F.col("vec_id").alias(vcol),
+    )
+
+
 def _within_pairs(bucketed: DataFrame) -> DataFrame:
     """Distinct candidate pairs ``(v1 < v2)`` sharing a bucket in any
-    band — the bucket self-join of one (shard's) bucketed frame."""
-    parts = []
-    for b in range(_G_BANDS):
-        x = bucketed.select(F.col(f"bk{b}").alias("bkt"), F.col("vec_id").alias("v1"))
-        y = bucketed.select(F.col(f"bk{b}").alias("bkt"), F.col("vec_id").alias("v2"))
-        parts.append(x.join(y, "bkt").filter(F.col("v1") < F.col("v2")).select("v1", "v2"))
-    cand = parts[0]
-    for part in parts[1:]:
-        cand = cand.unionAll(part)
-    return cand.distinct()
+    band — ONE stacked (band, bkt) self-join of the bucketed frame; the
+    pair set is identical to the per-band join union (a pair shares a
+    bucket in some band iff the stacked keys collide for that band)."""
+    x = _stacked_bands(bucketed, "v1")
+    y = _stacked_bands(bucketed, "v2")
+    return (
+        x.join(y, ["band", "bkt"])
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2")
+        .distinct()
+    )
 
 
 def _cross_pairs(ba: DataFrame, bb: DataFrame) -> DataFrame:
-    """Distinct cross-shard candidate pairs: the bucket join BETWEEN two
-    shards' bucketed frames per band (normalized to ``v1 < v2`` so the
-    union with the within-shard pairs dedups under one convention)."""
-    parts = []
-    for b in range(_G_BANDS):
-        x = ba.select(F.col(f"bk{b}").alias("bkt"), F.col("vec_id").alias("va"))
-        y = bb.select(F.col(f"bk{b}").alias("bkt"), F.col("vec_id").alias("vb"))
-        parts.append(
-            x.join(y, "bkt").select(
-                F.least("va", "vb").alias("v1"), F.greatest("va", "vb").alias("v2")
-            )
-        )
-    cand = parts[0]
-    for part in parts[1:]:
-        cand = cand.unionAll(part)
-    return cand.distinct()
+    """Distinct cross-shard candidate pairs: the stacked (band, bkt)
+    join BETWEEN two shards' bucketed frames (normalized to ``v1 < v2``
+    so the union with the within-shard pairs dedups under one
+    convention)."""
+    x = _stacked_bands(ba, "va")
+    y = _stacked_bands(bb, "vb")
+    return (
+        x.join(y, ["band", "bkt"])
+        .select(F.least("va", "vb").alias("v1"), F.greatest("va", "vb").alias("v2"))
+        .distinct()
+    )
 
 
 def _adjacency_from_pairs(cand: DataFrame, ge: DataFrame) -> DataFrame:
@@ -336,12 +366,26 @@ def _pages_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pages_from_adj(spark, sf_dir, build_graph_adjacency(spark, sf_dir))
 
 
+#: per-(session, sf_dir) checkpointed query-vector frame (~n/100 rows).
+#: Every beam ROUND broadcast-joins qv, so a lazy qv re-scanned the
+#: embeddings parquet in every round job of every serve; one tiny
+#: checkpoint per session makes each round read a materialized leaf
+#: instead (r13, guide §1.2: don't re-read what a prior pass produced).
+_G_QV_CACHE: dict = {}
+
+
 def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _grid_emb(spark, sf_dir)
-        .filter(F.col("vec_id") % 100 == 7)
-        .select(F.col("vec_id").alias("query_id"), F.col("g").alias("gq"))
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    qv = _G_QV_CACHE.get(key)
+    if qv is None:
+        qv = (
+            _grid_emb(spark, sf_dir)
+            .filter(F.col("vec_id") % 100 == 7)
+            .select(F.col("vec_id").alias("query_id"), F.col("g").alias("gq"))
+            .transform(checkpoint_df)
+        )
+        _G_QV_CACHE[key] = qv
+    return qv
 
 
 def _topw(df: DataFrame, k: int) -> DataFrame:
@@ -453,7 +497,11 @@ def _session_pages_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     pages = _G_PAGES_CACHE.get(key)
     if pages is None:
-        pages = _pages_frame(spark, sf_dir).transform(checkpoint_df)
+        pages = (
+            _pages_frame(spark, sf_dir)
+            
+            .transform(checkpoint_df)
+        )
         _G_PAGES_CACHE[key] = pages
     return pages
 
@@ -866,9 +914,11 @@ def ann_graph_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares the beam oracle verbatim — the hash equality IS the merge
     correctness proof (the 100 TB build story: per-shard subgraph jobs +
     one cross-shard merge pass)."""
-    pages = _pages_from_adj(
-        spark, sf_dir, build_graph_adjacency_sharded(spark, sf_dir)
-    ).transform(checkpoint_df)
+    pages = (
+        _pages_from_adj(spark, sf_dir, build_graph_adjacency_sharded(spark, sf_dir))
+        
+        .transform(checkpoint_df)
+    )
     qv = _query_vectors(spark, sf_dir)
     return _final_topk(_graph_beam(spark, qv, _fetcher_over(pages)))
 
@@ -928,9 +978,11 @@ def updated_graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_adj = build_graph_adjacency(
         spark, sf_dir, node_pred=~_insert_pred(), tag="base"
     )
-    base_pages = _pages_from_adj(
-        spark, sf_dir, base_adj, node_pred=~_insert_pred()
-    ).transform(checkpoint_df)
+    base_pages = (
+        _pages_from_adj(spark, sf_dir, base_adj, node_pred=~_insert_pred())
+        
+        .transform(checkpoint_df)
+    )
     qv_new = (
         _corpus_frame(spark, sf_dir)
         .filter(_insert_pred())
@@ -948,6 +1000,7 @@ def updated_graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
         upd0.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _G_DEG_CAP)
         .drop("rk")
+        
         .transform(checkpoint_df)
     )
     _G_UPD_CACHE[key] = upd
@@ -961,9 +1014,11 @@ def updated_graph_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("pages", spark.sparkContext.applicationId, sf_dir)
     pages = _G_UPD_CACHE.get(key)
     if pages is None:
-        pages = _pages_from_adj(
-            spark, sf_dir, updated_graph_adjacency(spark, sf_dir)
-        ).transform(checkpoint_df)
+        pages = (
+            _pages_from_adj(spark, sf_dir, updated_graph_adjacency(spark, sf_dir))
+            
+            .transform(checkpoint_df)
+        )
         _G_UPD_CACHE[key] = pages
     return pages
 
@@ -1095,7 +1150,9 @@ def trained_entry_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped = _G_ENTRY_CACHE.get(key)
     if mapped is None:
         emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
-        n = emb.count()
+        # corpus size from the shared checkpointed frame's cached count —
+        # not a fresh full parquet scan (r13)
+        n = _corpus_rows(spark, sf_dir)
         k = max(2, min(_G_TRAINED_ENTRY_K_CAP, (n + _G_ENTRY_MOD - 1) // _G_ENTRY_MOD))
         cents, _info = kmeans_fit(emb, k=k, iters=3)
         cents_df = spark.createDataFrame(

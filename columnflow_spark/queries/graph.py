@@ -614,18 +614,25 @@ def hits_contrib(
     )
 
 
-def hits_normalize(raw: DataFrame, n_scale: int) -> DataFrame:
+def hits_normalize(raw: DataFrame, n_scale) -> DataFrame:
     """L1-renormalize ``(node, raw)`` to total mass ``n_scale`` with an
     exact 128-bit floor division.  The normalizer is ONE scalar row
-    broadcast back (no driver sync)."""
+    broadcast back (no driver sync).  ``n_scale`` is an int literal or a
+    ``(one_row_df, column)`` pair — the in-plan form (r13): the target
+    mass rides the same broadcast as the normalizer instead of a driver
+    ``count()`` round trip."""
     tot = raw.agg(F.sum("raw").cast("long").alias("tot"))
+    if isinstance(n_scale, tuple):
+        n_df, n_col = n_scale
+        tot = tot.crossJoin(F.broadcast(n_df.select(n_col)))
+        n_scale = n_col
     return raw.crossJoin(F.broadcast(tot)).select(
         "node", F.expr(_hits_norm_expr("tot", n_scale)).alias("s")
     )
 
 
 def hits_half_round(
-    edges: DataFrame, scores: DataFrame, from_col: str, to_col: str, n_scale: int
+    edges: DataFrame, scores: DataFrame, from_col: str, to_col: str, n_scale
 ) -> DataFrame:
     """ONE HITS half-round: contribution sum, checkpointed at node grain
     (the scalar normalizer and the score output BOTH read it — without
@@ -691,8 +698,13 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     as pagerank_trade_graph; reference has no link analysis — this is
     the crawl-curation beyond-parity family)."""
     edges = _trade_edges(spark, sf_dir)
-    n_a = edges.select("dst").distinct().count()
-    n_h = edges.select("src").distinct().count()
+    # both L1 target masses in ONE tiny checkpointed job (r13, guide §5:
+    # no driver count() round trips in the query path — the scalars ride
+    # the normalize broadcast in-plan; previously two separate counts)
+    n_df = edges.agg(
+        (F.countDistinct("dst").cast("long") * _HITS_SCALE).alias("na_sc"),
+        (F.countDistinct("src").cast("long") * _HITS_SCALE).alias("nh_sc"),
+    ).transform(checkpoint_df)
     h = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -704,8 +716,8 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy halves the per-round materializations (12 -> 6)
     a = None
     for _ in range(_HITS_ITERS):
-        a = hits_half_round(edges, h, "src", "dst", n_a * _HITS_SCALE)
-        h = hits_half_round(edges, a, "dst", "src", n_h * _HITS_SCALE)
+        a = hits_half_round(edges, h, "src", "dst", (n_df, "na_sc"))
+        h = hits_half_round(edges, a, "dst", "src", (n_df, "nh_sc"))
 
     def topk(scores: DataFrame, side: str) -> DataFrame:
         top = scores.orderBy(F.desc("s"), F.asc("node")).limit(10)
