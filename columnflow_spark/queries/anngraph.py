@@ -399,7 +399,9 @@ def _graph_beam(
     """The deterministic beam: returns the full visited set
     ``(query_id, vec_id, d)`` after the fixed round count.
 
-    ``pages_of(ids_df)`` fetches pages for a bounded id frame;
+    ``pages_of(pairs_df)`` fetches pages for a bounded entrant frame —
+    ``pairs_df`` is ``(query_id, vec_id)`` and the fetch returns those
+    pairs joined to their pages ``(query_id, vec_id, g, nbrs)``;
     ``pages_of(None, centroids=True)`` returns the centroid layer
     ``(vec_id, g)`` for entry routing.  ``beam_w`` widens the walk —
     the filtered-search accuracy knob (post-filtering a fixed-width
@@ -412,22 +414,37 @@ def _graph_beam(
     expansion needs.  The growing visited set stays a LAZY union of
     those bounded checkpointed round frames (≤ seeds + W × DEG_CAP rows
     per query per round, each a materialized leaf), and the entrant
-    frame is a lazy window/anti-join chain over them — so each round
-    runs one eager job instead of the previous three (visited
-    checkpoint + entrant checkpoint + fetch), which at serve time is
-    the difference between ~16 and ~7 scheduled jobs per walk with
-    identical dataflow and bit-identical results."""
+    frame is a lazy window/join chain over them — so each round runs
+    one eager job instead of the previous three (visited checkpoint +
+    entrant checkpoint + fetch), which at serve time is the difference
+    between ~16 and ~7 scheduled jobs per walk with identical dataflow
+    and bit-identical results.
+
+    Two further r13 cuts inside each round's job, both result-identical:
+
+    - the fetch takes the entrant PAIRS and the scored frame reuses the
+      fetch output directly, so the entrant chain (windows/joins over
+      the visited leaves) is compiled ONCE per round — the previous
+      ``ids``-shaped fetch re-joined ``entr`` against the fetched pages,
+      which evaluated the same chain a second time in the round's job
+      (and a third time in the id-distinct broadcast);
+    - ``new_in_beam`` is ``beam ∩ vis_new`` (a join against the round's
+      checkpointed leaf) instead of a second ranking window over the
+      PREVIOUS round's visited union + anti-join.  Equality is beam
+      monotonicity: rank over a superset is never smaller, so a
+      previously-visited row in this round's top-W was in the previous
+      round's top-W too — the rows new in the beam are exactly the new
+      visits that entered it.
+    """
     cents = pages_of(None, centroids=True)
     seed_sc = cents.join(F.broadcast(qv)).select(
         "query_id", "vec_id", _gdot(F.col("gq"), F.col("g")).alias("d")
     )
     entr = _topw(seed_sc, _G_SEEDS).select("query_id", "vec_id")
     visited = None
-    beam_prev = None
     for t in range(_G_ROUNDS + 1):
-        pages = pages_of(entr.select("vec_id").distinct())
         scored = (
-            entr.join(pages, "vec_id")
+            pages_of(entr)
             .join(F.broadcast(qv), "query_id")
             .select("query_id", "vec_id", _gdot(F.col("gq"), F.col("g")).alias("d"), "nbrs")
             # bounded state: <= seeds + W * DEG_CAP rows per query per round
@@ -435,15 +452,10 @@ def _graph_beam(
         )
         vis_new = scored.select("query_id", "vec_id", "d")
         visited = vis_new if visited is None else visited.unionAll(vis_new)
-        beam = _topw(visited, beam_w)
-        new_in_beam = (
-            beam
-            if beam_prev is None
-            else beam.join(
-                beam_prev.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
-            )
-        )
         if t < _G_ROUNDS:
+            new_in_beam = _topw(visited, beam_w).join(
+                vis_new.select("query_id", "vec_id"), ["query_id", "vec_id"]
+            )
             entr = (
                 new_in_beam.select("query_id", "vec_id")
                 .join(scored.select("query_id", "vec_id", "nbrs"), ["query_id", "vec_id"])
@@ -451,7 +463,6 @@ def _graph_beam(
                 .distinct()
                 .join(visited.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti")
             )
-        beam_prev = beam
     return visited
 
 
@@ -476,7 +487,10 @@ def _final_topk(visited: DataFrame, tombstone_path: str | None = None) -> DataFr
 
 
 def _fetcher_over(pages: DataFrame):
-    """In-session page provider over a checkpointed pages frame."""
+    """In-session page provider over a checkpointed pages frame: the
+    bounded entrant frame (id-only or ``(query_id, vec_id)`` pairs —
+    any extra columns ride along) broadcasts into ONE scan of the
+    pages leaf."""
 
     def fetch(ids: DataFrame | None, centroids: bool = False) -> DataFrame:
         if centroids:
@@ -636,12 +650,14 @@ def store_page_fetcher(spark: SparkSession, path: str, max_batch: int | None = N
     def fence(rows: DataFrame) -> DataFrame:
         return rows if max_batch is None else rows.filter(F.col("batch") <= max_batch)
 
-    def latest(rows: DataFrame) -> DataFrame:
+    def latest(rows: DataFrame, keys: list[str]) -> DataFrame:
         # latest-batch-wins page resolution (the annindex compaction
         # rule): an incremental insert shadows a rewritten base page
         # with a higher batch= slice; the dedup runs over the BOUNDED
-        # fetched rows, never the store
-        w = W.partitionBy("vec_id").orderBy(F.desc("batch"))
+        # fetched rows, never the store.  ``keys`` are the requesting
+        # frame's columns (id-only or (query_id, vec_id) pairs), so
+        # every requested row resolves to ITS latest page.
+        w = W.partitionBy(*keys).orderBy(F.desc("batch"))
         return rows.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
 
     def fetch(ids: DataFrame | None, centroids: bool = False) -> DataFrame:
@@ -664,8 +680,25 @@ def store_page_fetcher(spark: SparkSession, path: str, max_batch: int | None = N
                 rows = fence(spark.read.parquet(path)).filter(
                     F.col("vec_id") % _G_ENTRY_MOD == 0
                 )
-                return latest(rows).select("vec_id", "g")
-            return latest(fence(spark.read.parquet(cpath))).select("vec_id", "g")
+                return latest(rows, ["vec_id"]).select("vec_id", "g")
+            return latest(fence(spark.read.parquet(cpath)), ["vec_id"]).select(
+                "vec_id", "g"
+            )
+        # the requesting frame may be id-only (ingest repair reads, already
+        # checkpointed by their callers) or the beam's (query_id, vec_id)
+        # entrant pairs; either way the bucket set collected for
+        # planning-time partition pruning is bounded by the store's
+        # modulus, and the pairs broadcast into ONE pruned store read
+        # (r13 — the previous ids-shaped fetch made the beam re-join the
+        # entrant frame against the fetched pages, compiling the same
+        # entrant chain twice per round job).  Entrant PAIRS are
+        # checkpointed first: the bucket collect and the broadcast would
+        # otherwise each replay the full entrant chain (windows/joins over
+        # the visited leaves) — one bounded materialization, then a
+        # leaf-sized collect and a leaf-sized broadcast.
+        keys = list(ids.columns)
+        if len(keys) > 1:
+            ids = checkpoint_df(ids)
         bkts = sorted(
             r[0]
             for r in ids.select(
@@ -677,8 +710,9 @@ def store_page_fetcher(spark: SparkSession, path: str, max_batch: int | None = N
         return latest(
             fence(spark.read.parquet(path))
             .filter(F.col("gb").isin(bkts))
-            .join(F.broadcast(ids), "vec_id")
-        ).select("vec_id", "g", "nbrs")
+            .join(F.broadcast(ids), "vec_id"),
+            keys,
+        ).select(*keys, "g", "nbrs")
 
     return fetch
 
@@ -1450,7 +1484,12 @@ def compact_graph_index(spark: SparkSession, path: str) -> str:
     # hive-partitioned by batch= exactly like the build/ingest writes, so
     # a post-vacuum incremental insert that upserts its own slice keeps
     # ONE consistent partition layout in the sidecar directory
-    cents_new.write.mode("overwrite").partitionBy("batch").parquet(cents_tmp)
+    # cluster by the partition column before the write (the write_events
+    # REBALANCE rule, guide §6) so the sidecar is a few files, not
+    # files-per-task x batch
+    cents_new.hint("rebalance", "batch").write.mode("overwrite").partitionBy(
+        "batch"
+    ).parquet(cents_tmp)
     replace_store(
         new_pages,
         path,

@@ -617,6 +617,43 @@ def test_store_fetch_reads_only_entrant_buckets(spark, sf_dir, tmp_path):
     assert [r.vec_id for r in fetched.collect()] == [0]
 
 
+def test_store_fetch_pairs_resolve_per_pair_latest(spark, sf_dir, tmp_path):
+    """r13 beam-fetch contract: the fetcher accepts the beam's
+    ``(query_id, vec_id)`` entrant pairs and resolves latest-batch-wins
+    PER PAIR — two queries requesting the same rewritten page must each
+    get the batch-1 row (a vec_id-grain dedup would keep one query's
+    row only)."""
+    from columnflow_spark.queries.anngraph import _insert_pred, update_graph_index
+
+    path = str(tmp_path / "gpairs")
+    build_graph_index(spark, sf_dir, path, node_pred=~_insert_pred(), tag="base")
+    update_graph_index(spark, sf_dir, path)
+    # a base page rewritten by the insert repair: present in both slices
+    v = (
+        spark.read.parquet(path)
+        .groupBy("vec_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.min("vec_id"))
+        .collect()[0][0]
+    )
+    assert v is not None
+    pairs = spark.createDataFrame(
+        [(101, int(v)), (202, int(v))], "query_id long, vec_id long"
+    )
+    got = store_page_fetcher(spark, path)(pairs).collect()
+    assert sorted(r.query_id for r in got) == [101, 202]
+    latest = (
+        spark.read.parquet(path)
+        .filter(F.col("vec_id") == int(v))
+        .orderBy(F.desc("batch"))
+        .limit(1)
+        .collect()[0]
+    )
+    for r in got:
+        assert r.vec_id == v and list(r.nbrs) == list(latest.nbrs)
+
+
 def test_centroid_fallback_when_sidecar_missing(spark, sf_dir, tmp_path):
     """ADVICE r12: a vacuum crash between sidecar rmtree and rename can
     leave a marker-complete store with no _centroids — routing must fall
