@@ -275,6 +275,24 @@ def _cross_pairs(ba: DataFrame, bb: DataFrame) -> DataFrame:
     )
 
 
+def _both_directions(df: DataFrame, a: str, b: str) -> DataFrame:
+    """``(src, dst, d)`` with every edge emitted in BOTH directions via
+    one generator — the exact row multiset of
+    ``df.select(a→src, b→dst, d) UNION ALL df.select(b→src, a→dst, d)``,
+    but the input subtree is evaluated ONCE instead of once per union
+    branch (r13, guide §1.2: Spark compiles each branch of a self-union
+    as its own copy of the upstream plan — for the build that re-ran the
+    whole candidate join / ranking window per direction)."""
+    return df.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias("src"), F.col(b).alias("dst"), F.col("d")),
+                F.struct(F.col(b).alias("src"), F.col(a).alias("dst"), F.col("d")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.d")
+
+
 def _adjacency_from_pairs(cand: DataFrame, ge: DataFrame) -> DataFrame:
     """Candidate pairs → scored → per-node top-R → symmetrize → degree
     cap: the merge phase — identical no matter how the candidate set was
@@ -284,16 +302,12 @@ def _adjacency_from_pairs(cand: DataFrame, ge: DataFrame) -> DataFrame:
         .join(ge.select(F.col("vec_id").alias("v2"), F.col("g").alias("g2")), "v2")
         .select("v1", "v2", _gdot(F.col("g1"), F.col("g2")).alias("d"))
     )
-    directed = scored.select(
-        F.col("v1").alias("src"), F.col("v2").alias("dst"), "d"
-    ).unionAll(scored.select(F.col("v2").alias("src"), F.col("v1").alias("dst"), "d"))
+    directed = _both_directions(scored, "v1", "v2")
     w = W.partitionBy("src").orderBy(F.desc("d"), F.asc("dst"))
     adj0 = directed.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= _G_R_OUT
     ).drop("rk")
-    sym = adj0.unionAll(
-        adj0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "d")
-    ).distinct()
+    sym = _both_directions(adj0, "src", "dst").distinct()
     return sym.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= _G_DEG_CAP
     ).drop("rk")
@@ -324,11 +338,14 @@ def build_graph_adjacency_sharded(spark: SparkSession, sf_dir: str) -> DataFrame
     cf = _corpus_frame(spark, sf_dir)
     ba = cf.filter(F.col("vec_id") % 2 == 0)
     bb = cf.filter(F.col("vec_id") % 2 == 1)
+    # no outer distinct (r13): the three branches are each internally
+    # distinct AND mutually disjoint by construction — within(A) pairs
+    # have two even ids, within(B) two odd, cross exactly one of each —
+    # so the union IS a set and the extra exchange was pure cost
     cand = (
         _within_pairs(ba)
         .unionAll(_within_pairs(bb))
         .unionAll(_cross_pairs(ba, bb))
-        .distinct()
     )
     adj = _adjacency_from_pairs(cand, cf.select("vec_id", "g"))
     _G_SHARD_CACHE[key] = adj
@@ -1009,12 +1026,16 @@ def updated_graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _G_UPD_CACHE:
         return _G_UPD_CACHE[key]
+    # checkpoint the base adjacency ONCE: both downstream consumers
+    # (the base pages the insert beams walk, and the repair union below)
+    # otherwise re-evaluate the entire base build — candidates + ranking
+    # windows — a full second build pass at 100 TB (r13, guide §1.2)
     base_adj = build_graph_adjacency(
         spark, sf_dir, node_pred=~_insert_pred(), tag="base"
-    )
+    ).transform(checkpoint_df)
     base_pages = (
         _pages_from_adj(spark, sf_dir, base_adj, node_pred=~_insert_pred())
-        
+
         .transform(checkpoint_df)
     )
     qv_new = (
@@ -1023,12 +1044,16 @@ def updated_graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), F.col("g").alias("gq"))
     )
     visited = _graph_beam(spark, qv_new, _fetcher_over(base_pages))
-    new_edges = _topw(visited, _G_R_OUT).select(
-        F.col("query_id").alias("src"), F.col("vec_id").alias("dst"), "d"
+    # bounded (batch x R_OUT rows): materialized once so the forward +
+    # reverse emission below reads a leaf instead of re-running the
+    # ranking window over the visited union (the ingest_graph_batch
+    # pattern)
+    new_edges = (
+        _topw(visited, _G_R_OUT)
+        .select(F.col("query_id").alias("src"), F.col("vec_id").alias("dst"), "d")
+        .transform(checkpoint_df)
     )
-    upd0 = base_adj.unionAll(new_edges).unionAll(
-        new_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "d")
-    )
+    upd0 = base_adj.unionAll(_both_directions(new_edges, "src", "dst"))
     w = W.partitionBy("src").orderBy(F.desc("d"), F.asc("dst"))
     upd = (
         upd0.withColumn("rk", F.row_number().over(w))
@@ -1370,10 +1395,16 @@ def _repaired_adjacency(pages: DataFrame, del_ids: DataFrame) -> DataFrame:
     edges = pages.select(
         F.col("vec_id").alias("src"), F.explode("nbrs").alias("dst")
     )
+    # materialized once (bounded: n x DEG_CAP id/score rows — compaction
+    # is the one path allowed store-proportional work): the in-edge,
+    # out-edge and kept-edge branches below each consume it, and lazily
+    # they would re-run the explode + two grid joins per branch (r13,
+    # guide §1.2)
     scored = (
         edges.join(ge.select(F.col("vec_id").alias("src"), F.col("g").alias("gs")), "src")
         .join(ge.select(F.col("vec_id").alias("dst"), F.col("g").alias("gd")), "dst")
         .select("src", "dst", _gdot(F.col("gs"), F.col("gd")).alias("d"))
+        .transform(checkpoint_df)
     )
     inn = (
         scored.join(dset.select(F.col("vec_id").alias("dst")), "dst", "left_semi")

@@ -291,10 +291,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    # one generator instead of a 3-way self-union: the union form
+    # compiled the triangle join (the expensive subtree) once per corner
+    # branch — 3 evaluations where one suffices (r13, guide §1.2); the
+    # exploded row multiset is identical, and the count aggregate is
+    # order-insensitive
     return (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
     )

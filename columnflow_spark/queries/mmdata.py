@@ -1161,9 +1161,19 @@ def components_from_edges(all_docs: DataFrame, edges: DataFrame) -> DataFrame:
         return all_docs.join(F.broadcast(comp_map), "doc_id", "left").select(
             "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("component")
         )
+    # one generator instead of the self-union: the union form evaluated
+    # the (possibly expensive, caller-lazy) edge subtree once per
+    # direction branch (r13, guide §1.2); identical row multiset
     sym = (
-        edges.union(edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
-        .toDF("src", "dst")
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("d1").alias("src"), F.col("d2").alias("dst")),
+                    F.struct(F.col("d2").alias("src"), F.col("d1").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .coalesce(8)
         .transform(checkpoint_df)
     )
@@ -6143,30 +6153,28 @@ def _ulm_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ulm_scores(spark: SparkSession, vocab: dict[str, int]) -> dict[str, int]:
-    """Integer-grid scores for a bounded vocab: computed in Spark
-    expressions so the fp form (one division, one ln, one grid floor)
-    is the exact chain the oracle replays; raises in-plan on a rounding
-    knife edge (the mixture_temperature_sample pattern)."""
-    total = sum(vocab.values())
-    df = spark.createDataFrame(
-        sorted((p, int(c)) for p, c in vocab.items()), "piece string, cnt long"
-    )
-    z = (
-        -F.log(F.col("cnt").cast("double") / F.lit(float(total)))
-        * F.lit(float(_ULM_GRID))
-        + F.lit(0.5)
-    )
-    edge = F.abs(z - F.round(z, 0)) < F.greatest(F.lit(1e-9), F.abs(z) * F.lit(1e-12))
-    sc = F.when(
-        edge,
-        F.expr(
-            "CAST(raise_error('unigram_lm: -ln(cnt/total)*grid + 0.5 lands within"
-            " the cross-engine ln guard band of a rounding boundary — bump"
-            " _ULM_GRID for this corpus') AS DOUBLE)"
-        ),
-    ).otherwise(F.floor(z))
-    out = df.select("piece", (-sc).cast("long").alias("sc")).collect()
-    return {r["piece"]: int(r["sc"]) for r in out}
+    """Integer-grid scores for a bounded vocab — model-sized DRIVER math
+    (r13: the input and output are driver dicts already; a Spark job per
+    EM step was 4 scheduler round-trips per build for vocab-bounded
+    work).  The fp chain (one division, one ln, one grid floor) is the
+    same IEEE expression the oracle replays in SQL, and the knife-edge
+    guard raises whenever ``-ln(cnt/total)*grid + 0.5`` lands within the
+    cross-engine ln guard band (max(1e-9, |z|*1e-12)) of a rounding
+    boundary — libm/JVM/DuckDB ln agree to ~1 ulp, so outside the band
+    every engine floors to the same integer (the
+    mixture_temperature_sample pattern)."""
+    total = float(sum(vocab.values()))
+    out: dict[str, int] = {}
+    for p, c in vocab.items():
+        z = -math.log(float(int(c)) / total) * float(_ULM_GRID) + 0.5
+        if abs(z - math.floor(z + 0.5)) < max(1e-9, abs(z) * 1e-12):
+            raise ValueError(
+                "unigram_lm: -ln(cnt/total)*grid + 0.5 lands within the"
+                " cross-engine ln guard band of a rounding boundary — bump"
+                " _ULM_GRID for this corpus"
+            )
+        out[p] = int(-math.floor(z))
+    return out
 
 
 def _ulm_viterbi_word(w: str, sc: dict[str, int], maxlen: int) -> list[str]:
@@ -6250,16 +6258,23 @@ def unigram_train_rows(
         .groupBy("piece")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    chars = {
-        r["piece"]: int(r["cnt"])
-        for r in pieces.filter(F.length("piece") == 1).collect()
-    }
-    multi = (
-        pieces.filter(F.length("piece") >= 2)
-        .orderBy(F.desc("cnt"), F.asc("piece"))
-        .limit(_ULM_SEED)
+    # ONE seeding job: single-char coverage rows + the top-_ULM_SEED
+    # multi-char candidates collected together (r13 — two collects over
+    # the same substring aggregate were two scheduler round-trips and
+    # two evaluations of the aggregate)
+    seeded = (
+        pieces.filter(F.length("piece") == 1)
+        .select("piece", "cnt", F.lit(True).alias("is_char"))
+        .unionAll(
+            pieces.filter(F.length("piece") >= 2)
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(_ULM_SEED)
+            .select("piece", "cnt", F.lit(False).alias("is_char"))
+        )
         .collect()
     )
+    chars = {r["piece"]: int(r["cnt"]) for r in seeded if r["is_char"]}
+    multi = [r for r in seeded if not r["is_char"]]
     vocab = dict(chars)
     vocab.update({r["piece"]: int(r["cnt"]) for r in multi})
     sc = _ulm_scores(spark, vocab)
