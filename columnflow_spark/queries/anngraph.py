@@ -1044,14 +1044,12 @@ def updated_graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), F.col("g").alias("gq"))
     )
     visited = _graph_beam(spark, qv_new, _fetcher_over(base_pages))
-    # bounded (batch x R_OUT rows): materialized once so the forward +
-    # reverse emission below reads a leaf instead of re-running the
-    # ranking window over the visited union (the ingest_graph_batch
-    # pattern)
-    new_edges = (
-        _topw(visited, _G_R_OUT)
-        .select(F.col("query_id").alias("src"), F.col("vec_id").alias("dst"), "d")
-        .transform(checkpoint_df)
+    # single consumer: the both-directions generator evaluates this
+    # ranking window exactly once inside the repair checkpoint below, so
+    # no extra materialization is needed (ingest_graph_batch keeps its
+    # checkpointed twin because THERE the frame feeds three consumers)
+    new_edges = _topw(visited, _G_R_OUT).select(
+        F.col("query_id").alias("src"), F.col("vec_id").alias("dst"), "d"
     )
     upd0 = base_adj.unionAll(_both_directions(new_edges, "src", "dst"))
     w = W.partitionBy("src").orderBy(F.desc("d"), F.asc("dst"))
