@@ -614,7 +614,10 @@ def build_graph_index(
     # read the same modulus back — per-bucket reads stay O(target pages)
     # instead of a constant fraction of the store
     if buckets is None:
-        buckets = _derive_store_buckets(_corpus_frame(spark, sf_dir).count())
+        # session-cached count of the checkpointed corpus frame — not a
+        # fresh count job per store build (r13; insert/vacuum/delete twins
+        # all route through here)
+        buckets = _derive_store_buckets(_corpus_rows(spark, sf_dir))
     _write_store_buckets(path, buckets)
     pages = _pages_from_adj(
         spark,

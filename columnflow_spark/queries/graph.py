@@ -307,17 +307,26 @@ def lpa_round(dir_edges: DataFrame, labels: DataFrame) -> DataFrame:
     """ONE synchronous label-propagation round, PRE-checkpoint (plan
     assertable — see :func:`pagerank_round`): one edge-volume shuffle
     (join labels on src, groupBy (dst, lab) with map-side partial counts)
-    followed by a node-grain argmax window."""
-    rn_win = W.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    followed by a node-grain argmax AGGREGATE.
+
+    The argmax is ``max_by(lab, struct(c, -lab))`` rather than a
+    row_number window (r13, guide §2.3 "aggregate before you shuffle"):
+    the ordering key ``(c, -lab)`` is unique within each node group
+    (``lab`` is distinct per (node, lab) vote row), so the aggregate
+    picks exactly the window's (c DESC, lab ASC) head — bit-identical
+    results (re-verified against the window form at sf0.1: 0 differing
+    rows) — while partial-combining map-side and skipping the per-node
+    sort a rank window pays.  ``-lab`` is safe: labels are node ids of
+    this engine's graphs (positive keys; negation cannot overflow).
+    Measured A/B (3 rounds over the sf0.1 co-order edges, min of 3):
+    3.9-4.3 s → 3.3 s."""
     votes = (
         dir_edges.join(labels.select(F.col("node").alias("src"), "lab"), "src")
         .groupBy(F.col("dst").alias("node"), "lab")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    return (
-        votes.withColumn("rn", F.row_number().over(rn_win))
-        .filter(F.col("rn") == 1)
-        .select("node", "lab")
+    return votes.groupBy("node").agg(
+        F.expr("max_by(lab, struct(c, -lab))").alias("lab")
     )
 
 

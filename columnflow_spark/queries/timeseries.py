@@ -1584,35 +1584,68 @@ def qsk_apply_deletes(spark: SparkSession, sf_dir: str, path: str) -> list[int]:
         return []
     del_ids = del_ids.transform(checkpoint_df)
     slices = spark.read.parquet(os.path.join(path, "_slices"))
+    # ONE driver collect: the affected slices WITH their bounds (the
+    # unaffected slices' bounds are never needed) — r13, guide §5.2
     affected = sorted(
-        r.batch
-        for r in slices.join(
-            F.broadcast(del_ids),
-            (F.col("event_id") >= F.col("lo")) & (F.col("event_id") < F.col("hi")),
-            "left_semi",
-        ).collect()
+        (
+            (r.batch, r.lo, r.hi)
+            for r in slices.join(
+                F.broadcast(del_ids),
+                (F.col("event_id") >= F.col("lo")) & (F.col("event_id") < F.col("hi")),
+                "left_semi",
+            ).collect()
+        ),
     )  # bounded: at most the slice count
-    bounds = {r.batch: (r.lo, r.hi) for r in slices.collect()}  # slice-count rows
+    if not affected:
+        clear_tombstones(path)
+        return []
     ev = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
-    for b in affected:
-        lo, hi = bounds[b]
-        rows = _qsk_batch_sample(
-            ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).join(
-                F.broadcast(del_ids), "event_id", "left_anti"
-            )
-        ).withColumn("batch", F.lit(b)).transform(checkpoint_df)
-        if rows.isEmpty():
+    # ALL affected slices rebuild in ONE job + ONE dynamic-overwrite
+    # write (r13, guide §2.1/§5.3: the per-slice driver loop scheduled
+    # checkpoint + isEmpty + write PER slice — 3 sequential write jobs
+    # for this workload's delete set, and O(slices) at cluster scale).
+    # Slice ranges are disjoint, so tagging each surviving row with its
+    # slice id and ranking per (batch, event_type) yields bit-identical
+    # rows to the per-slice rebuilds: the per-slice distinct becomes a
+    # (batch, ...) distinct and the per-slice bottom-k a per-(batch,
+    # event_type) bottom-k over the same row sets.
+    from columnflow_spark.functions.hashing import seed_long
+    from columnflow_spark.functions.skew import salted_topk
+
+    in_affected = None
+    batch_col = F.lit(None).cast("int")
+    for b, lo, hi in reversed(affected):
+        pred = (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        in_affected = pred if in_affected is None else (pred | in_affected)
+        batch_col = F.when(pred, F.lit(b)).otherwise(batch_col)
+    src = ev.filter(in_affected).join(F.broadcast(del_ids), "event_id", "left_anti")
+    keyed = src.select(
+        batch_col.alias("batch"),
+        "event_type",
+        seed_long(F.col("event_id"), F.lit("qsk")).alias("h"),
+        F.round(F.col("value") * _QSK_VSCALE, 0).cast("long").alias("v_q"),
+    ).distinct()
+    rows = (
+        salted_topk(
+            keyed, ["batch", "event_type"], [F.asc("h")], _QSK_K, salt_src=F.col("h")
+        )
+        .select("event_type", "h", "v_q", "batch")
+        .transform(checkpoint_df)
+    )
+    present = {r.batch for r in rows.select("batch").distinct().collect()}
+    if present:
+        upsert_partitions(rows, path, partition_by=["batch"])
+    for b, _lo, _hi in affected:
+        if b not in present:
             # ADVICE r12: dynamic partition overwrite writes NOTHING for
-            # an empty frame, so a delete set covering a whole slice
+            # an empty slice, so a delete set covering a whole slice
             # would leave the stale slice files serving deleted rows
             # after the tombstones clear — drop the partition explicitly
             import shutil
 
             shutil.rmtree(os.path.join(path, f"batch={b}"), ignore_errors=True)
-        else:
-            upsert_partitions(rows, path, partition_by=["batch"])
     clear_tombstones(path)
-    return affected
+    return [b for b, _lo, _hi in affected]
 
 
 @query(

@@ -75,8 +75,11 @@ def test_lpa_round_body_plan(spark):
     plan = _fmt(lpa_round(dir_edges, labels))
     tree = plan.split("\n\n")[0]
     # one edge-volume shuffle with map-side partial vote counts + the
-    # node-grain argmax window — nothing else
+    # node-grain argmax AGGREGATE (r13: max_by replaced the rank window —
+    # both halves must partial-combine map-side, and no per-node sort)
     assert "partial_count" in plan, "vote count lost its map-side partial"
+    assert "partial_max_by" in plan, "argmax lost its map-side partial"
+    assert "Window" not in tree, "argmax regressed to a rank window"
     assert tree.count("- Exchange") <= 4, tree
     assert "Scan parquet" not in tree
 
