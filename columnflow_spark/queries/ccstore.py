@@ -450,18 +450,20 @@ def order_part_components_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") + _SCC_PART_OFF).alias("d2"),
         "l_quantity",
     )
-    e0 = (
+    # ONE corpus pass for BOTH pair sets (r13, guide §1.2): dl ⊆ e0
+    # (qty == MIN implies qty >= MIN), so the edge set and the
+    # retraction set come out of a single grouped aggregate carrying a
+    # has-min flag — previously two lineitem scans, two distinct
+    # shuffles and two checkpoints over the same pairs.  The groupBy
+    # partial-combines map-side exactly like the distinct did.
+    grouped = (
         base.filter(F.col("l_quantity") >= _SCC_QTY_MIN)
-        .select("d1", "d2")
-        .distinct()
+        .groupBy("d1", "d2")
+        .agg(F.max((F.col("l_quantity") == _SCC_QTY_MIN).cast("int")).alias("has_min"))
         .transform(checkpoint_df)
     )
-    dl = (
-        base.filter(F.col("l_quantity") == _SCC_QTY_MIN)
-        .select("d1", "d2")
-        .distinct()
-        .transform(checkpoint_df)
-    )
+    e0 = grouped.select("d1", "d2")
+    dl = grouped.filter(F.col("has_min") == 1).select("d1", "d2")
     endpoints = e0.select(F.col("d1").alias("doc_id")).union(
         e0.select(F.col("d2").alias("doc_id"))
     ).distinct()
