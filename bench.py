@@ -261,6 +261,7 @@ def main() -> None:
 
     import columnflow_spark.queries.anngraph as _agc
     import columnflow_spark.queries.graph as _gr
+    import columnflow_spark.queries.retrieval as _rt
 
     cold_first: dict[str, list[dict]] = {
         # the sharded line measures the COLD build+merge: purge the shared
@@ -275,6 +276,10 @@ def main() -> None:
         "pagerank_trade_graph": [_gr._EDGE_CACHE],
         "graph_label_propagation": [_gr._EDGE_CACHE],
         "dedup_shingle_index": [_mm._GRAMS_CACHE],
+        # first line of the retrieval family pays the shared BM25-totals
+        # checkpoint COLD (r13 — nine queries consume the identical
+        # query-driven totals frame; the shared-shingle-table pattern)
+        "bm25_topk": [_rt._BM25_TOTALS_CACHE],
         "dedup_minhash_lsh": [_mm._SIGS_CACHE],
         "ann_pq_adc_topk": [_mm._PQ_CB_CACHE],
         "bpe_encode_corpus": [_mm._BPE_MERGE_CACHE],

@@ -154,10 +154,36 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-(session, sf_dir) checkpointed BM25 totals — NINE queries consume
+#: the identical (query_id, doc_id, score_q) frame (bm25_topk, the three
+#: hybrid fusions, RM3's first pass, nDCG's run, the LTR pool, MMR's
+#: lexical arm, ...), each previously recompiling the full tokenize →
+#: explode → postings → totals pipeline (r13, guide §1.2 — the
+#: shared-shingle-table pattern; _LTR_FEAT_CACHE below is the same
+#: shape).  The frame is query-driven and tiny (≤ |queries| × matching
+#: docs integer rows).  bench.py purges this via cold_first on
+#: bm25_topk — the family's first line — so the build cost stays
+#: measured cold every sample there.
+_BM25_TOTALS_CACHE: dict = {}
+
+
 def _bm25_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-grid BM25 totals ``(query_id, doc_id, score_q)`` for the
     fixed query workload — the shared scoring pipeline behind
-    :func:`bm25_topk` and the lexical arm of :func:`hybrid_search_rrf`."""
+    :func:`bm25_topk` and the lexical arm of :func:`hybrid_search_rrf`,
+    checkpointed once per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BM25_TOTALS_CACHE.get(key)
+    if cached is None:
+        cached = _bm25_totals_frame(spark, sf_dir).transform(checkpoint_df)
+        _BM25_TOTALS_CACHE[key] = cached
+    return cached
+
+
+def _bm25_totals_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-checkpointed totals pipeline — the query-driven plan shape
+    (broadcast query terms into the word stream BEFORE the tf
+    aggregation) is pinned by tests/test_retrieval.py on this frame."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     toks = docs.select(
         "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("ts")

@@ -49,7 +49,12 @@ def test_bm25_plan_is_query_driven(spark, sf_dir):
     BEFORE the term-frequency aggregation — posting volume, not corpus
     volume, enters the shuffle — and the corpus parquet is scanned at
     most twice (postings + collection stats)."""
-    df = all_queries()["bm25_topk"](spark, sf_dir)
+    # r13: the totals are a session-checkpointed artifact — the
+    # query-driven property is pinned on the BUILD pipeline (what the
+    # checkpoint materializes), not the serve plan over the checkpoint
+    from columnflow_spark.queries.retrieval import _bm25_totals_frame
+
+    df = _bm25_totals_frame(spark, sf_dir)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -61,6 +66,13 @@ def test_bm25_plan_is_query_driven(spark, sf_dir):
     # the first plan node above the explosion on its branch is the
     # broadcast join with the query terms, then the partial aggregate
     assert any("BroadcastHashJoin" in ln for ln in above), tree
+    # and the serve over the checkpoint must never rescan the corpus
+    sdf = all_queries()["bm25_topk"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sdf.explain("formatted")
+    stree = buf.getvalue().split("\n\n")[0]
+    assert "Scan parquet" not in stree, stree
 
 
 def test_hybrid_rrf_fusion_invariants(spark, sf_dir):
