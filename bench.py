@@ -280,6 +280,12 @@ def main() -> None:
         # checkpoint COLD (r13 — nine queries consume the identical
         # query-driven totals frame; the shared-shingle-table pattern)
         "bm25_topk": [_rt._BM25_TOTALS_CACHE],
+        # first line of each near-dup edge family pays its shared edge
+        # artifact COLD (r13): the text-Jaccard pair set and the phash
+        # fingerprint+pair chain are session checkpoints consumed by
+        # 4 and 3 queries respectively
+        "dedup_connected_components": [_mm._JEDGES_CACHE],
+        "multimodal_phash_neardup": [_mm._PH_FP_CACHE, _mm._PH_PAIRS_CACHE],
         "dedup_minhash_lsh": [_mm._SIGS_CACHE],
         "ann_pq_adc_topk": [_mm._PQ_CB_CACHE],
         "bpe_encode_corpus": [_mm._BPE_MERGE_CACHE],

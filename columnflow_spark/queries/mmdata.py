@@ -1121,11 +1121,32 @@ _CC_DRIVER_MAX_EDGES = 5_000_000  # ~80 MB of (long, long) — trivially driver-
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
-    # checkpoint the pair list BEFORE symmetrizing: a union of two
-    # references to the same plan computes it twice, so materialize once
-    # and build both edge directions from the materialized rows
-    edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").transform(checkpoint_df)
-    return components_from_edges(all_docs, edges)
+    return components_from_edges(all_docs, _jaccard_edges_cached(spark, sf_dir))
+
+
+#: per-(session, sf_dir) checkpointed text near-dup edge list — FOUR
+#: queries consume the identical ``(d1, d2)`` Jaccard pair set
+#: (dedup_connected_components and, through it,
+#: dedup_canonical_per_cluster; leakage_safe_split; dedup_cluster_stats;
+#: multimodal_canonical_full's text arm), each previously recompiling
+#: the full prefix-filtered set-similarity join and paying its own
+#: checkpoint of the same rows (r13, guide §1.2 — the shared-shingle
+#: pattern one level up).  bench.py purges this on
+#: dedup_connected_components, the family's first bench line.
+_JEDGES_CACHE: dict = {}
+
+
+def _jaccard_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (session_key(spark), sf_dir)
+    e = _JEDGES_CACHE.get(key)
+    if e is None:
+        e = (
+            dedup_ngram_jaccard(spark, sf_dir)
+            .select("d1", "d2")
+            .transform(checkpoint_df)
+        )
+        _JEDGES_CACHE[key] = e
+    return e
 
 
 def components_from_edges(all_docs: DataFrame, edges: DataFrame) -> DataFrame:
@@ -4382,20 +4403,56 @@ _PHASH_FP_CTES = f"""
     """,
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _phash_pairs_cached(spark, sf_dir)
+
+
+#: per-(session, sf_dir) checkpointed corpus fingerprints and verified
+#: near-dup pairs — THREE queries build the identical Arrow dHash pass
+#: and blocked+verified pair join (neardup, phash_canonical, the
+#: cross-modal canonical_full), each previously re-running the UDF scan
+#: and the self-join with its own checkpoints (r13, guide §1.2/§4).
+#: bench.py purges BOTH on multimodal_phash_neardup, the family's first
+#: bench line, so the full fingerprint+pair cost stays measured cold
+#: there.  (phash_incremental_store fingerprints per ingest SLICE — a
+#: different grain — and stays independent.)
+_PH_FP_CACHE: dict = {}
+_PH_PAIRS_CACHE: dict = {}
+
+
+def _phash_fp_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, ph)`` corpus fingerprints: one Arrow pass, checkpointed
+    so the bucket size-count and both candidate join sides read the
+    narrow table instead of re-running the UDF per plan reference (the
+    hashed_grams materialize-once contract)."""
     from columnflow_spark.mmdata import build_media_table, phash_image
 
-    docs = (
-        spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
-        .filter(F.length("text") >= _PH_BITS + 1)
-        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    )
-    media = build_media_table(docs, payload="payload", mime="image/png")
-    # one Arrow pass computes the fingerprints; checkpoint so the bucket
-    # size-count and both candidate join sides read the narrow (id, ph)
-    # table instead of re-running the UDF per plan reference (the
-    # hashed_grams materialize-once contract)
-    ph = phash_image(media).transform(checkpoint_df)
-    return phash_neardup_pairs(ph)
+    key = (session_key(spark), sf_dir)
+    ph = _PH_FP_CACHE.get(key)
+    if ph is None:
+        docs = (
+            spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+            .filter(F.length("text") >= _PH_BITS + 1)
+            .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        )
+        media = build_media_table(docs, payload="payload", mime="image/png")
+        ph = phash_image(media).transform(checkpoint_df)
+        _PH_FP_CACHE[key] = ph
+    return ph
+
+
+def _phash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified ``(d1, d2, hamming)`` pairs over the cached fingerprints,
+    checkpointed once per session: the canonical solves reference the
+    edge list twice (symmetrize), and the pair join is the family's
+    expensive step."""
+    key = (session_key(spark), sf_dir)
+    pairs = _PH_PAIRS_CACHE.get(key)
+    if pairs is None:
+        pairs = phash_neardup_pairs(_phash_fp_cached(spark, sf_dir)).transform(
+            checkpoint_df
+        )
+        _PH_PAIRS_CACHE[key] = pairs
+    return pairs
 
 
 def phash_neardup_pairs(ph: DataFrame) -> DataFrame:
@@ -4458,17 +4515,8 @@ def multimodal_phash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared cluster solve (:func:`components_from_edges`) — the same
     fingerprint/pair/cluster/keep chain ``dedup_connected_components``
     runs for text, applied to the media payload axis."""
-    from columnflow_spark.mmdata import build_media_table, phash_image
-
     all_docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
-    docs = (
-        spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
-        .filter(F.length("text") >= _PH_BITS + 1)
-        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    )
-    media = build_media_table(docs, payload="payload", mime="image/png")
-    ph = phash_image(media).transform(checkpoint_df)
-    edges = phash_neardup_pairs(ph).select("d1", "d2").transform(checkpoint_df)
+    edges = _phash_pairs_cached(spark, sf_dir).select("d1", "d2")
     comp = components_from_edges(all_docs, edges)
     return comp.select(
         "doc_id",
@@ -4530,21 +4578,13 @@ def multimodal_canonical_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep set across BOTH modalities: text n-gram-Jaccard edges
     unioned with visual perceptual-hash edges, one connected-components
     solve, keep the lowest-id member of every cross-modal cluster."""
-    from columnflow_spark.mmdata import build_media_table, phash_image
-
     all_docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
-    tedges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
-    docs = (
-        spread(load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
-        .filter(F.length("text") >= _PH_BITS + 1)
-        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    )
-    media = build_media_table(docs, payload="payload", mime="image/png")
-    ph = phash_image(media).transform(checkpoint_df)
-    vedges = phash_neardup_pairs(ph).select("d1", "d2")
-    # checkpoint BEFORE the component solve (it references the edge list
-    # twice to symmetrize); dropDuplicates because a pair can be both a
-    # text AND a visual duplicate
+    # both edge families are session-checkpointed artifacts; the union
+    # is a cheap scan of the two narrow checkpoints per action, and
+    # dropDuplicates because a pair can be both a text AND a visual
+    # duplicate
+    tedges = _jaccard_edges_cached(spark, sf_dir)
+    vedges = _phash_pairs_cached(spark, sf_dir).select("d1", "d2")
     edges = tedges.union(vedges).dropDuplicates(["d1", "d2"]).transform(checkpoint_df)
     comp = components_from_edges(all_docs, edges)
     return comp.select(
@@ -9051,7 +9091,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnflow_spark.functions.hashing import seed_long
 
     all_docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
-    edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").transform(checkpoint_df)
+    edges = _jaccard_edges_cached(spark, sf_dir)
     comp = components_from_edges(all_docs, edges)
     return comp.select(
         "doc_id",
@@ -9287,7 +9327,7 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes.  Catalog-sized output; the only cost is the shared
     component solve."""
     all_docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
-    edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").transform(checkpoint_df)
+    edges = _jaccard_edges_cached(spark, sf_dir)
     comp = components_from_edges(all_docs, edges)
     csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
     return (
