@@ -205,8 +205,19 @@ def flag_batch_against_store(
     )
 
 
+#: per-(session, sf_dir) memo of the two cutoff counts: ~22 store-query
+#: call sites each scheduled a fresh count job over an unchanging table
+#: (r13, guide §5.2 — the _corpus_rows pattern); the cutoff is a pure
+#: function of the corpus, so one job per session suffices.
+_HIST_N_CACHE: dict = {}
+
+
 def _history_cutoff(spark: SparkSession, sf_dir: str) -> int:
-    n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
+    key = (spark.sparkContext.applicationId, sf_dir, "documents")
+    n = _HIST_N_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, "documents", columns=["doc_id"]).count()
+        _HIST_N_CACHE[key] = n
     return 3 * n // 5
 
 
@@ -612,7 +623,11 @@ def flag_semdedup_batch(
 
 
 def _sem_history_cutoff(spark: SparkSession, sf_dir: str) -> int:
-    n = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).count()
+    key = (spark.sparkContext.applicationId, sf_dir, "embeddings")
+    n = _HIST_N_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).count()
+        _HIST_N_CACHE[key] = n
     return 3 * n // 5
 
 
