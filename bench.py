@@ -288,6 +288,11 @@ def main() -> None:
         "multimodal_phash_neardup": [_mm._PH_FP_CACHE, _mm._PH_PAIRS_CACHE],
         "dedup_minhash_lsh": [_mm._SIGS_CACHE],
         "ann_pq_adc_topk": [_mm._PQ_CB_CACHE],
+        # first consumer of the shared probed-ADC aggregate (r14): pays the
+        # assign → probe → LUT → ADC chain COLD every sample; the refined
+        # sibling then reads the session checkpoint (the _bm25_totals
+        # pattern)
+        "ann_ivfpq_topk": [_mm._IVFPQ_ADC_CACHE],
         "bpe_encode_corpus": [_mm._BPE_MERGE_CACHE],
         "unigram_encode_corpus": [_mm._ULM_CACHE],
         "quality_classifier_filter": [_mm._LOGREG_W_CACHE],
@@ -324,6 +329,11 @@ def main() -> None:
         gpath = _ag.graph_index_path(sf_dir)
         shutil.rmtree(gpath, ignore_errors=True)
         _ag._G_ADJ_CACHE.clear()
+        # r14: the scored candidate pairs are a session artifact shared by
+        # the full and base builds — purge so this line pays the candidate
+        # join COLD (the insert build line later reuses it warm, the
+        # compute-once-reuse pattern the corpus frame already follows)
+        _ag._G_SCORED_CACHE.clear()
         t0 = time.perf_counter()
         _ag.build_graph_index(spark, sf_dir, gpath)
         timings["ann_graph_index_build"] = round(time.perf_counter() - t0, 4)
@@ -424,6 +434,23 @@ def main() -> None:
             flush=True,
         )
 
+    # fixed same-tree reference line (r14, VERDICT r13 next #8): a
+    # code-independent CPU probe (hash-sum over an in-memory range — no
+    # parquet, no engine code) timed like any other line, so a reader of
+    # two runs can normalize window quality: if the probe moved 2x, the
+    # window moved, not the code.  Recorded as an ADDED queries entry —
+    # the driver contract allows additions; BENCHLOG keeps the history.
+    from pyspark.sql import functions as _F
+
+    _ref_runs = []
+    for _ in range(5):
+        _t0 = time.perf_counter()
+        # bit_xor, not sum: ANSI mode overflows a long sum of hashes
+        spark.range(2_000_000).select(_F.expr("bit_xor(xxhash64(id))")).collect()
+        _ref_runs.append(time.perf_counter() - _t0)
+    timings["bench_ref_probe"] = round(min(_ref_runs), 4)
+    print(f"[bench] bench_ref_probe: {timings['bench_ref_probe']}s", file=sys.stderr, flush=True)
+
     # best-of-N per query (VERDICT r5 next #7): this VM's documented
     # 2-10x hypervisor noise makes single samples meaningless and even
     # best-of-2 leaves coin flips; N defaults to 3 and the recorded
@@ -431,12 +458,18 @@ def main() -> None:
     # decomposition exercise.  Multi-second lines stop after 2 samples
     # (their cost is inherent work, not noise-limited — a third run only
     # doubles bench wall time); the one-time artifact-build lines above
-    # are timed once and carry samples = 1.
+    # are timed once and carry samples = 1.  Sub-second lines take up to
+    # SUBSEC_SAMPLES (default 5) samples (r14, VERDICT r13 next #8):
+    # they are cheap, and a ±0.2 s ambient stall on a 0.3 s line is a
+    # phantom 1.7x "regression" that extra minimum-samples mostly filter.
     n_samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3")))
+    n_sub = max(n_samples, int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_SAMPLES", "5")))
     samples = {k: 1 for k in timings}  # build lines recorded above
     for name in names:
         runs: list[float] = []
-        for i in range(n_samples):
+        for i in range(n_sub):
+            if i >= n_samples and min(runs) >= 1.0:
+                break
             if i > 0:
                 # cold-first queries re-run COLD: purge exactly this
                 # query's artifact cache so the min never hides a

@@ -90,8 +90,15 @@ def export_shapes(hists, path: str) -> str:
     scope here — SURVEY §2.1 — so the store is a parquet directory
     partitioned by category, with the combine naming contract
     ``$CHANNEL/$PROCESS`` / ``$CHANNEL/$PROCESS_$SYSTEMATIC(Up|Down)``
-    realized as the (category, process, shift) columns)."""
-    hists.write.mode("overwrite").partitionBy("category").parquet(path)
+    realized as the (category, process, shift) columns).
+
+    The write clusters rows by the partition column first (the
+    ``REBALANCE`` hint — guide §6): this writer bypassed the shared
+    ``write_events`` path and so re-created the one-file-per-task-per-
+    partition-value small-files bug the r13 sinks fix closed."""
+    hists.hint("rebalance", "category").write.mode("overwrite").partitionBy(
+        "category"
+    ).parquet(path)
     return path
 
 

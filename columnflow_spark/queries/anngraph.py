@@ -73,8 +73,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from columnflow_spark.core.state import checkpoint_df
-from columnflow_spark.functions.similarity import hyperplane_signs
+from columnflow_spark.core.state import checkpoint_df, checkpoint_df_lazy
+from columnflow_spark.functions.similarity import chunked_self_pairs, hyperplane_signs
 from columnflow_spark.queries import query
 from columnflow_spark.queries.annindex import content_tag, scratch_root
 from columnflow_spark.sources import load_table, spread
@@ -197,21 +197,57 @@ def _corpus_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cf
 
 
+#: per-(session, sf_dir) checkpointed FULL-corpus scored candidate pairs
+#: ``(v1 < v2, d)`` — the expensive half of every adjacency build (banded
+#: LSH candidate join + grid-dot scoring).  r14 (VERDICT r13 next #4):
+#: the insert twin's base build re-ran this identical join over the 95 %
+#: non-inserted subset even though candidate collision is a PAIRWISE
+#: property — the base candidate set is exactly the full set restricted
+#: to base endpoints — so one session artifact serves the full build,
+#: the base build (endpoint filter) and every downstream consumer of the
+#: cached adjacency (vacuum/trained-entry/delete stores), one candidate
+#: join per session instead of two.  LAZY checkpoint: the first
+#: consumer's action materializes the blocks.  bench.py purges this on
+#: the ann_graph_store_topk build split so ann_graph_index_build pays
+#: the join COLD.
+_G_SCORED_CACHE: dict = {}
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sp = _G_SCORED_CACHE.get(key)
+    if sp is None:
+        cf = _corpus_frame(spark, sf_dir)
+        sp = _score_pairs(_within_pairs(cf), cf.select("vec_id", "g")).transform(
+            checkpoint_df_lazy
+        )
+        _G_SCORED_CACHE[key] = sp
+    return sp
+
+
 def build_graph_adjacency(
     spark: SparkSession, sf_dir: str, node_pred=None, tag: str = "full"
 ) -> DataFrame:
     """``(src, dst, d)`` — the bounded-degree navigable graph: banded LSH
     candidates → per-node top-R by grid dot → symmetrize → cap.
     ``node_pred`` restricts which vectors become nodes (the incremental
-    insert builds its base graph on the non-inserted subset).
+    insert builds its base graph on the non-inserted subset); pass it as
+    a CALLABLE over the id column (e.g. ``lambda c: ~_insert_pred(c)``)
+    so the build can derive its candidates from the session's scored
+    pair artifact by endpoint restriction (r14 — candidate collision is
+    pairwise, so filtering the full scored pairs to pred(v1) & pred(v2)
+    yields exactly the subset build's candidate set; proven edge-for-edge
+    in tests/test_ann_graph.py).  A plain Column predicate is still
+    accepted and falls back to the direct subset join.
 
     The combined build frame (:func:`_corpus_frame`) is checkpointed so
     the whole build reads the corpus exactly ONCE (bucket bits + grid
     quantization in the same pass — r13; previously one bucket pass plus
-    one grid pass) — the lazy composition would otherwise rescan
-    embeddings per band side and per grid join (40 scans in the compiled
-    plan); cached per (session, sf_dir, tag) since every serving form
-    starts from it.
+    one grid pass); the scored pair frame (:func:`_scored_pairs`) is
+    likewise a session artifact (r14), so the candidate join itself runs
+    once per session no matter how many build variants consume it.
+    Cached per (session, sf_dir, tag) since every serving form starts
+    from it.
     A ``node_pred`` REQUIRES a non-default tag — the cache is keyed by
     tag, and a predicated build under tag='full' would poison the
     full-graph adjacency for the whole session."""
@@ -223,11 +259,20 @@ def build_graph_adjacency(
     key = (spark.sparkContext.applicationId, sf_dir, tag)
     if key in _G_ADJ_CACHE:
         return _G_ADJ_CACHE[key]
-    cf = _corpus_frame(spark, sf_dir)
-    bucketed = cf if node_pred is None else cf.filter(node_pred)
-    cand = _within_pairs(bucketed)
-    ge = cf.select("vec_id", "g")
-    adj = _adjacency_from_pairs(cand, ge)
+    if node_pred is None:
+        adj = _adjacency_rank(_scored_pairs(spark, sf_dir))
+    elif callable(node_pred):
+        scored = _scored_pairs(spark, sf_dir).filter(
+            node_pred(F.col("v1")) & node_pred(F.col("v2"))
+        )
+        adj = _adjacency_rank(scored)
+    else:
+        # legacy Column predicate: cannot be rebound to pair endpoints —
+        # run the direct subset candidate join (result-identical)
+        cf = _corpus_frame(spark, sf_dir)
+        adj = _adjacency_from_pairs(
+            _within_pairs(cf.filter(node_pred)), cf.select("vec_id", "g")
+        )
     _G_ADJ_CACHE[key] = adj
     return adj
 
@@ -246,17 +291,49 @@ def _stacked_bands(bucketed: DataFrame, vcol: str) -> DataFrame:
     )
 
 
-def _within_pairs(bucketed: DataFrame) -> DataFrame:
+#: per-task candidate bound for the stacked (band, bkt) self-join: a
+#: bucket over this many members is split into hash chunks so no single
+#: join task generates more than ~cap² pairs (VERDICT r13 what's-wrong
+#: #5: collapsing the per-band joins into one stacked join concentrates
+#: any hot LSH bucket into a single join key — fine at sf0.1, one
+#: straggler task at 100 TB).  All test-SF buckets sit far below the
+#: cap, where chunked_self_pairs degenerates to the plain self-join
+#: (m = 1, no replication).
+_G_BUCKET_CAP = 1024
+
+
+def _within_pairs(bucketed: DataFrame, chunked: bool = True) -> DataFrame:
     """Distinct candidate pairs ``(v1 < v2)`` sharing a bucket in any
     band — ONE stacked (band, bkt) self-join of the bucketed frame; the
     pair set is identical to the per-band join union (a pair shares a
-    bucket in some band iff the stacked keys collide for that band)."""
-    x = _stacked_bands(bucketed, "v1")
-    y = _stacked_bands(bucketed, "v2")
+    bucket in some band iff the stacked keys collide for that band).
+
+    With ``chunked`` (the default — the session-artifact candidate join,
+    :func:`_scored_pairs`) the self-join runs through
+    :func:`chunked_self_pairs` (r14): EXACT all-pairs semantics — the
+    adjacency stays bit-identical, asserted edge-for-edge in
+    tests/test_ann_graph.py — with hot buckets split into chunk-pair
+    tasks bounded by ``_G_BUCKET_CAP``² candidates.  The sharded build
+    passes ``chunked=False``: its per-shard buckets are half-sized and
+    the guard's fixed cost (one bucket-count aggregate + broadcast per
+    join, ×3 joins) measured +1.0 s on the deliberately-cold
+    ann_graph_sharded_topk line (interleaved A/B min-of-3: 7.0/7.5 →
+    8.0/8.2 s) for no local benefit — see OPTIMIZATION_r14.md."""
+    if not chunked:
+        x = _stacked_bands(bucketed, "v1")
+        y = _stacked_bands(bucketed, "v2")
+        return (
+            x.join(y, ["band", "bkt"])
+            .filter(F.col("v1") < F.col("v2"))
+            .select("v1", "v2")
+            .distinct()
+        )
+    st = _stacked_bands(bucketed, "v").select(
+        F.struct("band", "bkt").alias("k"), "v"
+    )
+    pairs = chunked_self_pairs(st, "k", "v", cap=_G_BUCKET_CAP)
     return (
-        x.join(y, ["band", "bkt"])
-        .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2")
+        pairs.select(F.col("v").alias("v1"), F.col("v_b").alias("v2"))
         .distinct()
     )
 
@@ -293,15 +370,28 @@ def _both_directions(df: DataFrame, a: str, b: str) -> DataFrame:
     ).select("e.src", "e.dst", "e.d")
 
 
-def _adjacency_from_pairs(cand: DataFrame, ge: DataFrame) -> DataFrame:
-    """Candidate pairs → scored → per-node top-R → symmetrize → degree
-    cap: the merge phase — identical no matter how the candidate set was
-    generated (one-shot or per-shard + cross)."""
-    scored = (
+def _score_pairs(cand: DataFrame, ge: DataFrame) -> DataFrame:
+    """Candidate pairs joined to their grid vectors and scored:
+    ``(v1, v2, d)`` with the exact-integer grid dot."""
+    return (
         cand.join(ge.select(F.col("vec_id").alias("v1"), F.col("g").alias("g1")), "v1")
         .join(ge.select(F.col("vec_id").alias("v2"), F.col("g").alias("g2")), "v2")
         .select("v1", "v2", _gdot(F.col("g1"), F.col("g2")).alias("d"))
     )
+
+
+def _adjacency_from_pairs(cand: DataFrame, ge: DataFrame) -> DataFrame:
+    """Candidate pairs → scored → per-node top-R → symmetrize → degree
+    cap: the merge phase — identical no matter how the candidate set was
+    generated (one-shot or per-shard + cross)."""
+    return _adjacency_rank(_score_pairs(cand, ge))
+
+
+def _adjacency_rank(scored: DataFrame) -> DataFrame:
+    """Scored pairs ``(v1, v2, d)`` → per-node top-R → symmetrize →
+    degree cap — the rank phase, split out (r14) so builds over the
+    session's checkpointed scored-pair artifact skip the candidate
+    join."""
     directed = _both_directions(scored, "v1", "v2")
     w = W.partitionBy("src").orderBy(F.desc("d"), F.asc("dst"))
     adj0 = directed.withColumn("rk", F.row_number().over(w)).filter(
@@ -343,8 +433,8 @@ def build_graph_adjacency_sharded(spark: SparkSession, sf_dir: str) -> DataFrame
     # have two even ids, within(B) two odd, cross exactly one of each —
     # so the union IS a set and the extra exchange was pure cost
     cand = (
-        _within_pairs(ba)
-        .unionAll(_within_pairs(bb))
+        _within_pairs(ba, chunked=False)
+        .unionAll(_within_pairs(bb, chunked=False))
         .unionAll(_cross_pairs(ba, bb))
     )
     adj = _adjacency_from_pairs(cand, cf.select("vec_id", "g"))
@@ -359,8 +449,9 @@ def _pages_from_adj(
     spark: SparkSession, sf_dir: str, adj: DataFrame, node_pred=None
 ) -> DataFrame:
     """``(vec_id, g, nbrs)`` pages for an arbitrary adjacency frame;
-    ``node_pred`` limits which vectors get pages (base-graph pages must
-    not include not-yet-inserted vectors)."""
+    ``node_pred`` (callable over the id column, or a plain Column) limits
+    which vectors get pages (base-graph pages must not include
+    not-yet-inserted vectors)."""
     nbrs = adj.groupBy(F.col("src").alias("vec_id")).agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
@@ -369,7 +460,7 @@ def _pages_from_adj(
     # instead of a fresh parquet scan + spread shuffle (r13)
     ge = _corpus_frame(spark, sf_dir).select("vec_id", "g")
     if node_pred is not None:
-        ge = ge.filter(node_pred)
+        ge = ge.filter(node_pred(F.col("vec_id")) if callable(node_pred) else node_pred)
     return ge.join(nbrs, "vec_id", "left").select(
         "vec_id",
         "g",
@@ -639,7 +730,7 @@ def build_graph_index(
     # upserts only its own slice (idempotent, the store contract).
     ge = _corpus_frame(spark, sf_dir).select("vec_id", "g")
     if node_pred is not None:
-        ge = ge.filter(node_pred)
+        ge = ge.filter(node_pred(F.col("vec_id")) if callable(node_pred) else node_pred)
     cents = ge.filter(F.col("vec_id") % _G_ENTRY_MOD == 0).select(
         "vec_id", "g", F.lit(0).alias("batch")
     )
@@ -1016,8 +1107,17 @@ def ann_graph_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _G_INSERT_MOD, _G_INSERT_REM = 20, 11  # 5% of vectors arrive late
 
 
-def _insert_pred():
-    return F.pmod(F.col("vec_id"), F.lit(_G_INSERT_MOD)) == _G_INSERT_REM
+def _insert_pred(c: Column | None = None):
+    """Membership predicate of the late-arriving insert batch; ``c``
+    rebinds it to another id column (pair endpoints v1/v2 — r14)."""
+    return F.pmod(F.col("vec_id") if c is None else c, F.lit(_G_INSERT_MOD)) == _G_INSERT_REM
+
+
+def _base_node_pred(c: Column | None = None):
+    """The base (non-inserted) subset as a CALLABLE node predicate — the
+    form the predicated builds take so their candidates derive from the
+    session's scored-pair artifact by endpoint restriction (r14)."""
+    return ~_insert_pred(c)
 
 
 _G_UPD_CACHE: dict = {}
@@ -1034,10 +1134,10 @@ def updated_graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise re-evaluate the entire base build — candidates + ranking
     # windows — a full second build pass at 100 TB (r13, guide §1.2)
     base_adj = build_graph_adjacency(
-        spark, sf_dir, node_pred=~_insert_pred(), tag="base"
+        spark, sf_dir, node_pred=_base_node_pred, tag="base"
     ).transform(checkpoint_df)
     base_pages = (
-        _pages_from_adj(spark, sf_dir, base_adj, node_pred=~_insert_pred())
+        _pages_from_adj(spark, sf_dir, base_adj, node_pred=_base_node_pred)
 
         .transform(checkpoint_df)
     )

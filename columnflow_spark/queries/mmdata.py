@@ -3725,9 +3725,31 @@ IVFPQ_ORACLE = f"""
     """
 
 
+#: per-(session, sf_dir) checkpointed probed-ADC aggregate — the exact
+#: ``_bm25_totals`` pattern (r14, guide §1.2): ``ann_ivfpq_topk`` and
+#: ``ann_ivfpq_refined_topk`` consume the IDENTICAL bounded frame
+#: (|queries| × probed candidates rows), and each previously recompiled +
+#: re-ran the full assign → probe → LUT → ADC join chain.  bench.py
+#: purges this via cold_first on ann_ivfpq_topk (the family's first
+#: consumer line) so the build cost stays measured cold every sample
+#: there; LAZY checkpoint so the first consumer's own action
+#: materializes the blocks (no separate build job).
+_IVFPQ_ADC_CACHE: dict = {}
+
+
+def _ivfpq_adc_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IVFPQ_ADC_CACHE.get(key)
+    if cached is None:
+        cached = _ivfpq_adc_frame(spark, sf_dir).transform(checkpoint_df_lazy)
+        _IVFPQ_ADC_CACHE[key] = cached
+    return cached
+
+
 def _ivfpq_adc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared probed-ADC aggregate ``(query_id, neighbor_id, sum_d)``
-    behind ``ann_ivfpq_topk`` and its refined sibling."""
+    behind ``ann_ivfpq_topk`` and its refined sibling — the UN-checkpointed
+    build pipeline (plan shape pinned by tests/test_plan_quality.py)."""
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     cents = _ivf_cents(emb)
     # index build: map-side cell assignment + PQ codes (both zero-shuffle
@@ -3752,7 +3774,7 @@ def _ivfpq_adc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivfpq_topk", oracle=IVFPQ_ORACLE)
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    adc = _ivfpq_adc_frame(spark, sf_dir)
+    adc = _ivfpq_adc_cached(spark, sf_dir)
     # integer-scaled distance: round(x*1e4) shares the fp multiply with
     # the oracle, so there is no BigDecimal-vs-float knife edge at any sf
     # (sf1 sweep caught round(x, 4) ties diverging)
@@ -3811,7 +3833,7 @@ _REFINE_POOL = 20
     """.replace("{ctes}", ivfpq_adc_ctes(topk=_REFINE_POOL)),
 )
 def ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    adc = _ivfpq_adc_frame(spark, sf_dir)
+    adc = _ivfpq_adc_cached(spark, sf_dir)
     adc_scaled = F.round(F.col("sum_d") / F.lit(100.0), 0).cast("long")
     win = W.partitionBy("query_id").orderBy(adc_scaled, F.asc("neighbor_id"))
     pool = (
@@ -5003,26 +5025,43 @@ def _tf_feat(docs: DataFrame) -> DataFrame:
     map-side to <= _TF_D + 1 rows per doc per partition, so shuffle
     volume is doc-grain, not token-grain.  Scoring paths (the funnel's
     final filter, the streaming ingest gate) keep the in-row expression
-    form, which must stay shuffle-free."""
+    form, which must stay shuffle-free.
+
+    ONE documents scan (r14, guide §1.2/§6): the previous form read the
+    text column twice (a doc-grain (nw, y) branch joined to the exploded
+    token branch) — at corpus scale two full reads of the heaviest
+    column where one suffices.  ``nw``/``y`` now ride the exploded rows
+    as group keys (constant per doc, so the grouping is unchanged);
+    ``explode_outer`` + the NULL-skipping ``count("w")`` /
+    NULL-dropping ``collect_list(when(...))`` keep empty documents
+    present with an all-zero vector, exactly the old left join.  The
+    tokenization is pre-projected into its own select so ``split`` is
+    evaluated once per row, not once per consuming expression
+    (measured: the inlined form was 2.4x slower).  Bit-identical rows
+    asserted against the in-row form in test_mmdata.py and re-verified
+    against the old two-scan form at sf0.1 during the r14 A/B."""
     ws = F.filter(F.split("text", " "), lambda t: t != "")
-    base = docs.select(
+    toks = docs.select("doc_id", ws.alias("ws"))
+    ex = toks.select(
         "doc_id",
-        F.size(ws).alias("nw"),
-        F.when(F.array_contains(ws, "dup"), 0.0).otherwise(1.0).alias("y"),
+        F.size("ws").alias("nw"),
+        F.when(F.array_contains("ws", "dup"), 0.0).otherwise(1.0).alias("y"),
+        F.explode_outer("ws").alias("w"),
     )
-    ex = docs.select("doc_id", F.explode(ws).alias("w"))
-    cnt = ex.groupBy("doc_id", _tf_bucket(F.col("w")).alias("b")).agg(
-        F.count(F.lit(1)).alias("c")
+    cnt = ex.groupBy("doc_id", "nw", "y", _tf_bucket(F.col("w")).alias("b")).agg(
+        F.count("w").alias("c")
     )
-    vec = cnt.groupBy("doc_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m")
+    vec = cnt.groupBy("doc_id", "nw", "y").agg(
+        F.map_from_entries(
+            F.collect_list(F.when(F.col("b").isNotNull(), F.struct("b", "c")))
+        ).alias("m")
     )
     denom = F.greatest(F.col("nw"), F.lit(1)).cast("double")
     counts = F.transform(
         F.sequence(F.lit(0), F.lit(_TF_D - 1)),
         lambda j: F.coalesce(F.col("m")[j.cast("long")], F.lit(0)).cast("double") / denom,
     )
-    return base.join(vec, "doc_id", "left").select(
+    return vec.select(
         "doc_id", F.concat(counts, F.array(F.lit(1.0))).alias("x"), "y"
     )
 

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from columnflow_spark.core.state import checkpoint_df
+from columnflow_spark.core.state import checkpoint_df, checkpoint_df_lazy
 
 from columnflow_spark.functions.similarity import cosine
 from columnflow_spark.functions.skew import salted_topk
@@ -175,7 +175,14 @@ def _bm25_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _BM25_TOTALS_CACHE.get(key)
     if cached is None:
-        cached = _bm25_totals_frame(spark, sf_dir).transform(checkpoint_df)
+        # LAZY checkpoint (r14, guide §5): the first consumer's own action
+        # materializes the blocks — an eager checkpoint here scheduled a
+        # separate build job whose output the consumer immediately re-read,
+        # which on the cold bm25_topk path (bench purges this cache every
+        # sample) was a pure extra scheduling round-trip.  Later consumers
+        # still read the materialized blocks; the plan truncation (and the
+        # serve-never-rescans-the-corpus pin) is unchanged.
+        cached = _bm25_totals_frame(spark, sf_dir).transform(checkpoint_df_lazy)
         _BM25_TOTALS_CACHE[key] = cached
     return cached
 

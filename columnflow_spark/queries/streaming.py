@@ -2165,6 +2165,7 @@ def streaming_graph_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnflow_spark.queries.anngraph import (
         _final_topk,
         _graph_beam,
+        _base_node_pred,
         _insert_pred,
         _query_vectors,
         build_graph_index,
@@ -2176,7 +2177,7 @@ def streaming_graph_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register(spark)
     store = tempfile.mkdtemp(prefix="cf_gann_store_")
-    build_graph_index(spark, sf_dir, store, node_pred=~_insert_pred(), tag="base")
+    build_graph_index(spark, sf_dir, store, node_pred=_base_node_pred, tag="base")
 
     n = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).count()
     stream = (
@@ -2225,6 +2226,7 @@ def _graph_cdc_store(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     from columnflow_spark.queries.anngraph import (
+        _base_node_pred,
         _insert_pred,
         build_graph_index,
         ingest_graph_batch,
@@ -2235,7 +2237,7 @@ def _graph_cdc_store(spark: SparkSession, sf_dir: str) -> str:
 
     register(spark)
     store = tempfile.mkdtemp(prefix="cf_gann_cdc_")
-    build_graph_index(spark, sf_dir, store, node_pred=~_insert_pred(), tag="base")
+    build_graph_index(spark, sf_dir, store, node_pred=_base_node_pred, tag="base")
 
     n = load_table(spark, sf_dir, "embeddings", columns=["vec_id"]).count()
     stream = (

@@ -1612,15 +1612,32 @@ def qsk_apply_deletes(spark: SparkSession, sf_dir: str, path: str) -> list[int]:
     from columnflow_spark.functions.hashing import seed_long
     from columnflow_spark.functions.skew import salted_topk
 
+    # membership filter stays an OR of range predicates (parquet row-group
+    # stats on event_id can skip unaffected ranges at the SCAN), but the
+    # slice TAG is a broadcast range join against the bounded (batch, lo,
+    # hi) frame instead of an O(slices) nested when/otherwise chain
+    # (ADVICE r13: deep literal expression chains can exceed Catalyst/
+    # codegen expression-tree limits at the cluster-scale slice counts
+    # this settle targets).  Ranges are disjoint, so each surviving event
+    # matches exactly one bounds row — the join IS the old when-chain.
     in_affected = None
-    batch_col = F.lit(None).cast("int")
-    for b, lo, hi in reversed(affected):
+    for _b, lo, hi in affected:
         pred = (F.col("event_id") >= lo) & (F.col("event_id") < hi)
         in_affected = pred if in_affected is None else (pred | in_affected)
-        batch_col = F.when(pred, F.lit(b)).otherwise(batch_col)
-    src = ev.filter(in_affected).join(F.broadcast(del_ids), "event_id", "left_anti")
+    bounds = spark.createDataFrame(
+        [(int(b), int(lo), int(hi)) for b, lo, hi in affected],
+        "batch int, lo long, hi long",
+    )
+    src = (
+        ev.filter(in_affected)
+        .join(F.broadcast(del_ids), "event_id", "left_anti")
+        .join(
+            F.broadcast(bounds),
+            (F.col("event_id") >= F.col("lo")) & (F.col("event_id") < F.col("hi")),
+        )
+    )
     keyed = src.select(
-        batch_col.alias("batch"),
+        "batch",
         "event_type",
         seed_long(F.col("event_id"), F.lit("qsk")).alias("h"),
         F.round(F.col("value") * _QSK_VSCALE, 0).cast("long").alias("v_q"),

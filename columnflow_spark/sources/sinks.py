@@ -300,8 +300,14 @@ def write_json_lines(
     reference's json side outputs for interchange with non-parquet tooling
     (e.g. tasks/selection.py stats targets)."""
     out = sort_fields(df)
-    writer = out.write.mode(mode)
     partition_by = list(partition_by)
+    if partition_by:
+        # REBALANCE by the partition columns, exactly like write_events
+        # (guide §6): without it every task emits one file per
+        # hive-partition value it holds — the small-files bug the r13
+        # parquet-writer fix closed was still reachable via this path
+        out = out.hint("rebalance", *partition_by)
+    writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)

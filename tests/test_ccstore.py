@@ -77,6 +77,7 @@ def test_reinsert_after_retract_rejoins(spark, tmp_path):
     assert _labels(spark, store) == {(1, 1), (101, 1), (2, 2)}
 
 
+@pytest.mark.slow
 def test_batch_and_streaming_delete_twins_agree(spark, sf_dir):
     from columnflow_spark.queries import all_queries
 
@@ -133,6 +134,7 @@ def test_compaction_folds_and_contract_continues(spark, tmp_path):
     assert _labels(spark, store) == {(0, 0), (1, 1), (101, 1), (2, 2), (102, 2)}
 
 
+@pytest.mark.slow
 def test_cdc_vacuum_twin_matches_cdc(spark, sf_dir):
     from columnflow_spark.queries import all_queries
 

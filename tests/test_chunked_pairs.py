@@ -12,6 +12,7 @@ which trades cross-chunk pairs for LSH recall-by-other-bands).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from columnflow_spark.functions.similarity import chunked_self_pairs
@@ -107,6 +108,7 @@ def test_deterministic_under_repartition(spark):
     assert p2.exceptAll(p1).count() == 0
 
 
+@pytest.mark.slow
 def test_randomized_equivalence_to_brute_force(spark):
     # seeded randomized sweep: random key skew patterns x random caps
     # must always reproduce the brute-force pair set exactly

@@ -3,6 +3,7 @@ and run-to-run determinism (the integer grid's whole point)."""
 
 from __future__ import annotations
 
+import pytest
 from columnflow_spark.queries import all_queries
 from columnflow_spark.queries.graph import _PR_SCALE, _PR_D_NUM, _PR_D_DEN
 
@@ -70,6 +71,7 @@ def test_label_propagation_two_cliques(spark):
     assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
 
 
+@pytest.mark.slow
 def test_streaming_cc_distributed_batch_path(spark, sf_dir):
     """The streaming-CC sink must work WITHOUT the driver union-find:
     SPARK_GRAFT_CC_DISTRIBUTED=1 forces every per-batch label-edge solve

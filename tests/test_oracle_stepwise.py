@@ -5,6 +5,7 @@ UPSTREAM changed even when its own text did not."""
 
 from __future__ import annotations
 
+import pytest
 import pandas as pd
 
 from columnflow_spark.oracle import (
@@ -34,6 +35,7 @@ def test_splitter_rejects_non_materialized():
     assert split_materialized_ctes("SELECT 1") is None
 
 
+@pytest.mark.slow
 def test_stepwise_matches_verbatim_and_reuses_steps():
     from columnflow_spark.queries import all_oracles
 
@@ -54,6 +56,7 @@ def test_stepwise_matches_verbatim_and_reuses_steps():
     assert sum(1 for t in created if t.startswith("adj__")) == 1
 
 
+@pytest.mark.slow
 def test_stepwise_rebuilds_on_upstream_change():
     """`cand`'s TEXT is identical between the full and predicated
     builds, but its upstream `bk` differs — the versioned-name hash

@@ -5,6 +5,7 @@ breaks pushdown fails CI, not the cluster bill."""
 
 from __future__ import annotations
 
+import pytest
 import contextlib
 import io
 import os
@@ -233,11 +234,26 @@ def test_ivfpq_no_cartesian_and_broadcast_lut(spark, sf_dir):
     # the composed index query must keep both parents' plan properties:
     # no cartesian; the only conditionless join is the bounded
     # query-set x centroid-table probe scorer (a BNLJ over two broadcast-
-    # size inputs, same shape as ann_ivf_topk); codes/LUT joins hash-join
-    plan = _plan(spark, sf_dir, "ann_ivfpq_topk")
+    # size inputs, same shape as ann_ivf_topk); codes/LUT joins hash-join.
+    # r14: the ADC aggregate is a session-checkpointed artifact shared by
+    # ann_ivfpq_topk and the refined sibling — the join-strategy pins live
+    # on the BUILD pipeline (what the checkpoint materializes), and the
+    # serve plan over the checkpoint must never rescan the corpus
+    import contextlib
+    import io
+
+    from columnflow_spark.queries.mmdata import _ivfpq_adc_frame
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _ivfpq_adc_frame(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    serve = _plan(spark, sf_dir, "ann_ivfpq_topk")
+    assert "CartesianProduct" not in serve
+    assert "SortMergeJoin" not in serve
 
 
 def test_shuffle_shards_no_global_window(spark, sf_dir):
@@ -470,6 +486,7 @@ def _broadcast_subtrees(plan: str):
     return out, details
 
 
+@pytest.mark.slow
 def test_no_corpus_sized_broadcast_hints(spark, sf_dir):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -884,6 +901,7 @@ _BOUNDED_WINDOW_ALLOWLIST = {
 }
 
 
+@pytest.mark.slow
 def test_unbounded_window_rule_registry_wide(spark, sf_dir):
     """Sweep the single-partition-window rule over EVERY registered
     BATCH query's compiled plan, not just the `_PLAN_BUDGETS` set
@@ -1080,6 +1098,7 @@ def _lowcard_window_violations(plan: str) -> list[str]:
 _LOWCARD_WINDOW_ALLOWLIST: dict[str, str] = {}
 
 
+@pytest.mark.slow
 def test_lowcard_window_rule_registry_wide(spark, sf_dir):
     """Sweep the catalog-bounded-key window rule over every registered
     batch query's compiled plan (``streaming_*`` excluded for the same

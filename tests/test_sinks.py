@@ -141,6 +141,41 @@ def test_json_lines_sink_round_trip(spark, sf_dir, tmp_path):
     assert abs(a - b) <= 1e-9 * abs(a)
 
 
+def test_partitioned_writers_rebalance_file_counts(spark, sf_dir, tmp_path):
+    """The two partitioned writers that bypassed write_events in r13 —
+    write_json_lines and the datacard shapes export — must cluster rows
+    by the partition columns before the write (REBALANCE hint): a
+    many-task frame written into few hive partitions must NOT commit one
+    near-empty file per (task, partition-value) pair (guide §6)."""
+    from columnflow_spark.inference.datacard import export_shapes
+    from columnflow_spark.sources.sinks import write_json_lines
+
+    df = (
+        spark.range(2000)
+        .repartition(32)
+        .select(
+            F.col("id"),
+            F.concat(F.lit("c"), (F.col("id") % 3).cast("string")).alias("category"),
+            (F.col("id") % 7).cast("double").alias("sum_w"),
+        )
+    )
+    jpath = str(tmp_path / "json_part")
+    write_json_lines(df, jpath, partition_by=["category"])
+    jfiles = glob.glob(os.path.join(jpath, "category=*", "part-*"))
+    assert jfiles, "no json files written"
+    # without the hint this layout commits ~32 files per category (96+)
+    assert len(jfiles) <= 3 * 4
+    back = spark.read.json(jpath)
+    assert back.count() == 2000
+
+    ppath = str(tmp_path / "shapes_part")
+    export_shapes(df, ppath)
+    pfiles = glob.glob(os.path.join(ppath, "category=*", "*.parquet"))
+    assert pfiles, "no parquet files written"
+    assert len(pfiles) <= 3 * 4
+    assert spark.read.parquet(ppath).count() == 2000
+
+
 def test_side_output_round_trip(tmp_path):
     from columnflow_spark.sources.sinks import read_side_output, write_side_output
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from columnflow_spark.queries import all_queries
@@ -57,6 +58,7 @@ def test_translate_intcat_to_strcat(spark):
     assert {r.category for r in out2.collect()} == {"signal", "other"}
 
 
+@pytest.mark.slow
 def test_add_missing_shifts(spark):
     from columnflow_spark.hist.fill import add_missing_shifts
 
