@@ -601,18 +601,25 @@ def build_opq_index(
 
     path = path or opq_index_path(sf_dir)
     R, cms = opq_train_np(spark, sf_dir)
-    spark.createDataFrame(
+    from columnflow_spark.sources.sinks import tiny_rows_df
+
+    # one-partition sidecar frames (r14): createDataFrame(list).coalesce(1)
+    # paid one sequential Python-worker round trip per empty parallelize
+    # partition inside a single task — see sinks.tiny_rows_df
+    tiny_rows_df(
+        spark,
         [(i, [float(x) for x in R[i]]) for i in range(R.shape[0])],
         "i int, row array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "_rotation"))
-    spark.createDataFrame(
+    ).write.mode("overwrite").parquet(os.path.join(path, "_rotation"))
+    tiny_rows_df(
+        spark,
         [
             (s, ci, [float(x) for x in cms[s][ci]])
             for s in range(_PQ_M)
             for ci in range(_PQ_K)
         ],
         "sub int, code int, c array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "_codebook"))
+    ).write.mode("overwrite").parquet(os.path.join(path, "_codebook"))
     emb = spread(load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     rows = emb.filter(batch_pred) if batch_pred is not None else emb
     cents = _ivf_cents(emb).select("cid", "ce")

@@ -6410,10 +6410,15 @@ def build_unigram_vocab_store(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(os.path.join(path, "_BUILT")):
         return path  # training is the expensive part — skip before it
     rows = unigram_train_rows(spark, _ulm_word_counts(spark, sf_dir))
-    df = spark.createDataFrame(rows, "piece string, cnt long, score_q long")
+    from columnflow_spark.sources.sinks import tiny_rows_df
+
+    # one-partition frame: createDataFrame(list).coalesce(1) evaluated 32
+    # Python partitions sequentially in ONE task — 4-5 s of worker round
+    # trips per build for a ~40-row vocab (r14; see sinks.tiny_rows_df)
+    df = tiny_rows_df(spark, rows, "piece string, cnt long, score_q long")
 
     def build(p: str) -> None:
-        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(p, "vocab"))
+        df.write.mode("overwrite").parquet(os.path.join(p, "vocab"))
         with open(os.path.join(p, "_BUILT"), "w") as f:
             f.write("ulm vocab v1\n")
 

@@ -1509,10 +1509,14 @@ def _build_qsk_store(spark: SparkSession, sf_dir: str, p: str) -> None:
             ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
         ).withColumn("batch", F.lit(b))
         upsert_partitions(rows, p, partition_by=["batch"])
-    slices = spark.createDataFrame(
-        [(b, lo, hi) for b, (lo, hi) in enumerate(bounds)], "batch int, lo long, hi long"
+    from columnflow_spark.sources.sinks import tiny_rows_df
+
+    # one-partition sidecar (r14): coalesce(1) on a createDataFrame list
+    # serialized 32 Python partitions into one task — see sinks.tiny_rows_df
+    slices = tiny_rows_df(
+        spark, [(b, lo, hi) for b, (lo, hi) in enumerate(bounds)], "batch int, lo long, hi long"
     )
-    slices.coalesce(1).write.mode("overwrite").parquet(os.path.join(p, "_slices"))
+    slices.write.mode("overwrite").parquet(os.path.join(p, "_slices"))
     with open(os.path.join(p, "_SEQ_COMPLETE"), "w") as f:
         f.write("qsk ingest complete\n")
 

@@ -313,6 +313,19 @@ def write_json_lines(
     writer.json(path)
 
 
+def tiny_rows_df(spark, rows, schema: str):
+    """One-partition DataFrame from a driver-side row list — for tiny
+    sidecar writes (codebooks, rotation matrices, slice bounds, trained
+    vocabs).  ``createDataFrame(list)`` parallelizes into
+    ``defaultParallelism`` PYTHON partitions; a following ``coalesce(1)``
+    then evaluates all of them SEQUENTIALLY inside one task — one
+    Python-worker round trip per empty-ish partition, measured 4-6 s per
+    40-row sidecar write at local[32] (r14).  One partition up front
+    keeps the driver row order byte-identically and costs one worker
+    call (~0.3 s)."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def write_side_output(obj: object, path: str) -> str:
     """Driver-side JSON side sink for small summary objects — selection
     stats, cutflow dictionaries, normalization sums (the reference persists
