@@ -440,6 +440,10 @@ def main() -> None:
     # two runs can normalize window quality: if the probe moved 2x, the
     # window moved, not the code.  Recorded as an ADDED queries entry —
     # the driver contract allows additions; BENCHLOG keeps the history.
+    # Named zz_* so it SORTS LAST: the driver line's idx-sorted keys
+    # (q<i> over sorted names) must keep q0..q134 aligned with r13's —
+    # a mid-alphabet insertion would shift ~110 indices and garble any
+    # key-aligned round-over-round comparison.
     from pyspark.sql import functions as _F
 
     _ref_runs = []
@@ -448,8 +452,8 @@ def main() -> None:
         # bit_xor, not sum: ANSI mode overflows a long sum of hashes
         spark.range(2_000_000).select(_F.expr("bit_xor(xxhash64(id))")).collect()
         _ref_runs.append(time.perf_counter() - _t0)
-    timings["bench_ref_probe"] = round(min(_ref_runs), 4)
-    print(f"[bench] bench_ref_probe: {timings['bench_ref_probe']}s", file=sys.stderr, flush=True)
+    timings["zz_window_ref_probe"] = round(min(_ref_runs), 4)
+    print(f"[bench] bench_ref_probe: {timings['zz_window_ref_probe']}s", file=sys.stderr, flush=True)
 
     # best-of-N per query (VERDICT r5 next #7): this VM's documented
     # 2-10x hypervisor noise makes single samples meaningless and even
